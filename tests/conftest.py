@@ -1,0 +1,36 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so the full engine —
+including multi-device sharding — executes anywhere without TPU hardware
+(SURVEY.md §4: this deliberately exceeds the reference, whose GPU tests
+could not run in its own CI).  Set WARPDB_TEST_TPU=1 to run on real
+devices instead.
+"""
+
+import os
+
+if not os.environ.get("WARPDB_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import pathlib
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> pathlib.Path:
+    return REPO_ROOT / "data"
+
+
+@pytest.fixture(autouse=True)
+def _chdir_repo_root(monkeypatch):
+    """Run every test from the repo root (relative data paths, custom.py
+    discovery — mirroring the reference tests' run-from-repo-root rule)."""
+    monkeypatch.chdir(REPO_ROOT)

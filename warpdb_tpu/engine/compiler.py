@@ -1,0 +1,235 @@
+"""Expression compiler: AST → traced JAX function → fused XLA kernel.
+
+This layer replaces the reference's NVRTC JIT (jit.cpp:48-174).  Where the
+reference assembled CUDA source strings (``output[idx] = EXPR;`` /
+``if (COND) { output[idx] = EXPR; }``) and recompiled + recreated a CUDA
+context on *every* call — its dominant perf flaw (jit.cpp:98-157) — this
+compiler:
+
+* walks the AST once, building a Python closure over jnp ops;
+* lets ``jax.jit`` trace it into a single fused XLA kernel (filter and
+  projection fuse exactly like the reference's generated ``user_kernel``,
+  jit.cpp:81-83, but XLA also vectorises and lays it out for the VPU);
+* memoises the jitted executable keyed on
+  (canonical expression, schema signature, padded length, UDF registry
+  version) — recompilation happens once per plan shape, not per query.
+
+Numeric semantics: every column and constant is evaluated in float32,
+matching the reference's all-``float`` pipeline (expression.hpp:32-38,
+cuda kernels take ``float*``), so results are bit-comparable where the
+reference is deterministic.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import ExecutionError, ValidationError
+from ..frontend.ast import (
+    Aggregation,
+    BinaryOp,
+    Constant,
+    FunctionCall,
+    Node,
+    Variable,
+    WindowFunction,
+)
+from . import udf as udf_mod
+
+__all__ = [
+    "build_evaluator",
+    "compile_filter_project",
+    "schema_signature",
+    "clear_cache",
+    "cache_stats",
+]
+
+
+def _as_bool(x):
+    if x.dtype == jnp.bool_:
+        return x
+    return x != 0
+
+
+def _as_f32(x):
+    if x.dtype == jnp.bool_ or x.dtype != jnp.float32:
+        return x.astype(jnp.float32)
+    return x
+
+
+def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
+    """Build a closure ``columns -> array`` evaluating ``node`` rowwise.
+
+    Comparisons yield bool arrays; bools are promoted to f32 {0,1} when
+    used arithmetically or returned — identical to how the reference's
+    generated CUDA promotes ``(a > b)`` when assigned to ``float``.
+    Aggregation / window nodes are plan-level constructs and must be
+    lowered by the executor, not here.
+    """
+
+    if isinstance(node, Constant):
+        val = jnp.float32(node.value)
+        return lambda cols: val
+    if isinstance(node, Variable):
+        name = node.name
+        uname = node.unqualified
+
+        def var_fn(cols):
+            arr = cols.get(name)
+            if arr is None:
+                arr = cols.get(uname)
+            if arr is None:
+                raise ValidationError(f"Unknown column: {name}")
+            return _as_f32(arr)
+
+        return var_fn
+    if isinstance(node, BinaryOp):
+        left = build_evaluator(node.left)
+        right = build_evaluator(node.right)
+        op = node.op
+        if op in ("&&", "||"):
+            combine = jnp.logical_and if op == "&&" else jnp.logical_or
+            return lambda cols: combine(_as_bool(left(cols)), _as_bool(right(cols)))
+        if op in (">", "<", ">=", "<=", "==", "!=", "="):
+            cmp = {
+                ">": jnp.greater,
+                "<": jnp.less,
+                ">=": jnp.greater_equal,
+                "<=": jnp.less_equal,
+                "==": jnp.equal,
+                "=": jnp.equal,
+                "!=": jnp.not_equal,
+            }[op]
+            return lambda cols: cmp(_as_f32(left(cols)), _as_f32(right(cols)))
+        arith = {
+            "+": jnp.add,
+            "-": jnp.subtract,
+            "*": jnp.multiply,
+            "/": jnp.divide,
+        }.get(op)
+        if arith is None:
+            raise ValidationError(f"Unsupported operator: {op}")
+        return lambda cols: arith(_as_f32(left(cols)), _as_f32(right(cols)))
+    if isinstance(node, FunctionCall):
+        arg_fns = [build_evaluator(a) for a in node.args]
+        name = node.name
+
+        def call_fn(cols):
+            fn = udf_mod.resolve_udf(name)
+            return _as_f32(fn(*[a(cols) for a in arg_fns]))
+
+        return call_fn
+    if isinstance(node, (Aggregation, WindowFunction)):
+        raise ExecutionError(
+            f"{type(node).__name__} is not a row-level expression; "
+            "it must be lowered by the plan executor"
+        )
+    raise ExecutionError(f"Cannot compile node type {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Jit cache
+# ---------------------------------------------------------------------------
+
+_cache_lock = threading.Lock()
+_kernel_cache: dict = {}
+_cache_hits = 0
+_cache_misses = 0
+
+
+def schema_signature(columns: dict) -> tuple:
+    """Hashable signature of a device column dict: name, dtype, shape."""
+    return tuple(
+        (name, str(arr.dtype), arr.shape) for name, arr in sorted(columns.items())
+    )
+
+
+def clear_cache() -> None:
+    global _cache_hits, _cache_misses
+    with _cache_lock:
+        _kernel_cache.clear()
+        _cache_hits = 0
+        _cache_misses = 0
+
+
+def cache_stats() -> dict:
+    with _cache_lock:
+        return {
+            "entries": len(_kernel_cache),
+            "hits": _cache_hits,
+            "misses": _cache_misses,
+        }
+
+
+def get_or_compile(key: tuple, build: Callable[[], Callable]) -> Callable:
+    """Plan-keyed kernel cache — the fix for the reference's
+    recompile-per-call (jit.cpp:98-157).  ``build`` runs at most once per
+    distinct key."""
+    global _cache_hits, _cache_misses
+    with _cache_lock:
+        fn = _kernel_cache.get(key)
+        if fn is not None:
+            _cache_hits += 1
+            return fn
+    fn = build()
+    with _cache_lock:
+        _kernel_cache[key] = fn
+        _cache_misses += 1
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# The fused filter+projection kernel (the reference's generated user_kernel)
+# ---------------------------------------------------------------------------
+
+
+def compile_filter_project(
+    expr: Node,
+    cond: Optional[Node],
+    columns: dict,
+) -> Callable[[dict, jax.Array], jax.Array]:
+    """Compile ``output = cond ? expr : 0`` over padded columns.
+
+    Direct analogue of jit_compile_and_launch's generated kernel
+    (jit.cpp:55-83) with one documented deviation: rows failing the filter
+    (and padding rows) yield **0.0** rather than uninitialized memory
+    (the reference leaves ``output[idx]`` garbage, jit.cpp:56-58 +
+    warpdb.cpp:243-244).
+
+    The returned callable takes ``(columns, num_rows)`` where ``num_rows``
+    is a traced int32 scalar — the same executable serves every valid-row
+    count at a given padded size (no retrace).
+    """
+    expr_key = expr.canonical()
+    cond_key = cond.canonical() if cond is not None else ""
+    key = (
+        "filter_project",
+        expr_key,
+        cond_key,
+        schema_signature(columns),
+        udf_mod.registry_version(),
+    )
+
+    def build():
+        expr_fn = build_evaluator(expr)
+        cond_fn = build_evaluator(cond) if cond is not None else None
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            out = _as_f32(expr_fn(cols))
+            some = next(iter(cols.values()))
+            n_pad = some.shape[0]
+            out = jnp.broadcast_to(out, (n_pad,))
+            valid = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            return jnp.where(valid, out, jnp.float32(0.0))
+
+        return kernel
+
+    return get_or_compile(key, build)

@@ -1,0 +1,91 @@
+"""User-defined function registry.
+
+TPU-native replacement for the reference's ``custom.cu`` convention
+(jit.cpp:66-73: the file is slurped from the CWD at every JIT call and
+prepended to the generated kernel source).  Here a UDF is any callable
+over JAX arrays:
+
+* ``register_udf(name, fn)`` — programmatic registration;
+* a ``custom.py`` file in the working directory is auto-discovered, and
+  every public top-level function in it is registered (the direct
+  analogue of dropping ``__device__`` functions into ``custom.cu``,
+  README.md:99-118) — Pallas kernels work here too, giving the same
+  "escape hatch to raw kernels" the reference offered;
+* the registry carries a version counter so compiled-plan caches are
+  invalidated when UDFs change.
+
+The stock ``discount(price, rate) = price * rate`` UDF from the
+reference's shipped custom.cu is available as a fallback builtin.
+"""
+
+from __future__ import annotations
+
+import os
+import runpy
+import threading
+from typing import Callable, Optional
+
+from ..errors import ValidationError
+
+__all__ = ["register_udf", "resolve_udf", "registry_version", "load_custom_module"]
+
+_lock = threading.Lock()
+_registry: dict[str, Callable] = {}
+_version = 0
+_custom_py_mtime: Optional[float] = None
+
+
+def _builtin_discount(price, rate):
+    return price * rate
+
+
+_BUILTINS: dict[str, Callable] = {"discount": _builtin_discount}
+
+
+def register_udf(name: str, fn: Callable) -> None:
+    """Register (or replace) a UDF callable over JAX arrays."""
+    global _version
+    with _lock:
+        _registry[name] = fn
+        _version += 1
+
+
+def load_custom_module(path: str = "custom.py") -> int:
+    """(Re)load UDFs from a ``custom.py`` file if present and changed.
+
+    Returns the number of functions registered.  Called lazily before each
+    compile, mirroring the reference's read-custom.cu-per-JIT-call
+    behavior — but cached on mtime so unchanged files cost one stat."""
+    global _version, _custom_py_mtime
+    if not os.path.exists(path):
+        return 0
+    mtime = os.path.getmtime(path)
+    with _lock:
+        if mtime == _custom_py_mtime:
+            return 0
+        _custom_py_mtime = mtime
+    ns = runpy.run_path(path)
+    count = 0
+    for name, obj in ns.items():
+        if name.startswith("_"):
+            continue
+        if callable(obj) and getattr(obj, "__module__", None) != "builtins":
+            register_udf(name, obj)
+            count += 1
+    return count
+
+
+def resolve_udf(name: str) -> Callable:
+    load_custom_module()
+    with _lock:
+        fn = _registry.get(name)
+    if fn is None:
+        fn = _BUILTINS.get(name)
+    if fn is None:
+        raise ValidationError(f"Unknown function: {name}")
+    return fn
+
+
+def registry_version() -> int:
+    with _lock:
+        return _version

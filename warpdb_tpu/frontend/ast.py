@@ -1,0 +1,253 @@
+"""Typed expression / query AST.
+
+Node inventory mirrors the reference hierarchy (/root/reference/include/
+expression.hpp:18-143): Constant, Variable, BinaryOp, FunctionCall,
+Aggregation, WindowFunction, plus the QueryAST clause structs.
+
+Instead of the reference's ``to_cuda_expr()`` CUDA-source codegen we expose
+``canonical()`` — a deterministic canonical string.  It intentionally
+reproduces the reference's golden codegen strings (the de-facto spec pinned
+by /root/reference/tests/test_expression.cpp and precedence_tests.cpp:
+``(price[idx] + (quantity[idx] * 2.0f))`` …) and doubles as the jit-cache /
+plan-cache key: two expressions with equal ``canonical()`` compile to the
+same fused XLA kernel.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, Optional
+
+__all__ = [
+    "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
+    "AggregationType", "Aggregation", "WindowFunction",
+    "OrderBy", "Join", "GroupBy", "Query",
+    "walk", "column_refs",
+]
+
+
+class Node:
+    """Base expression node."""
+
+    def canonical(self) -> str:
+        raise NotImplementedError
+
+    def children(self) -> tuple["Node", ...]:
+        return ()
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.canonical()})"
+
+
+@dataclass(frozen=True, repr=False)
+class Constant(Node):
+    """Numeric literal.  Kept as the source string; the engine evaluates all
+    constants as float32 (reference expression.hpp:32-38 suffixes every
+    literal with ``f``)."""
+
+    text: str
+
+    @property
+    def value(self) -> float:
+        return float(self.text)
+
+    def canonical(self) -> str:
+        if "." in self.text:
+            return self.text + "f"
+        return self.text + ".0f"
+
+
+@dataclass(frozen=True, repr=False)
+class Variable(Node):
+    """Column reference; may be dot-qualified (``sales.id``)."""
+
+    name: str
+
+    @property
+    def unqualified(self) -> str:
+        return self.name.rsplit(".", 1)[-1]
+
+    @property
+    def qualifier(self) -> Optional[str]:
+        if "." in self.name:
+            return self.name.rsplit(".", 1)[0]
+        return None
+
+    def canonical(self) -> str:
+        return f"{self.name}[idx]"
+
+
+@dataclass(frozen=True, repr=False)
+class BinaryOp(Node):
+    """Infix binary operator.  ``op`` is one of
+    ``+ - * / > < >= <= == != = && ||`` (bare ``=`` is accepted as a
+    comparison, reference expression.cpp:159)."""
+
+    op: str
+    left: Node
+    right: Node
+
+    def canonical(self) -> str:
+        return f"({self.left.canonical()} {self.op} {self.right.canonical()})"
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.left, self.right)
+
+
+@dataclass(frozen=True, repr=False)
+class FunctionCall(Node):
+    """UDF invocation — resolved against the UDF registry at compile time
+    (the TPU-native replacement for the reference's ``custom.cu``
+    convention, jit.cpp:66-73)."""
+
+    name: str
+    args: tuple[Node, ...]
+
+    def canonical(self) -> str:
+        return f"{self.name}({', '.join(a.canonical() for a in self.args)})"
+
+    def children(self) -> tuple[Node, ...]:
+        return self.args
+
+
+class AggregationType(enum.Enum):
+    SUM = "sum"
+    AVG = "avg"
+    COUNT = "count"
+    MIN = "min"
+    MAX = "max"
+
+
+@dataclass(frozen=True, repr=False)
+class Aggregation(Node):
+    """``SUM(expr)`` etc.  ``kernel_name`` mirrors the reference's
+    ``AggregationNode::agg_kernel`` (expression.cpp:533-547)."""
+
+    agg: AggregationType
+    expr: Node
+
+    @property
+    def kernel_name(self) -> str:
+        return self.agg.value
+
+    def canonical(self) -> str:
+        return f"{self.agg.name}({self.expr.canonical()})"
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False)
+class WindowFunction(Node):
+    """``AGG(expr) OVER (PARTITION BY … ORDER BY …)``.
+
+    The reference parses these but its codegen is a stub returning
+    ``"<window>"`` (expression.hpp:112-121); this engine executes them
+    (partitioned aggregation broadcast back to rows)."""
+
+    agg: AggregationType
+    expr: Node
+    partition_by: tuple[Node, ...] = ()
+    order_by: Optional["OrderBy"] = None
+
+    def canonical(self) -> str:
+        parts = [f"{self.agg.name}({self.expr.canonical()}) OVER ("]
+        if self.partition_by:
+            parts.append(
+                "PARTITION BY " + ", ".join(p.canonical() for p in self.partition_by)
+            )
+        if self.order_by is not None:
+            parts.append(" ORDER BY " + self.order_by.canonical())
+        parts.append(")")
+        return "".join(parts)
+
+    def children(self) -> tuple[Node, ...]:
+        kids: list[Node] = [self.expr, *self.partition_by]
+        if self.order_by is not None:
+            kids.append(self.order_by.expr)
+        return tuple(kids)
+
+
+# --------------------------------------------------------------------------
+# Query clause structures (reference expression.hpp:99-143)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OrderBy:
+    expr: Node
+    ascending: bool = True
+
+    def canonical(self) -> str:
+        return f"{self.expr.canonical()} {'ASC' if self.ascending else 'DESC'}"
+
+
+@dataclass(frozen=True)
+class Join:
+    table: str
+    condition: Node
+
+
+@dataclass(frozen=True)
+class GroupBy:
+    keys: tuple[Node, ...]
+
+
+@dataclass
+class Query:
+    """Parsed ``SELECT`` statement (reference ``QueryAST``,
+    expression.hpp:132-143)."""
+
+    select_list: list[Node] = field(default_factory=list)
+    from_table: str = ""
+    joins: list[Join] = field(default_factory=list)
+    where: Optional[Node] = None
+    group_by: Optional[GroupBy] = None
+    having: Optional[Node] = None
+    order_by: Optional[OrderBy] = None
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    distinct: bool = False
+
+    def canonical(self) -> str:
+        """Deterministic cache key for the whole statement."""
+        parts = ["SELECT"]
+        if self.distinct:
+            parts.append("DISTINCT")
+        parts.append(", ".join(e.canonical() for e in self.select_list))
+        parts.append(f"FROM {self.from_table}")
+        for j in self.joins:
+            parts.append(f"JOIN {j.table} ON {j.condition.canonical()}")
+        if self.where is not None:
+            parts.append(f"WHERE {self.where.canonical()}")
+        if self.group_by is not None:
+            parts.append(
+                "GROUP BY " + ", ".join(k.canonical() for k in self.group_by.keys)
+            )
+        if self.having is not None:
+            parts.append(f"HAVING {self.having.canonical()}")
+        if self.order_by is not None:
+            parts.append(f"ORDER BY {self.order_by.canonical()}")
+        if self.limit is not None:
+            parts.append(f"LIMIT {self.limit}")
+        if self.offset is not None:
+            parts.append(f"OFFSET {self.offset}")
+        return " ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Traversal helpers
+# --------------------------------------------------------------------------
+
+
+def walk(node: Node) -> Iterator[Node]:
+    """Pre-order traversal."""
+    yield node
+    for child in node.children():
+        yield from walk(child)
+
+
+def column_refs(node: Node) -> list[Variable]:
+    """All column references in an expression, in source order."""
+    return [n for n in walk(node) if isinstance(n, Variable)]

@@ -1,0 +1,473 @@
+"""Recursive-descent expression parser + SQL query parser.
+
+Grammar parity with the reference (/root/reference/src/expression.cpp):
+
+* precedence: ``OR`` < ``AND`` < comparisons (incl. bare ``=``) < ``+ -``
+  < ``* /`` < factor (expression.cpp:144-235); no unary minus;
+* factor = number | identifier | call ``f(a, b)`` | parenthesised expr;
+* SQL: ``SELECT [DISTINCT] items FROM table [JOIN t ON cond]* [WHERE e]
+  [GROUP BY k,…] [HAVING e] [ORDER BY e [ASC|DESC]] [LIMIT n] [OFFSET n]``
+  (expression.cpp:270-531) — with two deliberate repairs of reference
+  bitrot (SURVEY.md §0): the duplicated HAVING block is collapsed, and
+  LIMIT/OFFSET are accepted in either order (the reference's own
+  sql_features_test.cpp:33 uses ``OFFSET 1 LIMIT 2``);
+* error messages keep the phrases the reference tests assert on
+  ("Unexpected token", "Expected ')'", "Expected keyword", line/column).
+
+Unlike the reference's file-static mutable parser state
+(expression.cpp:123-124 — not reentrant), this parser is a plain object:
+reentrant and thread-safe by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..errors import ParseError
+from .ast import (
+    Aggregation,
+    AggregationType,
+    BinaryOp,
+    Constant,
+    FunctionCall,
+    GroupBy,
+    Join,
+    Node,
+    OrderBy,
+    Query,
+    Variable,
+    WindowFunction,
+)
+from .lexer import Token, TokenType, tokenize
+
+__all__ = [
+    "parse_expression",
+    "parse_logical_and",
+    "parse_logical_or",
+    "parse_query",
+    "parse_expression_text",
+    "parse_query_text",
+]
+
+_AGG_KEYWORDS = {
+    "SUM": AggregationType.SUM,
+    "AVG": AggregationType.AVG,
+    "COUNT": AggregationType.COUNT,
+    "MIN": AggregationType.MIN,
+    "MAX": AggregationType.MAX,
+}
+
+_COMPARISON_OPS = (">", "<", ">=", "<=", "==", "!=", "=")
+
+
+class _ExprParser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.pos = 0
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self) -> Token:
+        return self.toks[self.pos]
+
+    def advance(self) -> Token:
+        tok = self.toks[self.pos]
+        self.pos += 1
+        return tok
+
+    def match_op(self, *ops: str) -> Optional[str]:
+        tok = self.peek()
+        if tok.type is TokenType.OPERATOR and tok.value in ops:
+            self.advance()
+            return tok.value
+        return None
+
+    def match_kw(self, *kws: str) -> Optional[str]:
+        tok = self.peek()
+        if tok.type is TokenType.KEYWORD and tok.value in kws:
+            self.advance()
+            return tok.value
+        return None
+
+    # -- grammar rules -----------------------------------------------------
+    def logical_or(self) -> Node:
+        node = self.logical_and()
+        while self.match_kw("OR"):
+            node = BinaryOp("||", node, self.logical_and())
+        return node
+
+    def logical_and(self) -> Node:
+        node = self.comparison()
+        while self.match_kw("AND"):
+            node = BinaryOp("&&", node, self.comparison())
+        return node
+
+    def comparison(self) -> Node:
+        node = self.additive()
+        while True:
+            op = self.match_op(*_COMPARISON_OPS)
+            if op is None:
+                return node
+            node = BinaryOp(op, node, self.additive())
+
+    def additive(self) -> Node:
+        node = self.term()
+        while True:
+            op = self.match_op("+", "-")
+            if op is None:
+                return node
+            node = BinaryOp(op, node, self.term())
+
+    def term(self) -> Node:
+        node = self.factor()
+        while True:
+            op = self.match_op("*", "/")
+            if op is None:
+                return node
+            node = BinaryOp(op, node, self.factor())
+
+    def factor(self) -> Node:
+        tok = self.peek()
+        if tok.type is TokenType.NUMBER:
+            self.advance()
+            return Constant(tok.value)
+        if tok.type is TokenType.IDENTIFIER:
+            self.advance()
+            if self.match_op("("):
+                args: list[Node] = []
+                if not self.match_op(")"):
+                    while True:
+                        args.append(self.logical_or())
+                        if not self.match_op(","):
+                            break
+                    if not self.match_op(")"):
+                        raise ParseError("Expected ')' after arguments")
+                return FunctionCall(tok.value, tuple(args))
+            return Variable(tok.value)
+        # Aggregates appearing inside plain expressions (e.g. a HAVING
+        # clause like ``SUM(price) > 15``) parse as Aggregation nodes.
+        if tok.type is TokenType.KEYWORD and tok.value in _AGG_KEYWORDS:
+            self.advance()
+            if not self.match_op("("):
+                raise ParseError(f"Invalid syntax for {tok.value} aggregation")
+            inner = self.logical_or()
+            if not self.match_op(")"):
+                raise ParseError("Expected ')' after arguments")
+            return Aggregation(_AGG_KEYWORDS[tok.value], inner)
+        if self.match_op("("):
+            # Superset of the reference (which only allowed additive
+            # expressions inside parens, expression.cpp:228-231): full
+            # boolean grouping parses here too.
+            node = self.logical_or()
+            if not self.match_op(")"):
+                raise ParseError("Expected ')'")
+            return node
+        raise ParseError(
+            f"Unexpected token ({tok.type.value}: {tok.value})"
+        )
+
+    def expect_end(self, node: Node) -> Node:
+        if self.peek().type is not TokenType.END:
+            raise ParseError(f"Unexpected tokens remaining: {self.peek().value}")
+        return node
+
+
+def _tokens(tokens_or_text) -> list[Token]:
+    if isinstance(tokens_or_text, str):
+        return tokenize(tokens_or_text)
+    return list(tokens_or_text)
+
+
+def parse_expression(tokens) -> Node:
+    """Parse a full expression (entry precedence: logical OR)."""
+    p = _ExprParser(_tokens(tokens))
+    return p.expect_end(p.logical_or())
+
+
+def parse_logical_and(tokens) -> Node:
+    p = _ExprParser(_tokens(tokens))
+    return p.expect_end(p.logical_and())
+
+
+def parse_logical_or(tokens) -> Node:
+    p = _ExprParser(_tokens(tokens))
+    return p.expect_end(p.logical_or())
+
+
+def parse_expression_text(text: str) -> Node:
+    return parse_expression(tokenize(text))
+
+
+# ---------------------------------------------------------------------------
+# SQL query parser
+# ---------------------------------------------------------------------------
+
+_CLAUSE_BOUNDARY_AFTER_JOIN = ("WHERE", "GROUP", "ORDER", "HAVING", "JOIN", "LIMIT")
+_CLAUSE_BOUNDARY_AFTER_WHERE = ("GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET")
+_CLAUSE_BOUNDARY_AFTER_HAVING = ("ORDER", "LIMIT", "OFFSET")
+
+
+class _QueryParser:
+    def __init__(self, tokens: list[Token]):
+        # Strip the trailing End token; clause slicing re-appends it.
+        if tokens and tokens[-1].type is TokenType.END:
+            self.end_tok = tokens[-1]
+            tokens = tokens[:-1]
+        else:
+            self.end_tok = Token(TokenType.END, "")
+        self.toks = tokens
+        self.pos = 0
+
+    def _loc(self) -> tuple[int, int]:
+        if self.pos < len(self.toks):
+            tok = self.toks[self.pos]
+        elif self.toks:
+            tok = self.toks[-1]
+        else:
+            tok = self.end_tok
+        return tok.line, tok.column
+
+    def at_kw(self, *kws: str) -> bool:
+        return (
+            self.pos < len(self.toks)
+            and self.toks[self.pos].type is TokenType.KEYWORD
+            and self.toks[self.pos].value in kws
+        )
+
+    def at_op(self, op: str) -> bool:
+        return (
+            self.pos < len(self.toks)
+            and self.toks[self.pos].type is TokenType.OPERATOR
+            and self.toks[self.pos].value == op
+        )
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            line, col = self._loc()
+            raise ParseError(
+                f"Expected keyword '{kw}' at line {line} column {col}"
+            )
+        self.pos += 1
+
+    def slice_until(self, *stop_kws: str, stop_on_comma: bool = False) -> list[Token]:
+        """Collect tokens until a top-level stop keyword (or comma)."""
+        start = self.pos
+        depth = 0
+        while self.pos < len(self.toks):
+            tok = self.toks[self.pos]
+            if tok.type is TokenType.OPERATOR and tok.value == "(":
+                depth += 1
+            elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                depth -= 1
+            if depth == 0:
+                if tok.type is TokenType.KEYWORD and tok.value in stop_kws:
+                    break
+                if stop_on_comma and tok.type is TokenType.OPERATOR and tok.value == ",":
+                    break
+            self.pos += 1
+        out = self.toks[start : self.pos]
+        return out + [Token(TokenType.END, "")]
+
+    # -- select items -------------------------------------------------------
+    def parse_select_item(self, item: list[Token]) -> Node:
+        """Parse one select item; handles AGG(expr) and AGG(expr) OVER (...)
+        (reference expression.cpp:296-337)."""
+        body = item[:-1]  # drop End
+        if body and body[0].type is TokenType.KEYWORD and body[0].value in _AGG_KEYWORDS:
+            kw = body[0].value
+            over_idx = len(body)
+            depth = 0
+            for k, tok in enumerate(body):
+                if tok.type is TokenType.OPERATOR and tok.value == "(":
+                    depth += 1
+                elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                    depth -= 1
+                elif depth == 0 and tok.type is TokenType.KEYWORD and tok.value == "OVER":
+                    over_idx = k
+                    break
+            has_paren = (
+                over_idx > 1
+                and body[1].type is TokenType.OPERATOR
+                and body[1].value == "("
+                and body[over_idx - 1].type is TokenType.OPERATOR
+                and body[over_idx - 1].value == ")"
+            )
+            if not has_paren:
+                raise ParseError(f"Invalid syntax for {kw} aggregation")
+            inner = body[2 : over_idx - 1] + [Token(TokenType.END, "")]
+            agg_type = _AGG_KEYWORDS[kw]
+            inner_expr = parse_expression(inner)
+            if over_idx < len(body):
+                return self._parse_window(agg_type, inner_expr, body[over_idx:])
+            return Aggregation(agg_type, inner_expr)
+        return parse_expression(item)
+
+    def _parse_window(
+        self, agg: AggregationType, expr: Node, tail: list[Token]
+    ) -> WindowFunction:
+        """Parse ``OVER ( [PARTITION BY k,…] [ORDER BY e [ASC|DESC]] )``.
+
+        The reference drops everything after OVER (expression.cpp:296-329
+        never inspects the window spec); we parse and execute it.
+        """
+        p = _QueryParser(tail + [Token(TokenType.END, "")])
+        p.expect_kw("OVER")
+        partition: tuple[Node, ...] = ()
+        order: Optional[OrderBy] = None
+        if p.at_op("("):
+            p.pos += 1
+            if p.at_kw("PARTITION"):
+                p.pos += 1
+                p.expect_kw("BY")
+                keys: list[Node] = []
+                while True:
+                    key_toks = []
+                    depth = 0
+                    while p.pos < len(p.toks):
+                        tok = p.toks[p.pos]
+                        if tok.type is TokenType.OPERATOR and tok.value == "(":
+                            depth += 1
+                        elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        if depth == 0 and (
+                            (tok.type is TokenType.OPERATOR and tok.value == ",")
+                            or (tok.type is TokenType.KEYWORD and tok.value == "ORDER")
+                        ):
+                            break
+                        key_toks.append(tok)
+                        p.pos += 1
+                    keys.append(parse_expression(key_toks + [Token(TokenType.END, "")]))
+                    if p.at_op(","):
+                        p.pos += 1
+                        continue
+                    break
+                partition = tuple(keys)
+            if p.at_kw("ORDER"):
+                p.pos += 1
+                p.expect_kw("BY")
+                ord_toks = []
+                while p.pos < len(p.toks) and not (
+                    p.at_kw("ASC", "DESC") or p.at_op(")")
+                ):
+                    ord_toks.append(p.toks[p.pos])
+                    p.pos += 1
+                asc = True
+                if p.at_kw("ASC", "DESC"):
+                    asc = p.toks[p.pos].value == "ASC"
+                    p.pos += 1
+                order = OrderBy(
+                    parse_expression(ord_toks + [Token(TokenType.END, "")]), asc
+                )
+        return WindowFunction(agg, expr, partition, order)
+
+    # -- the statement -------------------------------------------------------
+    def parse(self) -> Query:
+        q = Query()
+        self.expect_kw("SELECT")
+        if self.at_kw("DISTINCT"):
+            q.distinct = True
+            self.pos += 1
+
+        while self.pos < len(self.toks) and not self.at_kw("FROM"):
+            item = self.slice_until("FROM", stop_on_comma=True)
+            q.select_list.append(self.parse_select_item(item))
+            if self.at_op(","):
+                self.pos += 1
+
+        self.expect_kw("FROM")
+        if self.pos >= len(self.toks) or self.toks[self.pos].type is not TokenType.IDENTIFIER:
+            line, col = self._loc()
+            raise ParseError(
+                f"Expected table name after FROM at line {line} column {col}"
+            )
+        q.from_table = self.toks[self.pos].value
+        self.pos += 1
+
+        while self.at_kw("JOIN"):
+            self.pos += 1
+            if (
+                self.pos >= len(self.toks)
+                or self.toks[self.pos].type is not TokenType.IDENTIFIER
+            ):
+                line, col = self._loc()
+                raise ParseError(
+                    f"Expected table name after JOIN at line {line} column {col}"
+                )
+            table = self.toks[self.pos].value
+            self.pos += 1
+            self.expect_kw("ON")
+            cond = parse_expression(self.slice_until(*_CLAUSE_BOUNDARY_AFTER_JOIN))
+            q.joins.append(Join(table, cond))
+
+        if self.at_kw("WHERE"):
+            self.pos += 1
+            q.where = parse_expression(self.slice_until(*_CLAUSE_BOUNDARY_AFTER_WHERE))
+
+        if self.at_kw("GROUP"):
+            self.pos += 1
+            self.expect_kw("BY")
+            keys: list[Node] = []
+            while self.pos < len(self.toks):
+                key = self.slice_until(
+                    "ORDER", "HAVING", "LIMIT", "OFFSET", stop_on_comma=True
+                )
+                keys.append(parse_expression(key))
+                if self.at_op(","):
+                    self.pos += 1
+                    continue
+                break
+            q.group_by = GroupBy(tuple(keys))
+
+        if self.at_kw("HAVING"):
+            self.pos += 1
+            q.having = parse_expression(self.slice_until(*_CLAUSE_BOUNDARY_AFTER_HAVING))
+
+        if self.at_kw("ORDER"):
+            self.pos += 1
+            self.expect_kw("BY")
+            ord_toks = self.slice_until("ASC", "DESC", "LIMIT", "OFFSET")
+            asc = True
+            if self.at_kw("ASC", "DESC"):
+                asc = self.toks[self.pos].value == "ASC"
+                self.pos += 1
+            q.order_by = OrderBy(parse_expression(ord_toks), asc)
+
+        # LIMIT / OFFSET in either order (reference intent; its own test
+        # sql_features_test.cpp:33 writes "OFFSET 1 LIMIT 2").
+        seen = set()
+        while self.at_kw("LIMIT", "OFFSET") and len(seen) < 2:
+            kw = self.toks[self.pos].value
+            if kw in seen:
+                break
+            seen.add(kw)
+            self.pos += 1
+            if (
+                self.pos >= len(self.toks)
+                or self.toks[self.pos].type is not TokenType.NUMBER
+            ):
+                line, col = self._loc()
+                raise ParseError(
+                    f"Expected numeric value after {kw} at line {line} column {col}"
+                )
+            value = int(float(self.toks[self.pos].value))
+            self.pos += 1
+            if kw == "LIMIT":
+                q.limit = value
+            else:
+                q.offset = value
+
+        if self.pos != len(self.toks):
+            raise ParseError(
+                f"Unexpected token in query near: {self.toks[self.pos].value}"
+            )
+        return q
+
+
+def parse_query(tokens) -> Query:
+    """Parse a SELECT statement from a token list (or raw SQL text)."""
+    return _QueryParser(_tokens(tokens)).parse()
+
+
+def parse_query_text(sql: str) -> Query:
+    return parse_query(tokenize(sql))

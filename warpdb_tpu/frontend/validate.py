@@ -1,0 +1,66 @@
+"""Semantic validation of expressions against a table schema.
+
+Mirrors the reference's ``validate_ast`` recursion (warpdb.cpp:18-44):
+every column reference must name an existing column, else
+``Unknown column: X``.  Function calls validate their arguments (function
+names themselves are resolved later against the UDF registry at compile
+time).  Qualified references (``sales.id``) validate their unqualified
+name when the qualifier matches a known table name.
+"""
+
+from __future__ import annotations
+
+from typing import Collection, Iterable, Optional
+
+from ..errors import ValidationError
+from .ast import Node, Query, Variable, walk
+
+__all__ = ["validate_expression", "validate_query"]
+
+
+def validate_expression(
+    node: Optional[Node],
+    columns: Collection[str],
+    table_names: Collection[str] = (),
+) -> None:
+    """Raise ``ValidationError('Unknown column: X')`` for unresolvable refs."""
+    if node is None:
+        return
+    cols = set(columns)
+    tables = set(table_names)
+    for n in walk(node):
+        if isinstance(n, Variable):
+            if n.name in cols:
+                continue
+            if n.qualifier is not None and n.qualifier in tables and n.unqualified in cols:
+                continue
+            raise ValidationError(f"Unknown column: {n.name}")
+
+
+def validate_query(
+    query: Query,
+    columns: Collection[str],
+    table_names: Collection[str] = (),
+) -> None:
+    """Validate every clause, labelling errors with clause context
+    (reference warpdb.cpp:309-334: ``SELECT clause: Unknown column: x``)."""
+
+    def check(node: Optional[Node], ctx: str) -> None:
+        if node is None:
+            return
+        try:
+            validate_expression(node, columns, table_names)
+        except ValidationError as e:
+            raise ValidationError(f"{ctx}: {e}") from None
+
+    for expr in query.select_list:
+        check(expr, "SELECT clause")
+    for join in query.joins:
+        check(join.condition, "JOIN condition")
+    check(query.where, "WHERE clause")
+    if query.group_by is not None:
+        for key in query.group_by.keys:
+            check(key, "GROUP BY")
+    check(query.having, "HAVING clause")
+    if query.order_by is not None:
+        check(query.order_by.expr, "ORDER BY")

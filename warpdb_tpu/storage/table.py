@@ -1,0 +1,273 @@
+"""Columnar data model: host tables (NumPy) and device tables (JAX arrays).
+
+The reference's data-model spine (csv_loader.hpp:13-78) is a
+``DataType {Int32,Int64,Float32,Float64,String}`` enum, a device-resident
+``Table`` of raw CUDA column pointers, and a ``HostTable`` mirror.  Here:
+
+* ``HostTable`` holds NumPy arrays (zero-copy views where possible);
+* ``DeviceTable`` holds one ``jax.Array`` per column, padded to a
+  lane-aligned static length so every kernel sees fixed shapes (XLA traces
+  once per padded size; the valid-row count travels as a host-side int).
+  String columns stay host-only, exactly like the reference leaves their
+  ``device_ptr`` null (csv_loader.cpp:151-155);
+* per-column min/max/null-count statistics are computed at load time —
+  the reference declares ``TableStats`` (csv_loader.hpp:22-37) but never
+  populates it; here they are real and feed the optimizer.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from ..errors import ValidationError
+
+__all__ = [
+    "DataType",
+    "ColumnStats",
+    "HostColumn",
+    "HostTable",
+    "DeviceTable",
+    "PAD_MULTIPLE",
+]
+
+# One float32 VPU tile is (8, 128); padding 1-D columns to a multiple of
+# 1024 keeps every reshape/tile XLA attempts aligned.
+PAD_MULTIPLE = 1024
+
+
+class DataType(enum.Enum):
+    INT32 = "int32"
+    INT64 = "int64"
+    FLOAT32 = "float32"
+    FLOAT64 = "float64"
+    STRING = "string"
+
+    # Aliases matching the reference enum spelling (csv_loader.hpp:13).
+    Int32 = INT32
+    Int64 = INT64
+    Float32 = FLOAT32
+    Float64 = FLOAT64
+    String = STRING
+
+    @property
+    def np_dtype(self) -> Optional[np.dtype]:
+        return {
+            DataType.INT32: np.dtype(np.int32),
+            DataType.INT64: np.dtype(np.int64),
+            DataType.FLOAT32: np.dtype(np.float32),
+            DataType.FLOAT64: np.dtype(np.float64),
+            DataType.STRING: None,
+        }[self]
+
+    @property
+    def is_numeric(self) -> bool:
+        return self is not DataType.STRING
+
+    @classmethod
+    def from_np(cls, dtype: np.dtype) -> "DataType":
+        mapping = {
+            np.dtype(np.int32): cls.INT32,
+            np.dtype(np.int64): cls.INT64,
+            np.dtype(np.float32): cls.FLOAT32,
+            np.dtype(np.float64): cls.FLOAT64,
+        }
+        if dtype in mapping:
+            return mapping[dtype]
+        if dtype.kind in ("U", "S", "O"):
+            return cls.STRING
+        if dtype.kind == "f":
+            return cls.FLOAT32
+        if dtype.kind in ("i", "u", "b"):
+            return cls.INT32
+        raise ValidationError(f"Unsupported dtype: {dtype}")
+
+
+@dataclass(frozen=True)
+class ColumnStats:
+    """min/max/null-count — the reference's declared-but-never-written
+    ColumnStats (csv_loader.hpp:22-37), actually computed here."""
+
+    min: Optional[float] = None
+    max: Optional[float] = None
+    null_count: int = 0
+
+    @classmethod
+    def compute(cls, values: np.ndarray) -> "ColumnStats":
+        if values.size == 0:
+            return cls()
+        if values.dtype.kind == "f":
+            nulls = int(np.count_nonzero(np.isnan(values)))
+            if nulls == values.size:
+                return cls(null_count=nulls)
+            return cls(
+                min=float(np.nanmin(values)),
+                max=float(np.nanmax(values)),
+                null_count=nulls,
+            )
+        if values.dtype.kind in ("i", "u"):
+            return cls(min=float(values.min()), max=float(values.max()))
+        return cls()
+
+
+@dataclass
+class HostColumn:
+    name: str
+    dtype: DataType
+    data: np.ndarray  # object array for strings
+    stats: ColumnStats = field(default_factory=ColumnStats)
+
+    @classmethod
+    def build(cls, name: str, dtype: DataType, data) -> "HostColumn":
+        if dtype is DataType.STRING:
+            arr = np.asarray(data, dtype=object)
+        else:
+            arr = np.asarray(data, dtype=dtype.np_dtype)
+        stats = ColumnStats.compute(arr) if dtype.is_numeric else ColumnStats()
+        return cls(name, dtype, arr, stats)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+
+class HostTable:
+    """Host-resident columnar table."""
+
+    def __init__(self, columns: Sequence[HostColumn] = ()):
+        self.columns: list[HostColumn] = list(columns)
+        lengths = {len(c) for c in self.columns}
+        if len(lengths) > 1:
+            raise ValidationError(f"Ragged columns: lengths {sorted(lengths)}")
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.columns[0]) if self.columns else 0
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def get_column(self, name: str) -> Optional[HostColumn]:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        return None
+
+    def require_column(self, name: str) -> HostColumn:
+        col = self.get_column(name)
+        if col is None:
+            raise ValidationError(f"Unknown column: {name}")
+        return col
+
+    def slice(self, start: int, end: int) -> "HostTable":
+        return HostTable(
+            [
+                HostColumn(c.name, c.dtype, c.data[start:end], c.stats)
+                for c in self.columns
+            ]
+        )
+
+    @staticmethod
+    def concat(tables: Iterable["HostTable"]) -> "HostTable":
+        tables = [t for t in tables if t.columns]
+        if not tables:
+            return HostTable()
+        first = tables[0]
+        cols = []
+        for i, col in enumerate(first.columns):
+            data = np.concatenate([t.columns[i].data for t in tables])
+            cols.append(HostColumn.build(col.name, col.dtype, data))
+        return HostTable(cols)
+
+    @classmethod
+    def from_dict(cls, data: dict, dtypes: Optional[dict] = None) -> "HostTable":
+        cols = []
+        for name, values in data.items():
+            arr = np.asarray(values)
+            dtype = (dtypes or {}).get(name) or DataType.from_np(arr.dtype)
+            cols.append(HostColumn.build(name, dtype, values))
+        return cls(cols)
+
+    def to_dict(self) -> dict:
+        return {c.name: c.data for c in self.columns}
+
+    def __repr__(self) -> str:
+        cols = ", ".join(f"{c.name}:{c.dtype.value}" for c in self.columns)
+        return f"HostTable({self.num_rows} rows; {cols})"
+
+
+def padded_length(n: int, multiple: int = PAD_MULTIPLE) -> int:
+    """Round ``n`` up to a lane-aligned static buffer length (≥ multiple)."""
+    if n <= 0:
+        return multiple
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class DeviceTable:
+    """Device-resident columnar table: one padded ``jax.Array`` per numeric
+    column.  ``num_rows`` is the true row count; rows in
+    ``[num_rows, padded_rows)`` are zero-filled padding which every
+    operator masks out via the validity iota."""
+
+    def __init__(
+        self,
+        columns: dict,
+        dtypes: dict,
+        num_rows: int,
+        padded_rows: int,
+        stats: Optional[dict] = None,
+        host: Optional[HostTable] = None,
+    ):
+        self.columns = columns          # name -> jax.Array (length padded_rows)
+        self.dtypes = dtypes            # name -> DataType
+        self.num_rows = num_rows
+        self.padded_rows = padded_rows
+        self.stats = stats or {}        # name -> ColumnStats
+        self.host = host                # optional host mirror (string cols etc.)
+
+    @property
+    def column_names(self) -> list[str]:
+        return list(self.dtypes.keys())
+
+    @property
+    def device_column_names(self) -> list[str]:
+        return list(self.columns.keys())
+
+    @classmethod
+    def from_host(
+        cls,
+        host: HostTable,
+        pad_multiple: int = PAD_MULTIPLE,
+        sharding=None,
+        keep_host: bool = True,
+    ) -> "DeviceTable":
+        import jax
+        import jax.numpy as jnp
+
+        n = host.num_rows
+        padded = padded_length(n, pad_multiple)
+        columns = {}
+        dtypes = {}
+        stats = {}
+        for col in host.columns:
+            dtypes[col.name] = col.dtype
+            stats[col.name] = col.stats
+            if not col.dtype.is_numeric:
+                continue  # strings stay host-only (parity: csv_loader.cpp:151-155)
+            buf = np.zeros(padded, dtype=col.data.dtype)
+            buf[:n] = col.data
+            arr = jnp.asarray(buf)
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
+            columns[col.name] = arr
+        return cls(columns, dtypes, n, padded, stats, host if keep_host else None)
+
+    def __repr__(self) -> str:
+        cols = ", ".join(f"{n}:{t.value}" for n, t in self.dtypes.items())
+        return (
+            f"DeviceTable({self.num_rows} rows, padded {self.padded_rows}; {cols})"
+        )
