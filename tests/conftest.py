@@ -10,12 +10,14 @@ devices instead.
 import os
 
 if not os.environ.get("WARPDB_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    # The axon TPU plugin's sitecustomize calls
+    # jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+    # so plain env vars cannot win — override through the config API
+    # before any backend initialises.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 

@@ -1,0 +1,338 @@
+"""End-to-end engine tests: reference-parity queries (sql_features_test,
+having_distinct_test, extended_types_test), randomized oracle
+comparisons, JOIN execution, window functions, and error paths."""
+
+import numpy as np
+import pytest
+
+import oracle
+from warpdb_tpu import WarpDB, DataType
+from warpdb_tpu.errors import ParseError, ValidationError, WarpDBError
+from warpdb_tpu.frontend import parse_expression_text, parse_query_text
+from warpdb_tpu.storage import HostTable
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    return WarpDB("data/test.csv")
+
+
+@pytest.fixture(scope="module")
+def test_table():
+    return {
+        "price": np.array([10.5, 20.0, 15.25, 30.0], np.float32),
+        "quantity": np.array([3.0, 4.0, 2.0, 5.0], np.float32),
+    }
+
+
+# --- WarpDB::query parity (warpdb.cpp:199-256) -------------------------------
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "price * quantity",
+        "price + 1",
+        "price WHERE price > 15",
+        "price * 0.9 WHERE price > 20",
+        "price * quantity * 1.08",
+        "discount(price, 0.9)",
+        "price WHERE price > 10 AND quantity < 5",
+        "price WHERE price > 25 OR quantity <= 2",
+        "(price + quantity) * 2",
+        "price / quantity",
+        "price - quantity WHERE price != 20",
+        "quantity WHERE price >= 15.25",
+    ],
+)
+def test_query_vs_oracle(db, test_table, expr):
+    got = np.asarray(db.query_np(expr))
+    from warpdb_tpu.api import _split_where
+    from warpdb_tpu.frontend import parse_expression_text
+
+    e, w = _split_where(expr)
+    expr_ast = parse_expression_text(e)
+    cond_ast = parse_expression_text(w) if w else None
+    want = oracle.query_expression(test_table, expr_ast, cond_ast)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_query_empty_expression(db):
+    with pytest.raises(WarpDBError, match="Empty query expression"):
+        db.query("")
+
+
+def test_query_unknown_column(db):
+    with pytest.raises(ValidationError, match="Unknown column: bogus"):
+        db.query("bogus + 1")
+
+
+def test_query_parse_error_wrapped(db):
+    with pytest.raises(ParseError, match="Failed to parse expression"):
+        db.query("1 2")
+    with pytest.raises(ParseError, match="Failed to parse WHERE clause"):
+        db.query("price WHERE 1 2")
+
+
+# --- query_sql parity: sql_features_test.cpp ----------------------------------
+
+
+def test_group_by_sum(db, test_table):
+    res = db.query_sql(
+        "SELECT SUM(price) FROM test GROUP BY quantity ORDER BY quantity ASC"
+    )
+    groups = {}
+    for p, q in zip(test_table["price"], test_table["quantity"]):
+        groups[q] = groups.get(q, 0.0) + float(p)
+    expected = [groups[k] for k in sorted(groups)]
+    assert res == pytest.approx(expected, abs=1e-5)
+
+
+def test_order_by_desc_limit(db, test_table):
+    res = db.query_sql("SELECT price FROM test ORDER BY price DESC LIMIT 2")
+    prices = sorted(test_table["price"], reverse=True)
+    assert res == pytest.approx(prices[:2], abs=1e-5)
+
+
+def test_offset_limit(db):
+    res = db.query_sql(
+        "SELECT price FROM test ORDER BY price DESC OFFSET 1 LIMIT 2"
+    )
+    assert len(res) == 2
+    assert res == pytest.approx([20.0, 15.25], abs=1e-5)
+
+
+def test_having_sum(db):
+    res = db.query_sql(
+        "SELECT SUM(price) FROM test GROUP BY quantity "
+        "HAVING SUM(price) > 15 ORDER BY quantity ASC"
+    )
+    assert len(res) == 3
+    assert res == pytest.approx([15.25, 20.0, 30.0], abs=1e-5)
+
+
+# --- having_distinct_test.cpp --------------------------------------------------
+
+
+def test_having_count_empty(db):
+    res = db.query_sql(
+        "SELECT SUM(price) FROM test GROUP BY quantity HAVING COUNT(price) > 1"
+    )
+    assert res == []
+
+
+def test_distinct_order_desc(db):
+    res = db.query_sql("SELECT DISTINCT quantity FROM test ORDER BY quantity DESC")
+    assert len(res) == 4
+    assert res[0] > res[-1]
+    assert res == sorted(res, reverse=True)
+
+
+# --- extended_types_test.cpp -----------------------------------------------------
+
+
+def test_extended_types():
+    schema = [DataType.FLOAT32, DataType.INT32, DataType.FLOAT32]
+    db = WarpDB("data/extended.csv", schema)
+    res = db.query("price * discount")
+    assert len(res) == 4
+    assert int(res[0]) == 1  # 10.5 * 0.1 ≈ 1.05
+
+
+# --- more aggregates ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("agg", ["SUM", "AVG", "COUNT", "MIN", "MAX"])
+def test_all_aggregates_vs_oracle(db, test_table, agg):
+    sql = f"SELECT {agg}(price) FROM test GROUP BY quantity ORDER BY quantity ASC"
+    got = db.query_sql(sql)
+    want = oracle.query_sql(test_table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("agg", ["SUM", "AVG", "COUNT", "MIN", "MAX"])
+def test_global_aggregate(db, test_table, agg):
+    sql = f"SELECT {agg}(price * quantity) FROM test"
+    got = db.query_sql(sql)
+    want = oracle.query_sql(test_table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_group_by_with_where(db, test_table):
+    sql = (
+        "SELECT SUM(price) FROM test WHERE price > 12 "
+        "GROUP BY quantity ORDER BY quantity ASC"
+    )
+    got = db.query_sql(sql)
+    want = oracle.query_sql(test_table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_order_by_aggregate(db, test_table):
+    sql = "SELECT SUM(price) FROM test GROUP BY quantity ORDER BY SUM(price) DESC"
+    got = db.query_sql(sql)
+    want = oracle.query_sql(test_table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_non_group_where_filters_rows(db, test_table):
+    sql = "SELECT price FROM test WHERE quantity > 2"
+    got = db.query_sql(sql)
+    want = oracle.query_sql(test_table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert len(got) == 3  # compacted, unlike query()
+
+
+# --- randomized oracle sweep -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def random_db():
+    rng = np.random.default_rng(42)
+    n = 5000
+    table = {
+        "price": rng.uniform(0, 100, n).astype(np.float32),
+        "quantity": rng.integers(0, 20, n).astype(np.float32),
+    }
+    host = HostTable.from_dict(table)
+    return WarpDB(host), table
+
+
+RANDOM_SQL = [
+    "SELECT SUM(price) FROM t GROUP BY quantity ORDER BY quantity ASC",
+    "SELECT AVG(price) FROM t GROUP BY quantity ORDER BY quantity DESC",
+    "SELECT COUNT(price) FROM t WHERE price > 50 GROUP BY quantity ORDER BY quantity ASC",
+    "SELECT MAX(price * quantity) FROM t GROUP BY quantity ORDER BY quantity ASC",
+    "SELECT MIN(price) FROM t GROUP BY quantity HAVING COUNT(price) > 200 ORDER BY quantity ASC",
+    "SELECT price FROM t WHERE price > 90 ORDER BY price DESC LIMIT 10",
+    "SELECT price * quantity FROM t WHERE quantity == 5 ORDER BY price ASC LIMIT 7 OFFSET 3",
+    "SELECT DISTINCT quantity FROM t ORDER BY quantity DESC",
+    "SELECT price FROM t WHERE price > 99.5",
+    "SELECT SUM(price) FROM t GROUP BY quantity HAVING SUM(price) > 12000 ORDER BY SUM(price) ASC",
+]
+
+
+@pytest.mark.parametrize("sql", RANDOM_SQL)
+def test_random_sql_vs_oracle(random_db, sql):
+    db, table = random_db
+    got = np.asarray(db.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+# --- JOIN execution (exceeds reference) --------------------------------------------
+
+
+def test_self_join(db):
+    # Self-join on quantity: every row matches exactly itself (unique keys).
+    res = db.query_sql(
+        "SELECT price FROM test JOIN test ON quantity = test.quantity "
+        "ORDER BY price ASC"
+    )
+    assert res == pytest.approx([10.5, 15.25, 20.0, 30.0], abs=1e-5)
+
+
+def test_registered_join():
+    db = WarpDB("data/test.csv")
+    items = HostTable.from_dict(
+        {
+            "qty": np.array([2.0, 3.0, 4.0, 5.0, 7.0], np.float32),
+            "weight": np.array([1.0, 2.0, 3.0, 4.0, 9.0], np.float32),
+        }
+    )
+    db.register_table("items", items)
+    res = db.query_sql(
+        "SELECT price * items.weight FROM test JOIN items ON quantity = items.qty "
+        "ORDER BY price ASC"
+    )
+    # matches: (10.5,q3,w2), (15.25,q2,w1), (20,q4,w3), (30,q5,w4)
+    assert res == pytest.approx([21.0, 15.25, 60.0, 120.0], abs=1e-4)
+
+
+def test_join_with_duplicates():
+    left = HostTable.from_dict(
+        {"k": np.array([1.0, 2.0, 2.0], np.float32),
+         "v": np.array([10.0, 20.0, 30.0], np.float32)}
+    )
+    right = HostTable.from_dict(
+        {"k": np.array([2.0, 2.0, 3.0], np.float32),
+         "w": np.array([100.0, 200.0, 300.0], np.float32)}
+    )
+    db = WarpDB(left)
+    db.register_table("r", right)
+    res = db.query_sql(
+        "SELECT v + r.w FROM table JOIN r ON k = r.k ORDER BY v + r.w ASC"
+    )
+    # rows 2 & 3 each match both right rows: 20+100,20+200,30+100,30+200
+    assert res == pytest.approx([120.0, 130.0, 220.0, 230.0], abs=1e-4)
+
+
+# --- window functions (reference parses only; we execute) ---------------------------
+
+
+def test_window_sum_over_partition(db, test_table):
+    sql = "SELECT SUM(price) OVER (PARTITION BY quantity) FROM test"
+    got = db.query_sql(sql)
+    want = oracle.query_sql(test_table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_window_no_partition(db, test_table):
+    sql = "SELECT SUM(price) OVER () FROM test"
+    got = db.query_sql(sql)
+    # single partition: every row gets the global sum
+    np.testing.assert_allclose(got, [75.75] * 4, rtol=1e-5)
+
+
+def test_window_with_duplicates():
+    table = {
+        "price": np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], np.float32),
+        "quantity": np.array([1.0, 1.0, 2.0, 2.0, 2.0, 3.0], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    got = db.query_sql("SELECT AVG(price) OVER (PARTITION BY quantity) FROM table")
+    np.testing.assert_allclose(got, [1.5, 1.5, 4.0, 4.0, 4.0, 6.0], rtol=1e-6)
+
+
+# --- SQL error paths ------------------------------------------------------------------
+
+
+def test_sql_parse_error_wrapped(db):
+    with pytest.raises(ParseError, match="Failed to parse SQL"):
+        db.query_sql("SELECT price")
+
+
+def test_sql_unknown_column_context(db):
+    with pytest.raises(ValidationError, match="SELECT clause: Unknown column"):
+        db.query_sql("SELECT bogus FROM test")
+    with pytest.raises(ValidationError, match="GROUP BY: Unknown column"):
+        db.query_sql("SELECT SUM(price) FROM test GROUP BY bogus")
+
+
+def test_group_by_requires_aggregate(db):
+    from warpdb_tpu.errors import ExecutionError
+
+    with pytest.raises(
+        ExecutionError, match="Only aggregation queries supported with GROUP BY"
+    ):
+        db.query_sql("SELECT price FROM test GROUP BY quantity")
+
+
+# --- jit cache behavior ------------------------------------------------------------
+
+
+def test_kernel_cache_hit(db):
+    from warpdb_tpu.engine.compiler import cache_stats
+
+    db.query("price + 2")
+    before = cache_stats()
+    db.query("price + 2")
+    after = cache_stats()
+    assert after["hits"] > before["hits"]
+    assert after["misses"] == before["misses"]
+
+
+def test_udf_custom_py(db):
+    # custom.py at repo root defines discount() — the custom.cu analogue.
+    res = db.query("discount(price, 0.5)")
+    assert res == pytest.approx([5.25, 10.0, 7.625, 15.0], abs=1e-5)

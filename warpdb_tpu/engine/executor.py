@@ -1,0 +1,639 @@
+"""Plan executor: lowers parsed queries onto the physical operators.
+
+This is the TPU-native replacement for the coherent halves of
+``WarpDB::query`` / ``WarpDB::query_sql`` (warpdb.cpp:199-256, 297-498).
+Each query shape compiles (once, via the plan-keyed kernel cache) into
+one or two fused XLA programs:
+
+* scalar path (``run_expression``): fused filter+projection over padded
+  columns — returns a length-N float32 vector like the reference's
+  ``query`` (filtered-out slots are a defined 0.0, not garbage);
+* relational path (``run_query``): WHERE → (JOIN …) → GROUP BY/HAVING
+  or projection → DISTINCT → ORDER BY → OFFSET/LIMIT, with all O(N)
+  work on device and only the ≤G-sized aggregate table pulled to host.
+
+Dynamic cardinalities (filter/group/join outputs) use the two-phase
+static-shape protocol: a counting kernel picks a power-of-two capacity
+bucket, so each query shape compiles at most O(log N) times ever.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ExecutionError, UnsupportedError, ValidationError
+from ..frontend.ast import (
+    Aggregation,
+    AggregationType,
+    BinaryOp,
+    Constant,
+    FunctionCall,
+    Node,
+    OrderBy,
+    Query,
+    Variable,
+    WindowFunction,
+    walk,
+)
+from ..ops.aggregate import count_distinct, distinct_values, group_aggregate, window_aggregate
+from ..ops.filter import compact
+from ..ops.join import join_gather_indices, join_match_counts
+from ..ops.sort import sort_pairs, sort_values, top_k_values
+from ..storage.table import DeviceTable
+from . import udf as udf_mod
+from .compiler import (
+    _as_bool,
+    _as_f32,
+    build_evaluator,
+    get_or_compile,
+    schema_signature,
+)
+
+__all__ = ["run_expression", "run_query"]
+
+
+def _next_pow2(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (int(n - 1).bit_length())
+
+
+def _valid_mask(cols: dict, num_rows) -> jax.Array:
+    n_pad = next(iter(cols.values())).shape[0]
+    return jnp.arange(n_pad, dtype=jnp.int32) < num_rows
+
+
+def _broadcast(x: jax.Array, cols: dict) -> jax.Array:
+    n_pad = next(iter(cols.values())).shape[0]
+    return jnp.broadcast_to(x, (n_pad,))
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression path (WarpDB::query semantics)
+# ---------------------------------------------------------------------------
+
+
+def run_expression(
+    table: DeviceTable, expr: Node, cond: Optional[Node]
+) -> np.ndarray:
+    """Fused filter+project; returns exactly ``num_rows`` float32 values
+    (filtered-out rows = 0.0, documented deviation from the reference's
+    uninitialized slots, jit.cpp:56-58)."""
+    from .compiler import compile_filter_project
+
+    kernel = compile_filter_project(expr, cond, table.columns)
+    out = kernel(table.columns, jnp.int32(table.num_rows))
+    return np.asarray(out)[: table.num_rows]
+
+
+# ---------------------------------------------------------------------------
+# Aggregation helpers
+# ---------------------------------------------------------------------------
+
+
+class _AggSpec:
+    """One (agg type, value-expression) pair needed by a query."""
+
+    def __init__(self, agg: AggregationType, expr: Node):
+        self.agg = agg
+        self.expr = expr
+        self.key = (agg.value, expr.canonical())
+
+
+def _collect_agg_specs(nodes: Sequence[Node]) -> list[_AggSpec]:
+    specs: dict = {}
+    for node in nodes:
+        if node is None:
+            continue
+        for n in walk(node):
+            if isinstance(n, Aggregation):
+                spec = _AggSpec(n.agg, n.expr)
+                specs.setdefault(spec.key, spec)
+    return list(specs.values())
+
+
+def _group_level_eval(
+    node: Node,
+    key_canon: dict,
+    agg_values: dict,
+) -> np.ndarray:
+    """NumPy evaluator over the (small) per-group aggregate table.
+    Used for HAVING and group-level ORDER BY — the repaired intent of the
+    reference's host ``eval_having_node`` (warpdb.cpp:387-427), except
+    each aggregate evaluates over its *own* expression."""
+    if isinstance(node, Aggregation):
+        return agg_values[(node.agg.value, node.expr.canonical())]
+    if isinstance(node, Constant):
+        return np.float32(node.value)
+    if isinstance(node, BinaryOp):
+        l = _group_level_eval(node.left, key_canon, agg_values)
+        r = _group_level_eval(node.right, key_canon, agg_values)
+        op = node.op
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "&&":
+            return np.logical_and(l != 0, r != 0)
+        if op == "||":
+            return np.logical_or(l != 0, r != 0)
+        cmp = {
+            ">": np.greater, "<": np.less, ">=": np.greater_equal,
+            "<=": np.less_equal, "==": np.equal, "=": np.equal,
+            "!=": np.not_equal,
+        }[op]
+        return cmp(l, r)
+    canon = node.canonical()
+    if canon in key_canon:
+        return key_canon[canon]
+    raise UnsupportedError(
+        "HAVING/ORDER BY expressions over groups must reference the "
+        f"GROUP BY key or aggregates; got: {canon}"
+    )
+
+
+def _agg_value_from_result(spec: _AggSpec, counts, value_aggs) -> np.ndarray:
+    sums, mins, maxs = value_aggs
+    counts_f = counts.astype(np.float32)
+    if spec.agg is AggregationType.SUM:
+        return sums
+    if spec.agg is AggregationType.AVG:
+        return sums / np.maximum(counts_f, 1.0)
+    if spec.agg is AggregationType.COUNT:
+        return counts_f
+    if spec.agg is AggregationType.MIN:
+        return mins
+    if spec.agg is AggregationType.MAX:
+        return maxs
+    raise ExecutionError(f"Unknown aggregation {spec.agg}")
+
+
+# ---------------------------------------------------------------------------
+# JOIN materialisation
+# ---------------------------------------------------------------------------
+
+
+def _single_equality(cond: Node) -> tuple[Variable, Variable]:
+    if (
+        isinstance(cond, BinaryOp)
+        and cond.op in ("=", "==")
+        and isinstance(cond.left, Variable)
+        and isinstance(cond.right, Variable)
+    ):
+        return cond.left, cond.right
+    raise UnsupportedError(
+        "Only single-equality JOIN conditions (a.x = b.y) are supported"
+    )
+
+
+def _resolve_column(cols: dict, var: Variable) -> jax.Array:
+    arr = cols.get(var.name)
+    if arr is None:
+        arr = cols.get(var.unqualified)
+    if arr is None:
+        raise ValidationError(f"Unknown column: {var.name}")
+    return arr
+
+
+def _materialize_join(
+    left: DeviceTable, right: DeviceTable, right_name: str, cond: Node
+) -> DeviceTable:
+    """Execute one inner equi-join, producing a new padded DeviceTable.
+
+    Makes real what the reference only parsed (warpdb.hpp:22-23)."""
+    a, b = _single_equality(cond)
+
+    # Decide which side each variable binds to: a qualifier matching the
+    # right table name binds right; otherwise left wins, then right.
+    def side_of(var: Variable):
+        if var.qualifier == right_name and (
+            var.unqualified in right.columns or var.name in right.columns
+        ):
+            return "right"
+        if var.name in left.columns or var.unqualified in left.columns:
+            return "left"
+        if var.name in right.columns or var.unqualified in right.columns:
+            return "right"
+        raise ValidationError(f"Unknown column: {var.name}")
+
+    sa, sb = side_of(a), side_of(b)
+    if {sa, sb} != {"left", "right"}:
+        # Same-side equality (e.g. self-join on the same column name):
+        # treat left occurrence as probe, right as build.
+        left_var, right_var = a, b
+    else:
+        left_var = a if sa == "left" else b
+        right_var = b if sb == "right" else a
+
+    lkey = _as_f32(_resolve_column(left.columns, left_var))
+    rkey = _as_f32(_resolve_column(right.columns, right_var))
+
+    key = (
+        "join_phase1",
+        schema_signature(left.columns),
+        schema_signature(right.columns),
+        left_var.canonical(),
+        right_var.canonical(),
+    )
+
+    def build_phase1():
+        @jax.jit
+        def phase1(lk, rk, n_left, n_right):
+            lmask = jnp.arange(lk.shape[0], dtype=jnp.int32) < n_left
+            rmask = jnp.arange(rk.shape[0], dtype=jnp.int32) < n_right
+            return join_match_counts(lk, lmask, rk, rmask)
+
+        return phase1
+
+    phase1 = get_or_compile(key, build_phase1)(
+        lkey, rkey, jnp.int32(left.num_rows), jnp.int32(right.num_rows)
+    )
+    total = int(phase1.total)
+    capacity = max(_next_pow2(total), 1024)
+
+    key2 = ("join_phase2", capacity)
+
+    def build_phase2():
+        @jax.jit
+        def phase2(p1):
+            return join_gather_indices(p1, capacity)
+
+        return phase2
+
+    probe_idx, build_idx, valid = get_or_compile(key2, build_phase2)(phase1)
+
+    key3 = (
+        "join_gather",
+        schema_signature(left.columns),
+        schema_signature(right.columns),
+        capacity,
+        right_name,
+    )
+
+    def build_gather():
+        @jax.jit
+        def gather(lcols, rcols, pidx, bidx, valid):
+            out = {}
+            for name, arr in lcols.items():
+                out[name] = jnp.where(valid, arr[pidx], jnp.zeros((), arr.dtype))
+            for name, arr in rcols.items():
+                qual = f"{right_name}.{name}"
+                out[qual] = jnp.where(valid, arr[bidx], jnp.zeros((), arr.dtype))
+            return out
+
+        return gather
+
+    new_cols = get_or_compile(key3, build_gather)(
+        left.columns, right.columns, probe_idx, build_idx, valid
+    )
+    # Bare right-side names that don't collide stay addressable unqualified.
+    for name in right.columns:
+        if name not in new_cols:
+            new_cols[name] = new_cols[f"{right_name}.{name}"]
+
+    dtypes = dict(left.dtypes)
+    for name, dt in right.dtypes.items():
+        dtypes[f"{right_name}.{name}"] = dt
+        dtypes.setdefault(name, dt)
+    return DeviceTable(new_cols, dtypes, total, capacity)
+
+
+# ---------------------------------------------------------------------------
+# The relational pipeline (query_sql semantics)
+# ---------------------------------------------------------------------------
+
+
+def run_query(
+    query: Query,
+    table: DeviceTable,
+    catalog: Optional[dict] = None,
+) -> np.ndarray:
+    """Execute a parsed SELECT against ``table`` (the FROM relation).
+
+    JOIN table names resolve through ``catalog``; unknown names fall back
+    to ``table`` itself — mirroring the reference's "loads the same table
+    for demonstration" (warpdb.hpp:22-23), except the join actually runs.
+    """
+    catalog = catalog or {}
+    current = table
+    for join in query.joins:
+        right = catalog.get(join.table, table)
+        current = _materialize_join(current, right, join.table, join.condition)
+
+    if not query.select_list:
+        raise ExecutionError("Empty SELECT list")
+
+    if query.group_by is not None:
+        values = _run_grouped(query, current)
+    else:
+        values = _run_projection(query, current)
+
+    # OFFSET then LIMIT, host-side (reference warpdb.cpp:485-495).
+    if query.offset is not None:
+        values = values[query.offset :] if query.offset < len(values) else values[:0]
+    if query.limit is not None and query.limit < len(values):
+        values = values[: query.limit]
+    return values
+
+
+def _run_grouped(query: Query, table: DeviceTable) -> np.ndarray:
+    select = query.select_list[0]
+    if not isinstance(select, Aggregation):
+        raise ExecutionError("Only aggregation queries supported with GROUP BY")
+
+    group_keys = list(query.group_by.keys)
+    order_expr = query.order_by.expr if query.order_by else None
+    specs = _collect_agg_specs([select, query.having, order_expr])
+    # Map each spec to a value column (dedup by expression canonical).
+    vexpr_canons: list[str] = []
+    vexpr_nodes: list[Node] = []
+    for spec in specs:
+        c = spec.expr.canonical()
+        if c not in vexpr_canons:
+            vexpr_canons.append(c)
+            vexpr_nodes.append(spec.expr)
+    spec_to_vidx = {s.key: vexpr_canons.index(s.expr.canonical()) for s in specs}
+
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    where_canon = query.where.canonical() if query.where is not None else ""
+    keys_canon = tuple(k.canonical() for k in group_keys)
+
+    # Phase 1: distinct-key count → capacity bucket.
+    if table.padded_rows <= 4096:
+        capacity = table.padded_rows
+    else:
+        ckey = ("group_count", keys_canon, where_canon, schema_signature(cols),
+                udf_mod.registry_version())
+
+        def build_count():
+            key_fns = [build_evaluator(k) for k in group_keys]
+            cond_fn = build_evaluator(query.where) if query.where is not None else None
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = _valid_mask(cols, num_rows)
+                if cond_fn is not None:
+                    valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+                keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
+                return count_distinct(keys, valid)
+
+            return kernel
+
+        n_distinct = int(get_or_compile(ckey, build_count)(cols, n_rows))
+        capacity = _next_pow2(max(n_distinct, 16))
+
+    # Phase 2: the one-pass multi-aggregate kernel.
+    gkey = ("group_agg", keys_canon, tuple(vexpr_canons), where_canon,
+            schema_signature(cols), capacity, udf_mod.registry_version())
+
+    def build_group():
+        key_fns = [build_evaluator(k) for k in group_keys]
+        val_fns = [build_evaluator(v) for v in vexpr_nodes]
+        cond_fn = build_evaluator(query.where) if query.where is not None else None
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
+            vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
+            return group_aggregate(keys, vals, valid, capacity)
+
+        return kernel
+
+    result = get_or_compile(gkey, build_group)(cols, n_rows)
+
+    # Host-side finishing on the ≤capacity-sized aggregate table.
+    num_groups = int(result.num_groups)
+    counts = np.asarray(result.counts)[:num_groups]
+    key_arrays = [np.asarray(k)[:num_groups] for k in result.keys]
+    agg_values = {
+        spec.key: _agg_value_from_result(
+            spec, counts, tuple(np.asarray(a)[:num_groups] for a in result.values[spec_to_vidx[spec.key]])
+        )
+        for spec in specs
+    }
+    key_canon_map = {c: key_arrays[i] for i, c in enumerate(keys_canon)}
+
+    out = agg_values[(select.agg.value, select.expr.canonical())]
+    mask = np.ones(num_groups, dtype=bool)
+    if query.having is not None:
+        hv = _group_level_eval(query.having, key_canon_map, agg_values)
+        mask &= np.asarray(hv, dtype=bool) if hv.dtype != bool else hv
+
+    out = out[mask]
+    if query.order_by is not None:
+        order_vals = _group_level_eval(order_expr, key_canon_map, agg_values)
+        order_vals = np.asarray(order_vals, dtype=np.float32)[mask]
+        order = np.argsort(order_vals, kind="stable")
+        if not query.order_by.ascending:
+            order = order[::-1]
+        out = out[order]
+    # Default order is ascending by group key (groups emerge key-sorted).
+
+    if query.distinct:
+        out = np.unique(out.astype(np.float32))
+    return np.asarray(out, dtype=np.float32)
+
+
+def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
+    select = query.select_list[0]
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    where = query.where
+    where_canon = where.canonical() if where is not None else ""
+
+    if isinstance(select, WindowFunction):
+        return _run_window(query, table)
+    if isinstance(select, Aggregation):
+        # Global aggregate without GROUP BY: one group, whole table.
+        return _run_global_agg(query, table)
+
+    order = query.order_by
+    select_canon = select.canonical()
+    order_canon = order.expr.canonical() if order is not None else ""
+
+    pkey = ("project", select_canon, where_canon, order_canon,
+            schema_signature(cols), udf_mod.registry_version())
+
+    def build_project():
+        sel_fn = build_evaluator(select)
+        cond_fn = build_evaluator(where) if where is not None else None
+        ord_fn = (
+            build_evaluator(order.expr)
+            if order is not None and order_canon != select_canon
+            else None
+        )
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            vals = _broadcast(_as_f32(sel_fn(cols)), cols)
+            out, count = compact(vals, valid)
+            okeys = None
+            if ord_fn is not None:
+                okeys, _ = compact(_broadcast(_as_f32(ord_fn(cols)), cols), valid)
+            return out, okeys, count
+
+        return kernel
+
+    out, okeys, count = get_or_compile(pkey, build_project)(cols, n_rows)
+    count = int(count)
+
+    if query.distinct:
+        dkey = ("distinct", select_canon, where_canon, schema_signature(cols),
+                table.padded_rows, udf_mod.registry_version())
+
+        def build_distinct():
+            @jax.jit
+            def kernel(vals, count):
+                valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
+                return distinct_values(vals, valid, vals.shape[0])
+
+            return kernel
+
+        uniq, n_uniq = get_or_compile(dkey, build_distinct)(out, jnp.int32(count))
+        values = np.asarray(uniq)[: int(n_uniq)]
+        # Reference order: DISTINCT produces ascending (host sort+unique);
+        # ORDER BY then re-sorts — meaningful when it names the same
+        # expression (having_distinct_test.cpp:9-11: DESC flips it).
+        if order is not None and not order.ascending:
+            values = values[::-1].copy()
+        return values.astype(np.float32)
+
+    if order is not None:
+        if order_canon == select_canon:
+            limit_total = (query.limit or 0) + (query.offset or 0)
+            if query.limit is not None and limit_total < count:
+                k = _next_pow2(max(limit_total, 16))
+                tkey = ("topk", k, order.ascending, table.padded_rows)
+
+                def build_topk():
+                    @jax.jit
+                    def kernel(vals, count):
+                        valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
+                        return top_k_values(vals, valid, k, order.ascending)
+
+                    return kernel
+
+                top = get_or_compile(tkey, build_topk)(out, jnp.int32(count))
+                return np.asarray(top)[: min(limit_total, count)].astype(np.float32)
+            skey = ("sortvals", order.ascending, table.padded_rows)
+
+            def build_sort():
+                @jax.jit
+                def kernel(vals, count):
+                    valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
+                    return sort_values(vals, valid, order.ascending)
+
+                return kernel
+
+            s = get_or_compile(skey, build_sort)(out, jnp.int32(count))
+            return np.asarray(s)[:count].astype(np.float32)
+
+        skey = ("sortpairs", order.ascending, table.padded_rows)
+
+        def build_sortpairs():
+            @jax.jit
+            def kernel(keys, vals, count):
+                valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
+                return sort_pairs(keys, vals, valid, order.ascending)
+
+            return kernel
+
+        _, v_sorted, _ = get_or_compile(skey, build_sortpairs)(
+            okeys, out, jnp.int32(count)
+        )
+        return np.asarray(v_sorted)[:count].astype(np.float32)
+
+    return np.asarray(out)[:count].astype(np.float32)
+
+
+def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
+    """SELECT AGG(expr) with no GROUP BY → single scalar."""
+    select = query.select_list[0]
+    cols = table.columns
+    where = query.where
+    key = ("global_agg", select.canonical(),
+           where.canonical() if where else "",
+           schema_signature(cols), udf_mod.registry_version())
+
+    def build():
+        val_fn = build_evaluator(select.expr)
+        cond_fn = build_evaluator(where) if where is not None else None
+        agg = select.agg
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            vals = _broadcast(_as_f32(val_fn(cols)), cols)
+            cnt = jnp.sum(valid.astype(jnp.float32))
+            if agg is AggregationType.COUNT:
+                return cnt
+            if agg is AggregationType.SUM:
+                return jnp.sum(jnp.where(valid, vals, 0.0))
+            if agg is AggregationType.AVG:
+                return jnp.sum(jnp.where(valid, vals, 0.0)) / jnp.maximum(cnt, 1.0)
+            if agg is AggregationType.MIN:
+                return jnp.min(jnp.where(valid, vals, jnp.inf))
+            return jnp.max(jnp.where(valid, vals, -jnp.inf))
+
+        return kernel
+
+    out = get_or_compile(key, build)(cols, jnp.int32(table.num_rows))
+    return np.asarray([float(out)], dtype=np.float32)
+
+
+def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
+    """SELECT AGG(e) OVER (PARTITION BY …) — executes what the reference
+    stubbed (expression.hpp:112-121)."""
+    select: WindowFunction = query.select_list[0]
+    cols = table.columns
+    where = query.where
+    if not select.partition_by:
+        part_exprs: tuple = ()
+    else:
+        part_exprs = select.partition_by
+    key = ("window", select.canonical(),
+           where.canonical() if where else "",
+           schema_signature(cols), table.padded_rows, udf_mod.registry_version())
+
+    def build():
+        val_fn = build_evaluator(select.expr)
+        part_fns = [build_evaluator(p) for p in part_exprs]
+        cond_fn = build_evaluator(where) if where is not None else None
+        agg_name = select.agg.value
+        capacity = table.padded_rows
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            vals = _broadcast(_as_f32(val_fn(cols)), cols)
+            if part_fns:
+                part = _broadcast(_as_f32(part_fns[0](cols)), cols)
+            else:
+                part = jnp.zeros_like(vals)
+            win = window_aggregate(part, vals, valid, agg_name, capacity)
+            out, count = compact(win, valid)
+            return out, count
+
+        return kernel
+
+    out, count = get_or_compile(key, build)(cols, jnp.int32(table.num_rows))
+    return np.asarray(out)[: int(count)].astype(np.float32)

@@ -1,0 +1,206 @@
+"""Arrow C Data Interface result export.
+
+Mirrors the reference's ``export_to_arrow`` (arrow_utils.cpp:37-94 +
+vendored arrow_c_abi.h): query results become an ``ArrowArray`` /
+``ArrowSchema`` pair — float32, two buffers, no validity bitmap — whose
+data lives either in process memory or in POSIX shared memory
+(``/warpdb_result``) for zero-copy cross-process sharing.  Returned as
+PyCapsules consumable by ``pyarrow.Array._import_from_c`` (the contract
+of pywarpdb.cpp:18-37).
+
+Two backends:
+
+* the native C++ exporter (native/warpdb_native.cpp) when built —
+  release callbacks are real C function pointers;
+* a pure-ctypes fallback that lays out the C-ABI structs from Python,
+  with ``CFUNCTYPE`` release callbacks kept alive in a module registry.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import mmap
+import os
+import threading
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["export_to_arrow_capsules", "SHM_NAME"]
+
+SHM_NAME = "/warpdb_result"
+
+ARROW_FLAG_NULLABLE = 2
+
+
+# -- C ABI struct layouts (Arrow C Data Interface spec, stable ABI) ---------
+
+
+class ArrowSchemaStruct(ctypes.Structure):
+    pass
+
+
+ArrowSchemaStruct._fields_ = [
+    ("format", ctypes.c_char_p),
+    ("name", ctypes.c_char_p),
+    ("metadata", ctypes.c_char_p),
+    ("flags", ctypes.c_int64),
+    ("n_children", ctypes.c_int64),
+    ("children", ctypes.POINTER(ctypes.POINTER(ArrowSchemaStruct))),
+    ("dictionary", ctypes.POINTER(ArrowSchemaStruct)),
+    ("release", ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowSchemaStruct))),
+    ("private_data", ctypes.c_void_p),
+]
+
+
+class ArrowArrayStruct(ctypes.Structure):
+    pass
+
+
+ArrowArrayStruct._fields_ = [
+    ("length", ctypes.c_int64),
+    ("null_count", ctypes.c_int64),
+    ("offset", ctypes.c_int64),
+    ("n_buffers", ctypes.c_int64),
+    ("n_children", ctypes.c_int64),
+    ("buffers", ctypes.POINTER(ctypes.c_void_p)),
+    ("children", ctypes.POINTER(ctypes.POINTER(ArrowArrayStruct))),
+    ("dictionary", ctypes.POINTER(ArrowArrayStruct)),
+    ("release", ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowArrayStruct))),
+    ("private_data", ctypes.c_void_p),
+]
+
+
+_SCHEMA_RELEASE_T = ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowSchemaStruct))
+_ARRAY_RELEASE_T = ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowArrayStruct))
+
+# Keep every exported allocation alive until its release callback runs.
+_live_lock = threading.Lock()
+_live: dict[int, dict] = {}
+_counter = 0
+
+
+def _track(payload: dict) -> int:
+    global _counter
+    with _live_lock:
+        _counter += 1
+        _live[_counter] = payload
+        return _counter
+
+
+def _release_entry(token: int) -> Optional[dict]:
+    with _live_lock:
+        return _live.pop(token, None)
+
+
+def _make_shm_buffer(nbytes: int):
+    """POSIX shared memory at /warpdb_result (parity with
+    arrow_utils.cpp:44-62)."""
+    name = SHM_NAME.lstrip("/")
+    path = f"/dev/shm/{name}"
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o600)
+    try:
+        os.ftruncate(fd, nbytes)
+        mm = mmap.mmap(fd, nbytes)
+    finally:
+        os.close(fd)
+    return mm, path
+
+
+def export_to_arrow_capsules(values: np.ndarray, use_shared_memory: bool = False):
+    """Export a float32 vector as (array_capsule, schema_capsule)."""
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    n = len(values)
+    nbytes = 4 * n
+
+    if use_shared_memory:
+        mm, shm_path = _make_shm_buffer(max(nbytes, 1))
+        mm[:nbytes] = values.tobytes()
+        buf_addr = ctypes.addressof(ctypes.c_char.from_buffer(mm))
+        payload = {"mm": mm, "shm_path": shm_path}
+    else:
+        data = ctypes.create_string_buffer(values.tobytes(), max(nbytes, 1))
+        buf_addr = ctypes.addressof(data)
+        payload = {"data": data}
+
+    # --- ArrowArray -------------------------------------------------------
+    arr = ArrowArrayStruct()
+    arr.length = n
+    arr.null_count = 0
+    arr.offset = 0
+    arr.n_buffers = 2
+    arr.n_children = 0
+    buffers = (ctypes.c_void_p * 2)(None, buf_addr)
+    arr.buffers = buffers
+    arr.children = None
+    arr.dictionary = None
+
+    token = 0
+
+    def _release_array(ptr):
+        entry = _release_entry(token)
+        if entry is not None:
+            mm_obj = entry["payload"].get("mm")
+            shm_path = entry["payload"].get("shm_path")
+            if mm_obj is not None:
+                try:
+                    mm_obj.close()
+                except BufferError:
+                    pass
+            if shm_path is not None:
+                try:
+                    os.unlink(shm_path)
+                except OSError:
+                    pass
+        if ptr:
+            ptr.contents.release = _ARRAY_RELEASE_T()
+
+    release_cb = _ARRAY_RELEASE_T(_release_array)
+    arr.release = release_cb
+    arr.private_data = None
+
+    # --- ArrowSchema --------------------------------------------------------
+    schema = ArrowSchemaStruct()
+    fmt = ctypes.c_char_p(b"f")  # float32
+    name_str = ctypes.c_char_p(b"result")
+    schema.format = fmt
+    schema.name = name_str
+    schema.metadata = None
+    schema.flags = ARROW_FLAG_NULLABLE
+    schema.n_children = 0
+    schema.children = None
+    schema.dictionary = None
+
+    def _release_schema(ptr):
+        if ptr:
+            ptr.contents.release = _SCHEMA_RELEASE_T()
+
+    schema_release_cb = _SCHEMA_RELEASE_T(_release_schema)
+    schema.release = schema_release_cb
+
+    token = _track(
+        {
+            "payload": payload,
+            "array_struct": arr,
+            "schema_struct": schema,
+            "buffers": buffers,
+            "callbacks": (release_cb, schema_release_cb),
+            "strings": (fmt, name_str),
+            "values_ref": values,
+        }
+    )
+
+    return (
+        _make_capsule(ctypes.addressof(arr), b"arrow_array"),
+        _make_capsule(ctypes.addressof(schema), b"arrow_schema"),
+    )
+
+
+def _make_capsule(address: int, name: bytes):
+    ctypes.pythonapi.PyCapsule_New.restype = ctypes.py_object
+    ctypes.pythonapi.PyCapsule_New.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_void_p,
+    ]
+    return ctypes.pythonapi.PyCapsule_New(address, name, None)

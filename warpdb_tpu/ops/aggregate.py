@@ -1,0 +1,198 @@
+"""Grouped aggregation (GROUP BY / HAVING / DISTINCT) and window
+aggregates.
+
+The reference's GROUP BY kernel is a **single GPU thread** doing an
+O(N·G) linear key scan (jit.cpp:179-246), hardcoded to one schema and
+supporting only SUM; HAVING/MIN/MAX/AVG/COUNT lived in a broken host
+loop (warpdb.cpp:373-437).  The TPU design is a sort-based segmented
+aggregate — fully vectorized, deterministic, one fused XLA program:
+
+1. keys are made radix-sortable (``float_sort_key``), invalid rows get a
+   MAX sentinel so they sort to the back;
+2. one ``lax.sort`` groups equal keys into contiguous segments,
+   carrying the values and the original f32 keys;
+3. segment boundaries → group ids via prefix sum;
+4. scatter-add/min/max into a fixed ``capacity``-sized output (padding
+   groups dropped via out-of-range indices).
+
+Group order in the output is ascending by key — the deterministic
+default the repaired reference semantics pin
+(sql_features_test.cpp:11-21 recomputes expectations via ``std::map``,
+i.e. key-ascending).
+
+All five aggregates are computed in one pass; AVG = SUM/COUNT at the
+consumer.  DISTINCT is the same machinery with values as keys
+(matching the reference's host ``sort+unique``, warpdb.cpp:463-468).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .sort import float_sort_key
+
+__all__ = [
+    "GroupResult",
+    "ValueAggregates",
+    "group_aggregate",
+    "count_distinct",
+    "distinct_values",
+    "window_aggregate",
+]
+
+_U32_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+class ValueAggregates(NamedTuple):
+    """Per-group aggregates of one value column."""
+
+    sums: jax.Array  # f32[capacity]
+    mins: jax.Array  # f32[capacity]
+    maxs: jax.Array  # f32[capacity]
+
+
+class GroupResult(NamedTuple):
+    """Fixed-capacity aggregate table; rows ≥ num_groups are padding.
+    Groups are ordered ascending by key."""
+
+    keys: tuple                           # tuple of f32[capacity] key columns
+    counts: jax.Array                     # i32[capacity] — rows per group
+    values: tuple                         # tuple[ValueAggregates, ...]
+    num_groups: jax.Array                 # i32 scalar
+
+
+def _as_key_tuple(keys) -> tuple:
+    if isinstance(keys, (tuple, list)):
+        return tuple(keys)
+    return (keys,)
+
+
+def group_aggregate(
+    keys, values_list, mask: jax.Array, capacity: int
+) -> GroupResult:
+    """Aggregate each value column in ``values_list`` per distinct key
+    tuple.  ``keys`` may be one f32 array or a tuple for composite
+    GROUP BY keys (the reference parses multi-key GROUP BY,
+    expression.cpp:419-447, but only ever executes the first key).
+
+    One sort serves every aggregate in the query (SELECT + HAVING +
+    ORDER BY aggregates all ride the same segmented pass)."""
+    keys = _as_key_tuple(keys)
+    values_list = tuple(values_list)
+    valid = mask
+    skeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in keys
+    )
+    nk = len(skeys)
+
+    sorted_ops = lax.sort(
+        skeys + keys + (valid.astype(jnp.int32),) + values_list,
+        num_keys=nk,
+        is_stable=True,
+    )
+    skeys_s = sorted_ops[:nk]
+    keys_s = sorted_ops[nk : 2 * nk]
+    valid_s = sorted_ops[2 * nk].astype(jnp.bool_)
+    vals_s = sorted_ops[2 * nk + 1 :]
+
+    first = jnp.zeros(skeys_s[0].shape, jnp.bool_).at[0].set(True)
+    for sk in skeys_s:
+        first = jnp.logical_or(first, jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        ))
+    first = jnp.logical_and(first, valid_s)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    # Invalid rows (sentinel block at the back) scatter out of range.
+    seg = jnp.where(valid_s, seg, capacity)
+
+    counts = jnp.zeros((capacity,), jnp.int32).at[seg].add(1, mode="drop")
+    keys_out = tuple(
+        jnp.full((capacity,), jnp.inf, jnp.float32).at[seg].min(k, mode="drop")
+        for k in keys_s
+    )
+    per_value = []
+    for v in vals_s:
+        sums = jnp.zeros((capacity,), jnp.float32).at[seg].add(v, mode="drop")
+        mins = jnp.full((capacity,), jnp.inf, jnp.float32).at[seg].min(v, mode="drop")
+        maxs = jnp.full((capacity,), -jnp.inf, jnp.float32).at[seg].max(v, mode="drop")
+        per_value.append(ValueAggregates(sums, mins, maxs))
+    num_groups = jnp.sum(first.astype(jnp.int32))
+    return GroupResult(keys_out, counts, tuple(per_value), num_groups)
+
+
+def count_distinct(keys, mask: jax.Array) -> jax.Array:
+    """Number of distinct valid key tuples (two-phase capacity sizing)."""
+    keys = _as_key_tuple(keys)
+    skeys = tuple(jnp.where(mask, float_sort_key(k), _U32_MAX) for k in keys)
+    nk = len(skeys)
+    sorted_ops = lax.sort(
+        skeys + (mask.astype(jnp.int32),), num_keys=nk, is_stable=False
+    )
+    skeys_s = sorted_ops[:nk]
+    valid_s = sorted_ops[nk].astype(jnp.bool_)
+    first = jnp.zeros(skeys_s[0].shape, jnp.bool_).at[0].set(True)
+    for sk in skeys_s:
+        first = jnp.logical_or(first, jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        ))
+    return jnp.sum(jnp.logical_and(first, valid_s).astype(jnp.int32))
+
+
+def distinct_values(values: jax.Array, mask: jax.Array, capacity: int):
+    """Sorted unique valid values → (values[capacity], count).
+
+    Matches the reference's host ``std::sort`` + ``std::unique``
+    (warpdb.cpp:463-468): output ascending."""
+    g = group_aggregate(values, (values,), mask, capacity)
+    return g.keys[0], g.num_groups
+
+
+def window_aggregate(
+    part_keys: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    agg: str,
+    capacity: int,
+) -> jax.Array:
+    """Per-row window aggregate ``AGG(values) OVER (PARTITION BY keys)``.
+
+    Executes what the reference only parses (expression.hpp:112-121
+    codegen stub).  Sort-based: group, aggregate, then gather each row's
+    partition aggregate back through the inverse permutation.
+    """
+    n = values.shape[0]
+    valid = mask
+    skey = jnp.where(valid, float_sort_key(part_keys), _U32_MAX)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    skey_s, val_s, idx_s, valid_s = lax.sort(
+        (skey, values, idx, valid.astype(jnp.int32)), num_keys=1, is_stable=True
+    )
+    valid_s = valid_s.astype(jnp.bool_)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), skey_s[1:] != skey_s[:-1]])
+    first = jnp.logical_and(first, valid_s)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, capacity)
+
+    if agg == "sum" or agg == "avg":
+        table = jnp.zeros((capacity + 1,), jnp.float32).at[seg].add(val_s, mode="promise_in_bounds")
+    elif agg == "count":
+        table = jnp.zeros((capacity + 1,), jnp.float32).at[seg].add(1.0, mode="promise_in_bounds")
+    elif agg == "min":
+        table = jnp.full((capacity + 1,), jnp.inf, jnp.float32).at[seg].min(val_s, mode="promise_in_bounds")
+    elif agg == "max":
+        table = jnp.full((capacity + 1,), -jnp.inf, jnp.float32).at[seg].max(val_s, mode="promise_in_bounds")
+    else:
+        raise ValueError(f"Unknown window aggregate: {agg}")
+    if agg == "avg":
+        cnt = jnp.zeros((capacity + 1,), jnp.float32).at[seg].add(1.0, mode="promise_in_bounds")
+        table = table / jnp.maximum(cnt, 1.0)
+
+    per_row_sorted = table[jnp.minimum(seg, capacity)]
+    # Inverse permutation: row idx_s[i] came from sorted slot i.
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(per_row_sorted)
+    return jnp.where(valid, out, 0.0)

@@ -1,0 +1,81 @@
+"""Sort / top-k kernels (ORDER BY, LIMIT).
+
+Replaces the reference's single-GPU-thread O(n²) bubble sorts
+(jit.cpp:248-307: ``jit_sort_pairs`` / ``jit_sort_float``) with XLA's
+O(n log n) vectorized sort and ``lax.top_k`` for LIMIT-k pulls — both
+map onto the TPU VPU with lane-parallel comparators.
+
+All functions take padded arrays plus a validity mask; invalid (padding
+or filtered-out) rows are forced to an "infinity" sentinel so they sort
+to the back regardless of direction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["sort_values", "sort_pairs", "top_k_values", "float_sort_key"]
+
+_F32_INF = jnp.float32(jnp.inf)
+
+
+def _sentineled(values: jax.Array, mask: jax.Array, ascending: bool) -> jax.Array:
+    """Map invalid lanes to +inf (asc) / -inf (desc) so they land last."""
+    sentinel = _F32_INF if ascending else -_F32_INF
+    return jnp.where(mask, values, sentinel)
+
+
+def sort_values(values: jax.Array, mask: jax.Array, ascending: bool) -> jax.Array:
+    """Sort valid values; invalid lanes sort to the back.
+
+    Direct analogue of jit_sort_float (jit.cpp:283-307)."""
+    v = _sentineled(values, mask, ascending)
+    if ascending:
+        return lax.sort(v)
+    return -lax.sort(-v)
+
+
+def sort_pairs(
+    keys: jax.Array, values: jax.Array, mask: jax.Array, ascending: bool
+):
+    """Sort ``values`` by ``keys``; returns (keys_sorted, values_sorted).
+
+    Stable, so equal keys preserve row order (the reference's bubble sort,
+    jit.cpp:248-281, was also stable).  Invalid lanes sort last."""
+    k = _sentineled(keys, mask, ascending)
+    if not ascending:
+        k = -k
+    k_sorted, v_sorted, m_sorted = lax.sort(
+        (k, values, mask.astype(jnp.int32)), num_keys=1, is_stable=True
+    )
+    if not ascending:
+        k_sorted = -k_sorted
+    return k_sorted, v_sorted, m_sorted.astype(jnp.bool_)
+
+
+def top_k_values(values: jax.Array, mask: jax.Array, k: int, ascending: bool):
+    """First ``k`` values of the sorted order — ORDER BY … LIMIT k without
+    a full materialised sort when k ≪ N."""
+    v = _sentineled(values, mask, ascending)
+    if ascending:
+        out, _ = lax.top_k(-v, k)
+        return -out
+    out, _ = lax.top_k(v, k)
+    return out
+
+
+def float_sort_key(values: jax.Array) -> jax.Array:
+    """Order-preserving bijection f32 → uint32 (for radix-style keying and
+    exact float grouping): flips the sign bit for non-negatives and all
+    bits for negatives, so unsigned integer order == float order.
+    Normalises -0.0 to +0.0 first so they group together."""
+    v = jnp.where(values == 0.0, jnp.float32(0.0), values)
+    bits = lax.bitcast_convert_type(v, jnp.uint32)
+    flipped = jnp.where(
+        bits >= jnp.uint32(0x80000000),
+        ~bits,
+        bits | jnp.uint32(0x80000000),
+    )
+    return flipped

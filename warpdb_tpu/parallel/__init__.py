@@ -1,0 +1,16 @@
+"""Multi-device execution: meshes, sharded operators, streaming."""
+
+from .mesh import DATA_AXIS, data_mesh, replicated, row_sharding
+from .sharded import run_expression_sharded, run_grouped_sharded, shard_table
+from .streaming import run_streaming_csv
+
+__all__ = [
+    "DATA_AXIS",
+    "data_mesh",
+    "replicated",
+    "row_sharding",
+    "run_expression_sharded",
+    "run_grouped_sharded",
+    "shard_table",
+    "run_streaming_csv",
+]

@@ -1,0 +1,72 @@
+"""Out-of-core streaming execution.
+
+The reference streams CSVs in chunks through the multi-GPU path
+(warpdb.cpp:544-590 / main.cu:25-52): load chunk → upload → recompile →
+launch → copy back, strictly sequentially.  Here each chunk is uploaded
+row-sharded and dispatched through the *cached* jitted kernel; JAX's
+asynchronous dispatch overlaps chunk k+1's host parse/upload with chunk
+k's device compute automatically (double buffering for free), and no
+recompilation happens after the first chunk of a given shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..api import _split_where
+from ..errors import ParseError, TokenizeError, WarpDBError
+from ..frontend import parse_expression, tokenize, validate_expression
+from ..storage.csv import iter_csv_chunks, read_header
+from ..storage.table import DeviceTable
+from .mesh import data_mesh
+from .sharded import run_expression_sharded, shard_table
+
+__all__ = ["run_streaming_csv"]
+
+
+def run_streaming_csv(
+    csv_path: str,
+    expr: str,
+    rows_per_chunk: int = 1_000_000,
+    mesh=None,
+    schema=None,
+) -> np.ndarray:
+    """Stream ``csv_path`` in chunks, evaluating ``expr [WHERE cond]`` on
+    every chunk across all devices; results concatenate in row order."""
+    if not expr or not expr.strip():
+        raise WarpDBError("Empty query expression")
+    if mesh is None:
+        mesh = data_mesh()
+
+    expr_part, where_part = _split_where(expr)
+    try:
+        expr_ast = parse_expression(tokenize(expr_part))
+    except (ParseError, TokenizeError) as e:
+        raise ParseError(f"Failed to parse expression: {e}") from None
+    cond_ast = None
+    if where_part is not None and where_part.strip():
+        try:
+            cond_ast = parse_expression(tokenize(where_part))
+        except (ParseError, TokenizeError) as e:
+            raise ParseError(f"Failed to parse WHERE clause: {e}") from None
+
+    # Validate against the header before reading any data
+    # (reference validated against hardcoded {price, quantity},
+    # warpdb.cpp:560 — we use the real schema).
+    columns = set(read_header(csv_path))
+    validate_expression(expr_ast, columns)
+    if cond_ast is not None:
+        validate_expression(cond_ast, columns)
+
+    pieces: list[np.ndarray] = []
+    for chunk in iter_csv_chunks(csv_path, rows_per_chunk, schema):
+        if mesh.devices.size > 1:
+            dt = shard_table(chunk, mesh)
+        else:
+            dt = DeviceTable.from_host(chunk, keep_host=False)
+        pieces.append(run_expression_sharded(dt, expr_ast, cond_ast, mesh=mesh))
+    if not pieces:
+        return np.zeros(0, dtype=np.float32)
+    return np.concatenate(pieces)
