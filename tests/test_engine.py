@@ -336,3 +336,48 @@ def test_udf_custom_py(db):
     # custom.py at repo root defines discount() — the custom.cu analogue.
     res = db.query("discount(price, 0.5)")
     assert res == pytest.approx([5.25, 10.0, 7.625, 15.0], abs=1e-5)
+
+
+# --- sort-path coverage (dense fast path must not steal these) ---------------
+
+
+def test_group_by_fractional_keys():
+    """Fractional keys defeat the dense integer path → sort path."""
+    table = {
+        "price": np.array([1.0, 2.0, 3.0, 4.0], np.float32),
+        "k": np.array([0.5, 1.5, 0.5, 2.5], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    res = db.query_sql("SELECT SUM(price) FROM t GROUP BY k ORDER BY k ASC")
+    assert res == pytest.approx([4.0, 2.0, 4.0])
+
+
+def test_group_by_wide_range_keys():
+    """Key span > dense-slot limit → sort path."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    keys = rng.integers(0, 1_000_000, n).astype(np.float32)
+    vals = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"v": vals, "k": keys}))
+    res = np.asarray(db.query_sql("SELECT SUM(v) FROM t GROUP BY k ORDER BY k ASC"))
+    uniq = np.sort(np.unique(keys))
+    want = np.array([vals[keys == k].sum() for k in uniq], np.float32)
+    assert len(res) == len(uniq)
+    np.testing.assert_allclose(res, want, rtol=1e-4)
+
+
+def test_dense_path_selected_for_int_range():
+    """Verify the dense kernel actually handles the stats-bounded case."""
+    from warpdb_tpu.engine.executor import _try_dense_group
+    from warpdb_tpu.frontend import parse_query_text
+
+    db = WarpDB("data/test.csv")
+    q = parse_query_text("SELECT SUM(price) FROM test GROUP BY quantity")
+    res = _try_dense_group(
+        q, db.table, list(q.group_by.keys),
+        [q.select_list[0].expr], [q.select_list[0].expr.canonical()], ""
+    )
+    assert res is not None
+    assert res.num_groups == 4
+    np.testing.assert_allclose(res.keys[0], [2.0, 3.0, 4.0, 5.0])
+    np.testing.assert_allclose(res.values[0][0], [15.25, 10.5, 20.0, 30.0])

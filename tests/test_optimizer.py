@@ -1,0 +1,98 @@
+"""Optimizer tests: constant folding, interval analysis, filter pruning —
+the reference's intended-but-stubbed behaviors (optimizer.cpp:13-47)
+made real and verified."""
+
+import numpy as np
+import pytest
+
+from warpdb_tpu import WarpDB
+from warpdb_tpu.engine.optimizer import (
+    analyze_condition,
+    expr_range,
+    fold_constants,
+)
+from warpdb_tpu.frontend import parse_expression_text
+from warpdb_tpu.storage.table import ColumnStats
+
+
+STATS = {
+    "price": ColumnStats(min=10.5, max=30.0),
+    "quantity": ColumnStats(min=2.0, max=5.0),
+}
+
+
+def test_fold_constants():
+    ast = fold_constants(parse_expression_text("price * (2 + 3)"))
+    assert ast.canonical() == "(price[idx] * 5.0f)"
+    ast2 = fold_constants(parse_expression_text("2 * 3 + 1"))
+    assert ast2.canonical() == "7.0f"
+
+
+def test_fold_preserves_division_by_zero():
+    ast = fold_constants(parse_expression_text("1 / 0"))
+    assert ast.canonical() == "(1.0f / 0.0f)"  # left for runtime inf
+
+
+def test_expr_range():
+    rng = expr_range(parse_expression_text("price + quantity"), STATS)
+    assert rng == (12.5, 35.0)
+    rng = expr_range(parse_expression_text("price * 2"), STATS)
+    assert rng == (21.0, 60.0)
+    assert expr_range(parse_expression_text("discount(price, 0.9)"), STATS) is None
+
+
+@pytest.mark.parametrize(
+    "cond,verdict",
+    [
+        ("price > 5", True),          # min 10.5 > 5
+        ("price > 100", False),       # max 30 < 100
+        ("price > 15", None),
+        ("price >= 10.5", True),
+        ("price < 30", None),
+        ("price < 50", True),
+        ("quantity <= 1", False),
+        ("price > 5 AND quantity < 10", True),
+        ("price > 5 AND quantity < 1", False),
+        ("price > 100 OR quantity >= 2", True),
+        ("price > 100 OR quantity > 100", False),
+        ("price > 100 OR quantity > 3", None),
+        ("price != 200", True),
+    ],
+)
+def test_analyze_condition(cond, verdict):
+    assert analyze_condition(parse_expression_text(cond), STATS) is verdict
+
+
+def test_always_false_filter_skips_scan():
+    db = WarpDB("data/test.csv")
+    # price max is 30 → provably empty; no kernel launch needed.
+    from warpdb_tpu.engine.compiler import cache_stats
+
+    before = cache_stats()["misses"]
+    res = db.query("price * quantity WHERE price > 1000")
+    after = cache_stats()["misses"]
+    assert res == [0.0, 0.0, 0.0, 0.0]
+    assert after == before  # no new kernel compiled
+
+    sql = db.query_sql("SELECT price FROM test WHERE price > 1000")
+    assert sql == []
+
+
+def test_always_true_filter_dropped():
+    db = WarpDB("data/test.csv")
+    res = db.query("price WHERE price >= 0")
+    assert res == pytest.approx([10.5, 20.0, 15.25, 30.0])
+    # Equivalent unconditional query shares the same cached kernel.
+    from warpdb_tpu.engine.compiler import cache_stats
+
+    before = cache_stats()
+    res2 = db.query("price")
+    after = cache_stats()
+    assert res2 == res
+    assert after["misses"] == before["misses"]
+
+
+def test_unknown_verdict_still_filters():
+    db = WarpDB("data/test.csv")
+    res = db.query("price WHERE price > 15")
+    assert res == pytest.approx([0.0, 20.0, 15.25, 30.0])

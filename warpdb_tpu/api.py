@@ -119,26 +119,47 @@ class WarpDB:
             validate_expression(cond_ast, cols, {self._name})
         return expr_ast, cond_ast
 
+    def _bytes_scanned(self, *asts) -> int:
+        from .frontend import column_refs
+
+        names = set()
+        for ast in asts:
+            if ast is None:
+                continue
+            for ref in column_refs(ast):
+                names.add(ref.name)
+                names.add(ref.unqualified)
+        return sum(
+            arr.dtype.itemsize * arr.shape[0]
+            for name, arr in self._table.columns.items()
+            if name in names
+        )
+
     def query(self, expr: str) -> list:
         """Evaluate ``"<expr> [WHERE <cond>]"`` → length-N list of float32.
 
         Rows failing the filter return 0.0 (defined, unlike the
         reference's uninitialized slots — jit.cpp:56-58)."""
-        from .engine.executor import run_expression
-
-        expr_ast, cond_ast = self._parse_expr_query(expr)
-        return run_expression(self._table, expr_ast, cond_ast).tolist()
+        return self.query_np(expr).tolist()
 
     def query_np(self, expr: str) -> np.ndarray:
         """Like :meth:`query` but returns the NumPy array directly."""
         from .engine.executor import run_expression
+        from .utils.metrics import timed_query
 
         expr_ast, cond_ast = self._parse_expr_query(expr)
-        return run_expression(self._table, expr_ast, cond_ast)
+        with timed_query(
+            expr, "expression", self._table.num_rows,
+            self._bytes_scanned(expr_ast, cond_ast),
+        ) as out_rows:
+            result = run_expression(self._table, expr_ast, cond_ast)
+            out_rows[0] = len(result)
+        return result
 
     # -- SQL path (reference WarpDB::query_sql, warpdb.cpp:297-498) ----------
     def query_sql(self, sql: str) -> list:
         from .engine.executor import run_query
+        from .utils.metrics import timed_query
 
         try:
             ast = parse_query(tokenize(sql))
@@ -149,7 +170,15 @@ class WarpDB:
         table_names = {self._name, ast.from_table, *self._catalog.keys()}
         table_names |= {j.table for j in ast.joins}
         validate_query(ast, cols | self._join_columns(ast), table_names)
-        return run_query(ast, self._table, self._catalog).tolist()
+        scanned = self._bytes_scanned(
+            *ast.select_list, ast.where, ast.having,
+            ast.order_by.expr if ast.order_by else None,
+            *(ast.group_by.keys if ast.group_by else ()),
+        )
+        with timed_query(sql, "sql", self._table.num_rows, scanned) as out_rows:
+            result = run_query(ast, self._table, self._catalog)
+            out_rows[0] = len(result)
+        return result.tolist()
 
     def _join_columns(self, ast) -> set:
         out: set = set()

@@ -39,7 +39,14 @@ from ..frontend.ast import (
     WindowFunction,
     walk,
 )
-from ..ops.aggregate import count_distinct, distinct_values, group_aggregate, window_aggregate
+from ..ops.aggregate import (
+    count_distinct,
+    dense_group_aggregate,
+    distinct_values,
+    group_aggregate,
+    is_integral,
+    window_aggregate,
+)
 from ..ops.filter import compact
 from ..ops.join import join_gather_indices, join_match_counts
 from ..ops.sort import sort_pairs, sort_values, top_k_values
@@ -82,8 +89,22 @@ def run_expression(
 ) -> np.ndarray:
     """Fused filter+project; returns exactly ``num_rows`` float32 values
     (filtered-out rows = 0.0, documented deviation from the reference's
-    uninitialized slots, jit.cpp:56-58)."""
+    uninitialized slots, jit.cpp:56-58).
+
+    Stats-driven pruning (the reference optimizer's intended behavior,
+    optimizer.cpp:38-47): a provably-false filter skips the device
+    launch entirely; a provably-true one is dropped from the kernel."""
     from .compiler import compile_filter_project
+    from .optimizer import analyze_condition, fold_constants
+
+    expr = fold_constants(expr)
+    if cond is not None:
+        cond = fold_constants(cond)
+        verdict = analyze_condition(cond, table.stats)
+        if verdict is False:
+            return np.zeros(table.num_rows, dtype=np.float32)
+        if verdict is True:
+            cond = None
 
     kernel = compile_filter_project(expr, cond, table.columns)
     out = kernel(table.columns, jnp.int32(table.num_rows))
@@ -322,6 +343,8 @@ def run_query(
     to ``table`` itself — mirroring the reference's "loads the same table
     for demonstration" (warpdb.hpp:22-23), except the join actually runs.
     """
+    from .optimizer import analyze_condition, fold_constants
+
     catalog = catalog or {}
     current = table
     for join in query.joins:
@@ -330,6 +353,19 @@ def run_query(
 
     if not query.select_list:
         raise ExecutionError("Empty SELECT list")
+
+    if query.where is not None:
+        query_where = fold_constants(query.where)
+        verdict = analyze_condition(query_where, current.stats)
+        is_global_agg = query.group_by is None and isinstance(
+            query.select_list[0], Aggregation
+        )
+        if verdict is False and not is_global_agg:
+            return np.zeros(0, dtype=np.float32)  # filter eliminates all rows
+        import copy as _copy
+
+        query = _copy.copy(query)
+        query.where = None if verdict is True else query_where
 
     if query.group_by is not None:
         values = _run_grouped(query, current)
@@ -366,6 +402,132 @@ def _run_grouped(query: Query, table: DeviceTable) -> np.ndarray:
     n_rows = jnp.int32(table.num_rows)
     where_canon = query.where.canonical() if query.where is not None else ""
     keys_canon = tuple(k.canonical() for k in group_keys)
+
+    # TPU fast path: dense integer-key aggregation (no sort, no scatter)
+    # when stats bound a single key to a small integral range.
+    result = _try_dense_group(query, table, group_keys, vexpr_nodes,
+                              vexpr_canons, where_canon)
+    if result is None:
+        result = _sorted_group(query, table, group_keys, vexpr_nodes,
+                               vexpr_canons, where_canon, keys_canon)
+
+    return _finish_grouped(query, select, specs, spec_to_vidx, result,
+                           keys_canon)
+
+
+_DENSE_GROUP_MAX_SLOTS = 1024
+
+
+def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
+                     where_canon):
+    """Attempt the dense-range GROUP BY; returns None when stats can't
+    prove a small integral key range (falls back to the sort path)."""
+    from .optimizer import expr_range
+
+    if len(group_keys) != 1:
+        return None
+    key_expr = group_keys[0]
+    rng = expr_range(key_expr, table.stats)
+    if rng is None:
+        return None
+    lo, hi = rng
+    if hi - lo + 1 > _DENSE_GROUP_MAX_SLOTS:
+        return None
+    base = int(np.floor(lo))
+    num_slots = int(np.floor(hi)) - base + 1
+    if num_slots < 1:
+        return None
+
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    key_canon = key_expr.canonical()
+
+    # Integrality: guaranteed for int columns; runtime-checked for floats.
+    key_dtype = None
+    if isinstance(key_expr, Variable):
+        key_dtype = table.dtypes.get(key_expr.name) or table.dtypes.get(
+            key_expr.unqualified
+        )
+    integral_static = key_dtype is not None and key_dtype.value in (
+        "int32",
+        "int64",
+    )
+    if not integral_static:
+        # Memoise the runtime integrality verdict per table instance so
+        # repeated queries pay the extra scan once (device arrays are
+        # immutable, so the verdict cannot go stale).
+        memo = getattr(table, "_integral_memo", None)
+        if memo is None:
+            memo = table._integral_memo = {}
+        if key_canon in memo:
+            if not memo[key_canon]:
+                return None
+        else:
+            ikey = ("group_integral", key_canon, schema_signature(cols),
+                    udf_mod.registry_version())
+
+            def build_intcheck():
+                key_fn = build_evaluator(key_expr)
+
+                @jax.jit
+                def kernel(cols, num_rows):
+                    valid = _valid_mask(cols, num_rows)
+                    k = _broadcast(_as_f32(key_fn(cols)), cols)
+                    return is_integral(k, valid)
+
+                return kernel
+
+            verdict = bool(get_or_compile(ikey, build_intcheck)(cols, n_rows))
+            memo[key_canon] = verdict
+            if not verdict:
+                return None
+
+    gkey = ("dense_group", key_canon, tuple(vexpr_canons), where_canon,
+            schema_signature(cols), base, num_slots,
+            udf_mod.registry_version())
+
+    def build_dense():
+        key_fn = build_evaluator(key_expr)
+        val_fns = [build_evaluator(v) for v in vexpr_nodes]
+        cond_fn = build_evaluator(query.where) if query.where is not None else None
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            keys = _broadcast(_as_f32(key_fn(cols)), cols)
+            vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
+            return dense_group_aggregate(keys, vals, valid, base, num_slots)
+
+        return kernel
+
+    result = jax.device_get(get_or_compile(gkey, build_dense)(cols, n_rows))
+    # Dense slots include empty groups; compact to occupied slots so the
+    # output contract matches the sort path.
+    counts = result.counts
+    occ = counts > 0
+    keys = tuple(k[occ] for k in result.keys)
+    values = tuple(
+        (v.sums[occ], v.mins[occ], v.maxs[occ]) for v in result.values
+    )
+    return _HostGroupResult(keys, counts[occ], values, int(occ.sum()))
+
+
+class _HostGroupResult:
+    """GroupResult already pulled to host and compacted."""
+
+    def __init__(self, keys, counts, values, num_groups):
+        self.keys = keys
+        self.counts = counts
+        self.values = values
+        self.num_groups = num_groups
+
+
+def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
+                  where_canon, keys_canon):
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
 
     # Phase 1: distinct-key count → capacity bucket.
     if table.padded_rows <= 4096:
@@ -411,15 +573,29 @@ def _run_grouped(query: Query, table: DeviceTable) -> np.ndarray:
 
         return kernel
 
-    result = get_or_compile(gkey, build_group)(cols, n_rows)
+    result = jax.device_get(get_or_compile(gkey, build_group)(cols, n_rows))
 
-    # Host-side finishing on the ≤capacity-sized aggregate table.
     num_groups = int(result.num_groups)
-    counts = np.asarray(result.counts)[:num_groups]
-    key_arrays = [np.asarray(k)[:num_groups] for k in result.keys]
+    keys = tuple(k[:num_groups] for k in result.keys)
+    counts = result.counts[:num_groups]
+    values = tuple(
+        (v.sums[:num_groups], v.mins[:num_groups], v.maxs[:num_groups])
+        for v in result.values
+    )
+    return _HostGroupResult(keys, counts, values, num_groups)
+
+
+def _finish_grouped(query, select, specs, spec_to_vidx,
+                    result: "_HostGroupResult", keys_canon) -> np.ndarray:
+    """Host-side finishing on the ≤G-sized aggregate table: HAVING,
+    ORDER BY over groups, DISTINCT."""
+    order_expr = query.order_by.expr if query.order_by else None
+    num_groups = result.num_groups
+    counts = result.counts
+    key_arrays = [k for k in result.keys]
     agg_values = {
         spec.key: _agg_value_from_result(
-            spec, counts, tuple(np.asarray(a)[:num_groups] for a in result.values[spec_to_vidx[spec.key]])
+            spec, counts, result.values[spec_to_vidx[spec.key]]
         )
         for spec in specs
     }
@@ -429,7 +605,8 @@ def _run_grouped(query: Query, table: DeviceTable) -> np.ndarray:
     mask = np.ones(num_groups, dtype=bool)
     if query.having is not None:
         hv = _group_level_eval(query.having, key_canon_map, agg_values)
-        mask &= np.asarray(hv, dtype=bool) if hv.dtype != bool else hv
+        hv = np.asarray(hv)
+        mask &= hv if hv.dtype == bool else hv != 0
 
     out = out[mask]
     if query.order_by is not None:
@@ -442,11 +619,16 @@ def _run_grouped(query: Query, table: DeviceTable) -> np.ndarray:
     # Default order is ascending by group key (groups emerge key-sorted).
 
     if query.distinct:
-        out = np.unique(out.astype(np.float32))
+        out = np.unique(np.asarray(out, dtype=np.float32))
     return np.asarray(out, dtype=np.float32)
 
 
 def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
+    """Non-grouped SELECT: one fused device program covering projection,
+    WHERE compaction, ORDER BY (full sort or top-k) and DISTINCT, then a
+    single batched device→host transfer.  One dispatch per query — the
+    remote-TPU tunnel makes every extra round-trip expensive, and the
+    reference paid an NVRTC recompile per launch here (jit.cpp:98-157)."""
     select = query.select_list[0]
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
@@ -462,11 +644,26 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
     order = query.order_by
     select_canon = select.canonical()
     order_canon = order.expr.canonical() if order is not None else ""
+    distinct = query.distinct
 
-    pkey = ("project", select_canon, where_canon, order_canon,
+    # ORDER BY ... LIMIT k on the select expression itself → top-k pull
+    # instead of a full sort (the reference bubble-sorted everything,
+    # jit.cpp:283-307).
+    limit_total = (query.limit or 0) + (query.offset or 0)
+    use_topk = (
+        order is not None
+        and not distinct
+        and order_canon == select_canon
+        and query.limit is not None
+        and 0 < limit_total < table.padded_rows // 2
+    )
+    topk_k = _next_pow2(max(limit_total, 16)) if use_topk else 0
+
+    pkey = ("project", select_canon, where_canon, order_canon, distinct,
+            None if order is None else order.ascending, topk_k,
             schema_signature(cols), udf_mod.registry_version())
 
-    def build_project():
+    def build():
         sel_fn = build_evaluator(select)
         cond_fn = build_evaluator(where) if where is not None else None
         ord_fn = (
@@ -477,88 +674,58 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
 
         @jax.jit
         def kernel(cols, num_rows):
-            valid = _valid_mask(cols, num_rows)
-            if cond_fn is not None:
-                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = _broadcast(_as_f32(sel_fn(cols)), cols)
-            out, count = compact(vals, valid)
-            okeys = None
-            if ord_fn is not None:
-                okeys, _ = compact(_broadcast(_as_f32(ord_fn(cols)), cols), valid)
-            return out, okeys, count
+            n_pad = vals.shape[0]
+            if cond_fn is None:
+                # No filter → valid rows already contiguous; skip the
+                # compaction scatter.
+                okeys = (
+                    _broadcast(_as_f32(ord_fn(cols)), cols)
+                    if ord_fn is not None
+                    else None
+                )
+                count = num_rows
+            else:
+                valid = _valid_mask(cols, num_rows)
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+                vals, count = compact(vals, valid)
+                okeys = None
+                if ord_fn is not None:
+                    okeys, _ = compact(
+                        _broadcast(_as_f32(ord_fn(cols)), cols), valid
+                    )
+            live = jnp.arange(n_pad, dtype=jnp.int32) < count
+
+            if distinct:
+                vals, count = distinct_values(vals, live, n_pad)
+                return vals, count
+            if order is not None:
+                if okeys is None:
+                    if topk_k:
+                        vals = top_k_values(vals, live, topk_k, order.ascending)
+                    else:
+                        vals = sort_values(vals, live, order.ascending)
+                else:
+                    _, vals, _ = sort_pairs(okeys, vals, live, order.ascending)
+            return vals, count
 
         return kernel
 
-    out, okeys, count = get_or_compile(pkey, build_project)(cols, n_rows)
+    out, count = jax.device_get(get_or_compile(pkey, build)(cols, n_rows))
     count = int(count)
 
-    if query.distinct:
-        dkey = ("distinct", select_canon, where_canon, schema_signature(cols),
-                table.padded_rows, udf_mod.registry_version())
-
-        def build_distinct():
-            @jax.jit
-            def kernel(vals, count):
-                valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
-                return distinct_values(vals, valid, vals.shape[0])
-
-            return kernel
-
-        uniq, n_uniq = get_or_compile(dkey, build_distinct)(out, jnp.int32(count))
-        values = np.asarray(uniq)[: int(n_uniq)]
-        # Reference order: DISTINCT produces ascending (host sort+unique);
-        # ORDER BY then re-sorts — meaningful when it names the same
-        # expression (having_distinct_test.cpp:9-11: DESC flips it).
+    if distinct:
+        values = out[:count]
+        # Reference order: DISTINCT produces ascending (host sort+unique,
+        # warpdb.cpp:463-468); ORDER BY then re-sorts — meaningful when it
+        # names the same expression (having_distinct_test.cpp:9-11).
         if order is not None and not order.ascending:
             values = values[::-1].copy()
         return values.astype(np.float32)
 
-    if order is not None:
-        if order_canon == select_canon:
-            limit_total = (query.limit or 0) + (query.offset or 0)
-            if query.limit is not None and limit_total < count:
-                k = _next_pow2(max(limit_total, 16))
-                tkey = ("topk", k, order.ascending, table.padded_rows)
-
-                def build_topk():
-                    @jax.jit
-                    def kernel(vals, count):
-                        valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
-                        return top_k_values(vals, valid, k, order.ascending)
-
-                    return kernel
-
-                top = get_or_compile(tkey, build_topk)(out, jnp.int32(count))
-                return np.asarray(top)[: min(limit_total, count)].astype(np.float32)
-            skey = ("sortvals", order.ascending, table.padded_rows)
-
-            def build_sort():
-                @jax.jit
-                def kernel(vals, count):
-                    valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
-                    return sort_values(vals, valid, order.ascending)
-
-                return kernel
-
-            s = get_or_compile(skey, build_sort)(out, jnp.int32(count))
-            return np.asarray(s)[:count].astype(np.float32)
-
-        skey = ("sortpairs", order.ascending, table.padded_rows)
-
-        def build_sortpairs():
-            @jax.jit
-            def kernel(keys, vals, count):
-                valid = jnp.arange(vals.shape[0], dtype=jnp.int32) < count
-                return sort_pairs(keys, vals, valid, order.ascending)
-
-            return kernel
-
-        _, v_sorted, _ = get_or_compile(skey, build_sortpairs)(
-            okeys, out, jnp.int32(count)
-        )
-        return np.asarray(v_sorted)[:count].astype(np.float32)
-
-    return np.asarray(out)[:count].astype(np.float32)
+    if use_topk:
+        return out[: min(limit_total, count)].astype(np.float32)
+    return out[:count].astype(np.float32)
 
 
 def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:

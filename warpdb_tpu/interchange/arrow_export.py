@@ -108,8 +108,14 @@ def _make_shm_buffer(nbytes: int):
 
 
 def export_to_arrow_capsules(values: np.ndarray, use_shared_memory: bool = False):
-    """Export a float32 vector as (array_capsule, schema_capsule)."""
+    """Export a float32 vector as (array_capsule, schema_capsule).
+
+    Prefers the native C++ exporter (real C release callbacks); falls
+    back to the pure-ctypes implementation below."""
     values = np.ascontiguousarray(values, dtype=np.float32)
+    native_result = _export_native(values, use_shared_memory)
+    if native_result is not None:
+        return native_result
     n = len(values)
     nbytes = 4 * n
 
@@ -190,6 +196,36 @@ def export_to_arrow_capsules(values: np.ndarray, use_shared_memory: bool = False
         }
     )
 
+    return (
+        _make_capsule(ctypes.addressof(arr), b"arrow_array"),
+        _make_capsule(ctypes.addressof(schema), b"arrow_schema"),
+    )
+
+
+def _export_native(values: np.ndarray, use_shared_memory: bool):
+    """Export through libwarpdb_native's wdb_export_arrow.
+
+    The struct shells are ctypes-owned and kept alive in a module
+    registry (the reference bindings similarly leak the ``new
+    ArrowArray()`` shells, pywarpdb.cpp:20-21); the data buffers are
+    C-owned and freed by the C release callbacks."""
+    from . import native as native_mod
+
+    lib = native_mod.load_native()
+    if lib is None:
+        return None
+    arr = ArrowArrayStruct()
+    schema = ArrowSchemaStruct()
+    rc = lib.wdb_export_arrow(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(values),
+        1 if use_shared_memory else 0,
+        ctypes.byref(arr),
+        ctypes.byref(schema),
+    )
+    if rc != 0:
+        return None
+    _track({"payload": {}, "array_struct": arr, "schema_struct": schema})
     return (
         _make_capsule(ctypes.addressof(arr), b"arrow_array"),
         _make_capsule(ctypes.addressof(schema), b"arrow_schema"),
