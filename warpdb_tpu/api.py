@@ -57,6 +57,7 @@ class WarpDB:
         filepath_or_table,
         schema: Optional[Sequence[DataType]] = None,
         sharding=None,
+        mesh=None,
     ):
         if isinstance(filepath_or_table, HostTable):
             self._host = filepath_or_table
@@ -65,8 +66,27 @@ class WarpDB:
             self._host = load_table(str(filepath_or_table), schema)
             base = str(filepath_or_table).rsplit("/", 1)[-1]
             self._name = base.rsplit(".", 1)[0] or "table"
-        self._table = DeviceTable.from_host(self._host, sharding=sharding)
+        self._mesh = mesh
+        if mesh is not None and sharding is None:
+            from .parallel.sharded import shard_table
+
+            self._table = shard_table(self._host, mesh)
+        else:
+            self._table = DeviceTable.from_host(self._host, sharding=sharding)
         self._catalog: dict[str, DeviceTable] = {self._name: self._table}
+
+    def distribute(self, mesh=None) -> "WarpDB":
+        """Re-lay the table row-sharded over ``mesh`` (all local devices by
+        default); subsequent queries execute distributed.  The TPU-native
+        successor of the reference's per-device upload loop
+        (multi_gpu_utils.cpp:27-60)."""
+        from .parallel.mesh import data_mesh
+        from .parallel.sharded import shard_table
+
+        self._mesh = mesh if mesh is not None else data_mesh()
+        self._table = shard_table(self._host, self._mesh)
+        self._catalog[self._name] = self._table
+        return self
 
     # -- introspection -----------------------------------------------------
     @property
@@ -176,7 +196,7 @@ class WarpDB:
             *(ast.group_by.keys if ast.group_by else ()),
         )
         with timed_query(sql, "sql", self._table.num_rows, scanned) as out_rows:
-            result = run_query(ast, self._table, self._catalog)
+            result = run_query(ast, self._table, self._catalog, mesh=self._mesh)
             out_rows[0] = len(result)
         return result.tolist()
 

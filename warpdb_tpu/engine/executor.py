@@ -336,12 +336,17 @@ def run_query(
     query: Query,
     table: DeviceTable,
     catalog: Optional[dict] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Execute a parsed SELECT against ``table`` (the FROM relation).
 
     JOIN table names resolve through ``catalog``; unknown names fall back
     to ``table`` itself — mirroring the reference's "loads the same table
     for demonstration" (warpdb.hpp:22-23), except the join actually runs.
+
+    With ``mesh`` (>1 device), GROUP BY runs distributed: per-shard
+    partial aggregation merged over ``all_gather`` for small key counts,
+    or the hash-partitioned all-to-all shuffle for large ones.
     """
     from .optimizer import analyze_condition, fold_constants
 
@@ -368,7 +373,7 @@ def run_query(
         query.where = None if verdict is True else query_where
 
     if query.group_by is not None:
-        values = _run_grouped(query, current)
+        values = _run_grouped(query, current, mesh=mesh)
     else:
         values = _run_projection(query, current)
 
@@ -380,7 +385,7 @@ def run_query(
     return values
 
 
-def _run_grouped(query: Query, table: DeviceTable) -> np.ndarray:
+def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     select = query.select_list[0]
     if not isinstance(select, Aggregation):
         raise ExecutionError("Only aggregation queries supported with GROUP BY")
@@ -403,16 +408,59 @@ def _run_grouped(query: Query, table: DeviceTable) -> np.ndarray:
     where_canon = query.where.canonical() if query.where is not None else ""
     keys_canon = tuple(k.canonical() for k in group_keys)
 
-    # TPU fast path: dense integer-key aggregation (no sort, no scatter)
-    # when stats bound a single key to a small integral range.
-    result = _try_dense_group(query, table, group_keys, vexpr_nodes,
-                              vexpr_canons, where_canon)
+    result = None
+    if mesh is not None and mesh.devices.size > 1 and len(group_keys) == 1:
+        result = _distributed_group(query, table, group_keys[0], vexpr_nodes,
+                                    mesh)
+    if result is None:
+        # TPU fast path: dense integer-key aggregation (no sort, no
+        # scatter) when stats bound a single key to a small integral range.
+        result = _try_dense_group(query, table, group_keys, vexpr_nodes,
+                                  vexpr_canons, where_canon)
     if result is None:
         result = _sorted_group(query, table, group_keys, vexpr_nodes,
                                vexpr_canons, where_canon, keys_canon)
 
     return _finish_grouped(query, select, specs, spec_to_vidx, result,
                            keys_canon)
+
+
+def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):
+    """Mesh-distributed GROUP BY.  Picks the all_gather partial-merge for
+    small key counts (stats-bounded) and the all-to-all hash shuffle
+    otherwise."""
+    from ..parallel.shuffle import shuffle_grouped
+    from ..parallel.sharded import run_grouped_sharded
+    from .optimizer import expr_range
+
+    rng = expr_range(key_expr, table.stats)
+    small = rng is not None and (rng[1] - rng[0] + 1) <= 4096
+
+    if small:
+        capacity = _next_pow2(max(int(rng[1] - rng[0] + 1), 16))
+        out_keys, out_counts, out_vals, num_groups = run_grouped_sharded(
+            [key_expr], vexpr_nodes, query.where, table, capacity, mesh=mesh
+        )
+        host = jax.device_get((out_keys, out_counts, out_vals, num_groups))
+        out_keys, out_counts, out_vals, num_groups = host
+        ng = int(num_groups)
+        return _HostGroupResult(
+            tuple(k[:ng] for k in out_keys),
+            out_counts[:ng],
+            tuple((v[0][:ng], v[1][:ng], v[2][:ng]) for v in out_vals),
+            ng,
+        )
+
+    res = shuffle_grouped(key_expr, vexpr_nodes, query.where, table, mesh=mesh)
+    return _HostGroupResult(
+        (res.keys,),
+        res.counts,
+        tuple(
+            (res.sums[i], res.mins[i], res.maxs[i])
+            for i in range(len(vexpr_nodes))
+        ),
+        res.num_groups,
+    )
 
 
 _DENSE_GROUP_MAX_SLOTS = 1024

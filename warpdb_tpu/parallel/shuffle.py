@@ -1,0 +1,239 @@
+"""Distributed GROUP BY via hash-partitioned all-to-all key shuffle.
+
+The scalable alternative to the all_gather partial-merge in
+``sharded.py``: when the number of distinct keys is large, gathering
+G·n_dev partials to every device wastes ICI bandwidth and VMEM.  The
+classic database answer — re-shard *rows* by key hash so each device
+owns a disjoint key range, then aggregate locally — maps directly onto
+``jax.lax.all_to_all`` over the mesh (SURVEY.md §5 "distributed
+communication backend": collectives over ICI, not host staging).
+
+Per shard, inside ``shard_map``:
+
+1. destination = hash(key) mod n_dev;
+2. one stable sort by destination groups outgoing rows; a static
+   (n_dev, cap) gather builds equal-sized send buckets (fixed shapes —
+   the XLA contract), with per-bucket send counts;
+3. ``all_to_all`` exchanges bucket d with device d — a single fused ICI
+   exchange instead of n_dev point-to-point copies;
+4. each device segment-aggregates the rows it now owns (every
+   occurrence of a key lands on exactly one device).
+
+Bucket overflow (data skew) is detected on device and surfaced; the
+driver retries with a doubled capacity — the standard two-phase
+static-shape protocol.  Skew mitigation beyond retry (key salting for
+pathological single-key skew) is a documented follow-up.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..engine.compiler import (
+    _as_bool,
+    _as_f32,
+    build_evaluator,
+    get_or_compile,
+    schema_signature,
+)
+from ..engine import udf as udf_mod
+from ..errors import ExecutionError
+from ..ops.aggregate import group_aggregate
+from ..ops.sort import float_sort_key
+from ..storage.table import DeviceTable
+from .mesh import DATA_AXIS, data_mesh
+from .sharded import _ensure_sharded
+
+__all__ = ["shuffle_grouped", "ShuffleGroupResult"]
+
+# Knuth multiplicative hash over the order-preserving key bits.
+_HASH_MULT = jnp.uint32(2654435761)
+
+
+class ShuffleGroupResult:
+    """Merged groups on host: keys ascending, one row per distinct key."""
+
+    def __init__(self, keys, counts, sums, mins, maxs):
+        self.keys = keys
+        self.counts = counts
+        self.sums = sums
+        self.mins = mins
+        self.maxs = maxs
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.keys)
+
+
+def _shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap):
+    """Builds the per-shard shard_map body."""
+
+    def body(cols, num_rows):
+        some = next(iter(cols.values()))
+        n_local = some.shape[0]
+        shard_id = lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        rows = shard_id * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        valid = rows < num_rows
+        if cond_fn is not None:
+            valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+
+        keys = jnp.broadcast_to(_as_f32(key_fn(cols)), (n_local,))
+        vals = [jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in val_fns]
+
+        # 1. destination shard by key hash.
+        kbits = float_sort_key(keys)
+        dest = ((kbits * _HASH_MULT) >> jnp.uint32(16)).astype(jnp.int32) % n_dev
+        dest = jnp.where(valid, dest, n_dev)  # invalid rows park in a sink
+
+        # 2. stable sort rows by destination; build (n_dev, send_cap)
+        #    equal-sized buckets with a static gather.
+        order = lax.sort(
+            (dest, jnp.arange(n_local, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )[1]
+        dest_sorted = dest[order]
+        counts = jnp.zeros((n_dev + 1,), jnp.int32).at[dest_sorted].add(
+            1, mode="drop"
+        )[:n_dev]
+        starts = jnp.cumsum(counts) - counts
+
+        slot = jnp.arange(send_cap, dtype=jnp.int32)
+        src = starts[:, None] + slot[None, :]
+        send_valid = slot[None, :] < counts[:, None]
+        src = jnp.clip(src, 0, n_local - 1)
+        row_idx = order[src]  # (n_dev, send_cap)
+
+        send_keys = jnp.where(send_valid, keys[row_idx], 0.0)
+        send_vals = [jnp.where(send_valid, v[row_idx], 0.0) for v in vals]
+        overflow = jnp.max(counts) > send_cap
+
+        # 3. the ICI exchange: bucket d → device d.
+        recv_keys = lax.all_to_all(send_keys, DATA_AXIS, 0, 0, tiled=False)
+        recv_valid = lax.all_to_all(
+            send_valid.astype(jnp.int32), DATA_AXIS, 0, 0, tiled=False
+        ).astype(jnp.bool_)
+        recv_vals = [
+            lax.all_to_all(v, DATA_AXIS, 0, 0, tiled=False) for v in send_vals
+        ]
+
+        flat_keys = recv_keys.reshape(-1)
+        flat_valid = recv_valid.reshape(-1)
+        flat_vals = tuple(v.reshape(-1) for v in recv_vals)
+
+        # 4. local aggregation over the keys this device now owns.
+        g = group_aggregate(flat_keys, flat_vals, flat_valid, group_cap)
+        local_overflow = jnp.logical_or(overflow, g.num_groups > group_cap)
+        return (
+            g.keys[0][None],
+            g.counts[None],
+            tuple(
+                (v.sums[None], v.mins[None], v.maxs[None]) for v in g.values
+            ),
+            g.num_groups[None],
+            local_overflow[None],
+        )
+
+    return body
+
+
+def shuffle_grouped(
+    key_expr,
+    value_exprs,
+    cond,
+    table: DeviceTable,
+    mesh=None,
+    send_overcommit: float = 2.0,
+    group_cap: Optional[int] = None,
+) -> ShuffleGroupResult:
+    """Distributed GROUP BY with an all-to-all key shuffle.
+
+    Returns the merged host-side group table (keys ascending).  Retries
+    with doubled bucket capacity on skew-induced overflow."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        mesh = data_mesh()
+    n_dev = int(mesh.devices.size)
+    table = _ensure_sharded(table, mesh) if n_dev > 1 else table
+
+    n_local = table.padded_rows // max(n_dev, 1)
+    send_cap = int(np.ceil(n_local / max(n_dev, 1) * send_overcommit))
+    send_cap = max(128, send_cap)
+    if group_cap is None:
+        group_cap = max(1024, min(n_dev * send_cap, table.padded_rows))
+
+    val_canons = tuple(v.canonical() for v in value_exprs)
+    for attempt in range(4):
+        key = (
+            "shuffle_group", key_expr.canonical(), val_canons,
+            cond.canonical() if cond is not None else "",
+            schema_signature(table.columns), n_dev, send_cap, group_cap,
+            udf_mod.registry_version(),
+        )
+
+        def build():
+            key_fn = build_evaluator(key_expr)
+            val_fns = [build_evaluator(v) for v in value_exprs]
+            cond_fn = build_evaluator(cond) if cond is not None else None
+            body = _shuffle_kernel(
+                key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap
+            )
+            fn = shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P()),
+                out_specs=(
+                    P(DATA_AXIS), P(DATA_AXIS),
+                    tuple(
+                        (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+                        for _ in value_exprs
+                    ),
+                    P(DATA_AXIS), P(DATA_AXIS),
+                ),
+                check_vma=False,
+            )
+            return jax.jit(fn)
+
+        keys_s, counts_s, vals_s, ngroups_s, overflow_s = jax.device_get(
+            get_or_compile(key, build)(
+                table.columns, jnp.int32(table.num_rows)
+            )
+        )
+        if bool(np.any(overflow_s)):
+            send_cap *= 2
+            group_cap *= 2
+            continue
+
+        # Merge per-shard disjoint key ranges on host (≤ G rows).
+        keys_list, counts_list = [], []
+        sums_list, mins_list, maxs_list = [], [], []
+        for d in range(n_dev):
+            ng = int(ngroups_s[d])
+            keys_list.append(keys_s[d, :ng])
+            counts_list.append(counts_s[d, :ng])
+            sums_list.append(np.stack([vals_s[i][0][d, :ng]
+                                       for i in range(len(value_exprs))]))
+            mins_list.append(np.stack([vals_s[i][1][d, :ng]
+                                       for i in range(len(value_exprs))]))
+            maxs_list.append(np.stack([vals_s[i][2][d, :ng]
+                                       for i in range(len(value_exprs))]))
+        keys = np.concatenate(keys_list)
+        counts = np.concatenate(counts_list)
+        sums = np.concatenate(sums_list, axis=1)
+        mins = np.concatenate(mins_list, axis=1)
+        maxs = np.concatenate(maxs_list, axis=1)
+        order = np.argsort(keys, kind="stable")
+        return ShuffleGroupResult(
+            keys[order], counts[order],
+            sums[:, order], mins[:, order], maxs[:, order],
+        )
+    raise ExecutionError(
+        "shuffle_grouped: bucket overflow persisted after retries "
+        "(pathological key skew); use the all_gather merge path"
+    )
