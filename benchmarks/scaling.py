@@ -1,0 +1,104 @@
+"""Scaling-efficiency harness: rows/s/chip from 1 device to N.
+
+BASELINE.md target: ≥80% scaling efficiency 1 chip → N hosts on the
+reference query set.  This harness runs the two distributed pipelines —
+the embarrassingly-parallel fused scan and the all-to-all shuffle
+GROUP BY — over growing mesh sizes and reports per-device throughput
+and efficiency relative to the single-device run.
+
+On this development host only virtual CPU devices are available
+(`python benchmarks/scaling.py --cpu 8`); on a pod slice run it
+unmodified per host after ``parallel.multihost.initialize``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force N virtual CPU devices (dev machines)")
+    ap.add_argument("--rows", type=int, default=1 << 22)
+    ap.add_argument("--keys", type=int, default=8192)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+    import jax
+    import jax.numpy as jnp
+
+    from warpdb_tpu.frontend import parse_expression_text
+    from warpdb_tpu.parallel.mesh import data_mesh
+    from warpdb_tpu.parallel.sharded import run_expression_sharded, shard_table
+    from warpdb_tpu.parallel.shuffle import shuffle_grouped
+    from warpdb_tpu.storage import HostTable
+
+    n = args.rows
+    rng = np.random.default_rng(0)
+    host = HostTable.from_dict(
+        {
+            "price": rng.uniform(0, 100, n).astype(np.float32),
+            "k": rng.integers(0, args.keys, n).astype(np.float32),
+        }
+    )
+    expr = parse_expression_text("price * k")
+    cond = parse_expression_text("price > 50")
+    key = parse_expression_text("k")
+    vals = [parse_expression_text("price")]
+
+    total = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= total]
+    report = {"rows": n, "keys": args.keys, "scan": {}, "shuffle_group": {}}
+    base_scan = base_group = None
+
+    for s in sizes:
+        mesh = data_mesh(s)
+        table = shard_table(host, mesh)
+
+        def timed(fn, reps=3):
+            fn()
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            return statistics.median(ts)
+
+        t_scan = timed(lambda: run_expression_sharded(table, expr, cond, mesh=mesh))
+        t_group = timed(
+            lambda: shuffle_grouped(key, vals, None, table, mesh=mesh)
+        )
+        scan_rps = n / t_scan
+        group_rps = n / t_group
+        if s == 1:
+            base_scan, base_group = scan_rps, group_rps
+        report["scan"][s] = {
+            "rows_per_s": round(scan_rps),
+            "per_device": round(scan_rps / s),
+            "efficiency": round(scan_rps / (base_scan * s), 3),
+        }
+        report["shuffle_group"][s] = {
+            "rows_per_s": round(group_rps),
+            "per_device": round(group_rps / s),
+            "efficiency": round(group_rps / (base_group * s), 3),
+        }
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,13 +57,25 @@ def sort_pairs(
 
 def top_k_values(values: jax.Array, mask: jax.Array, k: int, ascending: bool):
     """First ``k`` values of the sorted order — ORDER BY … LIMIT k without
-    a full materialised sort when k ≪ N."""
+    a full materialised sort when k ≪ N.
+
+    Two-stage hierarchical pull for large inputs: a lane-parallel
+    ``top_k`` over row blocks shrinks N to blocks·k candidates, then one
+    small ``top_k`` finishes — O(N log k) work with far better VPU
+    utilisation than a single monolithic pass."""
     v = _sentineled(values, mask, ascending)
-    if ascending:
-        out, _ = lax.top_k(-v, k)
-        return -out
-    out, _ = lax.top_k(v, k)
-    return out
+    # Work in descending-priority space: u's k largest are the answer.
+    u = -v if ascending else v
+    n = u.shape[0]
+    # Stage 1: block-parallel candidate selection.
+    if n >= (1 << 16) and k <= 1024:
+        block = 8192
+        while block < 8 * k:
+            block *= 2
+        if n % block == 0 and n // block > 1:
+            u = lax.top_k(u.reshape(n // block, block), k)[0].reshape(-1)
+    out, _ = lax.top_k(u, k)  # descending in u-space
+    return -out if ascending else out
 
 
 def float_sort_key(values: jax.Array) -> jax.Array:

@@ -1,7 +1,9 @@
 """Multi-device execution: meshes, sharded operators, streaming."""
 
+from .dist_join import distributed_join
 from .mesh import DATA_AXIS, data_mesh, replicated, row_sharding
 from .sharded import run_expression_sharded, run_grouped_sharded, shard_table
+from .shuffle import shuffle_grouped
 from .streaming import run_streaming_csv
 
 __all__ = [
@@ -12,5 +14,7 @@ __all__ = [
     "run_expression_sharded",
     "run_grouped_sharded",
     "shard_table",
+    "shuffle_grouped",
+    "distributed_join",
     "run_streaming_csv",
 ]
