@@ -155,7 +155,8 @@ def main() -> None:
                     cols["price"], i.astype(jnp.float32) * 1e-12 - 1e30
                 )
                 g = dense_group_aggregate(
-                    cols["quantity"], (vals,), valid, 0, GROUP_SLOTS
+                    cols["quantity"], (vals,), valid, 0, GROUP_SLOTS,
+                    need=("sum",),
                 )
                 return acc + jnp.sum(g.values[0].sums), None
 

@@ -408,6 +408,18 @@ def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     where_canon = query.where.canonical() if query.where is not None else ""
     keys_canon = tuple(k.canonical() for k in group_keys)
 
+    # Which reductions the query actually needs (SUM-only queries skip
+    # the min/max passes in the dense kernel).
+    need = set()
+    for spec in specs:
+        if spec.agg in (AggregationType.SUM, AggregationType.AVG):
+            need.add("sum")
+        elif spec.agg is AggregationType.MIN:
+            need.add("min")
+        elif spec.agg is AggregationType.MAX:
+            need.add("max")
+    need = tuple(sorted(need))
+
     result = None
     if mesh is not None and mesh.devices.size > 1 and len(group_keys) == 1:
         result = _distributed_group(query, table, group_keys[0], vexpr_nodes,
@@ -416,7 +428,7 @@ def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
         # TPU fast path: dense integer-key aggregation (no sort, no
         # scatter) when stats bound a single key to a small integral range.
         result = _try_dense_group(query, table, group_keys, vexpr_nodes,
-                                  vexpr_canons, where_canon)
+                                  vexpr_canons, where_canon, need)
     if result is None:
         result = _sorted_group(query, table, group_keys, vexpr_nodes,
                                vexpr_canons, where_canon, keys_canon)
@@ -467,7 +479,7 @@ _DENSE_GROUP_MAX_SLOTS = 1024
 
 
 def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
-                     where_canon):
+                     where_canon, need=("sum", "min", "max")):
     """Attempt the dense-range GROUP BY; returns None when stats can't
     prove a small integral key range (falls back to the sort path)."""
     from .optimizer import expr_range
@@ -531,7 +543,7 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
                 return None
 
     gkey = ("dense_group", key_canon, tuple(vexpr_canons), where_canon,
-            schema_signature(cols), base, num_slots,
+            schema_signature(cols), base, num_slots, need,
             udf_mod.registry_version())
 
     def build_dense():
@@ -546,7 +558,9 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             keys = _broadcast(_as_f32(key_fn(cols)), cols)
             vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
-            return dense_group_aggregate(keys, vals, valid, base, num_slots)
+            return dense_group_aggregate(
+                keys, vals, valid, base, num_slots, need
+            )
 
         return kernel
 
@@ -673,10 +687,16 @@ def _finish_grouped(query, select, specs, spec_to_vidx,
 
 def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
     """Non-grouped SELECT: one fused device program covering projection,
-    WHERE compaction, ORDER BY (full sort or top-k) and DISTINCT, then a
-    single batched device→host transfer.  One dispatch per query — the
-    remote-TPU tunnel makes every extra round-trip expensive, and the
-    reference paid an NVRTC recompile per launch here (jit.cpp:98-157)."""
+    WHERE filtering, ORDER BY (full sort or top-k) and DISTINCT, then a
+    single batched device→host transfer.
+
+    Filtering never uses device-side scatter compaction — 1-D
+    scatter-to-computed-slots has no good TPU lowering (measured
+    ~0.14 G rows/s) — instead every downstream operator consumes the
+    validity mask directly (sorts/distinct push invalid lanes to the
+    back via sentinels), and the order-preserving plain-projection case
+    finishes with a host-side boolean gather on the already-transferred
+    buffer."""
     select = query.select_list[0]
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
@@ -724,42 +744,35 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
         def kernel(cols, num_rows):
             vals = _broadcast(_as_f32(sel_fn(cols)), cols)
             n_pad = vals.shape[0]
-            if cond_fn is None:
-                # No filter → valid rows already contiguous; skip the
-                # compaction scatter.
-                okeys = (
-                    _broadcast(_as_f32(ord_fn(cols)), cols)
-                    if ord_fn is not None
-                    else None
-                )
-                count = num_rows
-            else:
-                valid = _valid_mask(cols, num_rows)
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-                vals, count = compact(vals, valid)
-                okeys = None
-                if ord_fn is not None:
-                    okeys, _ = compact(
-                        _broadcast(_as_f32(ord_fn(cols)), cols), valid
-                    )
-            live = jnp.arange(n_pad, dtype=jnp.int32) < count
+            count = jnp.sum(valid.astype(jnp.int32))
 
             if distinct:
-                vals, count = distinct_values(vals, live, n_pad)
-                return vals, count
+                uniq, n_uniq = distinct_values(vals, valid, n_pad)
+                return uniq, None, n_uniq
             if order is not None:
-                if okeys is None:
+                if ord_fn is None:
                     if topk_k:
-                        vals = top_k_values(vals, live, topk_k, order.ascending)
+                        out = top_k_values(vals, valid, topk_k, order.ascending)
                     else:
-                        vals = sort_values(vals, live, order.ascending)
+                        out = sort_values(vals, valid, order.ascending)
                 else:
-                    _, vals, _ = sort_pairs(okeys, vals, live, order.ascending)
-            return vals, count
+                    okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
+                    _, out, _ = sort_pairs(okeys, vals, valid, order.ascending)
+                return out, None, count
+            if cond_fn is None:
+                # Dense already: rows [0, num_rows) are the result.
+                return vals, None, count
+            # Order-preserving filter: ship values + mask, gather on host.
+            return vals, valid, count
 
         return kernel
 
-    out, count = jax.device_get(get_or_compile(pkey, build)(cols, n_rows))
+    out, valid, count = jax.device_get(
+        get_or_compile(pkey, build)(cols, n_rows)
+    )
     count = int(count)
 
     if distinct:
@@ -773,6 +786,8 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
 
     if use_topk:
         return out[: min(limit_total, count)].astype(np.float32)
+    if valid is not None:
+        return out[valid].astype(np.float32)
     return out[:count].astype(np.float32)
 
 
@@ -845,10 +860,12 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             else:
                 part = jnp.zeros_like(vals)
             win = window_aggregate(part, vals, valid, agg_name, capacity)
-            out, count = compact(win, valid)
-            return out, count
+            return win, valid
 
         return kernel
 
-    out, count = get_or_compile(key, build)(cols, jnp.int32(table.num_rows))
-    return np.asarray(out)[: int(count)].astype(np.float32)
+    win, valid = jax.device_get(
+        get_or_compile(key, build)(cols, jnp.int32(table.num_rows))
+    )
+    # Host boolean gather (order-preserving; no device scatter).
+    return win[valid].astype(np.float32)
