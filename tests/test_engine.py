@@ -381,3 +381,56 @@ def test_dense_path_selected_for_int_range():
     assert res.num_groups == 4
     np.testing.assert_allclose(res.keys[0], [2.0, 3.0, 4.0, 5.0])
     np.testing.assert_allclose(res.values[0][0], [15.25, 10.5, 20.0, 30.0])
+
+
+# --- multi-key GROUP BY and multi-column results -------------------------------
+
+
+def test_multi_key_group_by():
+    table = {
+        "a": np.array([1, 1, 2, 2, 1, 2], np.float32),
+        "b": np.array([1, 2, 1, 1, 1, 2], np.float32),
+        "v": np.array([10, 20, 30, 40, 50, 60], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    res = db.query_sql("SELECT SUM(v) FROM t GROUP BY a, b")
+    # groups (a,b): (1,1)=60, (1,2)=20, (2,1)=70, (2,2)=60 — key-ascending
+    assert res == pytest.approx([60.0, 20.0, 70.0, 60.0])
+
+
+def test_query_sql_table_multi_column(db):
+    out = db.query_sql_table(
+        "SELECT price, quantity FROM test WHERE price > 12 ORDER BY price ASC"
+    )
+    assert out["price"] == pytest.approx([15.25, 20.0, 30.0])
+    assert out["quantity"] == pytest.approx([2.0, 4.0, 5.0])
+
+
+def test_join_then_group():
+    left = HostTable.from_dict(
+        {"k": np.array([1, 1, 2, 2], np.float32),
+         "v": np.array([1.0, 2.0, 3.0, 4.0], np.float32)}
+    )
+    right = HostTable.from_dict(
+        {"k": np.array([1, 2], np.float32),
+         "w": np.array([10.0, 100.0], np.float32)}
+    )
+    db = WarpDB(left)
+    db.register_table("r", right)
+    res = db.query_sql(
+        "SELECT SUM(v * r.w) FROM table JOIN r ON k = r.k GROUP BY k "
+        "ORDER BY k ASC"
+    )
+    assert res == pytest.approx([30.0, 700.0])
+
+
+def test_cli_demo(capsys):
+    from warpdb_tpu.__main__ import main
+
+    rc = main(["--demo", "price * quantity", "data/test.csv"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Row 0:" in out
+    assert "Filtered rows (price > 25.0): 1" in out
+    assert "Revenue[0] = 31.5" in out
+    assert "demo done" in out

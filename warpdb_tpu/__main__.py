@@ -26,9 +26,15 @@ def main(argv=None) -> int:
                         help="execute across all local devices")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="write a jax profiler trace to DIR")
+    parser.add_argument("--demo", action="store_true",
+                        help="run the full demo pipeline before the query "
+                             "(mirrors the reference CLI, main.cu:120-385)")
     args = parser.parse_args(argv)
 
     from . import WarpDB
+
+    if args.demo:
+        _run_demo(args.data_file)
 
     t0 = time.perf_counter()
     db = WarpDB(args.data_file)
@@ -64,6 +70,50 @@ def main(argv=None) -> int:
     print(f"Query executed in {t_query*1e3:.2f} ms "
           f"({db.num_rows / max(t_query, 1e-9):,.0f} rows/s incl. compile)")
     return 0
+
+
+def _run_demo(data_file: str) -> None:
+    """Demo pipeline mirroring the reference CLI's fixed suite
+    (main.cu:197-355): print rows, filter count, revenue projections
+    (single and dual-output), sharded run, streamed run."""
+    from . import WarpDB
+
+    db = WarpDB(data_file)
+    cols = db.column_names
+    print(f"=== demo: {db.num_rows} rows, columns {cols} ===")
+
+    # print_first_few (main.cu:56-62)
+    table = db.table.host
+    for i in range(min(db.num_rows, 5)):
+        fields = ", ".join(
+            f"{c.name}={c.data[i]}" for c in table.columns
+        )
+        print(f"Row {i}: {fields}")
+
+    if "price" in cols:
+        # filter_price_gt with threshold 25.0 (main.cu:200-213) — the
+        # reference double-launched without resetting the counter and
+        # printed a doubled count; ours is deterministic.
+        res = db.query_np("price WHERE price > 25")
+        count = int((res != 0).sum())
+        print(f"Filtered rows (price > 25.0): {count}")
+
+    if "price" in cols and "quantity" in cols:
+        # project_revenue / project_revenue_and_adjusted (main.cu:92-118)
+        revenue = db.query("price * quantity")
+        adjusted = db.query("price * quantity * 0.9")
+        for i in range(min(len(revenue), 5)):
+            print(f"Revenue[{i}] = {revenue[i]}  Adjusted[{i}] = {adjusted[i]}")
+
+        # multi-device + streamed multi-device demo (main.cu:352-355)
+        sharded = db.query_sharded("price * quantity")
+        print(f"Sharded result rows: {len(sharded)}")
+        if str(data_file).endswith(".csv"):
+            streamed = WarpDB.query_streaming_csv(
+                data_file, "price * quantity", rows_per_chunk=1024
+            )
+            print(f"Streamed result rows: {len(streamed)}")
+    print("=== demo done ===")
 
 
 if __name__ == "__main__":

@@ -280,3 +280,25 @@ def _capsule_address(capsule) -> int:
     ]
     name = ctypes.pythonapi.PyCapsule_GetName(capsule)
     return ctypes.pythonapi.PyCapsule_GetPointer(capsule, name)
+
+
+def _facade_query_sql_table(self, sql: str) -> dict:
+    """Execute a SELECT and return every select-list item as a named
+    column (``{name: list[float]}``) — exceeds the reference, which
+    returned only the first expression's values."""
+    from .engine.executor import run_query_table
+    from .errors import ParseError as _PE, TokenizeError as _TE
+
+    try:
+        ast = parse_query(tokenize(sql))
+    except (_PE, _TE) as e:
+        raise ParseError(f"Failed to parse SQL: {e}") from None
+    cols = set(self._table.dtypes.keys())
+    table_names = {self._name, ast.from_table, *self._catalog.keys()}
+    table_names |= {j.table for j in ast.joins}
+    validate_query(ast, cols | self._join_columns(ast), table_names)
+    result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)
+    return {k: v.tolist() for k, v in result.items()}
+
+
+WarpDB.query_sql_table = _facade_query_sql_table

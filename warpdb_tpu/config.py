@@ -1,0 +1,73 @@
+"""Engine configuration.
+
+The reference's config surface was three ad-hoc mechanisms (SURVEY.md §5:
+CLI positionals, CMake defines, the ``custom.cu`` CWD convention).  Here
+a single dataclass, overridable per-instance and from environment
+variables (``WARPDB_``-prefixed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+__all__ = ["EngineConfig", "get_config", "set_config", "enable_persistent_compilation_cache"]
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # Padding multiple for device columns (lane alignment).
+    pad_multiple: int = 1024
+    # Rows per chunk for streaming CSV execution (reference default
+    # 1e6, warpdb.hpp:35).
+    rows_per_chunk: int = 1_000_000
+    # Dense GROUP BY fast path: max key-range slots.
+    dense_group_max_slots: int = 1024
+    # Distributed GROUP BY: key-count threshold between the all_gather
+    # partial merge and the all-to-all shuffle.
+    distributed_small_keys: int = 4096
+    # UDF module discovered in the working directory (custom.cu analogue).
+    udf_module: str = "custom.py"
+    # Directory for jax persistent compilation cache ('' = disabled).
+    compilation_cache_dir: str = ""
+
+    @classmethod
+    def from_env(cls) -> "EngineConfig":
+        cfg = cls()
+        for field in dataclasses.fields(cls):
+            env = os.environ.get(f"WARPDB_{field.name.upper()}")
+            if env is not None:
+                value = field.type(env) if field.type is not str else env
+                if field.type is int:
+                    value = int(env)
+                setattr(cfg, field.name, value)
+        return cfg
+
+
+_config: Optional[EngineConfig] = None
+
+
+def get_config() -> EngineConfig:
+    global _config
+    if _config is None:
+        _config = EngineConfig.from_env()
+        if _config.compilation_cache_dir:
+            enable_persistent_compilation_cache(_config.compilation_cache_dir)
+    return _config
+
+
+def set_config(cfg: EngineConfig) -> None:
+    global _config
+    _config = cfg
+
+
+def enable_persistent_compilation_cache(path: str) -> None:
+    """Persist XLA executables across processes — the durable analogue of
+    the reference's missing kernel cache (its biggest perf flaw was
+    NVRTC recompile per call, jit.cpp:98-157; ours caches in-process by
+    plan and, with this, on disk across restarts)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -60,7 +60,7 @@ from .compiler import (
     schema_signature,
 )
 
-__all__ = ["run_expression", "run_query"]
+__all__ = ["run_expression", "run_query", "run_query_table"]
 
 
 def _next_pow2(n: int) -> int:
@@ -445,8 +445,12 @@ def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):
     from ..parallel.sharded import run_grouped_sharded
     from .optimizer import expr_range
 
+    from ..config import get_config
+
     rng = expr_range(key_expr, table.stats)
-    small = rng is not None and (rng[1] - rng[0] + 1) <= 4096
+    small = rng is not None and (
+        rng[1] - rng[0] + 1
+    ) <= get_config().distributed_small_keys
 
     if small:
         capacity = _next_pow2(max(int(rng[1] - rng[0] + 1), 16))
@@ -475,13 +479,11 @@ def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):
     )
 
 
-_DENSE_GROUP_MAX_SLOTS = 1024
-
-
 def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
                      where_canon, need=("sum", "min", "max")):
     """Attempt the dense-range GROUP BY; returns None when stats can't
     prove a small integral key range (falls back to the sort path)."""
+    from ..config import get_config
     from .optimizer import expr_range
 
     if len(group_keys) != 1:
@@ -491,7 +493,7 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     if rng is None:
         return None
     lo, hi = rng
-    if hi - lo + 1 > _DENSE_GROUP_MAX_SLOTS:
+    if hi - lo + 1 > get_config().dense_group_max_slots:
         return None
     base = int(np.floor(lo))
     num_slots = int(np.floor(hi)) - base + 1
@@ -869,3 +871,34 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
     )
     # Host boolean gather (order-preserving; no device scatter).
     return win[valid].astype(np.float32)
+
+
+def run_query_table(
+    query: Query,
+    table: DeviceTable,
+    catalog: Optional[dict] = None,
+    mesh=None,
+) -> dict:
+    """Execute a SELECT returning every select-list item as a named
+    column (the reference returned only the first expression's values,
+    warpdb.cpp:447-459 — this exceeds it).
+
+    Rows stay aligned across columns: each item runs through the same
+    WHERE/ORDER machinery (stable sorts over identical masks/keys).
+    DISTINCT is single-column by construction and rejected here.
+    """
+    import copy as _copy
+
+    if query.distinct and len(query.select_list) > 1:
+        raise UnsupportedError("DISTINCT with multiple select items")
+    out = {}
+    for i, item in enumerate(query.select_list):
+        q = _copy.copy(query)
+        q.select_list = [item]
+        name = item.canonical()
+        if name.endswith("[idx]"):
+            name = name[: -len("[idx]")]
+        if name in out:
+            name = f"{name}_{i}"
+        out[name] = run_query(q, table, catalog, mesh=mesh)
+    return out

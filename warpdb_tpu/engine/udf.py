@@ -50,13 +50,17 @@ def register_udf(name: str, fn: Callable) -> None:
         _version += 1
 
 
-def load_custom_module(path: str = "custom.py") -> int:
+def load_custom_module(path: str = None) -> int:
     """(Re)load UDFs from a ``custom.py`` file if present and changed.
 
     Returns the number of functions registered.  Called lazily before each
     compile, mirroring the reference's read-custom.cu-per-JIT-call
     behavior — but cached on mtime so unchanged files cost one stat."""
     global _version, _custom_py_mtime
+    if path is None:
+        from ..config import get_config
+
+        path = get_config().udf_module
     if not os.path.exists(path):
         return 0
     mtime = os.path.getmtime(path)
