@@ -434,3 +434,32 @@ def test_cli_demo(capsys):
     assert "Filtered rows (price > 25.0): 1" in out
     assert "Revenue[0] = 31.5" in out
     assert "demo done" in out
+
+
+def test_window_running_sum():
+    from warpdb_tpu.frontend import parse_query_text
+    from warpdb_tpu.engine.executor import run_query
+    from warpdb_tpu.storage import DeviceTable
+
+    table = {
+        "price": np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], np.float32),
+        "quantity": np.array([1.0, 1.0, 2.0, 2.0, 1.0, 2.0], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    got = db.query_sql(
+        "SELECT SUM(price) OVER (PARTITION BY quantity ORDER BY price ASC) FROM t"
+    )
+    # partition q=1: prices 1,2,5 → running 1,3,8 ; q=2: 3,4,6 → 3,7,13
+    assert got == pytest.approx([1.0, 3.0, 3.0, 7.0, 8.0, 13.0])
+
+
+def test_window_running_avg_count():
+    table = {
+        "v": np.array([10.0, 20.0, 30.0], np.float32),
+        "p": np.array([1.0, 1.0, 1.0], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    got = db.query_sql("SELECT COUNT(v) OVER (PARTITION BY p ORDER BY v ASC) FROM t")
+    assert got == pytest.approx([1.0, 2.0, 3.0])
+    got2 = db.query_sql("SELECT AVG(v) OVER (PARTITION BY p ORDER BY v ASC) FROM t")
+    assert got2 == pytest.approx([10.0, 15.0, 20.0])

@@ -845,9 +845,17 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
            schema_signature(cols), table.padded_rows, udf_mod.registry_version())
 
     def build():
+        from ..ops.aggregate import window_running
+
         val_fn = build_evaluator(select.expr)
         part_fns = [build_evaluator(p) for p in part_exprs]
         cond_fn = build_evaluator(where) if where is not None else None
+        ord_fn = (
+            build_evaluator(select.order_by.expr)
+            if select.order_by is not None
+            else None
+        )
+        ord_asc = select.order_by.ascending if select.order_by else True
         agg_name = select.agg.value
         capacity = table.padded_rows
 
@@ -861,7 +869,15 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 part = _broadcast(_as_f32(part_fns[0](cols)), cols)
             else:
                 part = jnp.zeros_like(vals)
-            win = window_aggregate(part, vals, valid, agg_name, capacity)
+            if ord_fn is not None:
+                # Running aggregate over the window's ORDER BY — what the
+                # reference parsed and threw away (expression.cpp:296-329).
+                okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
+                if not ord_asc:
+                    okeys = -okeys
+                win = window_running(part, okeys, vals, valid, agg_name, capacity)
+            else:
+                win = window_aggregate(part, vals, valid, agg_name, capacity)
             return win, valid
 
         return kernel

@@ -263,3 +263,66 @@ def window_aggregate(
     # Inverse permutation: row idx_s[i] came from sorted slot i.
     out = jnp.zeros((n,), jnp.float32).at[idx_s].set(per_row_sorted)
     return jnp.where(valid, out, 0.0)
+
+
+def window_running(
+    part_keys: jax.Array,
+    order_keys: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    agg: str,
+    capacity: int,
+) -> jax.Array:
+    """Running window aggregate
+    ``AGG(values) OVER (PARTITION BY part ORDER BY ord)`` — each row sees
+    the aggregate of all partition rows up to and including itself in
+    ``order_keys`` order (ROWS semantics: ties are not merged).
+
+    Sort once by (partition, order key), take a global inclusive scan,
+    subtract each partition's pre-segment base, then scatter back through
+    the inverse permutation.  SUM/COUNT/AVG only (running MIN/MAX needs a
+    segmented min-scan; deliberate v1 limit)."""
+    if agg not in ("sum", "count", "avg"):
+        raise ValueError(f"Running window aggregate '{agg}' not supported")
+    n = values.shape[0]
+    valid = mask
+    pkey = jnp.where(valid, float_sort_key(part_keys), _U32_MAX)
+    okey = float_sort_key(order_keys)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    pkey_s, okey_s, val_s, idx_s, valid_s = lax.sort(
+        (pkey, okey, values, idx, valid.astype(jnp.int32)),
+        num_keys=2,
+        is_stable=True,
+    )
+    valid_s = valid_s.astype(jnp.bool_)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), pkey_s[1:] != pkey_s[:-1]])
+    first = jnp.logical_and(first, valid_s)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, seg, capacity)
+
+    ones = valid_s.astype(jnp.float32)
+    v = jnp.where(valid_s, val_s, 0.0)
+    csum = jnp.cumsum(v)
+    ccnt = jnp.cumsum(ones)
+
+    # Base (exclusive prefix before each segment start), scatter-free:
+    # each row finds its segment's first index via a running max, then
+    # gathers the global scan value just before it.
+    first_idx = lax.cummax(
+        jnp.where(first, idx, jnp.int32(-1))
+    )
+    first_idx = jnp.maximum(first_idx, 0)
+    base_sum = (csum - v)[first_idx]
+    base_cnt = (ccnt - ones)[first_idx]
+    run_sum = csum - base_sum
+    run_cnt = ccnt - base_cnt
+    if agg == "sum":
+        out_s = run_sum
+    elif agg == "count":
+        out_s = run_cnt
+    else:
+        out_s = run_sum / jnp.maximum(run_cnt, 1.0)
+
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
+    return jnp.where(valid, out, 0.0)
