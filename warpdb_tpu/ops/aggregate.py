@@ -303,20 +303,17 @@ def window_running(
 
     ones = valid_s.astype(jnp.float32)
     v = jnp.where(valid_s, val_s, 0.0)
-    csum = jnp.cumsum(v)
-    ccnt = jnp.cumsum(ones)
 
-    # Base (exclusive prefix before each segment start), scatter-free:
-    # each row finds its segment's first index via a running max, then
-    # gathers the global scan value just before it.
-    first_idx = lax.cummax(
-        jnp.where(first, idx, jnp.int32(-1))
-    )
-    first_idx = jnp.maximum(first_idx, 0)
-    base_sum = (csum - v)[first_idx]
-    base_cnt = (ccnt - ones)[first_idx]
-    run_sum = csum - base_sum
-    run_cnt = ccnt - base_cnt
+    # True segmented inclusive scan: the classic associative operator
+    # that resets at segment boundaries.  (A global cumsum minus a
+    # per-segment base would catastrophically cancel in f32 once the
+    # global sum dwarfs individual running values.)
+    def seg_combine(a, b):
+        (va, sa), (vb, sb) = a, b
+        return (jnp.where(sb, vb, va + vb), jnp.logical_or(sa, sb))
+
+    run_sum, _ = lax.associative_scan(seg_combine, (v, first))
+    run_cnt, _ = lax.associative_scan(seg_combine, (ones, first))
     if agg == "sum":
         out_s = run_sum
     elif agg == "count":
