@@ -118,22 +118,39 @@ inline float parse_f32(const char *p, const char *end) {
   return static_cast<float>(neg ? -v : v);
 }
 
-inline float parse_cell(const char *p, const char *end) {
-  if (p >= end) return 0.0f;
+inline float parse_cell(const char *p, const char *end, bool *ok) {
+  if (p >= end) {
+    *ok = false;  // empty cell — the reference's std::stof throws here
+    return 0.0f;
+  }
   float v = parse_f32(p, end);
   if (v != v) {  // NaN sentinel → exponent or garbage; strtof fallback
     std::string tmp(p, static_cast<size_t>(end - p));
-    return strtof(tmp.c_str(), nullptr);
+    char *endp = nullptr;
+    v = strtof(tmp.c_str(), &endp);
+    if (endp == tmp.c_str()) *ok = false;  // no digits consumed
+    return v;
   }
+  // parse_f32 consumed sign/digits/dot; reject if the token had no digit.
+  const char *q = p;
+  if (*q == '-' || *q == '+') ++q;
+  bool has_digit = false;
+  for (; q < end; ++q)
+    if (*q >= '0' && *q <= '9') { has_digit = true; break; }
+  if (!has_digit) *ok = false;
   return v;
 }
 
 // Parse rows in [chunk_begin, chunk_end) writing into column-major
-// out[col * max_rows + row], rows starting at row_base.
+// out[col * max_rows + row], rows starting at row_base.  Sets *bad on
+// malformed numeric cells (the reference's std::stof would throw,
+// csv_loader.cpp:100-120).
 void parse_range(const char *begin, const char *end, int num_columns,
-                 int64_t row_base, int64_t max_rows, float *out) {
+                 int64_t row_base, int64_t max_rows, float *out,
+                 std::atomic<bool> *bad) {
   const char *p = begin;
   int64_t row = row_base;
+  bool ok = true;
   while (p < end && row < max_rows) {
     const char *nl = static_cast<const char *>(memchr(p, '\n', end - p));
     const char *line_end = nl ? nl : end;
@@ -146,7 +163,8 @@ void parse_range(const char *begin, const char *end, int num_columns,
         // Trim trailing CR.
         const char *ce = cell_end;
         while (ce > cell && (ce[-1] == '\r' || ce[-1] == ' ')) --ce;
-        out[static_cast<int64_t>(c) * max_rows + row] = parse_cell(cell, ce);
+        out[static_cast<int64_t>(c) * max_rows + row] =
+            parse_cell(cell, ce, &ok);
         cell = comma ? comma + 1 : line_end;
       }
       ++row;
@@ -154,6 +172,7 @@ void parse_range(const char *begin, const char *end, int num_columns,
     if (!nl) break;
     p = nl + 1;
   }
+  if (!ok) bad->store(true, std::memory_order_relaxed);
 }
 
 }  // namespace
@@ -227,17 +246,19 @@ long long wdb_csv_parse_f32(const char *path, int num_columns,
   if (total > max_rows) total = max_rows;
 
   // Pass 2 (parallel): parse.
+  std::atomic<bool> bad(false);
   {
     std::vector<std::thread> workers;
     for (int t = 0; t < nthreads; ++t) {
       workers.emplace_back([&, t] {
         parse_range(starts[static_cast<size_t>(t)],
                     starts[static_cast<size_t>(t) + 1], num_columns,
-                    row_base[static_cast<size_t>(t)], max_rows, out);
+                    row_base[static_cast<size_t>(t)], max_rows, out, &bad);
       });
     }
     for (auto &w : workers) w.join();
   }
+  if (bad.load()) return -2;  // malformed cell
   return total;
 }
 

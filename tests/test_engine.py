@@ -463,3 +463,35 @@ def test_window_running_avg_count():
     assert got == pytest.approx([1.0, 2.0, 3.0])
     got2 = db.query_sql("SELECT AVG(v) OVER (PARTITION BY p ORDER BY v ASC) FROM t")
     assert got2 == pytest.approx([10.0, 15.0, 20.0])
+
+
+# --- determinism (SURVEY §5: the reference's atomicAdd compaction was
+# nondeterministic; every path here must be bit-stable run-to-run) ---------
+
+
+def test_repeat_query_bit_identical():
+    rng = np.random.default_rng(77)
+    t = {"price": rng.uniform(0, 100, 20000).astype(np.float32),
+         "quantity": rng.integers(0, 13, 20000).astype(np.float32)}
+    db = WarpDB(HostTable.from_dict(t))
+    queries = [
+        ("q", "price * quantity WHERE price > 50"),
+        ("s", "SELECT price FROM t WHERE quantity == 5 ORDER BY price DESC LIMIT 20"),
+        ("s", "SELECT SUM(price) FROM t GROUP BY quantity ORDER BY quantity ASC"),
+    ]
+    for kind, q in queries:
+        run = db.query if kind == "q" else db.query_sql
+        a = np.asarray(run(q))
+        b = np.asarray(run(q))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_metrics_roofline():
+    from warpdb_tpu.utils.metrics import last, report, roofline_fraction
+
+    db = WarpDB("data/test.csv")
+    db.query("price + 1")
+    m = last()
+    assert m is not None and m.bytes_scanned > 0
+    assert 0 <= roofline_fraction(m)
+    assert "price + 1"[:8] in report()

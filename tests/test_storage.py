@@ -124,3 +124,17 @@ def test_host_table_slice_concat():
     parts = [t.slice(0, 4), t.slice(4, 10)]
     back = HostTable.concat(parts)
     np.testing.assert_allclose(back.get_column("v").data, np.arange(10))
+
+
+def test_csv_malformed_cell(tmp_path):
+    path = tmp_path / "bad.csv"
+    path.write_text("a,b\n1,2\nx,4\n")
+    with pytest.raises(Exception):
+        load_csv_to_host(str(path))
+
+
+def test_empty_csv(tmp_path):
+    path = tmp_path / "empty.csv"
+    path.write_text("")
+    with pytest.raises(WarpDBError, match="Empty CSV file"):
+        load_csv_to_host(str(path))

@@ -92,3 +92,48 @@ def profile_trace(log_dir: str):
 
     with jax.profiler.trace(log_dir):
         yield
+
+
+# ---------------------------------------------------------------------------
+# Roofline accounting (SURVEY.md §5: per-operator bytes/s vs chip peak)
+# ---------------------------------------------------------------------------
+
+# Peak HBM bandwidth per chip, bytes/s.  v5e ≈ 819 GB/s; extend as needed.
+_PEAK_HBM = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,
+    "cpu": 50e9,
+}
+
+
+def peak_hbm_bytes_per_s() -> float:
+    """Best-effort peak HBM bandwidth of the attached device."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return _PEAK_HBM["cpu"]
+    for name, bw in _PEAK_HBM.items():
+        if name.lower() in kind.lower():
+            return bw
+    return _PEAK_HBM["cpu"]
+
+
+def roofline_fraction(m: QueryMetrics) -> float:
+    """Fraction of peak HBM bandwidth this query achieved — the
+    speed-of-light accounting BASELINE.json asks for."""
+    return m.gb_per_s * 1e9 / peak_hbm_bytes_per_s()
+
+
+def report(last_n: int = 20) -> str:
+    """Human-readable recent-query report with roofline fractions."""
+    lines = ["query                                    kind        ms    Mrows/s   GB/s  %peak"]
+    for m in history()[-last_n:]:
+        lines.append(
+            f"{m.query[:40]:<40} {m.kind:<10} {m.wall_s*1e3:6.1f} "
+            f"{m.rows_per_s/1e6:9.1f} {m.gb_per_s:6.2f} {roofline_fraction(m)*100:5.1f}"
+        )
+    return "\n".join(lines)
