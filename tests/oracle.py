@@ -19,10 +19,15 @@ from warpdb_tpu.frontend import (
     Variable,
     WindowFunction,
 )
+from warpdb_tpu.frontend.ast import Alias, Star
 
 
 def eval_expr(node, table: dict, n: int) -> np.ndarray:
     """Evaluate an expression AST rowwise over dict-of-numpy columns."""
+    if isinstance(node, Alias):
+        return eval_expr(node.expr, table, n)
+    if isinstance(node, Star):
+        return np.ones(n, dtype=np.float32)
     if isinstance(node, Constant):
         return np.full(n, np.float32(node.value), dtype=np.float32)
     if isinstance(node, Variable):
@@ -84,7 +89,9 @@ def _agg(agg_type, values: np.ndarray) -> float:
 
 
 def eval_group_expr(node, group_rows: dict, table: dict, key_value: float, key_canon: str):
-    """Evaluate a HAVING/ORDER BY expression for one group."""
+    """Evaluate a select/HAVING/ORDER BY expression for one group."""
+    if isinstance(node, Alias):
+        return eval_group_expr(node.expr, group_rows, table, key_value, key_canon)
     if isinstance(node, Aggregation):
         n = len(next(iter(table.values())))
         vals = eval_expr(node.expr, table, n)[group_rows["idx"]]
@@ -117,9 +124,10 @@ def query_sql(table: dict, query) -> np.ndarray:
         rows = rows[mask]
 
     select = query.select_list[0]
+    if isinstance(select, Alias):
+        select = select.expr
 
     if query.group_by is not None:
-        assert isinstance(select, Aggregation)
         key_expr = query.group_by.keys[0]
         key_canon = key_expr.canonical()
         keys = eval_expr(key_expr, table, n)[rows]
@@ -131,13 +139,13 @@ def query_sql(table: dict, query) -> np.ndarray:
                 hv = eval_group_expr(query.having, group, table, k, key_canon)
                 if hv == 0:
                     continue
-            vals = eval_expr(select.expr, table, n)[g_idx]
+            sel_val = eval_group_expr(select, group, table, k, key_canon)
             order_val = k
             if query.order_by is not None:
                 order_val = eval_group_expr(
                     query.order_by.expr, group, table, k, key_canon
                 )
-            result.append((order_val, np.float32(_agg(select.agg, vals))))
+            result.append((order_val, np.float32(sel_val)))
         asc = query.order_by.ascending if query.order_by else True
         result.sort(key=lambda t: t[0], reverse=not asc)
         out = np.array([v for _, v in result], dtype=np.float32)

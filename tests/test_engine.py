@@ -309,12 +309,12 @@ def test_sql_unknown_column_context(db):
         db.query_sql("SELECT SUM(price) FROM test GROUP BY bogus")
 
 
-def test_group_by_requires_aggregate(db):
-    from warpdb_tpu.errors import ExecutionError
+def test_group_by_requires_group_level_select(db):
+    # A select item that is neither the group key nor an aggregate is
+    # rejected (it has no single value per group).
+    from warpdb_tpu.errors import UnsupportedError
 
-    with pytest.raises(
-        ExecutionError, match="Only aggregation queries supported with GROUP BY"
-    ):
+    with pytest.raises(UnsupportedError, match="GROUP BY key or aggregates"):
         db.query_sql("SELECT price FROM test GROUP BY quantity")
 
 
@@ -495,3 +495,89 @@ def test_metrics_roofline():
     assert m is not None and m.bytes_scanned > 0
     assert 0 <= roofline_fraction(m)
     assert "price + 1"[:8] in report()
+
+
+# --- grouped multi-column SELECT, COUNT(*), aliases, agg arithmetic ------------
+# (exceeds the reference, which required a lone aggregate — warpdb.cpp:350-353)
+
+
+def test_grouped_select_key_column(db, test_table):
+    # First select item is the group key → query_sql returns key values.
+    got = db.query_sql(
+        "SELECT quantity, SUM(price) FROM test GROUP BY quantity ORDER BY quantity ASC"
+    )
+    assert got == pytest.approx(sorted(set(test_table["quantity"].tolist())))
+
+
+def test_grouped_table_multi_aggregate(db, test_table):
+    out = db.query_sql_table(
+        "SELECT quantity AS q, SUM(price) AS total, COUNT(*) AS n, "
+        "SUM(price)/COUNT(*) AS avg_price "
+        "FROM test GROUP BY quantity ORDER BY quantity ASC"
+    )
+    assert set(out) == {"q", "total", "n", "avg_price"}
+    groups = {}
+    for p, q in zip(test_table["price"], test_table["quantity"]):
+        groups.setdefault(float(q), []).append(float(p))
+    ks = sorted(groups)
+    assert out["q"] == pytest.approx(ks)
+    assert out["total"] == pytest.approx([sum(groups[k]) for k in ks], abs=1e-5)
+    assert out["n"] == pytest.approx([len(groups[k]) for k in ks])
+    assert out["avg_price"] == pytest.approx(
+        [sum(groups[k]) / len(groups[k]) for k in ks], abs=1e-5
+    )
+
+
+def test_count_star_global(db):
+    assert db.query_sql("SELECT COUNT(*) FROM test") == [4.0]
+    assert db.query_sql("SELECT COUNT(*) FROM test WHERE price > 15") == [3.0]
+
+
+def test_count_star_grouped_vs_oracle(random_db):
+    db, table = random_db
+    sql = (
+        "SELECT COUNT(*) FROM t WHERE price > 50 "
+        "GROUP BY quantity ORDER BY quantity ASC"
+    )
+    got = np.asarray(db.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_grouped_agg_arithmetic_vs_oracle(random_db):
+    db, table = random_db
+    sql = (
+        "SELECT SUM(price * quantity) / SUM(quantity) FROM t "
+        "WHERE quantity >= 1 GROUP BY quantity ORDER BY quantity ASC"
+    )
+    got = np.asarray(db.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_alias_projection_table(db):
+    out = db.query_sql_table(
+        "SELECT price AS p, price * quantity AS revenue FROM test "
+        "WHERE price > 15 ORDER BY price DESC LIMIT 2"
+    )
+    assert out["p"] == pytest.approx([30.0, 20.0])
+    assert out["revenue"] == pytest.approx([150.0, 80.0])
+
+
+def test_alias_is_cache_key_neutral(db):
+    # Alias wrappers must not change plan canonicalization.
+    a = db.query_sql("SELECT price AS x FROM test ORDER BY price ASC")
+    b = db.query_sql("SELECT price FROM test ORDER BY price ASC")
+    assert a == b
+
+
+def test_window_multi_partition():
+    table = {
+        "v": np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], np.float32),
+        "a": np.array([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], np.float32),
+        "b": np.array([0.0, 1.0, 0.0, 1.0, 0.0, 1.0], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    got = db.query_sql("SELECT SUM(v) OVER (PARTITION BY a, b) FROM t")
+    # partitions: (1,0)->{1,3}=4, (1,1)->{2}=2, (2,1)->{4,6}=10, (2,0)->{5}=5
+    assert got == pytest.approx([4.0, 2.0, 4.0, 10.0, 5.0, 10.0])

@@ -32,10 +32,12 @@ import jax.numpy as jnp
 from ..errors import ExecutionError, ValidationError
 from ..frontend.ast import (
     Aggregation,
+    Alias,
     BinaryOp,
     Constant,
     FunctionCall,
     Node,
+    Star,
     Variable,
     WindowFunction,
 )
@@ -72,6 +74,12 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
     lowered by the executor, not here.
     """
 
+    if isinstance(node, Alias):
+        return build_evaluator(node.expr)
+    if isinstance(node, Star):
+        # COUNT(*)'s argument: every row counts as 1 (no NULLs here).
+        one = jnp.float32(1.0)
+        return lambda cols: one
     if isinstance(node, Constant):
         val = jnp.float32(node.value)
         return lambda cols: val

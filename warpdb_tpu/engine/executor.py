@@ -29,14 +29,17 @@ from ..errors import ExecutionError, UnsupportedError, ValidationError
 from ..frontend.ast import (
     Aggregation,
     AggregationType,
+    Alias,
     BinaryOp,
     Constant,
     FunctionCall,
     Node,
     OrderBy,
     Query,
+    Star,
     Variable,
     WindowFunction,
+    unalias,
     walk,
 )
 from ..ops.aggregate import (
@@ -143,9 +146,11 @@ def _group_level_eval(
     agg_values: dict,
 ) -> np.ndarray:
     """NumPy evaluator over the (small) per-group aggregate table.
-    Used for HAVING and group-level ORDER BY — the repaired intent of the
-    reference's host ``eval_having_node`` (warpdb.cpp:387-427), except
-    each aggregate evaluates over its *own* expression."""
+    Used for select items, HAVING and group-level ORDER BY — the repaired
+    intent of the reference's host ``eval_having_node`` (warpdb.cpp:387-427),
+    except each aggregate evaluates over its *own* expression."""
+    if isinstance(node, Alias):
+        return _group_level_eval(node.expr, key_canon, agg_values)
     if isinstance(node, Aggregation):
         return agg_values[(node.agg.value, node.expr.canonical())]
     if isinstance(node, Constant):
@@ -175,21 +180,27 @@ def _group_level_eval(
     canon = node.canonical()
     if canon in key_canon:
         return key_canon[canon]
+    if isinstance(node, FunctionCall):
+        args = [
+            np.asarray(_group_level_eval(a, key_canon, agg_values), np.float32)
+            for a in node.args
+        ]
+        return np.asarray(udf_mod.resolve_udf(node.name)(*args), np.float32)
     raise UnsupportedError(
-        "HAVING/ORDER BY expressions over groups must reference the "
+        "Grouped SELECT/HAVING/ORDER BY expressions must reference the "
         f"GROUP BY key or aggregates; got: {canon}"
     )
 
 
 def _agg_value_from_result(spec: _AggSpec, counts, value_aggs) -> np.ndarray:
-    sums, mins, maxs = value_aggs
     counts_f = counts.astype(np.float32)
+    if spec.agg is AggregationType.COUNT:
+        return counts_f  # no value column needed
+    sums, mins, maxs = value_aggs
     if spec.agg is AggregationType.SUM:
         return sums
     if spec.agg is AggregationType.AVG:
         return sums / np.maximum(counts_f, 1.0)
-    if spec.agg is AggregationType.COUNT:
-        return counts_f
     if spec.agg is AggregationType.MIN:
         return mins
     if spec.agg is AggregationType.MAX:
@@ -350,6 +361,12 @@ def run_query(
     """
     from .optimizer import analyze_condition, fold_constants
 
+    import copy as _copy
+
+    if any(isinstance(s, Alias) for s in query.select_list):
+        query = _copy.copy(query)
+        query.select_list = [unalias(s) for s in query.select_list]
+
     catalog = catalog or {}
     current = table
     for join in query.joins:
@@ -386,22 +403,42 @@ def run_query(
 
 
 def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
-    select = query.select_list[0]
-    if not isinstance(select, Aggregation):
-        raise ExecutionError("Only aggregation queries supported with GROUP BY")
+    """First select item of the grouped pipeline (reference query_sql
+    returns only the first expression's values, warpdb.cpp:349-371)."""
+    return _run_grouped_multi(
+        query, table, [unalias(query.select_list[0])], mesh=mesh
+    )[0]
 
+
+def _run_grouped_multi(
+    query: Query, table: DeviceTable, select_items: list, mesh=None
+) -> list[np.ndarray]:
+    """Grouped pipeline for any number of select items.  Each item may be
+    an aggregate, the group key itself, or any arithmetic over them
+    (``SELECT quantity, SUM(price), SUM(price)/COUNT(*) …``) — exceeds the
+    reference, which required a lone aggregate (warpdb.cpp:350-353)."""
     group_keys = list(query.group_by.keys)
     order_expr = query.order_by.expr if query.order_by else None
-    specs = _collect_agg_specs([select, query.having, order_expr])
-    # Map each spec to a value column (dedup by expression canonical).
+    specs = _collect_agg_specs([*select_items, query.having, order_expr])
+    # Map each non-COUNT spec to a value column (dedup by expression
+    # canonical); COUNT reads the always-produced per-group counts.
     vexpr_canons: list[str] = []
     vexpr_nodes: list[Node] = []
+    spec_to_vidx: dict = {}
     for spec in specs:
+        if spec.agg is AggregationType.COUNT:
+            spec_to_vidx[spec.key] = None
+            continue
         c = spec.expr.canonical()
         if c not in vexpr_canons:
             vexpr_canons.append(c)
             vexpr_nodes.append(spec.expr)
-    spec_to_vidx = {s.key: vexpr_canons.index(s.expr.canonical()) for s in specs}
+        spec_to_vidx[spec.key] = vexpr_canons.index(c)
+    if not vexpr_nodes:
+        # Keys/counts-only query; distributed + dense kernels expect at
+        # least one value column.
+        vexpr_canons = ["1.0f"]
+        vexpr_nodes = [Constant("1")]
 
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
@@ -433,7 +470,7 @@ def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
         result = _sorted_group(query, table, group_keys, vexpr_nodes,
                                vexpr_canons, where_canon, keys_canon)
 
-    return _finish_grouped(query, select, specs, spec_to_vidx, result,
+    return _finish_grouped(query, select_items, specs, spec_to_vidx, result,
                            keys_canon)
 
 
@@ -649,42 +686,56 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     return _HostGroupResult(keys, counts, values, num_groups)
 
 
-def _finish_grouped(query, select, specs, spec_to_vidx,
-                    result: "_HostGroupResult", keys_canon) -> np.ndarray:
-    """Host-side finishing on the ≤G-sized aggregate table: HAVING,
-    ORDER BY over groups, DISTINCT."""
+def _finish_grouped(query, select_items, specs, spec_to_vidx,
+                    result: "_HostGroupResult", keys_canon) -> list[np.ndarray]:
+    """Host-side finishing on the ≤G-sized aggregate table: evaluate each
+    select item over (keys, aggregates), then HAVING, ORDER BY over
+    groups, DISTINCT.  One list entry per select item, row-aligned."""
     order_expr = query.order_by.expr if query.order_by else None
     num_groups = result.num_groups
     counts = result.counts
     key_arrays = [k for k in result.keys]
     agg_values = {
         spec.key: _agg_value_from_result(
-            spec, counts, result.values[spec_to_vidx[spec.key]]
+            spec,
+            counts,
+            None
+            if spec_to_vidx[spec.key] is None
+            else result.values[spec_to_vidx[spec.key]],
         )
         for spec in specs
     }
     key_canon_map = {c: key_arrays[i] for i, c in enumerate(keys_canon)}
 
-    out = agg_values[(select.agg.value, select.expr.canonical())]
     mask = np.ones(num_groups, dtype=bool)
     if query.having is not None:
         hv = _group_level_eval(query.having, key_canon_map, agg_values)
         hv = np.asarray(hv)
         mask &= hv if hv.dtype == bool else hv != 0
 
-    out = out[mask]
+    order = None
     if query.order_by is not None:
         order_vals = _group_level_eval(order_expr, key_canon_map, agg_values)
-        order_vals = np.asarray(order_vals, dtype=np.float32)[mask]
+        order_vals = np.broadcast_to(
+            np.asarray(order_vals, dtype=np.float32), (num_groups,)
+        )[mask]
         order = np.argsort(order_vals, kind="stable")
         if not query.order_by.ascending:
             order = order[::-1]
-        out = out[order]
     # Default order is ascending by group key (groups emerge key-sorted).
 
-    if query.distinct:
-        out = np.unique(np.asarray(out, dtype=np.float32))
-    return np.asarray(out, dtype=np.float32)
+    outs = []
+    for item in select_items:
+        vals = _group_level_eval(item, key_canon_map, agg_values)
+        vals = np.broadcast_to(
+            np.asarray(vals, dtype=np.float32), (num_groups,)
+        )[mask]
+        if order is not None:
+            vals = vals[order]
+        if query.distinct:
+            vals = np.unique(np.asarray(vals, dtype=np.float32))
+        outs.append(np.ascontiguousarray(vals, dtype=np.float32))
+    return outs
 
 
 def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
@@ -866,9 +917,11 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = _broadcast(_as_f32(val_fn(cols)), cols)
             if part_fns:
-                part = _broadcast(_as_f32(part_fns[0](cols)), cols)
+                part = tuple(
+                    _broadcast(_as_f32(f(cols)), cols) for f in part_fns
+                )
             else:
-                part = jnp.zeros_like(vals)
+                part = (jnp.zeros_like(vals),)
             if ord_fn is not None:
                 # Running aggregate over the window's ORDER BY — what the
                 # reference parsed and threw away (expression.cpp:296-329).
@@ -907,14 +960,50 @@ def run_query_table(
 
     if query.distinct and len(query.select_list) > 1:
         raise UnsupportedError("DISTINCT with multiple select items")
+
+    def out_name(item, i: int, taken) -> str:
+        if isinstance(item, Alias):
+            name = item.name
+        else:
+            name = item.canonical()
+            if name.endswith("[idx]"):
+                name = name[: -len("[idx]")]
+        if name in taken:
+            name = f"{name}_{i}"
+        return name
+
+    if query.group_by is not None and not query.joins:
+        # One grouped pass serves every select item (row-aligned columns).
+        items = [unalias(s) for s in query.select_list]
+        q = _copy.copy(query)
+        if query.where is not None:
+            from .optimizer import analyze_condition, fold_constants
+
+            w = fold_constants(query.where)
+            verdict = analyze_condition(w, table.stats)
+            q.where = None if verdict is True else w
+            if verdict is False:
+                return {
+                    out_name(item, i, set()): np.zeros(0, np.float32)
+                    for i, item in enumerate(query.select_list)
+                }
+        cols = _run_grouped_multi(q, table, items, mesh=mesh)
+        out = {}
+        for i, (item, vals) in enumerate(zip(query.select_list, cols)):
+            if query.offset is not None:
+                vals = (
+                    vals[query.offset :]
+                    if query.offset < len(vals)
+                    else vals[:0]
+                )
+            if query.limit is not None and query.limit < len(vals):
+                vals = vals[: query.limit]
+            out[out_name(item, i, out)] = vals
+        return out
+
     out = {}
     for i, item in enumerate(query.select_list):
         q = _copy.copy(query)
         q.select_list = [item]
-        name = item.canonical()
-        if name.endswith("[idx]"):
-            name = name[: -len("[idx]")]
-        if name in out:
-            name = f"{name}_{i}"
-        out[name] = run_query(q, table, catalog, mesh=mesh)
+        out[out_name(item, i, out)] = run_query(q, table, catalog, mesh=mesh)
     return out

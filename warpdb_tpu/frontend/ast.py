@@ -21,9 +21,9 @@ from typing import Callable, Iterator, Optional
 
 __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
-    "AggregationType", "Aggregation", "WindowFunction",
+    "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
     "OrderBy", "Join", "GroupBy", "Query",
-    "walk", "column_refs",
+    "walk", "column_refs", "unalias",
 ]
 
 
@@ -109,6 +109,38 @@ class FunctionCall(Node):
 
     def children(self) -> tuple[Node, ...]:
         return self.args
+
+
+@dataclass(frozen=True, repr=False)
+class Star(Node):
+    """The ``*`` in ``COUNT(*)``.  Evaluates row-wise as 1.0 (every row in
+    this engine is non-null); only meaningful inside COUNT.  Extension over
+    the reference grammar, which has no ``*`` select/aggregate form."""
+
+    def canonical(self) -> str:
+        return "*"
+
+
+@dataclass(frozen=True, repr=False)
+class Alias(Node):
+    """``expr AS name`` select-item wrapper (extension over the reference
+    grammar).  ``canonical()`` delegates to the inner expression so plan /
+    kernel cache keys are alias-insensitive; the name only affects output
+    column labelling in ``query_sql_table``."""
+
+    expr: Node
+    name: str
+
+    def canonical(self) -> str:
+        return self.expr.canonical()
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+def unalias(node: Node) -> Node:
+    """Strip an Alias wrapper (identity for everything else)."""
+    return node.expr if isinstance(node, Alias) else node
 
 
 class AggregationType(enum.Enum):

@@ -27,6 +27,7 @@ from ..errors import ParseError
 from .ast import (
     Aggregation,
     AggregationType,
+    Alias,
     BinaryOp,
     Constant,
     FunctionCall,
@@ -35,6 +36,7 @@ from .ast import (
     Node,
     OrderBy,
     Query,
+    Star,
     Variable,
     WindowFunction,
 )
@@ -149,6 +151,11 @@ class _ExprParser:
             self.advance()
             if not self.match_op("("):
                 raise ParseError(f"Invalid syntax for {tok.value} aggregation")
+            # COUNT(*) — extension over the reference grammar.
+            if tok.value == "COUNT" and self.match_op("*"):
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return Aggregation(AggregationType.COUNT, Star())
             inner = self.logical_or()
             if not self.match_op(")"):
                 raise ParseError("Expected ')' after arguments")
@@ -269,9 +276,31 @@ class _QueryParser:
 
     # -- select items -------------------------------------------------------
     def parse_select_item(self, item: list[Token]) -> Node:
-        """Parse one select item; handles AGG(expr) and AGG(expr) OVER (...)
-        (reference expression.cpp:296-337)."""
+        """Parse one select item; handles AGG(expr), AGG(expr) OVER (...)
+        (reference expression.cpp:296-337), COUNT(*) and ``expr AS name``
+        aliases (extensions)."""
         body = item[:-1]  # drop End
+        # Top-level AS alias: split, parse the prefix, wrap.
+        depth = 0
+        for k, tok in enumerate(body):
+            if tok.type is TokenType.OPERATOR and tok.value == "(":
+                depth += 1
+            elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                depth -= 1
+            elif depth == 0 and tok.type is TokenType.KEYWORD and tok.value == "AS":
+                if (
+                    k + 1 >= len(body)
+                    or body[k + 1].type is not TokenType.IDENTIFIER
+                    or k + 2 != len(body)
+                ):
+                    raise ParseError(
+                        f"Expected column alias after AS at line {tok.line} "
+                        f"column {tok.column}"
+                    )
+                inner = self.parse_select_item(
+                    body[:k] + [Token(TokenType.END, "")]
+                )
+                return Alias(inner, body[k + 1].value)
         if body and body[0].type is TokenType.KEYWORD and body[0].value in _AGG_KEYWORDS:
             kw = body[0].value
             over_idx = len(body)
@@ -284,6 +313,10 @@ class _QueryParser:
                 elif depth == 0 and tok.type is TokenType.KEYWORD and tok.value == "OVER":
                     over_idx = k
                     break
+            # The item is a lone AGG(...) [OVER ...] only when the paren
+            # opened right after the keyword closes at over_idx-1; in
+            # anything else (e.g. SUM(a)/COUNT(b)) the aggregate is part
+            # of a larger expression — defer to parse_expression.
             has_paren = (
                 over_idx > 1
                 and body[1].type is TokenType.OPERATOR
@@ -291,11 +324,32 @@ class _QueryParser:
                 and body[over_idx - 1].type is TokenType.OPERATOR
                 and body[over_idx - 1].value == ")"
             )
+            if has_paren:
+                depth2 = 0
+                for k in range(1, over_idx):
+                    tok = body[k]
+                    if tok.type is TokenType.OPERATOR and tok.value == "(":
+                        depth2 += 1
+                    elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                        depth2 -= 1
+                        if depth2 == 0 and k != over_idx - 1:
+                            has_paren = False
+                            break
             if not has_paren:
-                raise ParseError(f"Invalid syntax for {kw} aggregation")
+                if over_idx < len(body):
+                    raise ParseError(f"Invalid syntax for {kw} aggregation")
+                return parse_expression(item)
             inner = body[2 : over_idx - 1] + [Token(TokenType.END, "")]
             agg_type = _AGG_KEYWORDS[kw]
-            inner_expr = parse_expression(inner)
+            if (
+                kw == "COUNT"
+                and len(inner) == 2
+                and inner[0].type is TokenType.OPERATOR
+                and inner[0].value == "*"
+            ):
+                inner_expr: Node = Star()
+            else:
+                inner_expr = parse_expression(inner)
             if over_idx < len(body):
                 return self._parse_window(agg_type, inner_expr, body[over_idx:])
             return Aggregation(agg_type, inner_expr)

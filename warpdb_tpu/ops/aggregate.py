@@ -218,8 +218,19 @@ def distinct_values(values: jax.Array, mask: jax.Array, capacity: int):
     return g.keys[0], g.num_groups
 
 
+def _partition_boundaries(skeys_s: tuple, valid_s: jax.Array) -> jax.Array:
+    """Row-starts-a-new-partition mask over lexicographically sorted keys."""
+    first = jnp.ones(skeys_s[0].shape, jnp.bool_).at[1:].set(False)
+    for sk in skeys_s:
+        first = jnp.logical_or(
+            first,
+            jnp.concatenate([jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]),
+        )
+    return jnp.logical_and(first, valid_s)
+
+
 def window_aggregate(
-    part_keys: jax.Array,
+    part_keys,
     values: jax.Array,
     mask: jax.Array,
     agg: str,
@@ -230,18 +241,26 @@ def window_aggregate(
     Executes what the reference only parses (expression.hpp:112-121
     codegen stub).  Sort-based: group, aggregate, then gather each row's
     partition aggregate back through the inverse permutation.
+    ``part_keys`` may be one f32 array or a tuple (composite partitions).
     """
+    part_keys = _as_key_tuple(part_keys)
     n = values.shape[0]
     valid = mask
-    skey = jnp.where(valid, float_sort_key(part_keys), _U32_MAX)
+    skeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+    )
+    nk = len(skeys)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    skey_s, val_s, idx_s, valid_s = lax.sort(
-        (skey, values, idx, valid.astype(jnp.int32)), num_keys=1, is_stable=True
+    sorted_ops = lax.sort(
+        skeys + (values, idx, valid.astype(jnp.int32)),
+        num_keys=nk,
+        is_stable=True,
     )
-    valid_s = valid_s.astype(jnp.bool_)
-    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), skey_s[1:] != skey_s[:-1]])
-    first = jnp.logical_and(first, valid_s)
+    skeys_s = sorted_ops[:nk]
+    val_s, idx_s = sorted_ops[nk], sorted_ops[nk + 1]
+    valid_s = sorted_ops[nk + 2].astype(jnp.bool_)
+    first = _partition_boundaries(skeys_s, valid_s)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, seg, capacity)
 
@@ -266,7 +285,7 @@ def window_aggregate(
 
 
 def window_running(
-    part_keys: jax.Array,
+    part_keys,
     order_keys: jax.Array,
     values: jax.Array,
     mask: jax.Array,
@@ -277,27 +296,33 @@ def window_running(
     ``AGG(values) OVER (PARTITION BY part ORDER BY ord)`` — each row sees
     the aggregate of all partition rows up to and including itself in
     ``order_keys`` order (ROWS semantics: ties are not merged).
+    ``part_keys`` may be one f32 array or a tuple (composite partitions).
 
-    Sort once by (partition, order key), take a global inclusive scan,
-    subtract each partition's pre-segment base, then scatter back through
-    the inverse permutation.  SUM/COUNT/AVG only (running MIN/MAX needs a
-    segmented min-scan; deliberate v1 limit)."""
+    Sort once by (partition keys…, order key), then a true segmented
+    inclusive scan, then scatter back through the inverse permutation.
+    SUM/COUNT/AVG only (running MIN/MAX needs a segmented min-scan;
+    deliberate v1 limit)."""
     if agg not in ("sum", "count", "avg"):
         raise ValueError(f"Running window aggregate '{agg}' not supported")
+    part_keys = _as_key_tuple(part_keys)
     n = values.shape[0]
     valid = mask
-    pkey = jnp.where(valid, float_sort_key(part_keys), _U32_MAX)
+    pkeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+    )
+    nk = len(pkeys)
     okey = float_sort_key(order_keys)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    pkey_s, okey_s, val_s, idx_s, valid_s = lax.sort(
-        (pkey, okey, values, idx, valid.astype(jnp.int32)),
-        num_keys=2,
+    sorted_ops = lax.sort(
+        pkeys + (okey, values, idx, valid.astype(jnp.int32)),
+        num_keys=nk + 1,
         is_stable=True,
     )
-    valid_s = valid_s.astype(jnp.bool_)
-    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), pkey_s[1:] != pkey_s[:-1]])
-    first = jnp.logical_and(first, valid_s)
+    pkeys_s = sorted_ops[:nk]
+    val_s, idx_s = sorted_ops[nk + 1], sorted_ops[nk + 2]
+    valid_s = sorted_ops[nk + 3].astype(jnp.bool_)
+    first = _partition_boundaries(pkeys_s, valid_s)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, seg, capacity)
 
