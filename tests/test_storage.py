@@ -111,12 +111,19 @@ def test_device_table_padding(data_dir):
     assert (col[4:] == 0).all()
 
 
-def test_device_table_skips_strings():
-    t = HostTable.from_dict({"name": ["a", "b"], "v": np.array([1.0, 2.0], np.float32)})
+def test_device_table_dict_encodes_strings():
+    # Strings are dictionary-encoded onto the device (sorted vocab +
+    # int32 codes) — exceeds the reference, which left device_ptr null.
+    t = HostTable.from_dict({"name": ["b", "a", "b"], "v": np.array([1.0, 2.0, 3.0], np.float32)})
     dt = DeviceTable.from_host(t)
-    assert "name" not in dt.columns       # host-only, like the reference
+    assert "name" in dt.columns
+    assert dt.columns["name"].dtype == np.int32
+    assert dt.dicts["name"].tolist() == ["a", "b"]
+    assert np.asarray(dt.columns["name"])[:3].tolist() == [1, 0, 1]
     assert "name" in dt.dtypes            # still part of the schema
     assert "v" in dt.columns
+    # Stats bound the code range so string GROUP BY rides the dense path.
+    assert dt.stats["name"].min == 0.0 and dt.stats["name"].max == 1.0
 
 
 def test_host_table_slice_concat():

@@ -1,0 +1,139 @@
+"""String column support: dictionary encoding, literal predicates,
+GROUP BY / ORDER BY / DISTINCT on strings, string-key joins.
+
+Exceeds the reference, which declares DataType::String but leaves string
+columns off-device (device_ptr = nullptr, csv_loader.cpp:151-155) so no
+query can touch them.
+"""
+
+import numpy as np
+import pytest
+
+from warpdb_tpu import DataType, WarpDB
+from warpdb_tpu.errors import TokenizeError, ValidationError
+from warpdb_tpu.storage import HostTable
+
+
+@pytest.fixture(scope="module")
+def sdb(tmp_path_factory):
+    p = tmp_path_factory.mktemp("strs") / "sales.csv"
+    p.write_text(
+        "price,quantity,category\n"
+        "10.5,3,toys\n"
+        "20.0,4,books\n"
+        "15.25,2,toys\n"
+        "30.0,5,games\n"
+        "8.0,1,books\n"
+    )
+    schema = [DataType.FLOAT32, DataType.FLOAT32, DataType.STRING]
+    return WarpDB(str(p), schema)
+
+
+def test_dictionary_encoding(sdb):
+    assert "category" in sdb.table.dicts
+    assert sdb.table.dicts["category"].tolist() == ["books", "games", "toys"]
+    # Codes live on device like any numeric column.
+    assert "category" in sdb.table.columns
+
+
+def test_string_equality_filter(sdb):
+    got = sdb.query("price WHERE category == 'toys'")
+    assert got == pytest.approx([10.5, 0.0, 15.25, 0.0, 0.0])
+    got = sdb.query_sql("SELECT price FROM sales WHERE category == 'books'")
+    assert got == pytest.approx([20.0, 8.0])
+    got = sdb.query_sql("SELECT price FROM sales WHERE category != 'toys'")
+    assert got == pytest.approx([20.0, 30.0, 8.0])
+
+
+def test_string_inequality_lexicographic(sdb):
+    # 'books' < 'games' < 'toys'; literal absent from the vocabulary still
+    # ranks correctly ('cars' sits between books and games).
+    got = sdb.query_sql("SELECT price FROM sales WHERE category < 'games'")
+    assert got == pytest.approx([20.0, 8.0])
+    got = sdb.query_sql("SELECT price FROM sales WHERE category > 'cars'")
+    assert got == pytest.approx([10.5, 15.25, 30.0])
+    # Equality against an unknown string matches nothing.
+    assert sdb.query_sql("SELECT price FROM sales WHERE category == 'cars'") == []
+
+
+def test_select_string_column_decodes(sdb):
+    got = sdb.query_sql("SELECT category FROM sales WHERE price > 12")
+    assert got == ["books", "toys", "games"]
+
+
+def test_group_by_string(sdb):
+    out = sdb.query_sql_table(
+        "SELECT category AS cat, SUM(price) AS total, COUNT(*) AS n "
+        "FROM sales GROUP BY category ORDER BY category ASC"
+    )
+    assert out["cat"] == ["books", "games", "toys"]
+    assert out["total"] == pytest.approx([28.0, 30.0, 25.75])
+    assert out["n"] == pytest.approx([2.0, 1.0, 2.0])
+
+
+def test_distinct_string(sdb):
+    got = sdb.query_sql("SELECT DISTINCT category FROM sales")
+    assert got == ["books", "games", "toys"]
+
+
+def test_order_by_string(sdb):
+    got = sdb.query_sql(
+        "SELECT price FROM sales ORDER BY category ASC LIMIT 2"
+    )
+    # books rows first (stable within equal keys): 20.0, 8.0
+    assert got == pytest.approx([20.0, 8.0])
+
+
+def test_string_join_key():
+    left = WarpDB(
+        HostTable.from_dict(
+            {
+                "price": np.array([1.0, 2.0, 3.0], np.float32),
+                "cat": np.array(["a", "b", "c"], object),
+            },
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    right = HostTable.from_dict(
+        # Different vocabulary (extra 'z', missing 'c') — codes must be
+        # translated, not compared raw.
+        {
+            "rate": np.array([10.0, 20.0, 30.0], np.float32),
+            "cat": np.array(["b", "z", "a"], object),
+        },
+        dtypes={"cat": DataType.STRING},
+    )
+    left.register_table("rates", right)
+    out = left.query_sql_table(
+        "SELECT price, rates.rate FROM t JOIN rates ON cat = rates.cat"
+    )
+    pairs = sorted(zip(out["price"], out["rates.rate"]))
+    assert pairs == [(1.0, 30.0), (2.0, 10.0)]
+
+
+def test_string_window_partition(sdb):
+    got = sdb.query_sql(
+        "SELECT SUM(price) OVER (PARTITION BY category) FROM sales"
+    )
+    assert got == pytest.approx([25.75, 28.0, 25.75, 30.0, 28.0])
+
+
+def test_string_errors(sdb):
+    with pytest.raises(ValidationError, match="non-string"):
+        sdb.query_sql("SELECT price FROM sales WHERE price == 'toys'")
+    with pytest.raises(ValidationError, match="comparison"):
+        sdb.query_sql("SELECT price FROM sales WHERE category + 'x' > 1")
+    from warpdb_tpu.errors import ParseError
+
+    with pytest.raises(ParseError, match="Unterminated string"):
+        sdb.query_sql("SELECT price FROM sales WHERE category == 'oops")
+    with pytest.raises(TokenizeError, match="Unterminated string"):
+        from warpdb_tpu.frontend import tokenize
+
+        tokenize("category == 'oops")
+
+
+def test_quote_styles(sdb):
+    a = sdb.query_sql("SELECT price FROM sales WHERE category == 'toys'")
+    b = sdb.query_sql('SELECT price FROM sales WHERE category == "toys"')
+    assert a == b

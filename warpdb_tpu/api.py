@@ -176,6 +176,26 @@ class WarpDB:
             out_rows[0] = len(result)
         return result
 
+    def _maybe_decode(self, item, values: np.ndarray) -> list:
+        """Decode dictionary codes back to strings when the select item is
+        a bare string column (extension: the reference cannot query string
+        columns at all, csv_loader.cpp:151-155)."""
+        from .frontend.ast import Variable, unalias
+        from .storage.strings import decode_codes
+
+        node = unalias(item)
+        if isinstance(node, Variable):
+            vocab = self._table.dicts.get(node.name)
+            if vocab is None:
+                vocab = self._table.dicts.get(node.unqualified)
+            if vocab is None and node.qualifier is not None:
+                t = self._catalog.get(node.qualifier)
+                if t is not None:
+                    vocab = t.dicts.get(node.unqualified)
+            if vocab is not None:
+                return decode_codes(np.asarray(values), vocab)
+        return np.asarray(values).tolist()
+
     # -- SQL path (reference WarpDB::query_sql, warpdb.cpp:297-498) ----------
     def query_sql(self, sql: str) -> list:
         from .engine.executor import run_query
@@ -198,7 +218,7 @@ class WarpDB:
         with timed_query(sql, "sql", self._table.num_rows, scanned) as out_rows:
             result = run_query(ast, self._table, self._catalog, mesh=self._mesh)
             out_rows[0] = len(result)
-        return result.tolist()
+        return self._maybe_decode(ast.select_list[0], result)
 
     def _join_columns(self, ast) -> set:
         out: set = set()
@@ -298,7 +318,10 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     table_names |= {j.table for j in ast.joins}
     validate_query(ast, cols | self._join_columns(ast), table_names)
     result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)
-    return {k: v.tolist() for k, v in result.items()}
+    return {
+        name: self._maybe_decode(item, vals)
+        for item, (name, vals) in zip(ast.select_list, result.items())
+    }
 
 
 WarpDB.query_sql_table = _facade_query_sql_table

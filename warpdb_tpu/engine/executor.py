@@ -33,10 +33,12 @@ from ..frontend.ast import (
     BinaryOp,
     Constant,
     FunctionCall,
+    GroupBy,
     Node,
     OrderBy,
     Query,
     Star,
+    StringLiteral,
     Variable,
     WindowFunction,
     unalias,
@@ -83,6 +85,106 @@ def _broadcast(x: jax.Array, cols: dict) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# String-literal binding (dictionary codes)
+# ---------------------------------------------------------------------------
+
+_CMP_OPS = (">", "<", ">=", "<=", "==", "=", "!=")
+
+
+def _vocab_of(node: Node, table: DeviceTable):
+    if isinstance(node, Variable):
+        v = table.dicts.get(node.name)
+        if v is None:
+            v = table.dicts.get(node.unqualified)
+        return v
+    return None
+
+
+def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
+    """Rewrite string literals into dictionary-code constants against
+    ``table``'s vocabularies.  A literal is only meaningful when compared
+    to a string column; the sorted vocabulary makes every comparison
+    operator order-correct (see storage/strings.py)."""
+    if node is None:
+        return None
+    if isinstance(node, StringLiteral):
+        raise ValidationError(
+            f"String literal {node.canonical()} can only be used in a "
+            "comparison with a string column"
+        )
+    if isinstance(node, Alias):
+        return Alias(bind_strings(node.expr, table), node.name)
+    if isinstance(node, BinaryOp):
+        l, r = node.left, node.right
+        lit = None
+        if isinstance(l, StringLiteral) or isinstance(r, StringLiteral):
+            from ..storage.strings import literal_code
+
+            if node.op not in _CMP_OPS:
+                raise ValidationError(
+                    "String literals only support comparison operators; "
+                    f"got '{node.op}'"
+                )
+            lit, other = (l, r) if isinstance(l, StringLiteral) else (r, l)
+            vocab = _vocab_of(other, table)
+            if vocab is None:
+                raise ValidationError(
+                    f"String literal {lit.canonical()} compared to "
+                    "a non-string expression"
+                )
+            const = Constant(repr(literal_code(vocab, lit.text)))
+            new_l = const if l is lit else bind_strings(l, table)
+            new_r = const if r is lit else bind_strings(r, table)
+            return BinaryOp(node.op, new_l, new_r)
+        return BinaryOp(node.op, bind_strings(l, table), bind_strings(r, table))
+    if isinstance(node, FunctionCall):
+        return FunctionCall(
+            node.name, tuple(bind_strings(a, table) for a in node.args)
+        )
+    if isinstance(node, Aggregation):
+        return Aggregation(node.agg, bind_strings(node.expr, table))
+    if isinstance(node, WindowFunction):
+        return WindowFunction(
+            node.agg,
+            bind_strings(node.expr, table),
+            tuple(bind_strings(p, table) for p in node.partition_by),
+            None
+            if node.order_by is None
+            else OrderBy(
+                bind_strings(node.order_by.expr, table),
+                node.order_by.ascending,
+            ),
+        )
+    return node
+
+
+def _bind_query_strings(query: Query, table: DeviceTable) -> Query:
+    """Bind string literals in every clause (joins are bound separately in
+    ``_materialize_join``, where both tables are known)."""
+    if not any(isinstance(n, StringLiteral) for item in [
+        *query.select_list, query.where, query.having,
+        query.order_by.expr if query.order_by else None,
+        *(query.group_by.keys if query.group_by else ()),
+    ] if item is not None for n in walk(item)):
+        return query
+    import copy as _copy
+
+    q = _copy.copy(query)
+    q.select_list = [bind_strings(s, table) for s in query.select_list]
+    q.where = bind_strings(query.where, table)
+    q.having = bind_strings(query.having, table)
+    if query.order_by is not None:
+        q.order_by = OrderBy(
+            bind_strings(query.order_by.expr, table), query.order_by.ascending
+        )
+    if query.group_by is not None:
+        q.group_by = GroupBy(
+            tuple(bind_strings(k, table) for k in query.group_by.keys)
+        )
+    return q
+
+
+# ---------------------------------------------------------------------------
 # Scalar expression path (WarpDB::query semantics)
 # ---------------------------------------------------------------------------
 
@@ -100,7 +202,9 @@ def run_expression(
     from .compiler import compile_filter_project
     from .optimizer import analyze_condition, fold_constants
 
-    expr = fold_constants(expr)
+    expr = fold_constants(bind_strings(expr, table))
+    if cond is not None:
+        cond = bind_strings(cond, table)
     if cond is not None:
         cond = fold_constants(cond)
         verdict = analyze_condition(cond, table.stats)
@@ -265,8 +369,37 @@ def _materialize_join(
         left_var = a if sa == "left" else b
         right_var = b if sb == "right" else a
 
-    lkey = _as_f32(_resolve_column(left.columns, left_var))
-    rkey = _as_f32(_resolve_column(right.columns, right_var))
+    lkey_raw = _resolve_column(left.columns, left_var)
+    rkey_raw = _resolve_column(right.columns, right_var)
+
+    # String-key equi-join: the two tables have independent dictionaries,
+    # so re-express the build side's codes under the probe side's
+    # vocabulary (strings absent there map to -1: match nothing).
+    lvocab = left.dicts.get(left_var.name) if left.dicts else None
+    if lvocab is None and left.dicts:
+        lvocab = left.dicts.get(left_var.unqualified)
+    rvocab = right.dicts.get(right_var.name) if right.dicts else None
+    if rvocab is None and right.dicts:
+        rvocab = right.dicts.get(right_var.unqualified)
+    if (lvocab is None) != (rvocab is None):
+        raise ValidationError(
+            "JOIN condition compares a string column with a numeric column"
+        )
+    if lvocab is not None:
+        pos = np.searchsorted(lvocab, rvocab)
+        pos = np.clip(pos, 0, max(len(lvocab) - 1, 0))
+        hit = (
+            lvocab[pos] == rvocab
+            if len(lvocab)
+            else np.zeros(len(rvocab), bool)
+        )
+        mapping = np.where(hit, pos, -1).astype(np.int32)
+        rkey_raw = jnp.take(
+            jnp.asarray(mapping), rkey_raw.astype(jnp.int32), mode="clip"
+        )
+
+    lkey = _as_f32(lkey_raw)
+    rkey = _as_f32(rkey_raw)
 
     key = (
         "join_phase1",
@@ -335,7 +468,11 @@ def _materialize_join(
     for name, dt in right.dtypes.items():
         dtypes[f"{right_name}.{name}"] = dt
         dtypes.setdefault(name, dt)
-    return DeviceTable(new_cols, dtypes, total, capacity)
+    dicts = dict(left.dicts)
+    for name, vocab in right.dicts.items():
+        dicts[f"{right_name}.{name}"] = vocab
+        dicts.setdefault(name, vocab)
+    return DeviceTable(new_cols, dtypes, total, capacity, dicts=dicts)
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +509,8 @@ def run_query(
     for join in query.joins:
         right = catalog.get(join.table, table)
         current = _materialize_join(current, right, join.table, join.condition)
+
+    query = _bind_query_strings(query, current)
 
     if not query.select_list:
         raise ExecutionError("Empty SELECT list")
@@ -550,6 +689,7 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     integral_static = key_dtype is not None and key_dtype.value in (
         "int32",
         "int64",
+        "string",  # dictionary codes are int32 by construction
     )
     if not integral_static:
         # Memoise the runtime integrality verdict per table instance so

@@ -22,6 +22,7 @@ from typing import Callable, Iterator, Optional
 __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
+    "StringLiteral",
     "OrderBy", "Join", "GroupBy", "Query",
     "walk", "column_refs", "unalias",
 ]
@@ -109,6 +110,18 @@ class FunctionCall(Node):
 
     def children(self) -> tuple[Node, ...]:
         return self.args
+
+
+@dataclass(frozen=True, repr=False)
+class StringLiteral(Node):
+    """A quoted string literal (``'toys'``) — extension over the reference
+    grammar (its tokenizer has no string form).  Bound to a dictionary
+    code against the queried table at plan-lowering time."""
+
+    text: str
+
+    def canonical(self) -> str:
+        return f"'{self.text}'"
 
 
 @dataclass(frozen=True, repr=False)

@@ -34,6 +34,7 @@ class TokenType(enum.Enum):
     NUMBER = "Number"
     OPERATOR = "Operator"
     KEYWORD = "Keyword"
+    STRING = "String"  # quoted literal — extension over the reference
     END = "End"
 
     # Friendly aliases matching the reference enum spellings so tests can
@@ -42,6 +43,7 @@ class TokenType(enum.Enum):
     Number = NUMBER
     Operator = OPERATOR
     Keyword = KEYWORD
+    String = STRING
     End = END
 
 
@@ -119,6 +121,42 @@ def tokenize(text: str) -> list[Token]:
                 j += 1
             tokens.append(Token(TokenType.NUMBER, text[i:j], start_line, start_col))
             i = j
+            continue
+
+        if c in ("'", '"'):
+            # Quoted string literal (extension; the reference tokenizer,
+            # expression.cpp:22-120, has no string form).  No escapes;
+            # a doubled quote ('' or "") embeds one quote, SQL-style.
+            quote = c
+            start_line, start_col = line, column
+            advance(c)
+            i += 1
+            buf = []
+            closed = False
+            while i < n:
+                ch = text[i]
+                if ch == quote:
+                    if i + 1 < n and text[i + 1] == quote:
+                        buf.append(quote)
+                        advance(ch)
+                        advance(text[i + 1])
+                        i += 2
+                        continue
+                    advance(ch)
+                    i += 1
+                    closed = True
+                    break
+                buf.append(ch)
+                advance(ch)
+                i += 1
+            if not closed:
+                raise TokenizeError(
+                    f"Unterminated string literal at line {start_line} "
+                    f"column {start_col}"
+                )
+            tokens.append(
+                Token(TokenType.STRING, "".join(buf), start_line, start_col)
+            )
             continue
 
         if c in "><=!":

@@ -37,6 +37,7 @@ from .ast import (
     OrderBy,
     Query,
     Star,
+    StringLiteral,
     Variable,
     WindowFunction,
 )
@@ -132,6 +133,9 @@ class _ExprParser:
         if tok.type is TokenType.NUMBER:
             self.advance()
             return Constant(tok.value)
+        if tok.type is TokenType.STRING:
+            self.advance()
+            return StringLiteral(tok.value)
         if tok.type is TokenType.IDENTIFIER:
             self.advance()
             if self.match_op("("):

@@ -1,0 +1,73 @@
+"""Dictionary encoding for string columns.
+
+The reference declares ``DataType::String`` but leaves string columns off
+the device entirely (``device_ptr = nullptr``, csv_loader.cpp:151-155), so
+no query can touch them.  The TPU engine exceeds that: every string column
+is dictionary-encoded at upload into
+
+* a **sorted** host-side vocabulary (``np.ndarray`` of str), and
+* an int32 code column that lives on device like any numeric column.
+
+Because the vocabulary is sorted, code order == lexicographic string
+order, so *every* relational operator works unchanged on the codes:
+``==``/``!=``/``<``/``>`` comparisons against string literals, ORDER BY,
+MIN/MAX, GROUP BY/DISTINCT (codes are small dense ints, so string
+group-bys ride the dense no-sort fast path), window partitions and joins.
+String literals are bound to codes at plan-lowering time
+(``engine.executor._bind_strings``); results that select a bare string
+column are decoded back through the vocabulary at the API boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["encode_strings", "literal_code", "decode_codes", "translate_codes"]
+
+
+def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Factorize ``values`` → (int32 codes, sorted str vocabulary)."""
+    as_str = np.asarray([("" if v is None else str(v)) for v in values])
+    vocab, codes = np.unique(as_str, return_inverse=True)
+    return codes.astype(np.int32), vocab
+
+
+def literal_code(vocab: np.ndarray, text: str) -> float:
+    """Code of ``text`` under ``vocab``.
+
+    For a vocabulary member this is its exact integer code.  For a string
+    not in the vocabulary it returns ``pos - 0.5`` where ``pos`` is the
+    insertion point — a value that equals no code (``==`` matches nothing)
+    yet sits at the literal's correct lexicographic rank, so ``<``/``>``
+    comparisons still order correctly.
+    """
+    pos = int(np.searchsorted(vocab, text))
+    if pos < len(vocab) and vocab[pos] == text:
+        return float(pos)
+    return float(pos) - 0.5
+
+
+def decode_codes(codes: np.ndarray, vocab: np.ndarray) -> list:
+    """Map integer codes (possibly float-typed) back to strings."""
+    idx = np.asarray(codes)
+    idx = np.clip(np.rint(idx).astype(np.int64), 0, max(len(vocab) - 1, 0))
+    if len(vocab) == 0:
+        return [""] * len(idx)
+    return [str(v) for v in vocab[idx]]
+
+
+def translate_codes(
+    codes: np.ndarray, from_vocab: np.ndarray, to_vocab: np.ndarray
+) -> np.ndarray:
+    """Re-express codes under another table's vocabulary (for string-key
+    equi-joins).  Strings absent from ``to_vocab`` map to -1 (matches
+    nothing)."""
+    pos = np.searchsorted(to_vocab, from_vocab)
+    pos = np.clip(pos, 0, max(len(to_vocab) - 1, 0))
+    hit = (
+        to_vocab[pos] == from_vocab
+        if len(to_vocab)
+        else np.zeros(len(from_vocab), bool)
+    )
+    mapping = np.where(hit, pos, -1).astype(np.int32)
+    return mapping[np.asarray(codes, dtype=np.int64)]

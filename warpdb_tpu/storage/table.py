@@ -221,13 +221,15 @@ class DeviceTable:
         padded_rows: int,
         stats: Optional[dict] = None,
         host: Optional[HostTable] = None,
+        dicts: Optional[dict] = None,
     ):
         self.columns = columns          # name -> jax.Array (length padded_rows)
         self.dtypes = dtypes            # name -> DataType
         self.num_rows = num_rows
         self.padded_rows = padded_rows
         self.stats = stats or {}        # name -> ColumnStats
-        self.host = host                # optional host mirror (string cols etc.)
+        self.host = host                # optional host mirror
+        self.dicts = dicts or {}        # name -> sorted str vocabulary
 
     @property
     def column_names(self) -> list[str]:
@@ -253,18 +255,33 @@ class DeviceTable:
         columns = {}
         dtypes = {}
         stats = {}
+        dicts = {}
         for col in host.columns:
             dtypes[col.name] = col.dtype
             stats[col.name] = col.stats
             if not col.dtype.is_numeric:
-                continue  # strings stay host-only (parity: csv_loader.cpp:151-155)
-            buf = np.zeros(padded, dtype=col.data.dtype)
-            buf[:n] = col.data
+                # Dictionary-encode: sorted vocab + int32 codes on device
+                # (exceeds the reference, which left device_ptr null —
+                # csv_loader.cpp:151-155).
+                from .strings import encode_strings
+
+                data, vocab = encode_strings(col.data[:n])
+                dicts[col.name] = vocab
+                stats[col.name] = ColumnStats(
+                    min=0.0, max=float(max(len(vocab) - 1, 0)), null_count=0
+                )
+            else:
+                data = col.data
+            buf = np.zeros(padded, dtype=data.dtype)
+            buf[:n] = data
             arr = jnp.asarray(buf)
             if sharding is not None:
                 arr = jax.device_put(arr, sharding)
             columns[col.name] = arr
-        return cls(columns, dtypes, n, padded, stats, host if keep_host else None)
+        return cls(
+            columns, dtypes, n, padded, stats,
+            host if keep_host else None, dicts,
+        )
 
     def __repr__(self) -> str:
         cols = ", ".join(f"{n}:{t.value}" for n, t in self.dtypes.items())
