@@ -140,14 +140,15 @@ def query_sql(table: dict, query) -> np.ndarray:
                 if hv == 0:
                     continue
             sel_val = eval_group_expr(select, group, table, k, key_canon)
-            order_val = k
+            order_val = (k,)
             if query.order_by is not None:
-                order_val = eval_group_expr(
-                    query.order_by.expr, group, table, k, key_canon
+                order_val = tuple(
+                    eval_group_expr(t.expr, group, table, k, key_canon)
+                    * (1.0 if t.ascending else -1.0)
+                    for t in query.order_by.terms
                 )
             result.append((order_val, np.float32(sel_val)))
-        asc = query.order_by.ascending if query.order_by else True
-        result.sort(key=lambda t: t[0], reverse=not asc)
+        result.sort(key=lambda t: t[0])
         out = np.array([v for _, v in result], dtype=np.float32)
     else:
         if isinstance(select, WindowFunction):
@@ -167,11 +168,11 @@ def query_sql(table: dict, query) -> np.ndarray:
         else:
             out = eval_expr(select, table, n)[rows]
             if query.order_by is not None:
-                okeys = eval_expr(query.order_by.expr, table, n)[rows]
-                order = np.argsort(okeys, kind="stable")
-                if not query.order_by.ascending:
-                    order = order[::-1]
-                out = out[order]
+                keys = []
+                for t in query.order_by.terms:
+                    kv = eval_expr(t.expr, table, n)[rows]
+                    keys.append(kv if t.ascending else -kv)
+                out = out[np.lexsort(tuple(reversed(keys)))]
         if query.distinct:
             out = np.unique(out)
             if query.order_by is not None and not query.order_by.ascending:

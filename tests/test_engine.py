@@ -581,3 +581,46 @@ def test_window_multi_partition():
     got = db.query_sql("SELECT SUM(v) OVER (PARTITION BY a, b) FROM t")
     # partitions: (1,0)->{1,3}=4, (1,1)->{2}=2, (2,1)->{4,6}=10, (2,0)->{5}=5
     assert got == pytest.approx([4.0, 2.0, 4.0, 10.0, 5.0, 10.0])
+
+
+# --- multi-key ORDER BY and SELECT * (extensions) -----------------------------
+
+
+def test_order_by_multi_key():
+    table = {
+        "a": np.array([2.0, 1.0, 2.0, 1.0, 2.0], np.float32),
+        "b": np.array([5.0, 7.0, 3.0, 9.0, 4.0], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    out = db.query_sql_table("SELECT a, b FROM t ORDER BY a ASC, b DESC")
+    assert out["a"] == pytest.approx([1.0, 1.0, 2.0, 2.0, 2.0])
+    assert out["b"] == pytest.approx([9.0, 7.0, 5.0, 4.0, 3.0])
+
+
+def test_order_by_multi_key_vs_oracle(random_db):
+    db, table = random_db
+    sql = "SELECT price FROM t WHERE price > 80 ORDER BY quantity ASC, price DESC"
+    got = np.asarray(db.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_order_by_multi_key_grouped(random_db):
+    db, table = random_db
+    sql = (
+        "SELECT SUM(price) FROM t GROUP BY quantity "
+        "ORDER BY COUNT(*) DESC, quantity ASC LIMIT 5"
+    )
+    got = np.asarray(db.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_select_star(db, test_table):
+    out = db.query_sql_table("SELECT * FROM test WHERE price > 15")
+    assert set(out) == {"price", "quantity"}
+    assert out["price"] == pytest.approx([20.0, 15.25, 30.0])
+    assert out["quantity"] == pytest.approx([4.0, 2.0, 5.0])
+    # query_sql returns the first expanded column.
+    got = db.query_sql("SELECT * FROM test ORDER BY price DESC LIMIT 2")
+    assert got == pytest.approx([30.0, 20.0])

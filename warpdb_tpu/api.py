@@ -212,7 +212,7 @@ class WarpDB:
         validate_query(ast, cols | self._join_columns(ast), table_names)
         scanned = self._bytes_scanned(
             *ast.select_list, ast.where, ast.having,
-            ast.order_by.expr if ast.order_by else None,
+            *(t.expr for t in (ast.order_by.terms if ast.order_by else ())),
             *(ast.group_by.keys if ast.group_by else ()),
         )
         with timed_query(sql, "sql", self._table.num_rows, scanned) as out_rows:
@@ -317,10 +317,13 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     table_names = {self._name, ast.from_table, *self._catalog.keys()}
     table_names |= {j.table for j in ast.joins}
     validate_query(ast, cols | self._join_columns(ast), table_names)
+    from .engine.executor import _expand_stars
+
     result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)
+    select_items = _expand_stars(ast.select_list, self._table)
     return {
         name: self._maybe_decode(item, vals)
-        for item, (name, vals) in zip(ast.select_list, result.items())
+        for item, (name, vals) in zip(select_items, result.items())
     }
 
 

@@ -163,7 +163,7 @@ def _bind_query_strings(query: Query, table: DeviceTable) -> Query:
     ``_materialize_join``, where both tables are known)."""
     if not any(isinstance(n, StringLiteral) for item in [
         *query.select_list, query.where, query.having,
-        query.order_by.expr if query.order_by else None,
+        *(t.expr for t in (query.order_by.terms if query.order_by else ())),
         *(query.group_by.keys if query.group_by else ()),
     ] if item is not None for n in walk(item)):
         return query
@@ -175,7 +175,12 @@ def _bind_query_strings(query: Query, table: DeviceTable) -> Query:
     q.having = bind_strings(query.having, table)
     if query.order_by is not None:
         q.order_by = OrderBy(
-            bind_strings(query.order_by.expr, table), query.order_by.ascending
+            bind_strings(query.order_by.expr, table),
+            query.order_by.ascending,
+            tuple(
+                OrderBy(bind_strings(t.expr, table), t.ascending)
+                for t in query.order_by.then
+            ),
         )
     if query.group_by is not None:
         q.group_by = GroupBy(
@@ -480,6 +485,21 @@ def _materialize_join(
 # ---------------------------------------------------------------------------
 
 
+def _expand_stars(select_list, table: DeviceTable) -> list:
+    """Expand bare ``*`` select items to every (unqualified-addressable)
+    column of ``table``.  Returns the original list object when no
+    expansion is needed."""
+    if not any(isinstance(unalias(s), Star) for s in select_list):
+        return select_list
+    out: list = []
+    for s in select_list:
+        if isinstance(unalias(s), Star):
+            out.extend(Variable(n) for n in table.dtypes if "." not in n)
+        else:
+            out.append(s)
+    return out
+
+
 def run_query(
     query: Query,
     table: DeviceTable,
@@ -509,6 +529,11 @@ def run_query(
     for join in query.joins:
         right = catalog.get(join.table, table)
         current = _materialize_join(current, right, join.table, join.condition)
+
+    expanded = _expand_stars(query.select_list, current)
+    if expanded is not query.select_list:
+        query = _copy.copy(query)
+        query.select_list = expanded
 
     query = _bind_query_strings(query, current)
 
@@ -557,8 +582,10 @@ def _run_grouped_multi(
     (``SELECT quantity, SUM(price), SUM(price)/COUNT(*) …``) — exceeds the
     reference, which required a lone aggregate (warpdb.cpp:350-353)."""
     group_keys = list(query.group_by.keys)
-    order_expr = query.order_by.expr if query.order_by else None
-    specs = _collect_agg_specs([*select_items, query.having, order_expr])
+    order_terms = query.order_by.terms if query.order_by else ()
+    specs = _collect_agg_specs(
+        [*select_items, query.having, *(t.expr for t in order_terms)]
+    )
     # Map each non-COUNT spec to a value column (dedup by expression
     # canonical); COUNT reads the always-produced per-group counts.
     vexpr_canons: list[str] = []
@@ -831,7 +858,6 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
     """Host-side finishing on the ≤G-sized aggregate table: evaluate each
     select item over (keys, aggregates), then HAVING, ORDER BY over
     groups, DISTINCT.  One list entry per select item, row-aligned."""
-    order_expr = query.order_by.expr if query.order_by else None
     num_groups = result.num_groups
     counts = result.counts
     key_arrays = [k for k in result.keys]
@@ -855,13 +881,16 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
 
     order = None
     if query.order_by is not None:
-        order_vals = _group_level_eval(order_expr, key_canon_map, agg_values)
-        order_vals = np.broadcast_to(
-            np.asarray(order_vals, dtype=np.float32), (num_groups,)
-        )[mask]
-        order = np.argsort(order_vals, kind="stable")
-        if not query.order_by.ascending:
-            order = order[::-1]
+        # Multi-term lexicographic sort; descending terms negate their
+        # key (stable within ties, matching Python's reverse=True).
+        keys = []
+        for t in query.order_by.terms:
+            v = _group_level_eval(t.expr, key_canon_map, agg_values)
+            v = np.broadcast_to(
+                np.asarray(v, dtype=np.float32), (num_groups,)
+            )[mask]
+            keys.append(v if t.ascending else -v)
+        order = np.lexsort(tuple(reversed(keys)))
     # Default order is ascending by group key (groups emerge key-sorted).
 
     outs = []
@@ -903,8 +932,13 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
         return _run_global_agg(query, table)
 
     order = query.order_by
+    order_terms = order.terms if order is not None else ()
+    single_term = len(order_terms) == 1
     select_canon = select.canonical()
-    order_canon = order.expr.canonical() if order is not None else ""
+    order_canon = order.canonical() if order is not None else ""
+    same_expr = (
+        single_term and order_terms[0].expr.canonical() == select_canon
+    )
     distinct = query.distinct
 
     # ORDER BY ... LIMIT k on the select expression itself → top-k pull
@@ -912,9 +946,8 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
     # jit.cpp:283-307).
     limit_total = (query.limit or 0) + (query.offset or 0)
     use_topk = (
-        order is not None
+        same_expr
         and not distinct
-        and order_canon == select_canon
         and query.limit is not None
         and 0 < limit_total < table.padded_rows // 2
     )
@@ -925,11 +958,13 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
             schema_signature(cols), udf_mod.registry_version())
 
     def build():
+        from ..ops.sort import sort_by_keys
+
         sel_fn = build_evaluator(select)
         cond_fn = build_evaluator(where) if where is not None else None
-        ord_fn = (
-            build_evaluator(order.expr)
-            if order is not None and order_canon != select_canon
+        ord_fns = (
+            [(build_evaluator(t.expr), t.ascending) for t in order_terms]
+            if order is not None and not same_expr
             else None
         )
 
@@ -946,14 +981,22 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
                 uniq, n_uniq = distinct_values(vals, valid, n_pad)
                 return uniq, None, n_uniq
             if order is not None:
-                if ord_fn is None:
+                if ord_fns is None:
                     if topk_k:
                         out = top_k_values(vals, valid, topk_k, order.ascending)
                     else:
                         out = sort_values(vals, valid, order.ascending)
+                elif single_term:
+                    okeys = _broadcast(_as_f32(ord_fns[0][0](cols)), cols)
+                    _, out, _ = sort_pairs(
+                        okeys, vals, valid, order.ascending
+                    )
                 else:
-                    okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
-                    _, out, _ = sort_pairs(okeys, vals, valid, order.ascending)
+                    keys = [
+                        (_broadcast(_as_f32(f(cols)), cols), asc)
+                        for f, asc in ord_fns
+                    ]
+                    out = sort_by_keys(keys, vals, valid)
                 return out, None, count
             if cond_fn is None:
                 # Dense already: rows [0, num_rows) are the result.
@@ -1100,6 +1143,11 @@ def run_query_table(
 
     if query.distinct and len(query.select_list) > 1:
         raise UnsupportedError("DISTINCT with multiple select items")
+
+    expanded = _expand_stars(query.select_list, table)
+    if expanded is not query.select_list:
+        query = _copy.copy(query)
+        query.select_list = expanded
 
     def out_name(item, i: int, taken) -> str:
         if isinstance(item, Alias):

@@ -221,11 +221,27 @@ class WindowFunction(Node):
 
 @dataclass(frozen=True)
 class OrderBy:
+    """One or more sort terms.  ``expr``/``ascending`` is the primary term
+    (the reference grammar allows exactly one, expression.cpp:474-513);
+    ``then`` holds additional ``ORDER BY a, b DESC, …`` tie-breaker terms
+    (extension)."""
+
     expr: Node
     ascending: bool = True
+    then: tuple["OrderBy", ...] = ()
+
+    @property
+    def terms(self) -> tuple["OrderBy", ...]:
+        """All (expr, ascending) terms, primary first, each with empty
+        ``then``."""
+        head = self if not self.then else OrderBy(self.expr, self.ascending)
+        return (head, *self.then)
 
     def canonical(self) -> str:
-        return f"{self.expr.canonical()} {'ASC' if self.ascending else 'DESC'}"
+        out = f"{self.expr.canonical()} {'ASC' if self.ascending else 'DESC'}"
+        for t in self.then:
+            out += f", {t.canonical()}"
+        return out
 
 
 @dataclass(frozen=True)

@@ -284,6 +284,13 @@ class _QueryParser:
         (reference expression.cpp:296-337), COUNT(*) and ``expr AS name``
         aliases (extensions)."""
         body = item[:-1]  # drop End
+        # Bare `*` select item (extension): expands to every column.
+        if (
+            len(body) == 1
+            and body[0].type is TokenType.OPERATOR
+            and body[0].value == "*"
+        ):
+            return Star()
         # Top-level AS alias: split, parse the prefix, wrap.
         depth = 0
         for k, tok in enumerate(body):
@@ -484,12 +491,25 @@ class _QueryParser:
         if self.at_kw("ORDER"):
             self.pos += 1
             self.expect_kw("BY")
-            ord_toks = self.slice_until("ASC", "DESC", "LIMIT", "OFFSET")
-            asc = True
-            if self.at_kw("ASC", "DESC"):
-                asc = self.toks[self.pos].value == "ASC"
-                self.pos += 1
-            q.order_by = OrderBy(parse_expression(ord_toks), asc)
+            terms: list[OrderBy] = []
+            while True:
+                ord_toks = self.slice_until(
+                    "ASC", "DESC", "LIMIT", "OFFSET", stop_on_comma=True
+                )
+                asc = True
+                if self.at_kw("ASC", "DESC"):
+                    asc = self.toks[self.pos].value == "ASC"
+                    self.pos += 1
+                terms.append(OrderBy(parse_expression(ord_toks), asc))
+                # Comma-separated tie-breaker terms (extension; the
+                # reference allows exactly one ORDER BY expression).
+                if self.at_op(","):
+                    self.pos += 1
+                    continue
+                break
+            q.order_by = OrderBy(
+                terms[0].expr, terms[0].ascending, tuple(terms[1:])
+            )
 
         # LIMIT / OFFSET in either order (reference intent; its own test
         # sql_features_test.cpp:33 writes "OFFSET 1 LIMIT 2").

@@ -63,4 +63,5 @@ def validate_query(
             check(key, "GROUP BY")
     check(query.having, "HAVING clause")
     if query.order_by is not None:
-        check(query.order_by.expr, "ORDER BY")
+        for term in query.order_by.terms:
+            check(term.expr, "ORDER BY")
