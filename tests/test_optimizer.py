@@ -96,3 +96,42 @@ def test_unknown_verdict_still_filters():
     db = WarpDB("data/test.csv")
     res = db.query("price WHERE price > 15")
     assert res == pytest.approx([0.0, 20.0, 15.25, 30.0])
+
+
+# --- EXPLAIN (plan introspection; observability beyond the reference) ---------
+
+
+def test_explain_sql_dense_group(data_dir):
+    from warpdb_tpu import WarpDB
+
+    db = WarpDB(str(data_dir / "test.csv"))
+    plan = db.explain(
+        "SELECT SUM(price), COUNT(*) FROM test WHERE price > 5 "
+        "GROUP BY quantity ORDER BY SUM(price) DESC LIMIT 3"
+    )
+    assert "always true -> dropped" in plan
+    assert "DENSE integer-key aggregation" in plan
+    assert "COUNT(*)" in plan and "SUM(price[idx])" in plan
+    assert "host lexsort over groups" in plan
+
+
+def test_explain_topk_and_expression(data_dir):
+    from warpdb_tpu import WarpDB
+
+    db = WarpDB(str(data_dir / "test.csv"))
+    plan = db.explain("SELECT price FROM test ORDER BY price DESC LIMIT 5")
+    assert "two-stage top-k" in plan
+    plan2 = db.explain("price WHERE price > 1000")
+    assert "always false -> scan skipped" in plan2
+    plan3 = db.explain("price * quantity WHERE price > 15")
+    assert "fused into kernel" in plan3
+
+
+def test_explain_does_not_execute(data_dir):
+    from warpdb_tpu import WarpDB
+    from warpdb_tpu.engine.compiler import cache_stats
+
+    db = WarpDB(str(data_dir / "test.csv"))
+    before = cache_stats()["misses"]
+    db.explain("SELECT SUM(price) FROM test GROUP BY quantity")
+    assert cache_stats()["misses"] == before  # no kernel was built

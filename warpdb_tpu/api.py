@@ -231,6 +231,25 @@ class WarpDB:
                 out |= {f"{j.table}.{c}" for c in self._table.dtypes.keys()}
         return out
 
+    def explain(self, query: str) -> str:
+        """Physical-plan description without executing (observability
+        beyond the reference; SURVEY.md §5).  Accepts either a SQL
+        statement or a ``"<expr> [WHERE cond]"`` expression."""
+        from .engine.explain import explain_expression, explain_query
+
+        if query.strip().upper().startswith("SELECT"):
+            try:
+                ast = parse_query(tokenize(query))
+            except (ParseError, TokenizeError) as e:
+                raise ParseError(f"Failed to parse SQL: {e}") from None
+            cols = set(self._table.dtypes.keys())
+            table_names = {self._name, ast.from_table, *self._catalog.keys()}
+            table_names |= {j.table for j in ast.joins}
+            validate_query(ast, cols | self._join_columns(ast), table_names)
+            return explain_query(ast, self._table, self._catalog, mesh=self._mesh)
+        expr_ast, cond_ast = self._parse_expr_query(query)
+        return explain_expression(self._table, expr_ast, cond_ast)
+
     # -- multi-device path (reference query_multi_gpu, warpdb.cpp:508-542) --
     def query_sharded(self, expr: str, mesh=None) -> list:
         """Evaluate an expression across all local devices via a 1-D data

@@ -1,0 +1,209 @@
+"""EXPLAIN: human-readable physical-plan description.
+
+Observability beyond the reference (whose only introspection was
+``std::cout`` result dumps, SURVEY.md §5).  ``explain_query`` runs the
+same plan decisions as the executor — stats verdicts, dense-vs-sorted
+GROUP BY selection, top-k eligibility, distribution strategy — without
+touching the device, and renders them as an indented plan tree.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..config import get_config
+from ..frontend.ast import (
+    Aggregation,
+    Query,
+    Star,
+    StringLiteral,
+    Variable,
+    WindowFunction,
+    unalias,
+    walk,
+)
+from ..storage.table import DeviceTable
+
+__all__ = ["explain_query", "explain_expression"]
+
+
+def _fmt(node) -> str:
+    return node.canonical()
+
+
+def explain_expression(table: DeviceTable, expr, cond) -> str:
+    from .optimizer import analyze_condition, fold_constants
+
+    lines = ["Expression plan (fused filter+projection, one XLA program):"]
+    expr = fold_constants(expr)
+    lines.append(f"  project: {_fmt(expr)}")
+    if cond is not None:
+        verdict = analyze_condition(fold_constants(cond), table.stats)
+        if verdict is False:
+            lines.append(
+                f"  filter:  {_fmt(cond)}  [stats: always false -> scan skipped]"
+            )
+        elif verdict is True:
+            lines.append(
+                f"  filter:  {_fmt(cond)}  [stats: always true -> dropped from kernel]"
+            )
+        else:
+            lines.append(f"  filter:  {_fmt(cond)}  [fused into kernel]")
+    lines.append(
+        f"  scan: {table.num_rows} rows (padded {table.padded_rows}), "
+        f"columns on device"
+    )
+    return "\n".join(lines)
+
+
+def explain_query(
+    query: Query,
+    table: DeviceTable,
+    catalog: Optional[dict] = None,
+    mesh=None,
+) -> str:
+    from .executor import _expand_stars
+    from .optimizer import analyze_condition, expr_range, fold_constants
+
+    cfg = get_config()
+    catalog = catalog or {}
+    lines = [f"Plan for: {query.canonical()}"]
+
+    current = table
+    for join in query.joins:
+        right = catalog.get(join.table, table)
+        lines.append(
+            f"  join: inner equi-join with '{join.table}' on "
+            f"{_fmt(join.condition)} "
+            f"[two-phase: match-count -> pow2 capacity -> gather; "
+            f"build side {right.num_rows} rows]"
+        )
+
+    select_items = [unalias(s) for s in _expand_stars(query.select_list, current)]
+
+    verdict = None
+    if query.where is not None:
+        verdict = analyze_condition(fold_constants(query.where), current.stats)
+        tag = {True: "always true -> dropped", False: "always false -> empty result",
+               None: "fused into kernel"}[verdict]
+        lines.append(f"  where: {_fmt(query.where)}  [stats: {tag}]")
+
+    uses_strings = any(
+        isinstance(n, StringLiteral)
+        for item in select_items + [query.where, query.having]
+        if item is not None
+        for n in walk(item)
+    )
+    if uses_strings or current.dicts:
+        dict_cols = ", ".join(sorted(current.dicts)) or "-"
+        lines.append(
+            f"  strings: dictionary-encoded columns [{dict_cols}]; literals "
+            "bind to codes at lowering"
+        )
+
+    if query.group_by is not None:
+        keys = ", ".join(_fmt(k) for k in query.group_by.keys)
+        lines.append(f"  group by: {keys}")
+        if mesh is not None and getattr(mesh.devices, "size", 1) > 1:
+            rng = (
+                expr_range(query.group_by.keys[0], current.stats)
+                if len(query.group_by.keys) == 1
+                else None
+            )
+            small = rng is not None and (
+                rng[1] - rng[0] + 1
+            ) <= cfg.distributed_small_keys
+            if small:
+                lines.append(
+                    f"    strategy: DISTRIBUTED shard_map partial aggregation "
+                    f"+ all_gather merge ({mesh.devices.size} devices; "
+                    f"key range {int(rng[0])}..{int(rng[1])})"
+                )
+            else:
+                lines.append(
+                    f"    strategy: DISTRIBUTED all-to-all hash shuffle "
+                    f"({mesh.devices.size} devices)"
+                )
+        elif len(query.group_by.keys) == 1:
+            rng = expr_range(query.group_by.keys[0], current.stats)
+            slots = None if rng is None else int(rng[1]) - int(rng[0]) + 1
+            if slots is not None and slots <= cfg.dense_group_max_slots:
+                lines.append(
+                    f"    strategy: DENSE integer-key aggregation "
+                    f"({slots} slots, stats-bounded; no sort, no scatter — "
+                    "fused VPU compare-reduce)"
+                )
+            else:
+                lines.append(
+                    "    strategy: SORTED segmented aggregation "
+                    "(radix-sortable keys -> lax.sort -> segment reduce)"
+                )
+        else:
+            lines.append(
+                "    strategy: SORTED segmented aggregation (composite keys)"
+            )
+        aggs = {
+            n.canonical()
+            for item in select_items + [query.having] + [
+                t.expr for t in (query.order_by.terms if query.order_by else ())
+            ]
+            if item is not None
+            for n in walk(item)
+            if isinstance(n, Aggregation)
+        }
+        lines.append(f"    aggregates (one pass): {', '.join(sorted(aggs)) or '-'}")
+        if query.having is not None:
+            lines.append(
+                f"  having: {_fmt(query.having)}  [host, over <=G aggregate table]"
+            )
+    elif select_items and isinstance(select_items[0], WindowFunction):
+        w = select_items[0]
+        kind = "running (segmented scan)" if w.order_by else "partition broadcast"
+        lines.append(f"  window: {_fmt(w)}  [{kind}]")
+    elif select_items and isinstance(select_items[0], Aggregation):
+        lines.append(
+            f"  global aggregate: {_fmt(select_items[0])}  [single fused reduction]"
+        )
+    else:
+        lines.append(
+            f"  project: {', '.join(_fmt(s) for s in select_items)}"
+        )
+
+    if query.order_by is not None:
+        terms = ", ".join(
+            f"{_fmt(t.expr)} {'ASC' if t.ascending else 'DESC'}"
+            for t in query.order_by.terms
+        )
+        limit_total = (query.limit or 0) + (query.offset or 0)
+        single = len(query.order_by.terms) == 1
+        same = (
+            single
+            and select_items
+            and query.order_by.expr.canonical() == select_items[0].canonical()
+        )
+        if (
+            query.group_by is None
+            and same
+            and not query.distinct
+            and query.limit is not None
+            and 0 < limit_total < current.padded_rows // 2
+        ):
+            lines.append(
+                f"  order by: {terms}  [two-stage top-k pull, k~{limit_total}]"
+            )
+        elif query.group_by is not None:
+            lines.append(f"  order by: {terms}  [host lexsort over groups]")
+        else:
+            lines.append(f"  order by: {terms}  [device stable multi-key sort]")
+    if query.distinct:
+        lines.append("  distinct: sort-unique on device")
+    if query.offset is not None or query.limit is not None:
+        lines.append(
+            f"  offset/limit: offset={query.offset or 0} limit={query.limit}"
+            "  [host-side, after sort]"
+        )
+    lines.append(
+        f"  scan: {current.num_rows} rows (padded {current.padded_rows}); "
+        "kernel cached by canonical plan"
+    )
+    return "\n".join(lines)
