@@ -209,3 +209,83 @@ def test_distributed_join_duplicates(mesh):
     assert (out["right.w"][out["k"] == 3.0] == 30.0).all()
     w2 = np.sort(out["right.w"][out["k"] == 2.0])
     assert (w2[:200] == 10.0).all() and (w2[200:] == 20.0).all()
+
+
+def test_combine_shuffle_skew_proof(mesh):
+    """Map-side combine: a pathologically hot key (90% of rows) must not
+    overflow exchange buckets — each shard sends one partial per key."""
+    from warpdb_tpu.frontend import parse_expression_text
+    from warpdb_tpu.parallel.shuffle import combine_shuffle_grouped
+    from warpdb_tpu.parallel.sharded import shard_table
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    k = np.where(
+        rng.uniform(size=n) < 0.9, 7.0, rng.integers(0, 5000, n)
+    ).astype(np.float32)
+    table = {
+        "price": rng.uniform(0, 10, n).astype(np.float32),
+        "k": k,
+    }
+    dt = shard_table(HostTable.from_dict(table), mesh)
+    res = combine_shuffle_grouped(
+        parse_expression_text("k"),
+        [parse_expression_text("price")],
+        None,
+        dt,
+        mesh=mesh,
+    )
+    assert res is not None  # combine fits: no fallback needed
+    uniq = np.sort(np.unique(k))
+    np.testing.assert_allclose(res.keys, uniq)
+    want_counts = np.array([(k == u).sum() for u in uniq])
+    np.testing.assert_array_equal(res.counts, want_counts)
+    want_sums = np.array(
+        [table["price"][k == u].sum() for u in uniq], np.float64
+    )
+    np.testing.assert_allclose(res.sums[0], want_sums, rtol=1e-4)
+
+
+def test_combine_shuffle_fallback_high_cardinality(mesh):
+    """Distinct keys above the combine capacity → returns None so the
+    caller falls back to the row shuffle."""
+    from warpdb_tpu.frontend import parse_expression_text
+    from warpdb_tpu.parallel.shuffle import combine_shuffle_grouped
+    from warpdb_tpu.parallel.sharded import shard_table
+
+    rng = np.random.default_rng(6)
+    n = 20_000
+    table = {
+        "price": rng.uniform(0, 10, n).astype(np.float32),
+        "k": np.arange(n, dtype=np.float32),  # all distinct
+    }
+    dt = shard_table(HostTable.from_dict(table), mesh)
+    res = combine_shuffle_grouped(
+        parse_expression_text("k"),
+        [parse_expression_text("price")],
+        None,
+        dt,
+        mesh=mesh,
+        local_cap=512,
+        group_cap=512,
+    )
+    assert res is None
+
+
+def test_query_sql_distributed_combine_min_max(mesh):
+    """MIN/MAX merge correctly through partial combine."""
+    rng = np.random.default_rng(14)
+    n = 25_000
+    table = {
+        "price": rng.uniform(-5, 10, n).astype(np.float32),
+        "k": rng.integers(0, 6_000, n).astype(np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table), mesh=mesh)
+    got = np.asarray(
+        db.query_sql("SELECT MIN(price) FROM t GROUP BY k ORDER BY k ASC")
+    )
+    uniq = np.sort(np.unique(table["k"]))
+    want = np.array(
+        [table["price"][table["k"] == u].min() for u in uniq], np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)

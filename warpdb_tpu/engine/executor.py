@@ -670,7 +670,19 @@ def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):
             ng,
         )
 
-    res = shuffle_grouped(key_expr, vexpr_nodes, query.where, table, mesh=mesh)
+    # Skew-proof map-side combine first: a hot key sends at most one
+    # partial per shard, so data skew cannot overflow an exchange bucket.
+    from ..parallel.shuffle import combine_shuffle_grouped
+
+    res = combine_shuffle_grouped(
+        key_expr, vexpr_nodes, query.where, table, mesh=mesh
+    )
+    if res is None:
+        # Per-shard distinct keys exceeded the combine capacity (very
+        # high cardinality): exchange raw rows instead.
+        res = shuffle_grouped(
+            key_expr, vexpr_nodes, query.where, table, mesh=mesh
+        )
     return _HostGroupResult(
         (res.keys,),
         res.counts,

@@ -21,8 +21,17 @@ Per shard, inside ``shard_map``:
 
 Bucket overflow (data skew) is detected on device and surfaced; the
 driver retries with a doubled capacity — the standard two-phase
-static-shape protocol.  Skew mitigation beyond retry (key salting for
-pathological single-key skew) is a documented follow-up.
+static-shape protocol.
+
+**Skew-proof combine-then-shuffle** (``combine_shuffle_grouped``): when
+the per-shard distinct-key count fits a local capacity, each shard first
+pre-aggregates (map-side combine) and shuffles *partials* instead of
+rows.  A hot key then contributes at most ONE partial row per shard, so
+pathological single-key skew cannot overflow a bucket, and ICI traffic
+is bounded by capacity·n_dev regardless of row distribution.  The
+executor tries this first and falls back to the row shuffle when local
+pre-aggregation overflows (very high cardinality — exactly the regime
+where skew is rare).
 """
 
 from __future__ import annotations
@@ -49,7 +58,11 @@ from ..storage.table import DeviceTable
 from .mesh import DATA_AXIS, data_mesh
 from .sharded import _ensure_sharded
 
-__all__ = ["shuffle_grouped", "ShuffleGroupResult"]
+__all__ = [
+    "shuffle_grouped",
+    "combine_shuffle_grouped",
+    "ShuffleGroupResult",
+]
 
 # Knuth multiplicative hash over the order-preserving key bits.
 _HASH_MULT = jnp.uint32(2654435761)
@@ -141,6 +154,195 @@ def _shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap):
     return body
 
 
+def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
+                            group_cap):
+    """Per-shard body: local pre-aggregate (map-side combine), then
+    shuffle ≤local_cap partial rows by key hash, then merge partials."""
+    nv = len(val_fns)
+
+    def body(cols, num_rows):
+        some = next(iter(cols.values()))
+        n_local = some.shape[0]
+        shard_id = lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        rows = shard_id * n_local + jnp.arange(n_local, dtype=jnp.int32)
+        valid = rows < num_rows
+        if cond_fn is not None:
+            valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+        keys = jnp.broadcast_to(_as_f32(key_fn(cols)), (n_local,))
+        vals = tuple(
+            jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in val_fns
+        )
+
+        # 1. Map-side combine: one partial row per local distinct key.
+        local = group_aggregate(keys, vals, valid, local_cap)
+        local_overflow = local.num_groups > local_cap
+        pkeys = local.keys[0]
+        slot_ids = jnp.arange(local_cap, dtype=jnp.int32)
+        pvalid = slot_ids < jnp.minimum(local.num_groups, local_cap)
+
+        # Payload per partial: count + (sum, min, max) per value column.
+        payload = [local.counts.astype(jnp.float32)]
+        for v in local.values:
+            payload.extend((v.sums, v.mins, v.maxs))
+
+        # 2. Destination by key hash; bucketize.  send_cap == local_cap,
+        #    so a bucket can never overflow (skew-proof by construction).
+        kbits = float_sort_key(pkeys)
+        dest = ((kbits * _HASH_MULT) >> jnp.uint32(16)).astype(jnp.int32) % n_dev
+        dest = jnp.where(pvalid, dest, n_dev)
+        order = lax.sort(
+            (dest, jnp.arange(local_cap, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )[1]
+        dest_sorted = dest[order]
+        counts = jnp.zeros((n_dev + 1,), jnp.int32).at[dest_sorted].add(
+            1, mode="drop"
+        )[:n_dev]
+        starts = jnp.cumsum(counts) - counts
+        slot = jnp.arange(local_cap, dtype=jnp.int32)
+        src = jnp.clip(starts[:, None] + slot[None, :], 0, local_cap - 1)
+        send_valid = slot[None, :] < counts[:, None]
+        row_idx = order[src]
+
+        send_keys = jnp.where(send_valid, pkeys[row_idx], 0.0)
+        send_payload = [jnp.where(send_valid, p[row_idx], 0.0) for p in payload]
+
+        # 3. ICI exchange.
+        recv_keys = lax.all_to_all(send_keys, DATA_AXIS, 0, 0, tiled=False)
+        recv_valid = lax.all_to_all(
+            send_valid.astype(jnp.int32), DATA_AXIS, 0, 0, tiled=False
+        ).astype(jnp.bool_)
+        recv_payload = [
+            lax.all_to_all(p, DATA_AXIS, 0, 0, tiled=False)
+            for p in send_payload
+        ]
+
+        flat_keys = recv_keys.reshape(-1)
+        flat_valid = recv_valid.reshape(-1)
+        flat_payload = tuple(p.reshape(-1) for p in recv_payload)
+
+        # 4. Merge partials: counts/sums add, mins/maxs fold.
+        g = group_aggregate(flat_keys, flat_payload, flat_valid, group_cap)
+        merged_counts = g.values[0].sums.astype(jnp.int32)
+        merged_vals = tuple(
+            (
+                g.values[1 + 3 * i].sums,   # sum of partial sums
+                g.values[2 + 3 * i].mins,   # min of partial mins
+                g.values[3 + 3 * i].maxs,   # max of partial maxs
+            )
+            for i in range(nv)
+        )
+        overflow = jnp.logical_or(local_overflow, g.num_groups > group_cap)
+        out_vals = tuple(
+            (s[None], mn[None], mx[None]) for s, mn, mx in merged_vals
+        )
+        return (
+            g.keys[0][None],
+            merged_counts[None],
+            out_vals,
+            g.num_groups[None],
+            overflow[None],
+        )
+
+    return body
+
+
+def combine_shuffle_grouped(
+    key_expr,
+    value_exprs,
+    cond,
+    table: DeviceTable,
+    mesh=None,
+    local_cap: int = 16384,
+    group_cap: Optional[int] = None,
+) -> Optional[ShuffleGroupResult]:
+    """Skew-proof distributed GROUP BY: map-side combine, then an
+    all-to-all exchange of ≤``local_cap`` partial rows per shard.
+
+    Returns None when per-shard distinct keys exceed ``local_cap``
+    (caller falls back to the row shuffle)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        mesh = data_mesh()
+    n_dev = int(mesh.devices.size)
+    table = _ensure_sharded(table, mesh) if n_dev > 1 else table
+    if group_cap is None:
+        group_cap = local_cap  # each device owns ~G/n_dev keys; generous
+
+    val_canons = tuple(v.canonical() for v in value_exprs)
+    for attempt in range(2):
+        key = (
+            "combine_shuffle_group", key_expr.canonical(), val_canons,
+            cond.canonical() if cond is not None else "",
+            schema_signature(table.columns), n_dev, local_cap, group_cap,
+            udf_mod.registry_version(),
+        )
+
+        def build():
+            key_fn = build_evaluator(key_expr)
+            val_fns = [build_evaluator(v) for v in value_exprs]
+            cond_fn = build_evaluator(cond) if cond is not None else None
+            body = _combine_shuffle_kernel(
+                key_fn, val_fns, cond_fn, n_dev, local_cap, group_cap
+            )
+            fn = shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS), P()),
+                out_specs=(
+                    P(DATA_AXIS), P(DATA_AXIS),
+                    tuple(
+                        (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+                        for _ in value_exprs
+                    ),
+                    P(DATA_AXIS), P(DATA_AXIS),
+                ),
+                check_vma=False,
+            )
+            return jax.jit(fn)
+
+        keys_s, counts_s, vals_s, ngroups_s, overflow_s = jax.device_get(
+            get_or_compile(key, build)(
+                table.columns, jnp.int32(table.num_rows)
+            )
+        )
+        if bool(np.any(overflow_s)):
+            if attempt == 0 and group_cap < local_cap * n_dev:
+                group_cap *= 2
+                continue
+            return None  # local pre-agg overflowed: fall back to row shuffle
+
+        return _merge_shard_tables(
+            keys_s, counts_s, vals_s, ngroups_s, n_dev, len(value_exprs)
+        )
+    return None
+
+
+def _merge_shard_tables(keys_s, counts_s, vals_s, ngroups_s, n_dev, nv):
+    """Concatenate per-shard disjoint group tables, sorted by key."""
+    keys_list, counts_list = [], []
+    sums_list, mins_list, maxs_list = [], [], []
+    for d in range(n_dev):
+        ng = int(ngroups_s[d])
+        keys_list.append(keys_s[d, :ng])
+        counts_list.append(counts_s[d, :ng])
+        sums_list.append(np.stack([vals_s[i][0][d, :ng] for i in range(nv)]))
+        mins_list.append(np.stack([vals_s[i][1][d, :ng] for i in range(nv)]))
+        maxs_list.append(np.stack([vals_s[i][2][d, :ng] for i in range(nv)]))
+    keys = np.concatenate(keys_list)
+    counts = np.concatenate(counts_list)
+    sums = np.concatenate(sums_list, axis=1)
+    mins = np.concatenate(mins_list, axis=1)
+    maxs = np.concatenate(maxs_list, axis=1)
+    order = np.argsort(keys, kind="stable")
+    return ShuffleGroupResult(
+        keys[order], counts[order],
+        sums[:, order], mins[:, order], maxs[:, order],
+    )
+
+
 def shuffle_grouped(
     key_expr,
     value_exprs,
@@ -211,27 +413,8 @@ def shuffle_grouped(
             continue
 
         # Merge per-shard disjoint key ranges on host (≤ G rows).
-        keys_list, counts_list = [], []
-        sums_list, mins_list, maxs_list = [], [], []
-        for d in range(n_dev):
-            ng = int(ngroups_s[d])
-            keys_list.append(keys_s[d, :ng])
-            counts_list.append(counts_s[d, :ng])
-            sums_list.append(np.stack([vals_s[i][0][d, :ng]
-                                       for i in range(len(value_exprs))]))
-            mins_list.append(np.stack([vals_s[i][1][d, :ng]
-                                       for i in range(len(value_exprs))]))
-            maxs_list.append(np.stack([vals_s[i][2][d, :ng]
-                                       for i in range(len(value_exprs))]))
-        keys = np.concatenate(keys_list)
-        counts = np.concatenate(counts_list)
-        sums = np.concatenate(sums_list, axis=1)
-        mins = np.concatenate(mins_list, axis=1)
-        maxs = np.concatenate(maxs_list, axis=1)
-        order = np.argsort(keys, kind="stable")
-        return ShuffleGroupResult(
-            keys[order], counts[order],
-            sums[:, order], mins[:, order], maxs[:, order],
+        return _merge_shard_tables(
+            keys_s, counts_s, vals_s, ngroups_s, n_dev, len(value_exprs)
         )
     raise ExecutionError(
         "shuffle_grouped: bucket overflow persisted after retries "
