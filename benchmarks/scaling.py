@@ -44,7 +44,10 @@ def main() -> None:
     from warpdb_tpu.frontend import parse_expression_text
     from warpdb_tpu.parallel.mesh import data_mesh
     from warpdb_tpu.parallel.sharded import run_expression_sharded, shard_table
-    from warpdb_tpu.parallel.shuffle import shuffle_grouped
+    from warpdb_tpu.parallel.shuffle import (
+        combine_shuffle_grouped,
+        shuffle_grouped,
+    )
     from warpdb_tpu.storage import HostTable
 
     n = args.rows
@@ -62,8 +65,11 @@ def main() -> None:
 
     total = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= total]
-    report = {"rows": n, "keys": args.keys, "scan": {}, "shuffle_group": {}}
-    base_scan = base_group = None
+    report = {
+        "rows": n, "keys": args.keys,
+        "scan": {}, "shuffle_group": {}, "combine_group": {},
+    }
+    base_scan = base_group = base_combine = None
 
     for s in sizes:
         mesh = data_mesh(s)
@@ -82,10 +88,14 @@ def main() -> None:
         t_group = timed(
             lambda: shuffle_grouped(key, vals, None, table, mesh=mesh)
         )
+        t_combine = timed(
+            lambda: combine_shuffle_grouped(key, vals, None, table, mesh=mesh)
+        )
         scan_rps = n / t_scan
         group_rps = n / t_group
+        combine_rps = n / t_combine
         if s == 1:
-            base_scan, base_group = scan_rps, group_rps
+            base_scan, base_group, base_combine = scan_rps, group_rps, combine_rps
         report["scan"][s] = {
             "rows_per_s": round(scan_rps),
             "per_device": round(scan_rps / s),
@@ -95,6 +105,11 @@ def main() -> None:
             "rows_per_s": round(group_rps),
             "per_device": round(group_rps / s),
             "efficiency": round(group_rps / (base_group * s), 3),
+        }
+        report["combine_group"][s] = {
+            "rows_per_s": round(combine_rps),
+            "per_device": round(combine_rps / s),
+            "efficiency": round(combine_rps / (base_combine * s), 3),
         }
 
     print(json.dumps(report, indent=2))
