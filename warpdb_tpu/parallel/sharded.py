@@ -59,12 +59,17 @@ def run_expression_sharded(
     expr: Node,
     cond: Optional[Node],
     mesh=None,
+    device_out: bool = False,
 ) -> np.ndarray:
     """Fused filter+projection over a row-sharded table.
 
     If the table isn't sharded yet it is re-laid-out across the mesh
     first (one host→HBM transfer per device, the analogue of the
-    reference's per-device upload loop — but issued in parallel)."""
+    reference's per-device upload loop — but issued in parallel).
+
+    ``device_out=True`` returns the (padded) device array without
+    blocking on the device→host copy — the streaming path uses this to
+    overlap chunk k+1's parse/upload with chunk k's compute."""
     if mesh is None:
         mesh = data_mesh()
     if mesh.devices.size > 1:
@@ -96,6 +101,8 @@ def run_expression_sharded(
         return kernel
 
     out = get_or_compile(key, build)(table.columns, jnp.int32(table.num_rows))
+    if device_out:
+        return out  # async: caller slices to num_rows after transfer
     return np.asarray(out)[: table.num_rows]
 
 

@@ -60,13 +60,32 @@ def run_streaming_csv(
     if cond_ast is not None:
         validate_expression(cond_ast, columns)
 
+    # Bounded in-flight window: dispatch runs ahead of the device and the
+    # device→host copies, so chunk k+1's CSV parse + upload overlap chunk
+    # k's compute (true double buffering; the reference was strictly
+    # sequential, warpdb.cpp:580-587).  The window bounds HBM residency
+    # so datasets larger than device memory still stream.
+    max_in_flight = 2
+    in_flight: list = []  # (device_array, num_rows)
     pieces: list[np.ndarray] = []
+
+    def drain_one() -> None:
+        dev, n_rows = in_flight.pop(0)
+        pieces.append(np.asarray(dev)[:n_rows])
+
     for chunk in iter_csv_chunks(csv_path, rows_per_chunk, schema):
         if mesh.devices.size > 1:
             dt = shard_table(chunk, mesh)
         else:
             dt = DeviceTable.from_host(chunk, keep_host=False)
-        pieces.append(run_expression_sharded(dt, expr_ast, cond_ast, mesh=mesh))
+        out = run_expression_sharded(
+            dt, expr_ast, cond_ast, mesh=mesh, device_out=True
+        )
+        in_flight.append((out, dt.num_rows))
+        if len(in_flight) > max_in_flight:
+            drain_one()
+    while in_flight:
+        drain_one()
     if not pieces:
         return np.zeros(0, dtype=np.float32)
     return np.concatenate(pieces)
