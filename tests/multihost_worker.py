@@ -1,0 +1,72 @@
+"""Worker for the real multi-process test (launched by test_multihost.py).
+
+Each process joins a jax.distributed job over loopback with 2 virtual CPU
+devices (4 global devices across 2 processes), ingests only its
+host_shard_range slice, assembles the global table, and runs the
+distributed GROUP BY.  Results are replicated, so every process checks
+them against the full-table oracle independently.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    proc_id = int(sys.argv[1])
+    nprocs = int(sys.argv[2])
+    port = sys.argv[3]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 2 * nprocs
+
+    from warpdb_tpu.frontend import parse_expression_text
+    from warpdb_tpu.parallel import multihost
+    from warpdb_tpu.parallel.sharded import run_grouped_sharded
+    from warpdb_tpu.storage import HostTable
+
+    mesh = multihost.global_mesh()
+    total = 6000
+    rng = np.random.default_rng(0)  # same data derivable on every host
+    price = rng.uniform(0, 100, total).astype(np.float32)
+    k = rng.integers(0, 16, total).astype(np.float32)
+
+    start, end = multihost.host_shard_range(total)
+    local = HostTable.from_dict({"price": price[start:end], "k": k[start:end]})
+    table = multihost.make_global_table(local, total, mesh)
+
+    keys = [parse_expression_text("k")]
+    vals = [parse_expression_text("price")]
+    cond = parse_expression_text("price > 50")
+    out_keys, out_counts, out_vals, num_groups = run_grouped_sharded(
+        keys, vals, cond, table, capacity=32, mesh=mesh
+    )
+    ng = int(num_groups)
+
+    mask = price > 50
+    uniq = np.sort(np.unique(k[mask]))
+    assert ng == len(uniq), (ng, len(uniq))
+    got_keys = np.asarray(out_keys[0])[:ng]
+    np.testing.assert_allclose(got_keys, uniq)
+    want_counts = np.array([(k[mask] == u).sum() for u in uniq])
+    np.testing.assert_array_equal(np.asarray(out_counts)[:ng], want_counts)
+    want_sums = np.array([price[mask][k[mask] == u].sum() for u in uniq])
+    np.testing.assert_allclose(
+        np.asarray(out_vals[0][0])[:ng], want_sums, rtol=1e-4
+    )
+
+    print(f"proc {proc_id}: OK ({ng} groups over {nprocs} processes)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,6 +38,7 @@ __all__ = [
     "initialize",
     "is_multiprocess",
     "global_mesh",
+    "plan_global_layout",
     "host_shard_range",
     "load_csv_host_shard",
     "make_global_table",
@@ -82,13 +83,35 @@ def global_mesh():
     return Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
 
 
-def host_shard_range(n_rows: int) -> tuple[int, int]:
-    """Contiguous [start, end) row range owned by this process."""
+def plan_global_layout(n_rows: int) -> tuple[int, int]:
+    """(global padded length, rows-per-host stride) for a job-wide table.
+
+    The stride equals the per-host padded buffer length so that every
+    real row's global position equals its global row id — real rows stay
+    the contiguous prefix ``[0, n_rows)`` of the padded global array and
+    the engine's scalar ``num_rows`` validity mask remains exact.  The
+    cost is tail-only imbalance: at most one lane-alignment quantum
+    (≤ pad/p rows) shifts to earlier hosts, negligible at multi-host
+    data sizes."""
     import jax
 
-    p = jax.process_count()
+    p = max(jax.process_count(), 1)
+    n_dev = max(len(jax.devices()), 1)
+    pad = padded_length(n_rows, max(1024, 128 * n_dev))
+    while pad % (n_dev * p):
+        pad *= 2
+    return pad, pad // p
+
+
+def host_shard_range(n_rows: int) -> tuple[int, int]:
+    """Contiguous [start, end) row range owned by this process.
+
+    Aligned to the padded global layout (see ``plan_global_layout``) so
+    per-host buffers concatenate into a globally-contiguous row prefix."""
+    import jax
+
     i = jax.process_index()
-    per = -(-n_rows // p)
+    _, per = plan_global_layout(n_rows)
     return min(i * per, n_rows), min((i + 1) * per, n_rows)
 
 
@@ -117,26 +140,33 @@ def load_csv_host_shard(path: str, schema=None) -> tuple[HostTable, int]:
 
 def make_global_table(local: HostTable, total_rows: int, mesh) -> DeviceTable:
     """Assemble a globally row-sharded DeviceTable from this host's local
-    rows (every process calls this with its own slice)."""
+    rows (every process calls this with its own ``host_shard_range``
+    slice).  Real rows occupy the contiguous global prefix
+    ``[0, total_rows)`` by construction (``plan_global_layout``), so the
+    engine's scalar validity mask is exact.
+
+    String columns are skipped here (a globally consistent dictionary
+    needs a vocabulary exchange across processes — documented follow-up;
+    single-host tables dictionary-encode them fully)."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_dev = mesh.devices.size
-    pad = padded_length(total_rows, max(1024, 128 * n_dev))
-    while pad % n_dev:
-        pad *= 2
+    pad, local_pad = plan_global_layout(total_rows)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     columns = {}
     dtypes = {}
     stats = {}
-    local_pad = pad // jax.process_count()
     for col in local.columns:
         dtypes[col.name] = col.dtype
         stats[col.name] = col.stats
         if not col.dtype.is_numeric:
             continue
+        if len(col.data) > local_pad:
+            raise ValueError(
+                f"host slice has {len(col.data)} rows > stride {local_pad}; "
+                "slice with host_shard_range"
+            )
         buf = np.zeros(local_pad, dtype=col.data.dtype)
         buf[: len(col.data)] = col.data
         arr = jax.make_array_from_process_local_data(sharding, buf, (pad,))
