@@ -624,3 +624,24 @@ def test_select_star(db, test_table):
     # query_sql returns the first expanded column.
     got = db.query_sql("SELECT * FROM test ORDER BY price DESC LIMIT 2")
     assert got == pytest.approx([30.0, 20.0])
+
+
+def test_dense_group_large_int_keys_exact():
+    # Integer keys beyond 2^24 with a small range: f32 would round ids to
+    # multiples of 4 at 2^25 and merge adjacent groups; the dense path
+    # must group on the raw ints.
+    base = 1 << 25
+    n = 4096
+    rng = np.random.default_rng(3)
+    ids = (base + rng.integers(0, 8, n)).astype(np.int32)
+    price = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"id": ids, "price": price}))
+    got = db.query_sql_table(
+        "SELECT COUNT(*) AS n, SUM(price) AS s FROM t GROUP BY id ORDER BY id ASC"
+    )
+    uniq = np.sort(np.unique(ids))
+    assert len(got["n"]) == len(uniq) == 8
+    want_counts = [(ids == u).sum() for u in uniq]
+    assert got["n"] == pytest.approx(want_counts)
+    want_sums = [float(price[ids == u].sum()) for u in uniq]
+    assert got["s"] == pytest.approx(want_sums, rel=1e-5)

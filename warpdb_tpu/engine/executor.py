@@ -765,7 +765,21 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
             udf_mod.registry_version())
 
     def build_dense():
-        key_fn = build_evaluator(key_expr)
+        # Bare integer/string-code key columns feed the kernel as raw
+        # ints: routing them through f32 would corrupt group ids for
+        # values beyond 2^24 (e.g. large int64 ids with a small range).
+        if isinstance(key_expr, Variable) and integral_static:
+            kname, kuname = key_expr.name, key_expr.unqualified
+
+            def key_fn(cols):
+                arr = cols.get(kname)
+                if arr is None:
+                    arr = cols.get(kuname)
+                return arr
+
+        else:
+            inner = build_evaluator(key_expr)
+            key_fn = lambda cols: _as_f32(inner(cols))
         val_fns = [build_evaluator(v) for v in vexpr_nodes]
         cond_fn = build_evaluator(query.where) if query.where is not None else None
 
@@ -774,7 +788,7 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            keys = _broadcast(_as_f32(key_fn(cols)), cols)
+            keys = _broadcast(key_fn(cols), cols)
             vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
             return dense_group_aggregate(
                 keys, vals, valid, base, num_slots, need

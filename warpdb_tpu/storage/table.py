@@ -272,6 +272,17 @@ class DeviceTable:
                 )
             else:
                 data = col.data
+                if data.dtype == np.int64 and n:
+                    lo, hi = int(data[:n].min()), int(data[:n].max())
+                    if lo < -(2**31) or hi > 2**31 - 1:
+                        import warnings
+
+                        warnings.warn(
+                            f"int64 column '{col.name}' exceeds int32 range "
+                            "and will be truncated on device (JAX x64 is "
+                            "disabled by default)",
+                            stacklevel=2,
+                        )
             buf = np.zeros(padded, dtype=data.dtype)
             buf[:n] = data
             arr = jnp.asarray(buf)
