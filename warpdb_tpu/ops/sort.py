@@ -89,12 +89,27 @@ def top_k_values(values: jax.Array, mask: jax.Array, k: int, ascending: bool):
     # Work in descending-priority space: u's k largest are the answer.
     u = -v if ascending else v
     n = u.shape[0]
-    # Stage 1: block-parallel candidate selection.  Block size tuned on
-    # v5e: XLA's TopK cost is dominated by per-row overhead, so few wide
-    # rows beat many narrow ones — ~N/128 rows of ~128-256K elements is
-    # the measured optimum (2.4x over 8K blocks at N=2^25), clamped so
-    # stage 2 stays trivial.
-    if n >= (1 << 16) and k <= 1024:
+    # Stage 1: candidate selection.
+    #
+    # On TPU, the streaming Pallas kernel (ops/pallas_topk.py) makes one
+    # HBM-bound pass keeping a per-lane top-k in VMEM — measured 10.6x
+    # over the XLA two-stage pull at N=2^25, k=16 on v5e (0.41 ms,
+    # ~82 Grows/s).  Falls back to blocked lax.top_k off-TPU or for
+    # shapes the kernel doesn't cover (block size tuned on v5e: XLA's
+    # TopK cost is per-row-overhead dominated, so few wide rows win).
+    staged = False
+    if n >= (1 << 20) and 1 < k <= 128:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from .pallas_topk import LANES, pallas_topk_candidates
+
+            for tile_rows in (256, 128, 64, 32, 16, 8):
+                if n % (tile_rows * LANES) == 0:
+                    u = pallas_topk_candidates(u, k, tile_rows).reshape(-1)
+                    staged = True
+                    break
+    if not staged and n >= (1 << 16) and k <= 1024:
         block = 1 << max(13, min(18, (n // 128).bit_length() - 1))
         while block < 8 * k:
             block *= 2
