@@ -29,9 +29,16 @@ def main(argv=None) -> int:
     parser.add_argument("--demo", action="store_true",
                         help="run the full demo pipeline before the query "
                              "(mirrors the reference CLI, main.cu:120-385)")
+    parser.add_argument("--explain", action="store_true",
+                        help="print the physical plan instead of executing")
     args = parser.parse_args(argv)
 
     from . import WarpDB
+
+    if args.explain:
+        db = WarpDB(args.data_file)
+        print(db.explain(args.query))
+        return 0
 
     if args.demo:
         _run_demo(args.data_file)
