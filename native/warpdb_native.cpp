@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <future>
+#include <memory>
 #include <string>
 #include <thread>
 #include <vector>
@@ -261,6 +263,109 @@ long long wdb_csv_parse_f32(const char *path, int num_columns,
   if (bad.load()) return -2;  // malformed cell
   return total;
 }
+
+// ---------------------------------------------------------------------------
+// Streaming chunked CSV reader with background prefetch.
+//
+// Replaces the reference's load_csv_chunk loop (csv_loader.cpp:186-223 —
+// which also re-ate a "header" per chunk) for the out-of-core path:
+// while the caller uploads/computes chunk k, a worker thread parses
+// chunk k+1 from the mmap.  Plain C ABI:
+//   wdb_csv_stream_open(path, ncols, rows_per_chunk) -> handle | NULL
+//   wdb_csv_stream_next(handle, out[ncols*rows_per_chunk]) -> rows
+//       (0 = EOF, -2 = malformed cell)
+//   wdb_csv_stream_close(handle)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CsvStream {
+  MappedFile mf;
+  int ncols = 0;
+  int64_t chunk_rows = 0;
+  size_t pos = 0;  // next unparsed byte (owned by the worker task)
+  // Prefetch state: the future produces (rows, buffer, new_pos, bad).
+  struct Chunk {
+    int64_t rows = 0;
+    std::vector<float> data;  // column-major [ncols][chunk_rows]
+    size_t next_pos = 0;
+    bool bad = false;
+  };
+  std::future<Chunk> pending;
+
+  Chunk parse_next(size_t from) {
+    Chunk out;
+    out.next_pos = from;
+    out.data.assign(static_cast<size_t>(ncols) *
+                        static_cast<size_t>(chunk_rows),
+                    0.0f);
+    if (from >= mf.size) return out;
+    const char *p = mf.data + from;
+    const char *end = mf.data + mf.size;
+    // Find the byte range holding the next chunk_rows non-blank lines.
+    const char *q = p;
+    int64_t rows = 0;
+    while (q < end && rows < chunk_rows) {
+      const char *nl = static_cast<const char *>(memchr(q, '\n', end - q));
+      const char *line_end = nl ? nl : end;
+      if (line_end > q) ++rows;  // skip blank lines
+      q = nl ? nl + 1 : end;
+    }
+    std::atomic<bool> bad(false);
+    parse_range(p, q, ncols, 0, chunk_rows, out.data.data(), &bad);
+    out.rows = rows;
+    out.bad = bad.load();
+    out.next_pos = static_cast<size_t>(q - mf.data);
+    return out;
+  }
+
+  void start_prefetch() {
+    size_t from = pos;
+    pending = std::async(std::launch::async,
+                         [this, from] { return parse_next(from); });
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *wdb_csv_stream_open(const char *path, int num_columns,
+                          long long rows_per_chunk) {
+  if (num_columns <= 0 || rows_per_chunk <= 0) return nullptr;
+  auto stream = std::make_unique<CsvStream>();
+  if (!stream->mf.open_file(path)) return nullptr;
+  stream->ncols = num_columns;
+  stream->chunk_rows = rows_per_chunk;
+  stream->pos = stream->mf.size ? body_offset(stream->mf) : 0;
+  stream->start_prefetch();
+  return stream.release();
+}
+
+long long wdb_csv_stream_next(void *handle, float *out) {
+  if (!handle || !out) return -1;
+  auto *stream = static_cast<CsvStream *>(handle);
+  if (!stream->pending.valid()) return 0;
+  CsvStream::Chunk chunk = stream->pending.get();
+  if (chunk.bad) return -2;
+  stream->pos = chunk.next_pos;
+  if (chunk.rows > 0) {
+    memcpy(out, chunk.data.data(),
+           sizeof(float) * static_cast<size_t>(stream->ncols) *
+               static_cast<size_t>(stream->chunk_rows));
+    if (stream->pos < stream->mf.size) stream->start_prefetch();
+  }
+  return chunk.rows;
+}
+
+void wdb_csv_stream_close(void *handle) {
+  auto *stream = static_cast<CsvStream *>(handle);
+  if (!stream) return;
+  if (stream->pending.valid()) stream->pending.wait();
+  delete stream;
+}
+
+}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // Arrow C Data Interface export (capability of arrow_utils.cpp:37-94).

@@ -83,3 +83,53 @@ def test_native_arrow_export_shm():
     with open("/dev/shm/warpdb_result", "rb") as f:
         raw = np.frombuffer(f.read(8), dtype=np.float32)
     np.testing.assert_allclose(raw, vals)
+
+
+def test_native_stream_chunks(tmp_path):
+    from warpdb_tpu.interchange import native as native_mod
+
+    if native_mod.load_native() is None:
+        pytest.skip("native library not built")
+    path = tmp_path / "s.csv"
+    lines = ["a,b"] + [f"{i},{i * 2}" for i in range(10)]
+    path.write_text("\n".join(lines) + "\n")
+    chunks = list(native_mod.iter_csv_chunks_native(str(path), 2, 3))
+    assert [c.shape[1] for c in chunks] == [3, 3, 3, 1]
+    all_a = np.concatenate([c[0] for c in chunks])
+    np.testing.assert_allclose(all_a, np.arange(10, dtype=np.float32))
+    all_b = np.concatenate([c[1] for c in chunks])
+    np.testing.assert_allclose(all_b, 2 * np.arange(10, dtype=np.float32))
+
+
+def test_native_stream_via_iter_csv_chunks(tmp_path):
+    # iter_csv_chunks routes through the native stream for f32 schemas
+    # and must produce the same HostTables as the Python path.
+    from warpdb_tpu.interchange import native as native_mod
+    from warpdb_tpu.storage.csv import iter_csv_chunks
+
+    if native_mod.load_native() is None:
+        pytest.skip("native library not built")
+    path = tmp_path / "s2.csv"
+    n = 5000
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, (n, 2))
+    body = "\n".join(f"{a:.4f},{b:.4f}" for a, b in vals)
+    path.write_text("x,y\n" + body + "\n")
+    chunks = list(iter_csv_chunks(str(path), 1024))
+    assert sum(c.num_rows for c in chunks) == n
+    got = np.concatenate([c.get_column("x").data for c in chunks])
+    want = np.asarray([float(f"{a:.4f}") for a in vals[:, 0]], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_native_stream_malformed(tmp_path):
+    from warpdb_tpu.errors import WarpDBError
+    from warpdb_tpu.interchange import native as native_mod
+    from warpdb_tpu.storage.csv import iter_csv_chunks
+
+    if native_mod.load_native() is None:
+        pytest.skip("native library not built")
+    path = tmp_path / "bad.csv"
+    path.write_text("a,b\n1,2\nxx,4\n")
+    with pytest.raises(WarpDBError, match="Malformed"):
+        list(iter_csv_chunks(str(path), 10))

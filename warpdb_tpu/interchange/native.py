@@ -63,6 +63,16 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_float),    # column-major output [col][row]
         ctypes.c_int,                      # num_threads
     ]
+    lib.wdb_csv_stream_open.restype = ctypes.c_void_p
+    lib.wdb_csv_stream_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong,
+    ]
+    lib.wdb_csv_stream_next.restype = ctypes.c_longlong
+    lib.wdb_csv_stream_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.wdb_csv_stream_close.restype = None
+    lib.wdb_csv_stream_close.argtypes = [ctypes.c_void_p]
     lib.wdb_export_arrow.restype = ctypes.c_int
     lib.wdb_export_arrow.argtypes = [
         ctypes.POINTER(ctypes.c_float),    # data
@@ -97,3 +107,36 @@ def csv_parse_f32(path: str, num_columns: int, num_threads: int = 0):
     if parsed < 0:
         return None
     return [np.ascontiguousarray(buf[i, :parsed]) for i in range(num_columns)]
+
+
+def iter_csv_chunks_native(path: str, num_columns: int, rows_per_chunk: int):
+    """Generator over (num_columns, chunk_rows) float32 chunk arrays via
+    the native prefetching stream (chunk k+1 parses on a worker thread
+    while the caller consumes chunk k).  Yields nothing (and callers
+    fall back) when the library is missing; raises on malformed cells.
+    """
+    lib = load_native()
+    if lib is None:
+        return
+    handle = lib.wdb_csv_stream_open(
+        os.fsencode(path), num_columns, rows_per_chunk
+    )
+    if not handle:
+        raise OSError(f"Unable to open file: {path}")
+    try:
+        while True:
+            buf = np.empty((num_columns, rows_per_chunk), dtype=np.float32)
+            rows = lib.wdb_csv_stream_next(
+                handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+            if rows == 0:
+                return
+            if rows < 0:
+                raise ValueError(f"Malformed CSV cell in {path}")
+            yield buf[:, : int(rows)]
+    finally:
+        lib.wdb_csv_stream_close(handle)
+
+
+def has_native_stream() -> bool:
+    return load_native() is not None

@@ -164,6 +164,27 @@ def iter_csv_chunks(
     if max_rows <= 0:
         raise WarpDBError("rows_per_chunk must be positive")
     own = isinstance(path_or_stream, (str, os.PathLike))
+
+    # Native prefetching stream (all-f32 schemas, real files): the next
+    # chunk parses on a C++ worker thread while this one is consumed.
+    if own and os.path.exists(path_or_stream):
+        names = read_header(path_or_stream)
+        types = _resolve_schema(names, schema)
+        if all(t is DataType.FLOAT32 for t in types):
+            from ..interchange import native as native_mod
+
+            if native_mod.has_native_stream():
+                try:
+                    for chunk in native_mod.iter_csv_chunks_native(
+                        str(path_or_stream), len(names), max_rows
+                    ):
+                        yield _columns_from_arrays(
+                            names, types, [chunk[i] for i in range(len(names))]
+                        )
+                    return
+                except ValueError as e:
+                    raise WarpDBError(str(e)) from None
+
     stream = open(path_or_stream, "r") if own else path_or_stream
     try:
         header_line = stream.readline()
