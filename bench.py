@@ -59,6 +59,8 @@ def _make_table(n: int) -> dict:
     return {
         "price": rng.uniform(0.0, 100.0, n).astype(np.float32),
         "quantity": rng.integers(0, GROUP_SLOTS, n).astype(np.float32),
+        # High-cardinality key for the breadth extras (sorted group path).
+        "k": rng.integers(0, 1 << 16, n).astype(np.float32),
     }
 
 
@@ -194,6 +196,34 @@ def main() -> None:
     for name, sql in SQL_QUERIES:
         dt = _time(lambda s=sql: db.query_sql(s))
         extras[f"e2e_{name}_rows_per_s"] = round(EXPR_ROWS / dt)
+
+    # --- breadth extras (outside the geomean; e2e wall incl. transfer) ---------
+    rng = np.random.default_rng(7)
+    rates = HostTable.from_dict(
+        {
+            "quantity": np.arange(GROUP_SLOTS, dtype=np.float32),
+            "rate": rng.uniform(0.0, 1.0, GROUP_SLOTS).astype(np.float32),
+        }
+    )
+    db.register_table("rates", rates)
+    breadth = {
+        "e2e_join": (
+            "SELECT price FROM t JOIN rates ON quantity = rates.quantity "
+            "WHERE rates.rate > 0.5 ORDER BY price DESC LIMIT 5"
+        ),
+        "e2e_window": (
+            "SELECT SUM(price) OVER (PARTITION BY quantity) FROM t "
+            "WHERE price > 99.5"
+        ),
+        "e2e_distinct": "SELECT DISTINCT quantity FROM t",
+        "e2e_group_highcard": "SELECT SUM(price) FROM t GROUP BY k LIMIT 5",
+    }
+    for name, sql in breadth.items():
+        try:
+            dt = _time(lambda s=sql: db.query_sql(s))
+            extras[f"{name}_rows_per_s"] = round(EXPR_ROWS / dt)
+        except Exception as e:  # never fail the whole bench on an extra
+            extras[f"{name}_error"] = str(e)[:120]
 
     # --- NumPy oracle baseline ---------------------------------------------------
     sys.path.insert(0, "tests")

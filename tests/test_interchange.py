@@ -68,3 +68,38 @@ def test_cli_sql(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Result[0] = " in out
+
+
+def test_struct_array_export(data_dir):
+    import pyarrow as pa
+
+    from warpdb_tpu import WarpDB
+
+    db = WarpDB(str(data_dir / "test.csv"))
+    rb = db.query_record_batch(
+        "SELECT quantity AS q, SUM(price) AS total, COUNT(*) AS n "
+        "FROM test GROUP BY quantity ORDER BY quantity ASC"
+    )
+    assert rb.num_rows == 4
+    assert rb.schema.names == ["q", "total", "n"]
+    assert rb.column("q").to_pylist() == [2.0, 3.0, 4.0, 5.0]
+    assert rb.column("total").to_pylist() == pytest.approx(
+        [15.25, 10.5, 20.0, 30.0]
+    )
+
+
+def test_struct_array_export_strings(tmp_path):
+    import pyarrow as pa
+
+    from warpdb_tpu import DataType, WarpDB
+
+    p = tmp_path / "s.csv"
+    p.write_text("price,category\n10.5,toys\n20.0,books\n15.25,toys\n")
+    db = WarpDB(str(p), [DataType.FLOAT32, DataType.STRING])
+    rb = db.query_record_batch(
+        "SELECT category AS cat, SUM(price) AS total FROM s "
+        "GROUP BY category ORDER BY category ASC"
+    )
+    assert rb.column("cat").to_pylist() == ["books", "toys"]
+    assert rb.column("total").to_pylist() == pytest.approx([20.0, 25.75])
+    assert pa.types.is_string(rb.schema.field("cat").type)

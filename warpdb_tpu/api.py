@@ -294,6 +294,34 @@ class WarpDB:
         values = self.query_np(expr)
         return export_to_arrow_capsules(values, use_shared_memory=shared_memory)
 
+    def query_arrow_table(self, sql: str):
+        """Run :meth:`query_sql_table` and export every result column as
+        one Arrow **struct array** through the C Data Interface —
+        ``(array_capsule, schema_capsule)`` for
+        ``pa.Array._import_from_c`` / ``pa.RecordBatch.from_struct_array``.
+        Exceeds the reference (single-f32-vector export)."""
+        from .interchange.arrow_export import export_table_to_arrow_capsules
+
+        out = self.query_sql_table(sql)
+        columns = {
+            name: vals
+            if (vals and isinstance(vals[0], str))
+            else np.asarray(vals, dtype=np.float32)
+            for name, vals in out.items()
+        }
+        return export_table_to_arrow_capsules(columns)
+
+    def query_record_batch(self, sql: str):
+        """Convenience: result of :meth:`query_arrow_table` as a
+        ``pyarrow.RecordBatch``."""
+        import pyarrow as pa
+
+        arr_c, schema_c = self.query_arrow_table(sql)
+        struct = pa.Array._import_from_c(
+            _capsule_address(arr_c), _capsule_address(schema_c)
+        )
+        return pa.RecordBatch.from_struct_array(struct)
+
     def query_arrow_array(self, expr: str):
         """Convenience: result as a ``pyarrow.Array`` (zero extra copy)."""
         import pyarrow as pa

@@ -26,7 +26,11 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["export_to_arrow_capsules", "SHM_NAME"]
+__all__ = [
+    "export_to_arrow_capsules",
+    "export_table_to_arrow_capsules",
+    "SHM_NAME",
+]
 
 SHM_NAME = "/warpdb_result"
 
@@ -199,6 +203,191 @@ def export_to_arrow_capsules(values: np.ndarray, use_shared_memory: bool = False
     return (
         _make_capsule(ctypes.addressof(arr), b"arrow_array"),
         _make_capsule(ctypes.addressof(schema), b"arrow_schema"),
+    )
+
+
+def _noop_array_release(payload_parts: list):
+    """A real (non-NULL) release callback for child arrays — the C ABI
+    marks released structs with a NULL release pointer, so children need
+    live callbacks even though the parent's release owns all memory."""
+
+    def _rel(ptr):
+        if ptr:
+            ptr.contents.release = _ARRAY_RELEASE_T()
+
+    cb = _ARRAY_RELEASE_T(_rel)
+    payload_parts.append(cb)
+    return cb
+
+
+def _noop_schema_release(payload_parts: list):
+    def _rel(ptr):
+        if ptr:
+            ptr.contents.release = _SCHEMA_RELEASE_T()
+
+    cb = _SCHEMA_RELEASE_T(_rel)
+    payload_parts.append(cb)
+    return cb
+
+
+def _child_float(values: np.ndarray, payload_parts: list):
+    """Build a float32 child ArrowArray struct (memory owned by the
+    parent's payload; the child's release is a kept-alive no-op)."""
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    payload_parts.append(values)
+    child = ArrowArrayStruct()
+    child.length = len(values)
+    child.null_count = 0
+    child.offset = 0
+    child.n_buffers = 2
+    child.n_children = 0
+    buffers = (ctypes.c_void_p * 2)(None, values.ctypes.data)
+    payload_parts.append(buffers)
+    child.buffers = buffers
+    child.children = None
+    child.dictionary = None
+    child.release = _noop_array_release(payload_parts)
+    return child
+
+
+def _child_utf8(strings: list, payload_parts: list):
+    """Build a utf8 child ArrowArray (int32 offsets + data buffer)."""
+    raw = [("" if s is None else str(s)).encode("utf-8") for s in strings]
+    offsets = np.zeros(len(raw) + 1, dtype=np.int32)
+    np.cumsum([len(b) for b in raw], out=offsets[1:])
+    data = b"".join(raw) or b"\x00"
+    data_buf = ctypes.create_string_buffer(data, len(data))
+    payload_parts.extend((offsets, data_buf))
+    child = ArrowArrayStruct()
+    child.length = len(raw)
+    child.null_count = 0
+    child.offset = 0
+    child.n_buffers = 3
+    child.n_children = 0
+    buffers = (ctypes.c_void_p * 3)(
+        None, offsets.ctypes.data, ctypes.addressof(data_buf)
+    )
+    payload_parts.append(buffers)
+    child.buffers = buffers
+    child.children = None
+    child.dictionary = None
+    child.release = _noop_array_release(payload_parts)
+    return child
+
+
+def _child_schema(name: bytes, fmt: bytes, payload_parts: list):
+    s = ArrowSchemaStruct()
+    fmt_p = ctypes.c_char_p(fmt)
+    name_p = ctypes.c_char_p(name)
+    payload_parts.extend((fmt_p, name_p))
+    s.format = fmt_p
+    s.name = name_p
+    s.metadata = None
+    s.flags = ARROW_FLAG_NULLABLE
+    s.n_children = 0
+    s.children = None
+    s.dictionary = None
+    s.release = _noop_schema_release(payload_parts)
+    return s
+
+
+def export_table_to_arrow_capsules(columns: dict):
+    """Export named result columns as one Arrow **struct array**
+    (record-batch compatible: ``pa.RecordBatch.from_struct_array``).
+
+    float columns export as ``f``; lists of Python strings as ``u``
+    (utf8).  Exceeds the reference, whose export was a single f32 vector
+    (arrow_utils.cpp:37-94)."""
+    parts: list = []
+    child_arrays = []
+    child_schemas = []
+    n_rows = None
+    for name, values in columns.items():
+        if isinstance(values, np.ndarray) and values.dtype.kind == "f":
+            child_arrays.append(_child_float(values, parts))
+            child_schemas.append(
+                _child_schema(name.encode(), b"f", parts)
+            )
+        elif (
+            isinstance(values, (list, tuple))
+            and values
+            and isinstance(values[0], str)
+        ):
+            child_arrays.append(_child_utf8(list(values), parts))
+            child_schemas.append(_child_schema(name.encode(), b"u", parts))
+        else:
+            child_arrays.append(
+                _child_float(np.asarray(values, dtype=np.float32), parts)
+            )
+            child_schemas.append(_child_schema(name.encode(), b"f", parts))
+        length = child_arrays[-1].length
+        if n_rows is None:
+            n_rows = length
+        elif n_rows != length:
+            raise ValueError("ragged result columns")
+
+    nc = len(child_arrays)
+    arr_ptrs = (ctypes.POINTER(ArrowArrayStruct) * nc)(
+        *[ctypes.pointer(a) for a in child_arrays]
+    )
+    schema_ptrs = (ctypes.POINTER(ArrowSchemaStruct) * nc)(
+        *[ctypes.pointer(s) for s in child_schemas]
+    )
+    parts.extend((child_arrays, child_schemas, arr_ptrs, schema_ptrs))
+
+    parent = ArrowArrayStruct()
+    parent.length = n_rows or 0
+    parent.null_count = 0
+    parent.offset = 0
+    parent.n_buffers = 1
+    parent.n_children = nc
+    pbuffers = (ctypes.c_void_p * 1)(None)
+    parts.append(pbuffers)
+    parent.buffers = pbuffers
+    parent.children = arr_ptrs
+    parent.dictionary = None
+
+    token = 0
+
+    def _release_array(ptr):
+        _release_entry(token)
+        if ptr:
+            ptr.contents.release = _ARRAY_RELEASE_T()
+
+    release_cb = _ARRAY_RELEASE_T(_release_array)
+    parent.release = release_cb
+    parent.private_data = None
+
+    pschema = ArrowSchemaStruct()
+    fmt = ctypes.c_char_p(b"+s")
+    name_p = ctypes.c_char_p(b"result")
+    pschema.format = fmt
+    pschema.name = name_p
+    pschema.metadata = None
+    pschema.flags = 0
+    pschema.n_children = nc
+    pschema.children = schema_ptrs
+    pschema.dictionary = None
+
+    def _release_schema(ptr):
+        if ptr:
+            ptr.contents.release = _SCHEMA_RELEASE_T()
+
+    schema_cb = _SCHEMA_RELEASE_T(_release_schema)
+    pschema.release = schema_cb
+
+    token = _track(
+        {
+            "payload": {"parts": parts},
+            "array_struct": parent,
+            "schema_struct": pschema,
+            "callbacks": (release_cb, schema_cb),
+            "strings": (fmt, name_p),
+        }
+    )
+    return (
+        _make_capsule(ctypes.addressof(parent), b"arrow_array"),
+        _make_capsule(ctypes.addressof(pschema), b"arrow_schema"),
     )
 
 
