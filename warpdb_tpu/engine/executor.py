@@ -933,6 +933,80 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
     return outs
 
 
+def _run_projection_multi(
+    query: Query, table: DeviceTable, select_items: list
+) -> list[np.ndarray]:
+    """Non-grouped multi-item SELECT: ALL select expressions evaluate in
+    one fused kernel, ride one stable sort (values carried side-by-side
+    through the same comparator network) and one batched device→host
+    transfer — row-aligned by construction."""
+    import copy as _copy
+
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    where = query.where
+    where_canon = where.canonical() if where is not None else ""
+    order = query.order_by
+    order_terms = order.terms if order is not None else ()
+    items_canon = tuple(s.canonical() for s in select_items)
+    order_canon = order.canonical() if order is not None else ""
+
+    pkey = ("project_multi", items_canon, where_canon, order_canon,
+            schema_signature(cols), udf_mod.registry_version())
+
+    def build():
+        from ..ops.sort import float_sort_key
+
+        sel_fns = [build_evaluator(s) for s in select_items]
+        cond_fn = build_evaluator(where) if where is not None else None
+        ord_fns = [
+            (build_evaluator(t.expr), t.ascending) for t in order_terms
+        ]
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            outs = tuple(
+                _broadcast(_as_f32(f(cols)), cols) for f in sel_fns
+            )
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            count = jnp.sum(valid.astype(jnp.int32))
+            if not ord_fns:
+                return outs, valid, count
+            keys = []
+            for i, (f, asc) in enumerate(ord_fns):
+                kk = _broadcast(_as_f32(f(cols)), cols)
+                if not asc:
+                    kk = -kk
+                if i == 0:
+                    kk = jnp.where(valid, kk, jnp.float32(jnp.inf))
+                keys.append(kk)
+            nk = len(keys)
+            sorted_ops = jax.lax.sort(
+                (*keys, *outs, valid.astype(jnp.int32)),
+                num_keys=nk,
+                is_stable=True,
+            )
+            outs_s = sorted_ops[nk:-1]
+            valid_s = sorted_ops[-1].astype(jnp.bool_)
+            return tuple(outs_s), valid_s, count
+
+        return kernel
+
+    outs, valid, count = jax.device_get(
+        get_or_compile(pkey, build)(cols, n_rows)
+    )
+    count = int(count)
+    results = []
+    for out in outs:
+        if order is not None:
+            results.append(out[:count].astype(np.float32))
+        else:
+            results.append(out[valid].astype(np.float32))
+    return results
+
+
 def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
     """Non-grouped SELECT: one fused device program covering projection,
     WHERE filtering, ORDER BY (full sort or top-k) and DISTINCT, then a
@@ -1204,6 +1278,50 @@ def run_query_table(
         cols = _run_grouped_multi(q, table, items, mesh=mesh)
         out = {}
         for i, (item, vals) in enumerate(zip(query.select_list, cols)):
+            if query.offset is not None:
+                vals = (
+                    vals[query.offset :]
+                    if query.offset < len(vals)
+                    else vals[:0]
+                )
+            if query.limit is not None and query.limit < len(vals):
+                vals = vals[: query.limit]
+            out[out_name(item, i, out)] = vals
+        return out
+
+    # Non-grouped, join-free multi-item SELECT: one fused kernel, one
+    # sort, one transfer for every column.
+    items = [unalias(s) for s in query.select_list]
+    simple = (
+        query.group_by is None
+        and not query.joins
+        and not query.distinct
+        and len(items) > 1
+        and all(
+            not isinstance(n, (Aggregation, WindowFunction))
+            for item in items
+            for n in walk(item)
+        )
+    )
+    if simple:
+        q = _copy.copy(query)
+        if query.where is not None:
+            from .optimizer import analyze_condition, fold_constants
+
+            w = fold_constants(query.where)
+            verdict = analyze_condition(w, table.stats)
+            if verdict is False:
+                return {
+                    out_name(item, i, set()): np.zeros(0, np.float32)
+                    for i, item in enumerate(query.select_list)
+                }
+            q.where = None if verdict is True else w
+        q = _bind_query_strings(q, table)
+        cols_out = _run_projection_multi(
+            q, table, [unalias(s) for s in q.select_list]
+        )
+        out = {}
+        for i, (item, vals) in enumerate(zip(query.select_list, cols_out)):
             if query.offset is not None:
                 vals = (
                     vals[query.offset :]
