@@ -645,3 +645,37 @@ def test_dense_group_large_int_keys_exact():
     assert got["n"] == pytest.approx(want_counts)
     want_sums = [float(price[ids == u].sum()) for u in uniq]
     assert got["s"] == pytest.approx(want_sums, rel=1e-5)
+
+
+def test_join_multi_key():
+    # Composite ON a = x AND b = y (extension; the reference never even
+    # executed single-key joins).
+    left = WarpDB(
+        HostTable.from_dict(
+            {
+                "a": np.array([1.0, 1.0, 2.0, 2.0], np.float32),
+                "b": np.array([10.0, 20.0, 10.0, 20.0], np.float32),
+                "v": np.array([1.0, 2.0, 3.0, 4.0], np.float32),
+            }
+        )
+    )
+    right = HostTable.from_dict(
+        {
+            "a": np.array([1.0, 2.0, 2.0], np.float32),
+            "b": np.array([20.0, 10.0, 99.0], np.float32),
+            "w": np.array([100.0, 200.0, 300.0], np.float32),
+        }
+    )
+    left.register_table("r", right)
+    out = left.query_sql_table(
+        "SELECT v, r.w FROM t JOIN r ON a = r.a AND b = r.b"
+    )
+    pairs = sorted(zip(out["v"], out["r.w"]))
+    assert pairs == [(2.0, 100.0), (3.0, 200.0)]
+
+
+def test_join_condition_not_equality_errors(db):
+    from warpdb_tpu.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="column equalities"):
+        db.query_sql("SELECT price FROM test JOIN test ON price > quantity")

@@ -322,16 +322,20 @@ def _agg_value_from_result(spec: _AggSpec, counts, value_aggs) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _single_equality(cond: Node) -> tuple[Variable, Variable]:
+def _equality_pairs(cond: Node) -> list[tuple[Variable, Variable]]:
+    """Flatten ``a = b [AND c = d …]`` into column-equality pairs."""
+    if isinstance(cond, BinaryOp) and cond.op == "&&":
+        return _equality_pairs(cond.left) + _equality_pairs(cond.right)
     if (
         isinstance(cond, BinaryOp)
         and cond.op in ("=", "==")
         and isinstance(cond.left, Variable)
         and isinstance(cond.right, Variable)
     ):
-        return cond.left, cond.right
+        return [(cond.left, cond.right)]
     raise UnsupportedError(
-        "Only single-equality JOIN conditions (a.x = b.y) are supported"
+        "JOIN conditions must be column equalities joined with AND "
+        "(a.x = b.y [AND ...])"
     )
 
 
@@ -345,12 +349,19 @@ def _resolve_column(cols: dict, var: Variable) -> jax.Array:
 
 
 def _materialize_join(
-    left: DeviceTable, right: DeviceTable, right_name: str, cond: Node
+    left: DeviceTable,
+    right: DeviceTable,
+    right_name: str,
+    cond: Node,
+    needed: Optional[set] = None,
 ) -> DeviceTable:
     """Execute one inner equi-join, producing a new padded DeviceTable.
 
-    Makes real what the reference only parsed (warpdb.hpp:22-23)."""
-    a, b = _single_equality(cond)
+    Makes real what the reference only parsed (warpdb.hpp:22-23).
+    ``needed`` (projection pushdown) restricts the gather to columns the
+    query actually references — without it every column of both sides is
+    materialised, which on wide tables multiplies HBM traffic."""
+    pairs = _equality_pairs(cond)
 
     # Decide which side each variable binds to: a qualifier matching the
     # right table name binds right; otherwise left wins, then right.
@@ -365,66 +376,71 @@ def _materialize_join(
             return "right"
         raise ValidationError(f"Unknown column: {var.name}")
 
-    sa, sb = side_of(a), side_of(b)
-    if {sa, sb} != {"left", "right"}:
-        # Same-side equality (e.g. self-join on the same column name):
-        # treat left occurrence as probe, right as build.
-        left_var, right_var = a, b
-    else:
-        left_var = a if sa == "left" else b
-        right_var = b if sb == "right" else a
+    lkeys = []
+    rkeys = []
+    pair_canons = []
+    for a, b in pairs:
+        sa, sb = side_of(a), side_of(b)
+        if {sa, sb} != {"left", "right"}:
+            # Same-side equality (e.g. self-join on the same column
+            # name): treat left occurrence as probe, right as build.
+            left_var, right_var = a, b
+        else:
+            left_var = a if sa == "left" else b
+            right_var = b if sb == "right" else a
 
-    lkey_raw = _resolve_column(left.columns, left_var)
-    rkey_raw = _resolve_column(right.columns, right_var)
+        lkey_raw = _resolve_column(left.columns, left_var)
+        rkey_raw = _resolve_column(right.columns, right_var)
 
-    # String-key equi-join: the two tables have independent dictionaries,
-    # so re-express the build side's codes under the probe side's
-    # vocabulary (strings absent there map to -1: match nothing).
-    lvocab = left.dicts.get(left_var.name) if left.dicts else None
-    if lvocab is None and left.dicts:
-        lvocab = left.dicts.get(left_var.unqualified)
-    rvocab = right.dicts.get(right_var.name) if right.dicts else None
-    if rvocab is None and right.dicts:
-        rvocab = right.dicts.get(right_var.unqualified)
-    if (lvocab is None) != (rvocab is None):
-        raise ValidationError(
-            "JOIN condition compares a string column with a numeric column"
-        )
-    if lvocab is not None:
-        pos = np.searchsorted(lvocab, rvocab)
-        pos = np.clip(pos, 0, max(len(lvocab) - 1, 0))
-        hit = (
-            lvocab[pos] == rvocab
-            if len(lvocab)
-            else np.zeros(len(rvocab), bool)
-        )
-        mapping = np.where(hit, pos, -1).astype(np.int32)
-        rkey_raw = jnp.take(
-            jnp.asarray(mapping), rkey_raw.astype(jnp.int32), mode="clip"
-        )
+        # String-key equi-join: the two tables have independent
+        # dictionaries, so re-express the build side's codes under the
+        # probe side's vocabulary (absent strings → -1: match nothing).
+        lvocab = left.dicts.get(left_var.name) if left.dicts else None
+        if lvocab is None and left.dicts:
+            lvocab = left.dicts.get(left_var.unqualified)
+        rvocab = right.dicts.get(right_var.name) if right.dicts else None
+        if rvocab is None and right.dicts:
+            rvocab = right.dicts.get(right_var.unqualified)
+        if (lvocab is None) != (rvocab is None):
+            raise ValidationError(
+                "JOIN condition compares a string column with a numeric column"
+            )
+        if lvocab is not None:
+            pos = np.searchsorted(lvocab, rvocab)
+            pos = np.clip(pos, 0, max(len(lvocab) - 1, 0))
+            hit = (
+                lvocab[pos] == rvocab
+                if len(lvocab)
+                else np.zeros(len(rvocab), bool)
+            )
+            mapping = np.where(hit, pos, -1).astype(np.int32)
+            rkey_raw = jnp.take(
+                jnp.asarray(mapping), rkey_raw.astype(jnp.int32), mode="clip"
+            )
 
-    lkey = _as_f32(lkey_raw)
-    rkey = _as_f32(rkey_raw)
+        lkeys.append(_as_f32(lkey_raw))
+        rkeys.append(_as_f32(rkey_raw))
+        pair_canons.append((left_var.canonical(), right_var.canonical()))
 
     key = (
         "join_phase1",
         schema_signature(left.columns),
         schema_signature(right.columns),
-        left_var.canonical(),
-        right_var.canonical(),
+        tuple(pair_canons),
     )
 
     def build_phase1():
         @jax.jit
-        def phase1(lk, rk, n_left, n_right):
-            lmask = jnp.arange(lk.shape[0], dtype=jnp.int32) < n_left
-            rmask = jnp.arange(rk.shape[0], dtype=jnp.int32) < n_right
-            return join_match_counts(lk, lmask, rk, rmask)
+        def phase1(lks, rks, n_left, n_right):
+            lmask = jnp.arange(lks[0].shape[0], dtype=jnp.int32) < n_left
+            rmask = jnp.arange(rks[0].shape[0], dtype=jnp.int32) < n_right
+            return join_match_counts(tuple(lks), lmask, tuple(rks), rmask)
 
         return phase1
 
     phase1 = get_or_compile(key, build_phase1)(
-        lkey, rkey, jnp.int32(left.num_rows), jnp.int32(right.num_rows)
+        tuple(lkeys), tuple(rkeys),
+        jnp.int32(left.num_rows), jnp.int32(right.num_rows),
     )
     total = int(phase1.total)
     capacity = max(_next_pow2(total), 1024)
@@ -440,10 +456,28 @@ def _materialize_join(
 
     probe_idx, build_idx, valid = get_or_compile(key2, build_phase2)(phase1)
 
+    # Projection pushdown: only gather columns the query references
+    # (unqualified or via this join's qualifier).
+    def _wanted(name: str, qual: str) -> bool:
+        if needed is None:
+            return True
+        return name in needed or qual in needed
+
+    lcols_in = {
+        name: arr
+        for name, arr in left.columns.items()
+        if needed is None or name in needed
+    }
+    rcols_in = {
+        name: arr
+        for name, arr in right.columns.items()
+        if _wanted(name, f"{right_name}.{name}")
+    }
+
     key3 = (
         "join_gather",
-        schema_signature(left.columns),
-        schema_signature(right.columns),
+        schema_signature(lcols_in),
+        schema_signature(rcols_in),
         capacity,
         right_name,
     )
@@ -462,12 +496,13 @@ def _materialize_join(
         return gather
 
     new_cols = get_or_compile(key3, build_gather)(
-        left.columns, right.columns, probe_idx, build_idx, valid
+        lcols_in, rcols_in, probe_idx, build_idx, valid
     )
     # Bare right-side names that don't collide stay addressable unqualified.
-    for name in right.columns:
-        if name not in new_cols:
-            new_cols[name] = new_cols[f"{right_name}.{name}"]
+    for name in rcols_in:
+        qual = f"{right_name}.{name}"
+        if name not in new_cols and qual in new_cols:
+            new_cols[name] = new_cols[qual]
 
     dtypes = dict(left.dtypes)
     for name, dt in right.dtypes.items():
@@ -526,9 +561,29 @@ def run_query(
 
     catalog = catalog or {}
     current = table
+    needed = None
+    if query.joins and not any(
+        isinstance(unalias(s), Star) for s in query.select_list
+    ):
+        # Projection pushdown through joins: gather only referenced columns.
+        needed = set()
+        for node in [
+            *query.select_list, query.where, query.having,
+            *(t.expr for t in (query.order_by.terms if query.order_by else ())),
+            *(query.group_by.keys if query.group_by else ()),
+            *(j.condition for j in query.joins),
+        ]:
+            if node is None:
+                continue
+            for n in walk(node):
+                if isinstance(n, Variable):
+                    needed.add(n.name)
+                    needed.add(n.unqualified)
     for join in query.joins:
         right = catalog.get(join.table, table)
-        current = _materialize_join(current, right, join.table, join.condition)
+        current = _materialize_join(
+            current, right, join.table, join.condition, needed=needed
+        )
 
     expanded = _expand_stars(query.select_list, current)
     if expanded is not query.select_list:

@@ -44,21 +44,70 @@ class JoinPhase1(NamedTuple):
     total: jax.Array         # i32 scalar — total matched pairs
 
 
+def _composite_ids(probe_keys, probe_mask, build_keys, build_mask):
+    """Map composite key tuples to dense pair ids (u32) via one shared
+    multi-key sort over probe ∪ build — equal tuples get equal ids, so
+    the single-key machinery below applies unchanged (the standard trick
+    for multi-column equi-joins without 64-bit key packing)."""
+    n_p = probe_keys[0].shape[0]
+    n_b = build_keys[0].shape[0]
+    allk = tuple(
+        jnp.concatenate(
+            [
+                jnp.where(probe_mask, float_sort_key(p), _U32_MAX),
+                jnp.where(build_mask, float_sort_key(b), _U32_MAX),
+            ]
+        )
+        for p, b in zip(probe_keys, build_keys)
+    )
+    idx = jnp.arange(n_p + n_b, dtype=jnp.int32)
+    sorted_ops = lax.sort(allk + (idx,), num_keys=len(allk), is_stable=True)
+    keys_s = sorted_ops[: len(allk)]
+    idx_s = sorted_ops[len(allk)]
+    first = jnp.ones(n_p + n_b, jnp.bool_).at[1:].set(False)
+    for k in keys_s:
+        first = jnp.logical_or(
+            first,
+            jnp.concatenate([jnp.zeros((1,), jnp.bool_), k[1:] != k[:-1]]),
+        )
+    pid = (jnp.cumsum(first.astype(jnp.int32)) - 1).astype(jnp.uint32)
+    ids = jnp.zeros(n_p + n_b, jnp.uint32).at[idx_s].set(pid)
+    return ids[:n_p], ids[n_p:]
+
+
 def join_match_counts(
-    probe_keys: jax.Array,
+    probe_keys,
     probe_mask: jax.Array,
-    build_keys: jax.Array,
+    build_keys,
     build_mask: jax.Array,
 ) -> JoinPhase1:
-    """Phase 1: sort build side, count matches per probe row."""
-    bkey = jnp.where(build_mask, float_sort_key(build_keys), _U32_MAX)
-    n_build = build_keys.shape[0]
+    """Phase 1: sort build side, count matches per probe row.
+
+    ``probe_keys``/``build_keys`` may be single f32 arrays or equal-length
+    tuples for composite ``ON a = b AND c = d`` conditions."""
+    if isinstance(probe_keys, (tuple, list)):
+        probe_keys = tuple(probe_keys)
+        build_keys = tuple(build_keys)
+        if len(probe_keys) == 1:
+            pkey_u, bkey_u = (
+                float_sort_key(probe_keys[0]),
+                float_sort_key(build_keys[0]),
+            )
+        else:
+            pkey_u, bkey_u = _composite_ids(
+                probe_keys, probe_mask, build_keys, build_mask
+            )
+    else:
+        pkey_u = float_sort_key(probe_keys)
+        bkey_u = float_sort_key(build_keys)
+
+    bkey = jnp.where(build_mask, bkey_u, _U32_MAX)
+    n_build = bkey.shape[0]
     order = jnp.arange(n_build, dtype=jnp.int32)
     bkey_s, order_s = lax.sort((bkey, order), num_keys=1, is_stable=True)
 
-    pkey = float_sort_key(probe_keys)
-    lo = jnp.searchsorted(bkey_s, pkey, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(bkey_s, pkey, side="right").astype(jnp.int32)
+    lo = jnp.searchsorted(bkey_s, pkey_u, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(bkey_s, pkey_u, side="right").astype(jnp.int32)
     counts = jnp.where(probe_mask, hi - lo, 0)
     total = jnp.sum(counts)
     return JoinPhase1(order_s, bkey_s, lo, counts, total)
