@@ -679,3 +679,30 @@ def test_join_condition_not_equality_errors(db):
 
     with pytest.raises(UnsupportedError, match="column equalities"):
         db.query_sql("SELECT price FROM test JOIN test ON price > quantity")
+
+
+def test_select_star_join_includes_right_columns():
+    left = WarpDB(
+        HostTable.from_dict(
+            {
+                "k": np.array([1.0, 2.0], np.float32),
+                "v": np.array([10.0, 20.0], np.float32),
+            }
+        )
+    )
+    right = HostTable.from_dict(
+        {
+            "k": np.array([1.0, 2.0], np.float32),
+            "w": np.array([100.0, 200.0], np.float32),
+        }
+    )
+    left.register_table("r", right)
+    out = left.query_sql_table("SELECT * FROM t JOIN r ON k = r.k")
+    assert set(out) == {"k", "v", "r.k", "w"}
+    assert sorted(out["w"]) == [100.0, 200.0]
+
+
+def test_duplicate_select_items_empty_result_schema(db):
+    out = db.query_sql_table("SELECT price, price FROM test WHERE price > 1000")
+    assert set(out) == {"price", "price_1"}
+    assert out["price"] == [] and out["price_1"] == []

@@ -137,3 +137,94 @@ def test_quote_styles(sdb):
     a = sdb.query_sql("SELECT price FROM sales WHERE category == 'toys'")
     b = sdb.query_sql('SELECT price FROM sales WHERE category == "toys"')
     assert a == b
+
+
+# --- review regressions: string column vs column, grouped table binding ----
+
+
+def test_string_column_vs_column_same_table():
+    # Shared per-table vocabulary: codes are comparable across columns.
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "a": np.array(["x", "y", "z"], object),
+                "b": np.array(["x", "q", "z"], object),
+                "v": np.array([1.0, 2.0, 3.0], np.float32),
+            },
+            dtypes={"a": DataType.STRING, "b": DataType.STRING},
+        )
+    )
+    got = db.query_sql("SELECT v FROM t WHERE a == b")
+    assert got == [1.0, 3.0]
+    got = db.query_sql("SELECT v FROM t WHERE a != b")
+    assert got == [2.0]
+
+
+def test_string_cross_table_compare_rejected():
+    left = WarpDB(
+        HostTable.from_dict(
+            {
+                "cat": np.array(["a", "b"], object),
+                "v": np.array([1.0, 2.0], np.float32),
+            },
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    right = HostTable.from_dict(
+        {
+            "cat": np.array(["b", "z"], object),
+            "w": np.array([10.0, 20.0], np.float32),
+        },
+        dtypes={"cat": DataType.STRING},
+    )
+    left.register_table("r", right)
+    # As a JOIN condition the dictionaries are translated — fine.
+    out = left.query_sql_table("SELECT v, r.w FROM t JOIN r ON cat = r.cat")
+    assert out["v"] == [2.0] and out["r.w"] == [10.0]
+    # As a WHERE filter over the joined namespace they are not comparable.
+    with pytest.raises(ValidationError, match="different"):
+        left.query_sql("SELECT v FROM t JOIN r ON v = r.w WHERE cat == r.cat")
+
+
+def test_grouped_table_with_string_literal(sdb):
+    out = sdb.query_sql_table(
+        "SELECT quantity, SUM(price) AS s FROM sales "
+        "WHERE category == 'toys' GROUP BY quantity ORDER BY quantity ASC"
+    )
+    assert out["quantity"] == [2.0, 3.0]
+    assert out["s"] == pytest.approx([15.25, 10.5])
+
+
+def test_select_star_decodes_strings(sdb):
+    # SELECT * whose first expanded column is numeric, string col decoded
+    # in the table API.
+    out = sdb.query_sql_table("SELECT * FROM sales WHERE price > 25")
+    assert out["category"] == ["games"]
+    # query_sql returns the first expanded column decoded if string.
+    db2 = WarpDB(
+        HostTable.from_dict(
+            {
+                "cat": np.array(["b", "a"], object),
+                "v": np.array([1.0, 2.0], np.float32),
+            },
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    assert db2.query_sql("SELECT * FROM t") == ["b", "a"]
+
+
+def test_empty_string_column_exports_utf8():
+    import pyarrow as pa
+
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "cat": np.array(["b", "a"], object),
+                "v": np.array([1.0, 2.0], np.float32),
+            },
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    rb = db.query_record_batch("SELECT cat, v FROM t WHERE v > 100")
+    assert rb.num_rows == 0
+    assert pa.types.is_string(rb.schema.field("cat").type)

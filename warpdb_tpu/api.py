@@ -218,7 +218,10 @@ class WarpDB:
         with timed_query(sql, "sql", self._table.num_rows, scanned) as out_rows:
             result = run_query(ast, self._table, self._catalog, mesh=self._mesh)
             out_rows[0] = len(result)
-        return self._maybe_decode(ast.select_list[0], result)
+        from .engine.executor import expand_stars_query
+
+        first = expand_stars_query(ast, self._table, self._catalog)[0]
+        return self._maybe_decode(first, result)
 
     def _join_columns(self, ast) -> set:
         out: set = set()
@@ -300,15 +303,39 @@ class WarpDB:
         ``(array_capsule, schema_capsule)`` for
         ``pa.Array._import_from_c`` / ``pa.RecordBatch.from_struct_array``.
         Exceeds the reference (single-f32-vector export)."""
+        from .engine.executor import expand_stars_query
+        from .frontend.ast import Variable, unalias
         from .interchange.arrow_export import export_table_to_arrow_capsules
 
         out = self.query_sql_table(sql)
-        columns = {
-            name: vals
-            if (vals and isinstance(vals[0], str))
-            else np.asarray(vals, dtype=np.float32)
-            for name, vals in out.items()
-        }
+        # Column type comes from the schema (select item → string column),
+        # not from value inspection — an empty string column must still
+        # export as utf8.
+        try:
+            ast = parse_query(tokenize(sql))
+            items = expand_stars_query(ast, self._table, self._catalog)
+        except (ParseError, TokenizeError):
+            items = [None] * len(out)
+
+        def is_string_item(item) -> bool:
+            node = unalias(item) if item is not None else None
+            if not isinstance(node, Variable):
+                return False
+            if node.name in self._table.dicts or (
+                node.unqualified in self._table.dicts
+            ):
+                return True
+            if node.qualifier is not None:
+                t = self._catalog.get(node.qualifier)
+                return t is not None and node.unqualified in t.dicts
+            return False
+
+        columns = {}
+        for item, (name, vals) in zip(items, out.items()):
+            if is_string_item(item):
+                columns[name] = [str(v) for v in vals]
+            else:
+                columns[name] = np.asarray(vals, dtype=np.float32)
         return export_table_to_arrow_capsules(columns)
 
     def query_record_batch(self, sql: str):
@@ -364,10 +391,10 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     table_names = {self._name, ast.from_table, *self._catalog.keys()}
     table_names |= {j.table for j in ast.joins}
     validate_query(ast, cols | self._join_columns(ast), table_names)
-    from .engine.executor import _expand_stars
+    from .engine.executor import expand_stars_query
 
     result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)
-    select_items = _expand_stars(ast.select_list, self._table)
+    select_items = expand_stars_query(ast, self._table, self._catalog)
     return {
         name: self._maybe_decode(item, vals)
         for item, (name, vals) in zip(select_items, result.items())

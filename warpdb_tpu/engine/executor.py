@@ -136,6 +136,24 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             new_l = const if l is lit else bind_strings(l, table)
             new_r = const if r is lit else bind_strings(r, table)
             return BinaryOp(node.op, new_l, new_r)
+        if node.op in _CMP_OPS:
+            lv, rv = _vocab_of(l, table), _vocab_of(r, table)
+            if lv is not None and rv is not None and lv is not rv:
+                # Same-table string columns share one vocabulary (codes
+                # comparable by construction); across tables the codes
+                # are unrelated — only JOIN conditions translate them.
+                if len(lv) != len(rv) or not np.array_equal(lv, rv):
+                    raise ValidationError(
+                        "Comparing string columns with different "
+                        "dictionaries is only supported as a JOIN "
+                        "condition"
+                    )
+            elif (lv is None) != (rv is None) and isinstance(
+                l, Variable
+            ) and isinstance(r, Variable):
+                raise ValidationError(
+                    "Comparing a string column with a numeric column"
+                )
         return BinaryOp(node.op, bind_strings(l, table), bind_strings(r, table))
     if isinstance(node, FunctionCall):
         return FunctionCall(
@@ -161,11 +179,13 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
 def _bind_query_strings(query: Query, table: DeviceTable) -> Query:
     """Bind string literals in every clause (joins are bound separately in
     ``_materialize_join``, where both tables are known)."""
-    if not any(isinstance(n, StringLiteral) for item in [
-        *query.select_list, query.where, query.having,
-        *(t.expr for t in (query.order_by.terms if query.order_by else ())),
-        *(query.group_by.keys if query.group_by else ()),
-    ] if item is not None for n in walk(item)):
+    if not table.dicts and not any(
+        isinstance(n, StringLiteral) for item in [
+            *query.select_list, query.where, query.having,
+            *(t.expr for t in (query.order_by.terms if query.order_by else ())),
+            *(query.group_by.keys if query.group_by else ()),
+        ] if item is not None for n in walk(item)
+    ):
         return query
     import copy as _copy
 
@@ -406,14 +426,9 @@ def _materialize_join(
                 "JOIN condition compares a string column with a numeric column"
             )
         if lvocab is not None:
-            pos = np.searchsorted(lvocab, rvocab)
-            pos = np.clip(pos, 0, max(len(lvocab) - 1, 0))
-            hit = (
-                lvocab[pos] == rvocab
-                if len(lvocab)
-                else np.zeros(len(rvocab), bool)
-            )
-            mapping = np.where(hit, pos, -1).astype(np.int32)
+            from ..storage.strings import vocab_mapping
+
+            mapping = vocab_mapping(rvocab, lvocab)
             rkey_raw = jnp.take(
                 jnp.asarray(mapping), rkey_raw.astype(jnp.int32), mode="clip"
             )
@@ -535,6 +550,36 @@ def _expand_stars(select_list, table: DeviceTable) -> list:
     return out
 
 
+def expand_stars_query(query: Query, table: DeviceTable, catalog=None) -> list:
+    """Catalog-aware ``SELECT *`` expansion: covers joined tables without
+    materialising the join (right-side columns appear unqualified when
+    free, else qualified — mirroring the joined-table namespace)."""
+    if not any(isinstance(unalias(s), Star) for s in query.select_list):
+        return query.select_list
+    if not query.joins:
+        return _expand_stars(query.select_list, table)
+    catalog = catalog or {}
+    names = [n for n in table.dtypes if "." not in n]
+    seen = set(names)
+    for join in query.joins:
+        right = catalog.get(join.table, table)
+        for n in right.dtypes:
+            if "." in n:
+                continue
+            if n in seen:
+                names.append(f"{join.table}.{n}")
+            else:
+                names.append(n)
+                seen.add(n)
+    out: list = []
+    for s in query.select_list:
+        if isinstance(unalias(s), Star):
+            out.extend(Variable(n) for n in names)
+        else:
+            out.append(s)
+    return out
+
+
 def run_query(
     query: Query,
     table: DeviceTable,
@@ -560,11 +605,14 @@ def run_query(
         query.select_list = [unalias(s) for s in query.select_list]
 
     catalog = catalog or {}
+    expanded = expand_stars_query(query, table, catalog)
+    if expanded is not query.select_list:
+        query = _copy.copy(query)
+        query.select_list = expanded
+
     current = table
     needed = None
-    if query.joins and not any(
-        isinstance(unalias(s), Star) for s in query.select_list
-    ):
+    if query.joins:
         # Projection pushdown through joins: gather only referenced columns.
         needed = set()
         for node in [
@@ -584,11 +632,6 @@ def run_query(
         current = _materialize_join(
             current, right, join.table, join.condition, needed=needed
         )
-
-    expanded = _expand_stars(query.select_list, current)
-    if expanded is not query.select_list:
-        query = _copy.copy(query)
-        query.select_list = expanded
 
     query = _bind_query_strings(query, current)
 
@@ -1299,7 +1342,7 @@ def run_query_table(
     if query.distinct and len(query.select_list) > 1:
         raise UnsupportedError("DISTINCT with multiple select items")
 
-    expanded = _expand_stars(query.select_list, table)
+    expanded = expand_stars_query(query, table, catalog)
     if expanded is not query.select_list:
         query = _copy.copy(query)
         query.select_list = expanded
@@ -1315,21 +1358,26 @@ def run_query_table(
             name = f"{name}_{i}"
         return name
 
+    def empty_result() -> dict:
+        out: dict = {}
+        for i, item in enumerate(query.select_list):
+            out[out_name(item, i, out)] = np.zeros(0, np.float32)
+        return out
+
     if query.group_by is not None and not query.joins:
         # One grouped pass serves every select item (row-aligned columns).
-        items = [unalias(s) for s in query.select_list]
-        q = _copy.copy(query)
-        if query.where is not None:
+        q = _bind_query_strings(query, table)
+        if q is query:
+            q = _copy.copy(query)
+        if q.where is not None:
             from .optimizer import analyze_condition, fold_constants
 
-            w = fold_constants(query.where)
+            w = fold_constants(q.where)
             verdict = analyze_condition(w, table.stats)
             q.where = None if verdict is True else w
             if verdict is False:
-                return {
-                    out_name(item, i, set()): np.zeros(0, np.float32)
-                    for i, item in enumerate(query.select_list)
-                }
+                return empty_result()
+        items = [unalias(s) for s in q.select_list]
         cols = _run_grouped_multi(q, table, items, mesh=mesh)
         out = {}
         for i, (item, vals) in enumerate(zip(query.select_list, cols)):
@@ -1366,10 +1414,7 @@ def run_query_table(
             w = fold_constants(query.where)
             verdict = analyze_condition(w, table.stats)
             if verdict is False:
-                return {
-                    out_name(item, i, set()): np.zeros(0, np.float32)
-                    for i, item in enumerate(query.select_list)
-                }
+                return empty_result()
             q.where = None if verdict is True else w
         q = _bind_query_strings(q, table)
         cols_out = _run_projection_multi(

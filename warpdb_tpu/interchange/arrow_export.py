@@ -308,11 +308,11 @@ def export_table_to_arrow_capsules(columns: dict):
             child_schemas.append(
                 _child_schema(name.encode(), b"f", parts)
             )
-        elif (
-            isinstance(values, (list, tuple))
-            and values
-            and isinstance(values[0], str)
+        elif isinstance(values, (list, tuple)) and (
+            not values or isinstance(values[0], str)
         ):
+            # Lists are the string-column representation (possibly empty:
+            # the schema type must not flip to float on empty results).
             child_arrays.append(_child_utf8(list(values), parts))
             child_schemas.append(_child_schema(name.encode(), b"u", parts))
         else:

@@ -180,8 +180,13 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
         slot_ids = jnp.arange(local_cap, dtype=jnp.int32)
         pvalid = slot_ids < jnp.minimum(local.num_groups, local_cap)
 
-        # Payload per partial: count + (sum, min, max) per value column.
-        payload = [local.counts.astype(jnp.float32)]
+        # Payload per partial: count (split into 4096-radix hi/lo lanes so
+        # merged counts stay EXACT far beyond f32's 2^24 integer range) +
+        # (sum, min, max) per value column.
+        payload = [
+            (local.counts // 4096).astype(jnp.float32),
+            (local.counts % 4096).astype(jnp.float32),
+        ]
         for v in local.values:
             payload.extend((v.sums, v.mins, v.maxs))
 
@@ -223,16 +228,18 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
 
         # 4. Merge partials: counts/sums add, mins/maxs fold.
         g = group_aggregate(flat_keys, flat_payload, flat_valid, group_cap)
-        merged_counts = g.values[0].sums.astype(jnp.int32)
+        merged_counts = (
+            jnp.rint(g.values[0].sums).astype(jnp.int32) * 4096
+            + jnp.rint(g.values[1].sums).astype(jnp.int32)
+        )
         merged_vals = tuple(
             (
-                g.values[1 + 3 * i].sums,   # sum of partial sums
-                g.values[2 + 3 * i].mins,   # min of partial mins
-                g.values[3 + 3 * i].maxs,   # max of partial maxs
+                g.values[2 + 3 * i].sums,   # sum of partial sums
+                g.values[3 + 3 * i].mins,   # min of partial mins
+                g.values[4 + 3 * i].maxs,   # max of partial maxs
             )
             for i in range(nv)
         )
-        overflow = jnp.logical_or(local_overflow, g.num_groups > group_cap)
         out_vals = tuple(
             (s[None], mn[None], mx[None]) for s, mn, mx in merged_vals
         )
@@ -241,7 +248,8 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
             merged_counts[None],
             out_vals,
             g.num_groups[None],
-            overflow[None],
+            local_overflow[None],
+            (g.num_groups > group_cap)[None],
         )
 
     return body
@@ -297,22 +305,28 @@ def combine_shuffle_grouped(
                         (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
                         for _ in value_exprs
                     ),
-                    P(DATA_AXIS), P(DATA_AXIS),
+                    P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                 ),
                 check_vma=False,
             )
             return jax.jit(fn)
 
-        keys_s, counts_s, vals_s, ngroups_s, overflow_s = jax.device_get(
-            get_or_compile(key, build)(
-                table.columns, jnp.int32(table.num_rows)
+        (keys_s, counts_s, vals_s, ngroups_s, local_ovf_s, merge_ovf_s) = (
+            jax.device_get(
+                get_or_compile(key, build)(
+                    table.columns, jnp.int32(table.num_rows)
+                )
             )
         )
-        if bool(np.any(overflow_s)):
+        if bool(np.any(local_ovf_s)):
+            # Per-shard distinct keys exceed the combine capacity — no
+            # group_cap retry can fix that; fall back to the row shuffle.
+            return None
+        if bool(np.any(merge_ovf_s)):
             if attempt == 0 and group_cap < local_cap * n_dev:
                 group_cap *= 2
                 continue
-            return None  # local pre-agg overflowed: fall back to row shuffle
+            return None
 
         return _merge_shard_tables(
             keys_s, counts_s, vals_s, ngroups_s, n_dev, len(value_exprs)

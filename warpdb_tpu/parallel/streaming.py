@@ -82,7 +82,7 @@ def run_streaming_csv(
             dt, expr_ast, cond_ast, mesh=mesh, device_out=True
         )
         in_flight.append((out, dt.num_rows))
-        if len(in_flight) > max_in_flight:
+        if len(in_flight) >= max_in_flight:
             drain_one()
     while in_flight:
         drain_one()

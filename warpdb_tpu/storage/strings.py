@@ -22,7 +22,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_strings", "literal_code", "decode_codes", "translate_codes"]
+__all__ = [
+    "encode_strings",
+    "encode_string_columns",
+    "literal_code",
+    "decode_codes",
+    "vocab_mapping",
+    "translate_codes",
+]
 
 
 def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -30,6 +37,25 @@ def encode_strings(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     as_str = np.asarray([("" if v is None else str(v)) for v in values])
     vocab, codes = np.unique(as_str, return_inverse=True)
     return codes.astype(np.int32), vocab
+
+
+def encode_string_columns(columns: dict) -> tuple[dict, np.ndarray]:
+    """Encode several string columns of one table against a single
+    **shared** sorted vocabulary (the union of all their values).
+
+    Sharing the vocabulary makes codes comparable *across* the table's
+    string columns, so ``WHERE a == b`` on two string columns is exact —
+    per-column vocabularies would assign unrelated codes to the same
+    string.  Returns ({name: int32 codes}, vocab)."""
+    all_strs = [
+        np.asarray([("" if v is None else str(v)) for v in vals])
+        for vals in columns.values()
+    ]
+    vocab = np.unique(np.concatenate(all_strs)) if all_strs else np.array([])
+    out = {}
+    for name, as_str in zip(columns.keys(), all_strs):
+        out[name] = np.searchsorted(vocab, as_str).astype(np.int32)
+    return out, vocab
 
 
 def literal_code(vocab: np.ndarray, text: str) -> float:
@@ -56,12 +82,11 @@ def decode_codes(codes: np.ndarray, vocab: np.ndarray) -> list:
     return [str(v) for v in vocab[idx]]
 
 
-def translate_codes(
-    codes: np.ndarray, from_vocab: np.ndarray, to_vocab: np.ndarray
-) -> np.ndarray:
-    """Re-express codes under another table's vocabulary (for string-key
-    equi-joins).  Strings absent from ``to_vocab`` map to -1 (matches
-    nothing)."""
+def vocab_mapping(from_vocab: np.ndarray, to_vocab: np.ndarray) -> np.ndarray:
+    """int32 map from codes under ``from_vocab`` to codes under
+    ``to_vocab``; strings absent from ``to_vocab`` map to -1 (matches
+    nothing).  Used for string-key equi-joins across tables with
+    independent dictionaries (gathered on device: ``mapping[codes]``)."""
     pos = np.searchsorted(to_vocab, from_vocab)
     pos = np.clip(pos, 0, max(len(to_vocab) - 1, 0))
     hit = (
@@ -69,5 +94,13 @@ def translate_codes(
         if len(to_vocab)
         else np.zeros(len(from_vocab), bool)
     )
-    mapping = np.where(hit, pos, -1).astype(np.int32)
-    return mapping[np.asarray(codes, dtype=np.int64)]
+    return np.where(hit, pos, -1).astype(np.int32)
+
+
+def translate_codes(
+    codes: np.ndarray, from_vocab: np.ndarray, to_vocab: np.ndarray
+) -> np.ndarray:
+    """Re-express codes under another table's vocabulary (host-side)."""
+    return vocab_mapping(from_vocab, to_vocab)[
+        np.asarray(codes, dtype=np.int64)
+    ]

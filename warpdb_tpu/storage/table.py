@@ -256,19 +256,29 @@ class DeviceTable:
         dtypes = {}
         stats = {}
         dicts = {}
+        # Dictionary-encode all string columns against ONE shared sorted
+        # vocabulary (exceeds the reference, which left device_ptr null —
+        # csv_loader.cpp:151-155).  Sharing makes codes comparable across
+        # the table's string columns, so `WHERE a == b` is exact.
+        str_cols = {
+            col.name: col.data[:n]
+            for col in host.columns
+            if not col.dtype.is_numeric
+        }
+        if str_cols:
+            from .strings import encode_string_columns
+
+            encoded, vocab = encode_string_columns(str_cols)
         for col in host.columns:
             dtypes[col.name] = col.dtype
             stats[col.name] = col.stats
             if not col.dtype.is_numeric:
-                # Dictionary-encode: sorted vocab + int32 codes on device
-                # (exceeds the reference, which left device_ptr null —
-                # csv_loader.cpp:151-155).
-                from .strings import encode_strings
-
-                data, vocab = encode_strings(col.data[:n])
+                data = encoded[col.name]
                 dicts[col.name] = vocab
                 stats[col.name] = ColumnStats(
-                    min=0.0, max=float(max(len(vocab) - 1, 0)), null_count=0
+                    min=float(data.min()) if n else 0.0,
+                    max=float(data.max()) if n else 0.0,
+                    null_count=0,
                 )
             else:
                 data = col.data
