@@ -4,12 +4,14 @@ The reference *parses* multi-join syntax (expression.cpp:375-401) but
 never executes a join ("loads the same table for demonstration",
 warpdb.hpp:22-23).  This operator makes JOIN real, TPU-style.
 
-Design — sorted-probe join with a two-phase static-shape protocol
+Design — sort-merge join with a two-phase static-shape protocol
 (SURVEY.md §7 "hard parts": dynamic result shapes on XLA):
 
-* phase 1 (``join_match_counts``): sort the build side once, binary-search
-  every probe key (``searchsorted`` — lane-parallel on the VPU) for its
-  duplicate range, and return the total match count;
+* phase 1 (``join_match_counts``): sort the build side once; each probe
+  key's duplicate range [lo, hi) comes from two merged probe∪build
+  sorts with tie-break flags (binary search per needle is NOT used —
+  XLA lowers searchsorted to a log(n) loop of serial-ish gathers,
+  measured ~100x slower than comparator sorts on TPU at 2^24 rows);
 * the host picks an output capacity bucket (next power of two ≥ total —
   so at most log₂ distinct compilations);
 * phase 2 (``join_gather_indices``): each output slot r finds its probe
@@ -106,8 +108,45 @@ def join_match_counts(
     order = jnp.arange(n_build, dtype=jnp.int32)
     bkey_s, order_s = lax.sort((bkey, order), num_keys=1, is_stable=True)
 
-    lo = jnp.searchsorted(bkey_s, pkey_u, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(bkey_s, pkey_u, side="right").astype(jnp.int32)
+    # lo/hi bounds via ONE merged sort rather than searchsorted: XLA
+    # lowers searchsorted to a log(n)-iteration loop of 1-per-needle
+    # gathers, measured ~10s for 2^24 needles on TPU; comparator sorts
+    # and scans are the constructs the whole engine is built on.
+    #
+    # Merge probe ∪ build sorted by (key, probe-after-build tie flag):
+    # at a probe position the inclusive build count is its 'right' bound
+    # (all equal builds precede it), and the build count at its key
+    # segment's first position is the 'left' bound (builds strictly
+    # smaller).  A second sort by (is_build, original index) un-merges
+    # the per-probe bounds back to probe order — scatter-free.
+    n_probe = pkey_u.shape[0]
+    keys_all = jnp.concatenate([bkey, pkey_u])
+    idx_all = jnp.concatenate(
+        [jnp.arange(n_build, dtype=jnp.int32),
+         jnp.arange(n_probe, dtype=jnp.int32)]
+    )
+    is_probe = jnp.concatenate(
+        [jnp.zeros(n_build, jnp.int32), jnp.ones(n_probe, jnp.int32)]
+    )
+
+    k_s, p_s, i_s = lax.sort(
+        (keys_all, is_probe, idx_all), num_keys=2, is_stable=True
+    )
+    is_build_s = 1 - p_s
+    builds_seen = jnp.cumsum(is_build_s)  # inclusive build count
+    hi_pos = builds_seen
+    seg_first = jnp.ones(k_s.shape, jnp.bool_).at[1:].set(k_s[1:] != k_s[:-1])
+    lo_at_start = jnp.where(seg_first, builds_seen - is_build_s, 0)
+    lo_pos = lax.associative_scan(jnp.maximum, lo_at_start)
+
+    # Un-merge: probes first (ordered by original index), builds last.
+    _, hi_u, lo_u = lax.sort(
+        (is_build_s * (n_probe + n_build) + i_s, hi_pos, lo_pos),
+        num_keys=1,
+        is_stable=True,
+    )
+    hi = hi_u[:n_probe].astype(jnp.int32)
+    lo = lo_u[:n_probe].astype(jnp.int32)
     counts = jnp.where(probe_mask, hi - lo, 0)
     total = jnp.sum(counts)
     return JoinPhase1(order_s, bkey_s, lo, counts, total)
@@ -121,15 +160,22 @@ def join_gather_indices(phase1: JoinPhase1, capacity: int):
     """
     counts = phase1.counts
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    ends = offsets + counts
 
     r = jnp.arange(capacity, dtype=jnp.int32)
-    # probe row owning output slot r: last row whose start offset ≤ r.
-    probe_idx = (
-        jnp.searchsorted(ends, r, side="right").astype(jnp.int32)
-    )
+    # Probe row owning output slot r: scatter each matching row's id at
+    # its start offset, then a running max fills the gaps (offsets are
+    # nondecreasing in row id).  Replaces searchsorted, whose TPU
+    # lowering loops log(n) gathers per slot (~10s at 2^24 slots; this
+    # is one scatter + one scan, ~100ms).
     n_probe = counts.shape[0]
-    probe_idx = jnp.minimum(probe_idx, n_probe - 1)
+    row_ids = jnp.arange(n_probe, dtype=jnp.int32)
+    starts = jnp.where(counts > 0, offsets, capacity)  # non-matching → drop
+    seg = (
+        jnp.zeros((capacity,), jnp.int32)
+        .at[starts]
+        .max(row_ids, mode="drop")
+    )
+    probe_idx = lax.associative_scan(jnp.maximum, seg)
     dup_j = r - offsets[probe_idx]
     slot = phase1.lo[probe_idx] + dup_j
     n_build = phase1.build_order.shape[0]
