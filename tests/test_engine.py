@@ -706,3 +706,29 @@ def test_duplicate_select_items_empty_result_schema(db):
     out = db.query_sql_table("SELECT price, price FROM test WHERE price > 1000")
     assert set(out) == {"price", "price_1"}
     assert out["price"] == [] and out["price_1"] == []
+
+
+def test_group_by_multi_key_select_both():
+    rng = np.random.default_rng(21)
+    n = 4000
+    table = {
+        "a": rng.integers(0, 5, n).astype(np.float32),
+        "b": rng.integers(0, 3, n).astype(np.float32),
+        "v": rng.uniform(0, 10, n).astype(np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table))
+    out = db.query_sql_table(
+        "SELECT a, b, SUM(v) AS s, COUNT(*) AS n FROM t "
+        "GROUP BY a, b ORDER BY a ASC, b ASC"
+    )
+    import itertools
+
+    expect = []
+    for ka, kb in itertools.product(sorted(set(table["a"])), sorted(set(table["b"]))):
+        m = (table["a"] == ka) & (table["b"] == kb)
+        if m.any():
+            expect.append((ka, kb, float(table["v"][m].sum()), int(m.sum())))
+    assert out["a"] == pytest.approx([e[0] for e in expect])
+    assert out["b"] == pytest.approx([e[1] for e in expect])
+    assert out["s"] == pytest.approx([e[2] for e in expect], rel=1e-4)
+    assert out["n"] == pytest.approx([e[3] for e in expect])
