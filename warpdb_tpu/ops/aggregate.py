@@ -333,6 +333,14 @@ def window_running(
     # that resets at segment boundaries.  (A global cumsum minus a
     # per-segment base would catastrophically cancel in f32 once the
     # global sum dwarfs individual running values.)
+    #
+    # NOTE: lax.associative_scan unrolls a Python-built slice tree whose
+    # XLA TPU compile time grows super-linearly with n (measured: a
+    # 2^24-element maximum-scan pushed a program past 10 minutes of
+    # compilation; the fused cum* primitives compile instantly).  There
+    # is no segmented-scan primitive, so running windows keep the
+    # associative_scan — fine at the row counts where running windows
+    # make sense, but expect slow first compiles beyond ~2^22 rows.
     def seg_combine(a, b):
         (va, sa), (vb, sb) = a, b
         return (jnp.where(sb, vb, va + vb), jnp.logical_or(sa, sb))

@@ -137,7 +137,7 @@ def join_match_counts(
     hi_pos = builds_seen
     seg_first = jnp.ones(k_s.shape, jnp.bool_).at[1:].set(k_s[1:] != k_s[:-1])
     lo_at_start = jnp.where(seg_first, builds_seen - is_build_s, 0)
-    lo_pos = lax.associative_scan(jnp.maximum, lo_at_start)
+    lo_pos = lax.cummax(lo_at_start)
 
     # Un-merge: probes first (ordered by original index), builds last.
     _, hi_u, lo_u = lax.sort(
@@ -175,7 +175,7 @@ def join_gather_indices(phase1: JoinPhase1, capacity: int):
         .at[starts]
         .max(row_ids, mode="drop")
     )
-    probe_idx = lax.associative_scan(jnp.maximum, seg)
+    probe_idx = lax.cummax(seg)
     dup_j = r - offsets[probe_idx]
     slot = phase1.lo[probe_idx] + dup_j
     n_build = phase1.build_order.shape[0]
