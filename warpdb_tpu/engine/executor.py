@@ -460,17 +460,6 @@ def _materialize_join(
     total = int(phase1.total)
     capacity = max(_next_pow2(total), 1024)
 
-    key2 = ("join_phase2", capacity)
-
-    def build_phase2():
-        @jax.jit
-        def phase2(p1):
-            return join_gather_indices(p1, capacity)
-
-        return phase2
-
-    probe_idx, build_idx, valid = get_or_compile(key2, build_phase2)(phase1)
-
     # Projection pushdown: only gather columns the query references
     # (unqualified or via this join's qualifier).
     def _wanted(name: str, qual: str) -> bool:
@@ -489,17 +478,20 @@ def _materialize_join(
         if _wanted(name, f"{right_name}.{name}")
     }
 
-    key3 = (
-        "join_gather",
+    # Phase 2 fused with the payload gather: index expansion and every
+    # column gather in one program, one dispatch.
+    key2 = (
+        "join_expand_gather",
         schema_signature(lcols_in),
         schema_signature(rcols_in),
         capacity,
         right_name,
     )
 
-    def build_gather():
+    def build_expand_gather():
         @jax.jit
-        def gather(lcols, rcols, pidx, bidx, valid):
+        def expand_gather(p1, lcols, rcols):
+            pidx, bidx, valid = join_gather_indices(p1, capacity)
             out = {}
             for name, arr in lcols.items():
                 out[name] = jnp.where(valid, arr[pidx], jnp.zeros((), arr.dtype))
@@ -508,10 +500,10 @@ def _materialize_join(
                 out[qual] = jnp.where(valid, arr[bidx], jnp.zeros((), arr.dtype))
             return out
 
-        return gather
+        return expand_gather
 
-    new_cols = get_or_compile(key3, build_gather)(
-        lcols_in, rcols_in, probe_idx, build_idx, valid
+    new_cols = get_or_compile(key2, build_expand_gather)(
+        phase1, lcols_in, rcols_in
     )
     # Bare right-side names that don't collide stay addressable unqualified.
     for name in rcols_in:
