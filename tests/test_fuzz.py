@@ -109,3 +109,59 @@ def test_fuzz_grouped(fuzz_db, seed):
     got = np.asarray(db.query_sql(sql), dtype=np.float32)
     want = oracle.query_sql(table, parse_query_text(sql))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4, err_msg=sql)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_string_predicates(seed):
+    from warpdb_tpu import DataType
+
+    rng = np.random.default_rng(4000 + seed)
+    words = ["apple", "berry", "cherry", "date", "elder", "fig"]
+    n = 2000
+    cat = rng.choice(words, n)
+    price = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(
+        HostTable.from_dict(
+            {"cat": cat.astype(object), "price": price},
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    op = rng.choice([">", "<", ">=", "<=", "==", "!="])
+    # Literal may be outside the vocabulary (tests half-code ranking).
+    lit = rng.choice(words + ["banana", "aaaa", "zzzz"])
+    got = np.asarray(
+        db.query_sql(f"SELECT price FROM t WHERE cat {op} '{lit}'"),
+        dtype=np.float32,
+    )
+    cmpf = {
+        ">": np.greater, "<": np.less, ">=": np.greater_equal,
+        "<=": np.less_equal, "==": np.equal, "!=": np.not_equal,
+    }[op]
+    want = price[cmpf(cat, lit)]
+    np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=f"{op} {lit}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_string_group(seed):
+    from warpdb_tpu import DataType
+
+    rng = np.random.default_rng(5000 + seed)
+    words = ["a", "bb", "ccc", "dd", "e"]
+    n = 3000
+    cat = rng.choice(words, n)
+    price = rng.uniform(0, 50, n).astype(np.float32)
+    db = WarpDB(
+        HostTable.from_dict(
+            {"cat": cat.astype(object), "price": price},
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    out = db.query_sql_table(
+        "SELECT cat, SUM(price) AS s, COUNT(*) AS n FROM t "
+        "GROUP BY cat ORDER BY cat ASC"
+    )
+    uniq = sorted(set(cat.tolist()))
+    assert out["cat"] == uniq
+    want_s = [float(price[cat == u].sum()) for u in uniq]
+    np.testing.assert_allclose(out["s"], want_s, rtol=1e-4)
+    assert out["n"] == [int((cat == u).sum()) for u in uniq]
