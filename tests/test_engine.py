@@ -732,3 +732,29 @@ def test_group_by_multi_key_select_both():
     assert out["b"] == pytest.approx([e[1] for e in expect])
     assert out["s"] == pytest.approx([e[2] for e in expect], rel=1e-4)
     assert out["n"] == pytest.approx([e[3] for e in expect])
+
+
+def test_row_number_and_rank_windows():
+    t = {
+        "p": np.array([1, 1, 2, 2, 1], np.float32),
+        "v": np.array([30, 10, 20, 20, 10], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    assert db.query_sql(
+        "SELECT ROW_NUMBER() OVER (PARTITION BY p ORDER BY v ASC) FROM t"
+    ) == [3.0, 1.0, 1.0, 2.0, 2.0]
+    assert db.query_sql(
+        "SELECT RANK() OVER (PARTITION BY p ORDER BY v ASC) FROM t"
+    ) == [3.0, 1.0, 1.0, 1.0, 1.0]
+    # Without ORDER BY, row order decides (deterministic).
+    assert db.query_sql("SELECT ROW_NUMBER() OVER (PARTITION BY p) FROM t") == [
+        1.0, 2.0, 1.0, 2.0, 3.0,
+    ]
+    # Descending order keys.
+    assert db.query_sql(
+        "SELECT RANK() OVER (PARTITION BY p ORDER BY v DESC) FROM t"
+    ) == [1.0, 2.0, 1.0, 1.0, 2.0]
+    from warpdb_tpu.errors import ParseError
+
+    with pytest.raises(ParseError, match="OVER"):
+        db.query_sql("SELECT ROW_NUMBER() FROM t")

@@ -1320,8 +1320,12 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
            schema_signature(cols), table.padded_rows, udf_mod.registry_version())
 
     def build():
-        from ..ops.aggregate import window_running
+        from ..ops.aggregate import window_rank, window_running
 
+        ranking = select.agg in (
+            AggregationType.ROW_NUMBER,
+            AggregationType.RANK,
+        )
         val_fn = build_evaluator(select.expr)
         part_fns = [build_evaluator(p) for p in part_exprs]
         cond_fn = build_evaluator(where) if where is not None else None
@@ -1347,11 +1351,23 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             else:
                 part = (jnp.zeros_like(vals),)
             if ord_fn is not None:
-                # Running aggregate over the window's ORDER BY — what the
-                # reference parsed and threw away (expression.cpp:296-329).
                 okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
                 if not ord_asc:
                     okeys = -okeys
+            else:
+                okeys = None
+            if ranking:
+                # ROW_NUMBER/RANK; without ORDER BY, row order decides.
+                n_pad = vals.shape[0]
+                ok = (
+                    okeys
+                    if okeys is not None
+                    else jnp.arange(n_pad, dtype=jnp.float32)
+                )
+                win = window_rank(part, ok, valid, agg_name, capacity)
+            elif okeys is not None:
+                # Running aggregate over the window's ORDER BY — what the
+                # reference parsed and threw away (expression.cpp:296-329).
                 win = window_running(part, okeys, vals, valid, agg_name, capacity)
             else:
                 win = window_aggregate(part, vals, valid, agg_name, capacity)

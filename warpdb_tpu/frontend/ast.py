@@ -162,6 +162,10 @@ class AggregationType(enum.Enum):
     COUNT = "count"
     MIN = "min"
     MAX = "max"
+    # Window-only ranking functions (extension over the reference's five
+    # aggregates, expression.hpp:86).
+    ROW_NUMBER = "row_number"
+    RANK = "rank"
 
 
 @dataclass(frozen=True, repr=False)

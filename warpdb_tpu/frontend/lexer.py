@@ -53,8 +53,8 @@ KEYWORDS = frozenset(
         "BY", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
         "SUM", "AVG", "COUNT", "MIN", "MAX", "OVER",
         "PARTITION", "AND", "OR", "HAVING", "DISTINCT",
-        # Extension over the reference's 23 keywords (expression.cpp:58-62):
-        "AS",
+        # Extensions over the reference's 23 keywords (expression.cpp:58-62):
+        "AS", "ROW_NUMBER", "RANK",
     }
 )
 

@@ -60,6 +60,12 @@ _AGG_KEYWORDS = {
     "MAX": AggregationType.MAX,
 }
 
+# Ranking functions: argument-less, only meaningful with OVER (...).
+_RANK_KEYWORDS = {
+    "ROW_NUMBER": AggregationType.ROW_NUMBER,
+    "RANK": AggregationType.RANK,
+}
+
 _COMPARISON_OPS = (">", "<", ">=", "<=", "==", "!=", "=")
 
 
@@ -312,6 +318,27 @@ class _QueryParser:
                     body[:k] + [Token(TokenType.END, "")]
                 )
                 return Alias(inner, body[k + 1].value)
+        # ROW_NUMBER() / RANK() OVER (...) — extension.
+        if (
+            len(body) >= 3
+            and body[0].type is TokenType.KEYWORD
+            and body[0].value in _RANK_KEYWORDS
+            and body[1].type is TokenType.OPERATOR
+            and body[1].value == "("
+            and body[2].type is TokenType.OPERATOR
+            and body[2].value == ")"
+        ):
+            if not (
+                len(body) > 3
+                and body[3].type is TokenType.KEYWORD
+                and body[3].value == "OVER"
+            ):
+                raise ParseError(
+                    f"{body[0].value}() requires an OVER (...) clause"
+                )
+            return self._parse_window(
+                _RANK_KEYWORDS[body[0].value], Constant("1"), body[3:]
+            )
         if body and body[0].type is TokenType.KEYWORD and body[0].value in _AGG_KEYWORDS:
             kw = body[0].value
             over_idx = len(body)

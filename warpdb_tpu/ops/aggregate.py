@@ -284,6 +284,67 @@ def window_aggregate(
     return jnp.where(valid, out, 0.0)
 
 
+def window_rank(
+    part_keys,
+    order_keys: jax.Array,
+    mask: jax.Array,
+    kind: str,
+    capacity: int,
+) -> jax.Array:
+    """``ROW_NUMBER()`` / ``RANK()`` OVER (PARTITION BY … ORDER BY …).
+
+    Sort once by (partition keys…, order key); a row's number is its
+    offset from its partition's first position (+1); RANK snaps tied
+    order keys to the run's first row-number.  All scans are the fused
+    ``lax.cummax`` primitive (see the associative_scan note above)."""
+    if kind not in ("row_number", "rank"):
+        raise ValueError(f"Unknown ranking window function: {kind}")
+    part_keys = _as_key_tuple(part_keys)
+    n = order_keys.shape[0]
+    valid = mask
+    pkeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+    )
+    nk = len(pkeys)
+    okey = float_sort_key(order_keys)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    sorted_ops = lax.sort(
+        pkeys + (okey, idx, valid.astype(jnp.int32)),
+        num_keys=nk + 1,
+        is_stable=True,
+    )
+    pkeys_s = sorted_ops[:nk]
+    okey_s, idx_s = sorted_ops[nk], sorted_ops[nk + 1]
+    valid_s = sorted_ops[nk + 2].astype(jnp.bool_)
+
+    part_first = _partition_boundaries(pkeys_s, valid_s)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    part_start = lax.cummax(jnp.where(part_first, pos, 0))
+    row_number = pos - part_start + 1
+
+    if kind == "row_number":
+        out_s = row_number
+    else:
+        okey_first = jnp.logical_or(
+            part_first,
+            jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), okey_s[1:] != okey_s[:-1]]
+            ),
+        )
+        # Rank = row number at the first row of the tied run.  The scan
+        # carries the run-start POSITION (globally nondecreasing, so
+        # cummax is valid across partition boundaries) and re-bases it
+        # per partition afterwards.
+        run_start = lax.cummax(jnp.where(okey_first, pos, 0))
+        out_s = run_start - part_start + 1
+
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(
+        out_s.astype(jnp.float32)
+    )
+    return jnp.where(valid, out, 0.0)
+
+
 def window_running(
     part_keys,
     order_keys: jax.Array,
