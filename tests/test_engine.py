@@ -758,3 +758,16 @@ def test_row_number_and_rank_windows():
 
     with pytest.raises(ParseError, match="OVER"):
         db.query_sql("SELECT ROW_NUMBER() FROM t")
+
+
+def test_window_with_outer_order_by():
+    t = {
+        "p": np.array([1, 1, 2, 2], np.float32),
+        "v": np.array([5, 7, 1, 3], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    got = db.query_sql(
+        "SELECT SUM(v) OVER (PARTITION BY p) FROM t ORDER BY v DESC LIMIT 3"
+    )
+    # window sums: p1 -> 12, p2 -> 4; rows ordered by v desc: 7,5,3 -> 12,12,4
+    assert got == [12.0, 12.0, 4.0]

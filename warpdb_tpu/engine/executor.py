@@ -1315,8 +1315,10 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
         part_exprs: tuple = ()
     else:
         part_exprs = select.partition_by
+    outer_order = query.order_by
     key = ("window", select.canonical(),
            where.canonical() if where else "",
+           outer_order.canonical() if outer_order else "",
            schema_signature(cols), table.padded_rows, udf_mod.registry_version())
 
     def build():
@@ -1335,6 +1337,14 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             else None
         )
         ord_asc = select.order_by.ascending if select.order_by else True
+        outer_fns = (
+            [
+                (build_evaluator(t.expr), t.ascending)
+                for t in outer_order.terms
+            ]
+            if outer_order is not None
+            else None
+        )
         agg_name = select.agg.value
         capacity = table.padded_rows
 
@@ -1371,13 +1381,27 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 win = window_running(part, okeys, vals, valid, agg_name, capacity)
             else:
                 win = window_aggregate(part, vals, valid, agg_name, capacity)
-            return win, valid
+            if outer_fns is not None:
+                # Outer ORDER BY over the per-row window results.
+                from ..ops.sort import sort_by_keys
+
+                keys = [
+                    (_broadcast(_as_f32(f(cols)), cols), asc)
+                    for f, asc in outer_fns
+                ]
+                win_sorted = sort_by_keys(keys, win, valid)
+                count = jnp.sum(valid.astype(jnp.int32))
+                return win_sorted, None, count
+            return win, valid, None
 
         return kernel
 
-    win, valid = jax.device_get(
+    win, valid, count = jax.device_get(
         get_or_compile(key, build)(cols, jnp.int32(table.num_rows))
     )
+    if valid is None:
+        # Outer ORDER BY path: valid rows sorted to the front.
+        return win[: int(count)].astype(np.float32)
     # Host boolean gather (order-preserving; no device scatter).
     return win[valid].astype(np.float32)
 
