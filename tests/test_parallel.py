@@ -289,3 +289,23 @@ def test_query_sql_distributed_combine_min_max(mesh):
         [table["price"][table["k"] == u].min() for u in uniq], np.float32
     )
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_distributed_topk(mesh):
+    rng = np.random.default_rng(31)
+    n = 40_000
+    table = {
+        "price": rng.uniform(0, 1000, n).astype(np.float32),
+        "q": rng.integers(0, 9, n).astype(np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table), mesh=mesh)
+    got = db.query_sql(
+        "SELECT price FROM t WHERE q > 3 ORDER BY price DESC LIMIT 12"
+    )
+    want = np.sort(table["price"][table["q"] > 3])[::-1][:12]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    got_asc = db.query_sql(
+        "SELECT price FROM t ORDER BY price ASC LIMIT 7 OFFSET 2"
+    )
+    want_asc = np.sort(table["price"])[2:9]
+    np.testing.assert_allclose(got_asc, want_asc, rtol=1e-6)

@@ -646,7 +646,7 @@ def run_query(
     if query.group_by is not None:
         values = _run_grouped(query, current, mesh=mesh)
     else:
-        values = _run_projection(query, current)
+        values = _run_projection(query, current, mesh=mesh)
 
     # OFFSET then LIMIT, host-side (reference warpdb.cpp:485-495).
     if query.offset is not None:
@@ -1097,7 +1097,7 @@ def _run_projection_multi(
     return results
 
 
-def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
+def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     """Non-grouped SELECT: one fused device program covering projection,
     WHERE filtering, ORDER BY (full sort or top-k) and DISTINCT, then a
     single batched device→host transfer.
@@ -1144,6 +1144,17 @@ def _run_projection(query: Query, table: DeviceTable) -> np.ndarray:
         and 0 < limit_total < table.padded_rows // 2
     )
     topk_k = _next_pow2(max(limit_total, 16)) if use_topk else 0
+
+    if use_topk and mesh is not None and mesh.devices.size > 1:
+        # Distributed two-level pull: local top-k per shard, all_gather
+        # of k*n_dev candidates over ICI, tiny finish.
+        from ..parallel.sharded import run_topk_sharded
+
+        out = run_topk_sharded(
+            select, where, table, topk_k, order.ascending, mesh
+        )
+        out = out[np.isfinite(out)]
+        return out[:limit_total].astype(np.float32)
 
     pkey = ("project", select_canon, where_canon, order_canon, distinct,
             None if order is None else order.ascending, topk_k,

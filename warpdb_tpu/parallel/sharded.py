@@ -38,6 +38,7 @@ __all__ = [
     "shard_table",
     "run_expression_sharded",
     "run_grouped_sharded",
+    "run_topk_sharded",
 ]
 
 
@@ -124,6 +125,69 @@ def _ensure_sharded(table: DeviceTable, mesh) -> DeviceTable:
             "pad to a multiple of the device count at load time"
         )
     return shard_table(table.host, mesh)
+
+
+def run_topk_sharded(
+    select_expr: Node,
+    cond: Optional[Node],
+    table: DeviceTable,
+    k: int,
+    ascending: bool,
+    mesh=None,
+) -> np.ndarray:
+    """Distributed ORDER BY … LIMIT k: each shard pulls its local top-k
+    (the streaming Pallas kernel on TPU), an ``all_gather`` ships only
+    k·n_dev candidates over ICI, and one tiny final top-k finishes —
+    the classic two-level pull, never materialising a global sort."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.sort import top_k_values
+
+    if mesh is None:
+        mesh = data_mesh()
+    table = _ensure_sharded(table, mesh) if mesh.devices.size > 1 else table
+
+    key = (
+        "sharded_topk",
+        select_expr.canonical(),
+        cond.canonical() if cond is not None else "",
+        schema_signature(table.columns),
+        int(k),
+        bool(ascending),
+        mesh.devices.size,
+        udf_mod.registry_version(),
+    )
+
+    def build():
+        sel_fn = build_evaluator(select_expr)
+        cond_fn = build_evaluator(cond) if cond is not None else None
+
+        def body(cols, num_rows):
+            some = next(iter(cols.values()))
+            n_local = some.shape[0]
+            shard_id = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+            rows = shard_id * n_local + jnp.arange(n_local, dtype=jnp.int32)
+            valid = rows < num_rows
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            vals = jnp.broadcast_to(_as_f32(sel_fn(cols)), (n_local,))
+            local = top_k_values(vals, valid, k, ascending)
+            cand = jax.lax.all_gather(local, DATA_AXIS).reshape(-1)
+            mask = jnp.isfinite(cand)
+            return top_k_values(cand, mask, k, ascending)
+
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    out = get_or_compile(key, build)(table.columns, jnp.int32(table.num_rows))
+    return np.asarray(out)
 
 
 def run_grouped_sharded(
