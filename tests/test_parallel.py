@@ -309,3 +309,74 @@ def test_distributed_topk(mesh):
     )
     want_asc = np.sort(table["price"])[2:9]
     np.testing.assert_allclose(got_asc, want_asc, rtol=1e-6)
+
+
+def test_streaming_sql_grouped(tmp_path):
+    """Out-of-core GROUP BY: chunked partial aggregation + host merge."""
+    rng = np.random.default_rng(17)
+    n = 50_000
+    q = rng.integers(0, 12, n)
+    price = rng.uniform(0, 100, n)
+    path = tmp_path / "big.csv"
+    body = "\n".join(f"{p:.4f},{k}" for p, k in zip(price, q))
+    path.write_text("price,quantity\n" + body + "\n")
+
+    out = WarpDB.query_streaming_sql(
+        str(path),
+        "SELECT quantity, SUM(price) AS s, COUNT(*) AS n, MIN(price) AS lo, "
+        "MAX(price) AS hi, AVG(price) AS mean_p FROM t "
+        "WHERE price > 10 GROUP BY quantity ORDER BY quantity ASC",
+        rows_per_chunk=7_000,
+    )
+    pricef = np.asarray([float(f"{p:.4f}") for p in price], np.float64)
+    m = pricef > 10
+    uniq = np.sort(np.unique(q[m]))
+    np.testing.assert_allclose(out["quantity"], uniq)
+    for i, u in enumerate(uniq):
+        sel = pricef[m & (q == u)]
+        assert out["n"][i] == len(sel)
+        np.testing.assert_allclose(out["s"][i], sel.sum(), rtol=1e-4)
+        np.testing.assert_allclose(out["lo"][i], sel.min(), rtol=1e-6)
+        np.testing.assert_allclose(out["hi"][i], sel.max(), rtol=1e-6)
+        np.testing.assert_allclose(out["mean_p"][i], sel.mean(), rtol=1e-4)
+
+
+def test_streaming_sql_global_and_having(tmp_path):
+    rng = np.random.default_rng(18)
+    n = 20_000
+    q = rng.integers(0, 6, n)
+    price = rng.uniform(0, 10, n)
+    path = tmp_path / "g.csv"
+    path.write_text(
+        "price,quantity\n"
+        + "\n".join(f"{p:.3f},{k}" for p, k in zip(price, q))
+        + "\n"
+    )
+    out = WarpDB.query_streaming_sql(
+        str(path), "SELECT COUNT(*) AS n, SUM(price) AS s FROM t",
+        rows_per_chunk=3_000,
+    )
+    assert out["n"] == [float(n)]
+    pricef = np.asarray([float(f"{p:.3f}") for p in price], np.float64)
+    np.testing.assert_allclose(out["s"], [pricef.sum()], rtol=1e-4)
+
+    out2 = WarpDB.query_streaming_sql(
+        str(path),
+        "SELECT quantity FROM t GROUP BY quantity "
+        "HAVING COUNT(*) > 3500 ORDER BY quantity ASC",
+        rows_per_chunk=3_000,
+    )
+    counts = {u: (q == u).sum() for u in np.unique(q)}
+    want = sorted(float(u) for u, c in counts.items() if c > 3500)
+    assert out2["quantity"] == want
+
+
+def test_streaming_sql_rejects_joins(tmp_path):
+    from warpdb_tpu.errors import UnsupportedError
+
+    path = tmp_path / "x.csv"
+    path.write_text("a,b\n1,2\n")
+    with pytest.raises(UnsupportedError, match="JOIN"):
+        WarpDB.query_streaming_sql(str(path), "SELECT a FROM t JOIN r ON a = b")
+    with pytest.raises(UnsupportedError, match="aggregation"):
+        WarpDB.query_streaming_sql(str(path), "SELECT a FROM t")

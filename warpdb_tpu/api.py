@@ -284,6 +284,22 @@ class WarpDB:
     # Reference-parity alias.
     query_multi_gpu_csv = query_streaming_csv
 
+    @staticmethod
+    def query_streaming_sql(
+        csv_path: str,
+        sql: str,
+        rows_per_chunk: int = 1_000_000,
+        mesh=None,
+    ) -> dict:
+        """Out-of-core SQL aggregation: per-chunk device aggregation with
+        host-side partial merge — GROUP BY / global aggregates over CSVs
+        far larger than device memory (the reference's streaming path
+        could only project rows, warpdb.cpp:544-590).  Returns
+        ``{column: list}`` like :meth:`query_sql_table`."""
+        from .parallel.streaming import run_streaming_sql
+
+        return run_streaming_sql(csv_path, sql, rows_per_chunk, mesh=mesh)
+
     # -- Arrow interchange (reference query_arrow, warpdb.cpp:500-505) -------
     def query_arrow(self, expr: str, shared_memory: bool = False):
         """Run :meth:`query` and export the result through the Arrow C

@@ -664,13 +664,9 @@ def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     )[0]
 
 
-def _run_grouped_multi(
-    query: Query, table: DeviceTable, select_items: list, mesh=None
-) -> list[np.ndarray]:
-    """Grouped pipeline for any number of select items.  Each item may be
-    an aggregate, the group key itself, or any arithmetic over them
-    (``SELECT quantity, SUM(price), SUM(price)/COUNT(*) …``) — exceeds the
-    reference, which required a lone aggregate (warpdb.cpp:350-353)."""
+def _grouped_plan(query: Query, select_items: list) -> dict:
+    """Static planning for a grouped query: aggregate specs, deduped value
+    expressions, and required reductions."""
     group_keys = list(query.group_by.keys)
     order_terms = query.order_by.terms if query.order_by else ()
     specs = _collect_agg_specs(
@@ -696,11 +692,6 @@ def _run_grouped_multi(
         vexpr_canons = ["1.0f"]
         vexpr_nodes = [Constant("1")]
 
-    cols = table.columns
-    n_rows = jnp.int32(table.num_rows)
-    where_canon = query.where.canonical() if query.where is not None else ""
-    keys_canon = tuple(k.canonical() for k in group_keys)
-
     # Which reductions the query actually needs (SUM-only queries skip
     # the min/max passes in the dense kernel).
     need = set()
@@ -711,7 +702,27 @@ def _run_grouped_multi(
             need.add("min")
         elif spec.agg is AggregationType.MAX:
             need.add("max")
-    need = tuple(sorted(need))
+    return {
+        "group_keys": group_keys,
+        "keys_canon": tuple(k.canonical() for k in group_keys),
+        "specs": specs,
+        "spec_to_vidx": spec_to_vidx,
+        "vexpr_nodes": vexpr_nodes,
+        "vexpr_canons": vexpr_canons,
+        "need": tuple(sorted(need)),
+    }
+
+
+def _grouped_partials(
+    query: Query, table: DeviceTable, plan: dict, mesh=None
+) -> "_HostGroupResult":
+    """Compute the per-group aggregate table (keys, counts, sum/min/max
+    per value expression) on device — the mergeable partial form shared
+    by the single-table, distributed, and out-of-core streaming paths."""
+    group_keys = plan["group_keys"]
+    vexpr_nodes = plan["vexpr_nodes"]
+    vexpr_canons = plan["vexpr_canons"]
+    where_canon = query.where.canonical() if query.where is not None else ""
 
     result = None
     if mesh is not None and mesh.devices.size > 1 and len(group_keys) == 1:
@@ -721,13 +732,24 @@ def _run_grouped_multi(
         # TPU fast path: dense integer-key aggregation (no sort, no
         # scatter) when stats bound a single key to a small integral range.
         result = _try_dense_group(query, table, group_keys, vexpr_nodes,
-                                  vexpr_canons, where_canon, need)
+                                  vexpr_canons, where_canon, plan["need"])
     if result is None:
         result = _sorted_group(query, table, group_keys, vexpr_nodes,
-                               vexpr_canons, where_canon, keys_canon)
+                               vexpr_canons, where_canon, plan["keys_canon"])
+    return result
 
-    return _finish_grouped(query, select_items, specs, spec_to_vidx, result,
-                           keys_canon)
+
+def _run_grouped_multi(
+    query: Query, table: DeviceTable, select_items: list, mesh=None
+) -> list[np.ndarray]:
+    """Grouped pipeline for any number of select items.  Each item may be
+    an aggregate, the group key itself, or any arithmetic over them
+    (``SELECT quantity, SUM(price), SUM(price)/COUNT(*) …``) — exceeds the
+    reference, which required a lone aggregate (warpdb.cpp:350-353)."""
+    plan = _grouped_plan(query, select_items)
+    result = _grouped_partials(query, table, plan, mesh=mesh)
+    return _finish_grouped(query, select_items, plan["specs"],
+                           plan["spec_to_vidx"], result, plan["keys_canon"])
 
 
 def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):

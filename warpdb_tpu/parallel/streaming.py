@@ -23,7 +23,7 @@ from ..storage.table import DeviceTable
 from .mesh import data_mesh
 from .sharded import run_expression_sharded, shard_table
 
-__all__ = ["run_streaming_csv"]
+__all__ = ["run_streaming_csv", "run_streaming_sql"]
 
 
 def run_streaming_csv(
@@ -89,3 +89,151 @@ def run_streaming_csv(
     if not pieces:
         return np.zeros(0, dtype=np.float32)
     return np.concatenate(pieces)
+
+
+def run_streaming_sql(
+    csv_path: str,
+    sql: str,
+    rows_per_chunk: int = 1_000_000,
+    mesh=None,
+    schema=None,
+) -> dict:
+    """Out-of-core SQL aggregation: stream a CSV in chunks, aggregate each
+    chunk on device into a per-group partial table (keys, counts,
+    sum/min/max per value expression), merge partials on host, and apply
+    HAVING / ORDER BY / LIMIT to the merged table.
+
+    Supports grouped and global aggregation queries over datasets far
+    larger than device memory — the out-of-core analogue of GROUP BY
+    that the reference never had (its streaming path only ran per-row
+    projection, warpdb.cpp:544-590).  JOIN / DISTINCT / window / raw
+    row-order queries are rejected (they need global row state).
+
+    Returns ``{column_name: list}`` like ``query_sql_table``.
+    """
+    import copy as _copy
+
+    from ..engine.executor import (
+        _HostGroupResult,
+        _finish_grouped,
+        _grouped_partials,
+        _grouped_plan,
+    )
+    from ..errors import UnsupportedError
+    from ..frontend import parse_query, validate_query
+    from ..frontend.ast import (
+        Aggregation,
+        Alias,
+        Constant,
+        GroupBy,
+        WindowFunction,
+        unalias,
+        walk,
+    )
+
+    ast = parse_query(tokenize(sql))
+    if ast.joins:
+        raise UnsupportedError("Streaming SQL does not support JOIN")
+    if ast.distinct:
+        raise UnsupportedError("Streaming SQL does not support DISTINCT")
+    for item in ast.select_list:
+        for n in walk(item):
+            if isinstance(n, WindowFunction):
+                raise UnsupportedError(
+                    "Streaming SQL does not support window functions"
+                )
+
+    columns = set(read_header(csv_path))
+    validate_query(ast, columns, {ast.from_table})
+
+    query = _copy.copy(ast)
+    if query.group_by is None:
+        # Global aggregates = one synthetic constant group.
+        if not all(
+            isinstance(unalias(s), Aggregation) for s in query.select_list
+        ):
+            raise UnsupportedError(
+                "Streaming SQL supports aggregation queries only "
+                "(per-row results need the expression streaming path)"
+            )
+        query.group_by = GroupBy((Constant("1"),))
+
+    def out_name(item, i, taken):
+        node = item
+        if isinstance(node, Alias):
+            return node.name if node.name not in taken else f"{node.name}_{i}"
+        name = node.canonical()
+        if name.endswith("[idx]"):
+            name = name[: -len("[idx]")]
+        return name if name not in taken else f"{name}_{i}"
+
+    select_items = [unalias(s) for s in query.select_list]
+    plan = _grouped_plan(query, select_items)
+    nv = len(plan["vexpr_nodes"])
+
+    # key tuple -> [count, sums[nv], mins[nv], maxs[nv]]
+    accum: dict = {}
+    if mesh is None:
+        mesh = data_mesh()
+    for chunk in iter_csv_chunks(csv_path, rows_per_chunk, schema):
+        if mesh.devices.size > 1:
+            dt = shard_table(chunk, mesh)
+        else:
+            dt = DeviceTable.from_host(chunk, keep_host=False)
+        part = _grouped_partials(
+            query, dt, plan, mesh=mesh if mesh.devices.size > 1 else None
+        )
+        ng = int(part.num_groups)
+        keys_cols = [np.asarray(k)[:ng] for k in part.keys]
+        counts = np.asarray(part.counts)[:ng]
+        sums = [np.asarray(part.values[i][0])[:ng] for i in range(nv)]
+        mins = [np.asarray(part.values[i][1])[:ng] for i in range(nv)]
+        maxs = [np.asarray(part.values[i][2])[:ng] for i in range(nv)]
+        for g in range(ng):
+            kt = tuple(float(kc[g]) for kc in keys_cols)
+            entry = accum.get(kt)
+            if entry is None:
+                accum[kt] = [
+                    int(counts[g]),
+                    [float(s[g]) for s in sums],
+                    [float(m[g]) for m in mins],
+                    [float(m[g]) for m in maxs],
+                ]
+            else:
+                entry[0] += int(counts[g])
+                for i in range(nv):
+                    entry[1][i] += float(sums[i][g])
+                    entry[2][i] = min(entry[2][i], float(mins[i][g]))
+                    entry[3][i] = max(entry[3][i], float(maxs[i][g]))
+
+    # Merged partials -> the same finishing path as single-table queries.
+    sorted_keys = sorted(accum.keys())
+    ngroups = len(sorted_keys)
+    nk = len(plan["keys_canon"])
+    merged_keys = tuple(
+        np.asarray([kt[i] for kt in sorted_keys], np.float32)
+        for i in range(nk)
+    )
+    merged_counts = np.asarray([accum[kt][0] for kt in sorted_keys], np.int64)
+    merged_vals = tuple(
+        (
+            np.asarray([accum[kt][1][i] for kt in sorted_keys], np.float32),
+            np.asarray([accum[kt][2][i] for kt in sorted_keys], np.float32),
+            np.asarray([accum[kt][3][i] for kt in sorted_keys], np.float32),
+        )
+        for i in range(nv)
+    )
+    result = _HostGroupResult(merged_keys, merged_counts, merged_vals, ngroups)
+    outs = _finish_grouped(
+        query, select_items, plan["specs"], plan["spec_to_vidx"], result,
+        plan["keys_canon"],
+    )
+
+    table_out: dict = {}
+    for i, (item, vals) in enumerate(zip(ast.select_list, outs)):
+        if query.offset is not None:
+            vals = vals[query.offset:] if query.offset < len(vals) else vals[:0]
+        if query.limit is not None and query.limit < len(vals):
+            vals = vals[: query.limit]
+        table_out[out_name(item, i, table_out)] = vals.tolist()
+    return table_out
