@@ -256,3 +256,14 @@ def test_parser_reentrant():
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(parse_one, texts))
     assert results == [f"(price[idx] + {i}.0f)" for i in range(64)]
+
+
+def test_rank_not_reserved():
+    # ROW_NUMBER/RANK are contextual, not reserved: a column named 'rank'
+    # still parses as an identifier everywhere.
+    from warpdb_tpu.frontend import parse_query_text, tokenize, TokenType
+
+    toks = tokenize("rank")
+    assert toks[0].type is TokenType.IDENTIFIER
+    q = parse_query_text("SELECT rank FROM t WHERE rank > 3 ORDER BY rank ASC")
+    assert q.select_list[0].canonical() == "rank[idx]"

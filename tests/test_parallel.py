@@ -380,3 +380,30 @@ def test_streaming_sql_rejects_joins(tmp_path):
         WarpDB.query_streaming_sql(str(path), "SELECT a FROM t JOIN r ON a = b")
     with pytest.raises(UnsupportedError, match="aggregation"):
         WarpDB.query_streaming_sql(str(path), "SELECT a FROM t")
+
+
+def test_streaming_sql_empty_global_matches_inmemory(tmp_path):
+    path = tmp_path / "e.csv"
+    path.write_text("price,quantity\n1,2\n3,4\n")
+    out = WarpDB.query_streaming_sql(
+        str(path), "SELECT COUNT(*) AS n, SUM(price) AS s FROM t WHERE price > 99",
+        rows_per_chunk=1,
+    )
+    assert out["n"] == [0.0] and out["s"] == [0.0]
+    db = WarpDB(str(path))
+    assert db.query_sql("SELECT COUNT(*) FROM t WHERE price > 99") == [0.0]
+
+
+def test_streaming_sql_rejects_strings(tmp_path):
+    from warpdb_tpu import DataType
+    from warpdb_tpu.errors import UnsupportedError
+
+    path = tmp_path / "s.csv"
+    path.write_text("price,cat\n1,a\n2,b\n")
+    from warpdb_tpu.parallel.streaming import run_streaming_sql
+
+    with pytest.raises(UnsupportedError, match="string"):
+        run_streaming_sql(
+            str(path), "SELECT COUNT(*) FROM t GROUP BY cat",
+            schema=[DataType.FLOAT32, DataType.STRING],
+        )

@@ -1052,8 +1052,6 @@ def _run_projection_multi(
     one fused kernel, ride one stable sort (values carried side-by-side
     through the same comparator network) and one batched device→host
     transfer — row-aligned by construction."""
-    import copy as _copy
-
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
     where = query.where
@@ -1172,11 +1170,10 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
         # of k*n_dev candidates over ICI, tiny finish.
         from ..parallel.sharded import run_topk_sharded
 
-        out = run_topk_sharded(
+        out, total = run_topk_sharded(
             select, where, table, topk_k, order.ascending, mesh
         )
-        out = out[np.isfinite(out)]
-        return out[:limit_total].astype(np.float32)
+        return out[: min(limit_total, total)].astype(np.float32)
 
     pkey = ("project", select_canon, where_canon, order_canon, distinct,
             None if order is None else order.ascending, topk_k,
@@ -1407,7 +1404,7 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                     if okeys is not None
                     else jnp.arange(n_pad, dtype=jnp.float32)
                 )
-                win = window_rank(part, ok, valid, agg_name, capacity)
+                win = window_rank(part, ok, valid, agg_name)
             elif okeys is not None:
                 # Running aggregate over the window's ORDER BY — what the
                 # reference parsed and threw away (expression.cpp:296-329).
@@ -1439,6 +1436,22 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
     return win[valid].astype(np.float32)
 
 
+def result_column_name(item, i: int, taken) -> str:
+    """Output column name for a select item: its alias, else its
+    canonical form minus the ``[idx]`` suffix; collisions get ``_i``.
+    Shared by the in-memory table API and the streaming SQL path so both
+    label identical SQL identically."""
+    if isinstance(item, Alias):
+        name = item.name
+    else:
+        name = item.canonical()
+        if name.endswith("[idx]"):
+            name = name[: -len("[idx]")]
+    if name in taken:
+        name = f"{name}_{i}"
+    return name
+
+
 def run_query_table(
     query: Query,
     table: DeviceTable,
@@ -1463,16 +1476,7 @@ def run_query_table(
         query = _copy.copy(query)
         query.select_list = expanded
 
-    def out_name(item, i: int, taken) -> str:
-        if isinstance(item, Alias):
-            name = item.name
-        else:
-            name = item.canonical()
-            if name.endswith("[idx]"):
-                name = name[: -len("[idx]")]
-        if name in taken:
-            name = f"{name}_{i}"
-        return name
+    out_name = result_column_name
 
     def empty_result() -> dict:
         out: dict = {}

@@ -53,8 +53,11 @@ KEYWORDS = frozenset(
         "BY", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
         "SUM", "AVG", "COUNT", "MIN", "MAX", "OVER",
         "PARTITION", "AND", "OR", "HAVING", "DISTINCT",
-        # Extensions over the reference's 23 keywords (expression.cpp:58-62):
-        "AS", "ROW_NUMBER", "RANK",
+        # Extension over the reference's 23 keywords (expression.cpp:58-62).
+        # ROW_NUMBER/RANK are deliberately NOT keywords: they are
+        # recognised contextually (`RANK() OVER ...`) so columns named
+        # "rank" keep working.
+        "AS",
     }
 )
 

@@ -318,11 +318,12 @@ class _QueryParser:
                     body[:k] + [Token(TokenType.END, "")]
                 )
                 return Alias(inner, body[k + 1].value)
-        # ROW_NUMBER() / RANK() OVER (...) — extension.
+        # ROW_NUMBER() / RANK() OVER (...) — extension.  Contextual, not
+        # reserved: a bare `rank` stays an ordinary column reference.
         if (
             len(body) >= 3
-            and body[0].type is TokenType.KEYWORD
-            and body[0].value in _RANK_KEYWORDS
+            and body[0].type is TokenType.IDENTIFIER
+            and body[0].value.upper() in _RANK_KEYWORDS
             and body[1].type is TokenType.OPERATOR
             and body[1].value == "("
             and body[2].type is TokenType.OPERATOR
@@ -337,7 +338,7 @@ class _QueryParser:
                     f"{body[0].value}() requires an OVER (...) clause"
                 )
             return self._parse_window(
-                _RANK_KEYWORDS[body[0].value], Constant("1"), body[3:]
+                _RANK_KEYWORDS[body[0].value.upper()], Constant("1"), body[3:]
             )
         if body and body[0].type is TokenType.KEYWORD and body[0].value in _AGG_KEYWORDS:
             kw = body[0].value

@@ -289,7 +289,6 @@ def window_rank(
     order_keys: jax.Array,
     mask: jax.Array,
     kind: str,
-    capacity: int,
 ) -> jax.Array:
     """``ROW_NUMBER()`` / ``RANK()`` OVER (PARTITION BY … ORDER BY …).
 

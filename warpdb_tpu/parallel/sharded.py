@@ -162,6 +162,7 @@ def run_topk_sharded(
     def build():
         sel_fn = build_evaluator(select_expr)
         cond_fn = build_evaluator(cond) if cond is not None else None
+        n_dev = mesh.devices.size
 
         def body(cols, num_rows):
             some = next(iter(cols.values()))
@@ -173,21 +174,30 @@ def run_topk_sharded(
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = jnp.broadcast_to(_as_f32(sel_fn(cols)), (n_local,))
             local = top_k_values(vals, valid, k, ascending)
-            cand = jax.lax.all_gather(local, DATA_AXIS).reshape(-1)
-            mask = jnp.isfinite(cand)
-            return top_k_values(cand, mask, k, ascending)
+            n_match = jnp.sum(valid.astype(jnp.int32))
+            cand = jax.lax.all_gather(local, DATA_AXIS)          # (n_dev, k)
+            counts = jax.lax.all_gather(n_match, DATA_AXIS)      # (n_dev,)
+            # Exact candidate validity from the per-shard match counts —
+            # sentinel ±inf padding is indistinguishable from real
+            # infinite data values, so isfinite() would drop real rows.
+            slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+            mask = slot < jnp.minimum(counts, k)[:, None]
+            top = top_k_values(cand.reshape(-1), mask.reshape(-1), k, ascending)
+            return top, jnp.sum(counts)
 
         fn = shard_map(
             body,
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P()),
-            out_specs=P(),
+            out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn)
 
-    out = get_or_compile(key, build)(table.columns, jnp.int32(table.num_rows))
-    return np.asarray(out)
+    out, total = get_or_compile(key, build)(
+        table.columns, jnp.int32(table.num_rows)
+    )
+    return np.asarray(out), int(total)
 
 
 def run_grouped_sharded(

@@ -118,12 +118,12 @@ def run_streaming_sql(
         _finish_grouped,
         _grouped_partials,
         _grouped_plan,
+        result_column_name,
     )
     from ..errors import UnsupportedError
     from ..frontend import parse_query, validate_query
     from ..frontend.ast import (
         Aggregation,
-        Alias,
         Constant,
         GroupBy,
         WindowFunction,
@@ -136,6 +136,13 @@ def run_streaming_sql(
         raise UnsupportedError("Streaming SQL does not support JOIN")
     if ast.distinct:
         raise UnsupportedError("Streaming SQL does not support DISTINCT")
+    if schema is not None and any(not t.is_numeric for t in schema):
+        # Each chunk would build its own dictionary, making codes
+        # incomparable across chunks — a global vocabulary exchange is a
+        # documented follow-up.
+        raise UnsupportedError(
+            "Streaming SQL does not support string columns"
+        )
     for item in ast.select_list:
         for n in walk(item):
             if isinstance(n, WindowFunction):
@@ -157,15 +164,6 @@ def run_streaming_sql(
                 "(per-row results need the expression streaming path)"
             )
         query.group_by = GroupBy((Constant("1"),))
-
-    def out_name(item, i, taken):
-        node = item
-        if isinstance(node, Alias):
-            return node.name if node.name not in taken else f"{node.name}_{i}"
-        name = node.canonical()
-        if name.endswith("[idx]"):
-            name = name[: -len("[idx]")]
-        return name if name not in taken else f"{name}_{i}"
 
     select_items = [unalias(s) for s in query.select_list]
     plan = _grouped_plan(query, select_items)
@@ -206,6 +204,13 @@ def run_streaming_sql(
                     entry[2][i] = min(entry[2][i], float(mins[i][g]))
                     entry[3][i] = max(entry[3][i], float(maxs[i][g]))
 
+    if not accum and ast.group_by is None:
+        # Global aggregate over zero surviving rows: one empty group, so
+        # COUNT()=0 / SUM()=0 / MIN()=inf / MAX()=-inf — matching the
+        # in-memory global-aggregate path.
+        accum[(1.0,)] = [0, [0.0] * nv, [float("inf")] * nv,
+                         [float("-inf")] * nv]
+
     # Merged partials -> the same finishing path as single-table queries.
     sorted_keys = sorted(accum.keys())
     ngroups = len(sorted_keys)
@@ -235,5 +240,5 @@ def run_streaming_sql(
             vals = vals[query.offset:] if query.offset < len(vals) else vals[:0]
         if query.limit is not None and query.limit < len(vals):
             vals = vals[: query.limit]
-        table_out[out_name(item, i, table_out)] = vals.tolist()
+        table_out[result_column_name(item, i, table_out)] = vals.tolist()
     return table_out
