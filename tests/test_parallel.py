@@ -407,3 +407,26 @@ def test_streaming_sql_rejects_strings(tmp_path):
             str(path), "SELECT COUNT(*) FROM t GROUP BY cat",
             schema=[DataType.FLOAT32, DataType.STRING],
         )
+
+
+def test_streaming_sql_parquet(tmp_path):
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    q = (rng.integers(0, 8, n)).astype(np.float32)
+    price = rng.uniform(0, 10, n).astype(np.float32)
+    path = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"price": price, "quantity": q}), path,
+                   row_group_size=4096)
+    out = WarpDB.query_streaming_sql(
+        str(path),
+        "SELECT quantity, SUM(price) AS s FROM t GROUP BY quantity "
+        "ORDER BY quantity ASC",
+        rows_per_chunk=3_000,
+    )
+    uniq = np.sort(np.unique(q))
+    np.testing.assert_allclose(out["quantity"], uniq)
+    want = [float(price[q == u].sum()) for u in uniq]
+    np.testing.assert_allclose(out["s"], want, rtol=1e-4)

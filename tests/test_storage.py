@@ -145,3 +145,37 @@ def test_empty_csv(tmp_path):
     path.write_text("")
     with pytest.raises(WarpDBError, match="Empty CSV file"):
         load_csv_to_host(str(path))
+
+
+def test_iter_table_chunks_parquet(tmp_path):
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from warpdb_tpu.storage.chunks import iter_table_chunks, table_column_names
+
+    n = 5000
+    t = pa.table({
+        "price": np.arange(n, dtype=np.float32),
+        "quantity": (np.arange(n) % 7).astype(np.int32),
+    })
+    path = tmp_path / "t.parquet"
+    pq.write_table(t, path, row_group_size=1200)
+    assert table_column_names(str(path)) == ["price", "quantity"]
+    chunks = list(iter_table_chunks(str(path), 800))
+    assert sum(c.num_rows for c in chunks) == n
+    assert max(c.num_rows for c in chunks) <= 800
+    got = np.concatenate([c.get_column("price").data for c in chunks])
+    np.testing.assert_allclose(got, np.arange(n, dtype=np.float32))
+
+
+def test_iter_table_chunks_ndjson(tmp_path):
+    from warpdb_tpu.storage.chunks import iter_table_chunks
+
+    path = tmp_path / "t.ndjson"
+    path.write_text(
+        "\n".join(f'{{"price": {i}.5, "quantity": {i % 3}}}' for i in range(10))
+    )
+    chunks = list(iter_table_chunks(str(path), 4))
+    assert [c.num_rows for c in chunks] == [4, 4, 2]
+    got = np.concatenate([c.get_column("price").data for c in chunks])
+    np.testing.assert_allclose(got, np.arange(10) + 0.5)

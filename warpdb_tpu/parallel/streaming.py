@@ -18,7 +18,7 @@ import numpy as np
 from ..api import _split_where
 from ..errors import ParseError, TokenizeError, WarpDBError
 from ..frontend import parse_expression, tokenize, validate_expression
-from ..storage.csv import iter_csv_chunks, read_header
+from ..storage.chunks import iter_table_chunks, table_column_names
 from ..storage.table import DeviceTable
 from .mesh import data_mesh
 from .sharded import run_expression_sharded, shard_table
@@ -52,10 +52,10 @@ def run_streaming_csv(
         except (ParseError, TokenizeError) as e:
             raise ParseError(f"Failed to parse WHERE clause: {e}") from None
 
-    # Validate against the header before reading any data
+    # Validate against the header/schema before reading any data
     # (reference validated against hardcoded {price, quantity},
     # warpdb.cpp:560 — we use the real schema).
-    columns = set(read_header(csv_path))
+    columns = set(table_column_names(csv_path))
     validate_expression(expr_ast, columns)
     if cond_ast is not None:
         validate_expression(cond_ast, columns)
@@ -73,7 +73,7 @@ def run_streaming_csv(
         dev, n_rows = in_flight.pop(0)
         pieces.append(np.asarray(dev)[:n_rows])
 
-    for chunk in iter_csv_chunks(csv_path, rows_per_chunk, schema):
+    for chunk in iter_table_chunks(csv_path, rows_per_chunk, schema):
         if mesh.devices.size > 1:
             dt = shard_table(chunk, mesh)
         else:
@@ -150,7 +150,7 @@ def run_streaming_sql(
                     "Streaming SQL does not support window functions"
                 )
 
-    columns = set(read_header(csv_path))
+    columns = set(table_column_names(csv_path))
     validate_query(ast, columns, {ast.from_table})
 
     query = _copy.copy(ast)
@@ -173,11 +173,15 @@ def run_streaming_sql(
     accum: dict = {}
     if mesh is None:
         mesh = data_mesh()
-    for chunk in iter_csv_chunks(csv_path, rows_per_chunk, schema):
+    for chunk in iter_table_chunks(csv_path, rows_per_chunk, schema):
         if mesh.devices.size > 1:
             dt = shard_table(chunk, mesh)
         else:
             dt = DeviceTable.from_host(chunk, keep_host=False)
+        if dt.dicts:
+            raise UnsupportedError(
+                "Streaming SQL does not support string columns"
+            )
         part = _grouped_partials(
             query, dt, plan, mesh=mesh if mesh.devices.size > 1 else None
         )
