@@ -771,3 +771,38 @@ def test_window_with_outer_order_by():
     )
     # window sums: p1 -> 12, p2 -> 4; rows ordered by v desc: 7,5,3 -> 12,12,4
     assert got == [12.0, 12.0, 4.0]
+
+
+def test_pallas_udf_escape_hatch(db):
+    # The UDF registry accepts Pallas kernels (README claim): an
+    # elementwise doubling kernel registered as a UDF and fused into the
+    # query pipeline (interpret mode on CPU; compiled on TPU).
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from warpdb_tpu import register_udf
+
+    interpret = jax.default_backend() != "tpu"
+
+    def _kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 2.0
+
+    def double_pallas(x):
+        x2 = jnp.reshape(x, (-1, 128))
+        out = pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2)
+        return out.reshape(x.shape)
+
+    register_udf("double_pallas", double_pallas)
+    try:
+        got = db.query("double_pallas(price)")
+        assert got[:4] == pytest.approx([21.0, 40.0, 30.5, 60.0])
+    finally:
+        register_udf("double_pallas", None)

@@ -42,11 +42,15 @@ def _builtin_discount(price, rate):
 _BUILTINS: dict[str, Callable] = {"discount": _builtin_discount}
 
 
-def register_udf(name: str, fn: Callable) -> None:
-    """Register (or replace) a UDF callable over JAX arrays."""
+def register_udf(name: str, fn: Optional[Callable]) -> None:
+    """Register (or replace) a UDF callable over JAX arrays; ``fn=None``
+    unregisters."""
     global _version
     with _lock:
-        _registry[name] = fn
+        if fn is None:
+            _registry.pop(name, None)
+        else:
+            _registry[name] = fn
         _version += 1
 
 
