@@ -735,7 +735,8 @@ def _grouped_partials(
                                   vexpr_canons, where_canon, plan["need"])
     if result is None:
         result = _sorted_group(query, table, group_keys, vexpr_nodes,
-                               vexpr_canons, where_canon, plan["keys_canon"])
+                               vexpr_canons, where_canon, plan["keys_canon"],
+                               plan["need"])
     return result
 
 
@@ -931,39 +932,21 @@ class _HostGroupResult:
 
 
 def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
-                  where_canon, keys_canon):
+                  where_canon, keys_canon, need=("sum", "min", "max")):
+    from ..ops.aggregate import group_scatter_stage, group_sort_stage
+
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
 
-    # Phase 1: distinct-key count → capacity bucket.
-    if table.padded_rows <= 4096:
-        capacity = table.padded_rows
-    else:
-        ckey = ("group_count", keys_canon, where_canon, schema_signature(cols),
-                udf_mod.registry_version())
+    # Phase 1: ONE stable sort carrying keys + values, plus segment ids
+    # and the distinct count.  The sorted arrays stay on device; only the
+    # scalar count crosses to host to pick the capacity bucket — the
+    # count pass and the aggregate pass share the sort (previously each
+    # paid its own full O(N log² N) sort).
+    skey = ("group_sort", keys_canon, tuple(vexpr_canons), where_canon,
+            schema_signature(cols), udf_mod.registry_version())
 
-        def build_count():
-            key_fns = [build_evaluator(k) for k in group_keys]
-            cond_fn = build_evaluator(query.where) if query.where is not None else None
-
-            @jax.jit
-            def kernel(cols, num_rows):
-                valid = _valid_mask(cols, num_rows)
-                if cond_fn is not None:
-                    valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-                keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
-                return count_distinct(keys, valid)
-
-            return kernel
-
-        n_distinct = int(get_or_compile(ckey, build_count)(cols, n_rows))
-        capacity = _next_pow2(max(n_distinct, 16))
-
-    # Phase 2: the one-pass multi-aggregate kernel.
-    gkey = ("group_agg", keys_canon, tuple(vexpr_canons), where_canon,
-            schema_signature(cols), capacity, udf_mod.registry_version())
-
-    def build_group():
+    def build_sort():
         key_fns = [build_evaluator(k) for k in group_keys]
         val_fns = [build_evaluator(v) for v in vexpr_nodes]
         cond_fn = build_evaluator(query.where) if query.where is not None else None
@@ -975,11 +958,39 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
             vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
-            return group_aggregate(keys, vals, valid, capacity)
+            return group_sort_stage(keys, vals, valid)
 
         return kernel
 
-    result = jax.device_get(get_or_compile(gkey, build_group)(cols, n_rows))
+    keys_s, vals_s, valid_s, seg, ng_dev = get_or_compile(skey, build_sort)(
+        cols, n_rows
+    )
+    if table.padded_rows <= 4096:
+        capacity = table.padded_rows
+    else:
+        capacity = _next_pow2(max(int(ng_dev), 16))
+
+    # Phase 2: scatter the pre-sorted segments into capacity-sized tables.
+    gkey = ("group_scatter", len(keys_canon), len(vexpr_canons),
+            table.padded_rows, capacity, need)
+
+    def build_scatter():
+        nk = len(keys_canon)
+
+        @jax.jit
+        def kernel(keys_s, vals_s, valid_s, seg, ng):
+            return group_scatter_stage(
+                tuple(keys_s), tuple(vals_s), valid_s, seg, ng, capacity,
+                need,
+            )
+
+        return kernel
+
+    result = jax.device_get(
+        get_or_compile(gkey, build_scatter)(
+            tuple(keys_s), tuple(vals_s), valid_s, seg, ng_dev
+        )
+    )
 
     num_groups = int(result.num_groups)
     keys = tuple(k[:num_groups] for k in result.keys)

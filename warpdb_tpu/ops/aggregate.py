@@ -71,6 +71,78 @@ def _as_key_tuple(keys) -> tuple:
     return (keys,)
 
 
+def group_sort_stage(keys, values_list, mask: jax.Array):
+    """The expensive half of a segmented aggregate: ONE stable sort by
+    key tuple carrying every value column, plus segment ids and the
+    distinct-group count.
+
+    Returned arrays stay on device, so the executor's two-phase capacity
+    protocol only transfers the scalar ``num_groups`` between phases and
+    the scatter phase reuses this sort instead of re-sorting
+    (historically the count pass and the aggregate pass each paid a full
+    O(N log² N) sort)."""
+    keys = _as_key_tuple(keys)
+    values_list = tuple(values_list)
+    valid = mask
+    skeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in keys
+    )
+    nk = len(skeys)
+
+    sorted_ops = lax.sort(
+        skeys + keys + (valid.astype(jnp.int32),) + values_list,
+        num_keys=nk,
+        is_stable=True,
+    )
+    skeys_s = sorted_ops[:nk]
+    keys_s = sorted_ops[nk : 2 * nk]
+    valid_s = sorted_ops[2 * nk].astype(jnp.bool_)
+    vals_s = sorted_ops[2 * nk + 1 :]
+
+    first = jnp.zeros(skeys_s[0].shape, jnp.bool_).at[0].set(True)
+    for sk in skeys_s:
+        first = jnp.logical_or(first, jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        ))
+    first = jnp.logical_and(first, valid_s)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_groups = jnp.sum(first.astype(jnp.int32))
+    return keys_s, vals_s, valid_s, seg, num_groups
+
+
+def group_scatter_stage(
+    keys_s, vals_s, valid_s, seg, num_groups, capacity: int,
+    need: tuple = ("sum", "min", "max"),
+) -> GroupResult:
+    """Scatter the pre-sorted segments into capacity-sized aggregate
+    tables (pairs with :func:`group_sort_stage`).  At high cardinality
+    the scatters dominate (~0.14 G updates/s on v5e), so ``need`` prunes
+    the min/max passes a SUM-only query never reads."""
+    # Invalid rows (sentinel block at the back) scatter out of range.
+    seg = jnp.where(valid_s, seg, capacity)
+    counts = jnp.zeros((capacity,), jnp.int32).at[seg].add(1, mode="drop")
+    keys_out = tuple(
+        jnp.full((capacity,), jnp.inf, jnp.float32).at[seg].min(k, mode="drop")
+        for k in keys_s
+    )
+    inf = jnp.full((capacity,), jnp.inf, jnp.float32)
+    per_value = []
+    for v in vals_s:
+        sums = (
+            jnp.zeros((capacity,), jnp.float32).at[seg].add(v, mode="drop")
+            if "sum" in need
+            else jnp.zeros((capacity,), jnp.float32)
+        )
+        mins = (
+            inf.at[seg].min(v, mode="drop") if "min" in need else inf
+        )
+        maxs = (
+            (-inf).at[seg].max(v, mode="drop") if "max" in need else -inf
+        )
+        per_value.append(ValueAggregates(sums, mins, maxs))
+    return GroupResult(keys_out, counts, tuple(per_value), num_groups)
+
+
 def group_aggregate(
     keys, values_list, mask: jax.Array, capacity: int
 ) -> GroupResult:
