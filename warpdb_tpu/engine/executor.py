@@ -1261,10 +1261,13 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
     select_canon = select.canonical()
     order = query.order_by
 
-    ckey = ("distinct_count", select_canon, where_canon,
+    from ..ops.aggregate import group_scatter_stage, group_sort_stage
+
+    # Phase 1: one sort (shared with the scatter phase, like GROUP BY).
+    ckey = ("distinct_sort", select_canon, where_canon,
             schema_signature(cols), udf_mod.registry_version())
 
-    def build_count():
+    def build_sort():
         sel_fn = build_evaluator(select)
         cond_fn = build_evaluator(where) if where is not None else None
 
@@ -1274,32 +1277,33 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = _broadcast(_as_f32(sel_fn(cols)), cols)
-            return count_distinct((vals,), valid)
+            return group_sort_stage((vals,), (), valid)
 
         return kernel
 
-    n_uniq = int(get_or_compile(ckey, build_count)(cols, n_rows))
+    keys_s, _vals_s, valid_s, seg, ng_dev = get_or_compile(
+        ckey, build_sort
+    )(cols, n_rows)
+    n_uniq = int(ng_dev)
     capacity = min(_next_pow2(max(n_uniq, 16)), table.padded_rows)
 
-    dkey = ("distinct_vals", select_canon, where_canon, capacity,
-            schema_signature(cols), udf_mod.registry_version())
+    dkey = ("distinct_scatter", table.padded_rows, capacity)
 
-    def build_distinct():
-        sel_fn = build_evaluator(select)
-        cond_fn = build_evaluator(where) if where is not None else None
-
+    def build_scatter():
         @jax.jit
-        def kernel(cols, num_rows):
-            valid = _valid_mask(cols, num_rows)
-            if cond_fn is not None:
-                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            vals = _broadcast(_as_f32(sel_fn(cols)), cols)
-            uniq, n = distinct_values(vals, valid, capacity)
-            return uniq, n
+        def kernel(keys_s, valid_s, seg, ng):
+            g = group_scatter_stage(
+                tuple(keys_s), (), valid_s, seg, ng, capacity, need=()
+            )
+            return g.keys[0], g.num_groups
 
         return kernel
 
-    uniq, n = jax.device_get(get_or_compile(dkey, build_distinct)(cols, n_rows))
+    uniq, n = jax.device_get(
+        get_or_compile(dkey, build_scatter)(
+            tuple(keys_s), valid_s, seg, ng_dev
+        )
+    )
     values = uniq[: int(n)]
     # Reference order: DISTINCT produces ascending (host sort+unique,
     # warpdb.cpp:463-468); ORDER BY then re-sorts — meaningful when it
