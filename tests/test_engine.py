@@ -806,3 +806,29 @@ def test_pallas_udf_escape_hatch(db):
         assert got[:4] == pytest.approx([21.0, 40.0, 30.5, 60.0])
     finally:
         register_udf("double_pallas", None)
+
+
+def test_count_distinct(db, random_db):
+    t = {
+        "k": np.array([1, 1, 1, 2, 2], np.float32),
+        "v": np.array([5, 5, 7, 3, 3], np.float32),
+    }
+    d = WarpDB(HostTable.from_dict(t))
+    out = d.query_sql_table(
+        "SELECT k, COUNT(DISTINCT v) AS d, COUNT(*) AS n FROM t GROUP BY k"
+    )
+    assert out["d"] == [2.0, 1.0] and out["n"] == [3.0, 2.0]
+    assert d.query_sql("SELECT COUNT(DISTINCT v) FROM t") == [3.0]
+    assert d.query_sql(
+        "SELECT k FROM t GROUP BY k HAVING COUNT(DISTINCT v) > 1"
+    ) == [1.0]
+
+    # randomized vs oracle
+    rdb, table = random_db
+    sql = (
+        "SELECT COUNT(DISTINCT price) FROM t WHERE price > 40 "
+        "GROUP BY quantity ORDER BY quantity ASC"
+    )
+    got = np.asarray(rdb.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want)

@@ -677,9 +677,14 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
     vexpr_canons: list[str] = []
     vexpr_nodes: list[Node] = []
     spec_to_vidx: dict = {}
+    cd_specs: list[_AggSpec] = []
     for spec in specs:
         if spec.agg is AggregationType.COUNT:
             spec_to_vidx[spec.key] = None
+            continue
+        if spec.agg is AggregationType.COUNT_DISTINCT:
+            spec_to_vidx[spec.key] = "cd"
+            cd_specs.append(spec)
             continue
         c = spec.expr.canonical()
         if c not in vexpr_canons:
@@ -709,6 +714,7 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
         "spec_to_vidx": spec_to_vidx,
         "vexpr_nodes": vexpr_nodes,
         "vexpr_canons": vexpr_canons,
+        "cd_specs": cd_specs,
         "need": tuple(sorted(need)),
     }
 
@@ -737,6 +743,11 @@ def _grouped_partials(
         result = _sorted_group(query, table, group_keys, vexpr_nodes,
                                vexpr_canons, where_canon, plan["keys_canon"],
                                plan["need"])
+    for spec in plan["cd_specs"]:
+        result.dcounts[spec.key] = _grouped_count_distinct(
+            query, table, group_keys, spec.expr, result.num_groups,
+            plan["keys_canon"], where_canon,
+        )
     return result
 
 
@@ -924,11 +935,85 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
 class _HostGroupResult:
     """GroupResult already pulled to host and compacted."""
 
-    def __init__(self, keys, counts, values, num_groups):
+    def __init__(self, keys, counts, values, num_groups, dcounts=None):
         self.keys = keys
         self.counts = counts
         self.values = values
         self.num_groups = num_groups
+        # COUNT(DISTINCT e) per-group counts, keyed by spec key.
+        self.dcounts: dict = dcounts or {}
+
+
+def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
+                            keys_canon, where_canon) -> np.ndarray:
+    """Per-group COUNT(DISTINCT expr): one sort by (group keys…, value),
+    then distinct-(key, value) boundary flags scatter-added per key
+    segment.  Segments emerge in the same ascending key order as every
+    other grouped path, so the output aligns with the main aggregate
+    table row-for-row."""
+    from ..ops.sort import float_sort_key
+
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    capacity = _next_pow2(max(int(num_groups), 16))
+
+    key = ("group_count_distinct", keys_canon, expr.canonical(), where_canon,
+           schema_signature(cols), capacity, udf_mod.registry_version())
+
+    def build():
+        key_fns = [build_evaluator(k) for k in group_keys]
+        val_fn = build_evaluator(expr)
+        cond_fn = build_evaluator(query.where) if query.where is not None else None
+        u32_max = jnp.uint32(0xFFFFFFFF)
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
+            vals = _broadcast(_as_f32(val_fn(cols)), cols)
+            skeys = tuple(
+                jnp.where(valid, float_sort_key(k), u32_max) for k in keys
+            )
+            sval = float_sort_key(vals)
+            nk = len(skeys)
+            sorted_ops = jax.lax.sort(
+                skeys + (sval, valid.astype(jnp.int32)),
+                num_keys=nk + 1,
+                is_stable=True,
+            )
+            skeys_s = sorted_ops[:nk]
+            sval_s = sorted_ops[nk]
+            valid_s = sorted_ops[nk + 1].astype(jnp.bool_)
+            key_first = jnp.zeros(sval_s.shape, jnp.bool_).at[0].set(True)
+            for sk in skeys_s:
+                key_first = jnp.logical_or(
+                    key_first,
+                    jnp.concatenate(
+                        [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
+                    ),
+                )
+            val_first = jnp.logical_or(
+                key_first,
+                jnp.concatenate(
+                    [jnp.ones((1,), jnp.bool_), sval_s[1:] != sval_s[:-1]]
+                ),
+            )
+            key_first = jnp.logical_and(key_first, valid_s)
+            val_first = jnp.logical_and(val_first, valid_s)
+            seg = jnp.cumsum(key_first.astype(jnp.int32)) - 1
+            seg = jnp.where(valid_s, seg, capacity)
+            return (
+                jnp.zeros((capacity,), jnp.int32)
+                .at[seg]
+                .add(val_first.astype(jnp.int32), mode="drop")
+            )
+
+        return kernel
+
+    out = np.asarray(get_or_compile(key, build)(cols, n_rows))
+    return out[: int(num_groups)].astype(np.float32)
 
 
 def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
@@ -1010,16 +1095,15 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
     num_groups = result.num_groups
     counts = result.counts
     key_arrays = [k for k in result.keys]
-    agg_values = {
-        spec.key: _agg_value_from_result(
-            spec,
-            counts,
-            None
-            if spec_to_vidx[spec.key] is None
-            else result.values[spec_to_vidx[spec.key]],
-        )
-        for spec in specs
-    }
+    agg_values = {}
+    for spec in specs:
+        vidx = spec_to_vidx[spec.key]
+        if vidx == "cd":
+            agg_values[spec.key] = result.dcounts[spec.key]
+        else:
+            agg_values[spec.key] = _agg_value_from_result(
+                spec, counts, None if vidx is None else result.values[vidx]
+            )
     key_canon_map = {c: key_arrays[i] for i, c in enumerate(keys_canon)}
 
     mask = np.ones(num_groups, dtype=bool)
@@ -1334,6 +1418,8 @@ def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = _broadcast(_as_f32(val_fn(cols)), cols)
             cnt = jnp.sum(valid.astype(jnp.float32))
+            if agg is AggregationType.COUNT_DISTINCT:
+                return count_distinct((vals,), valid).astype(jnp.float32)
             if agg is AggregationType.COUNT:
                 return cnt
             if agg is AggregationType.SUM:

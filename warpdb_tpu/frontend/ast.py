@@ -166,6 +166,8 @@ class AggregationType(enum.Enum):
     # aggregates, expression.hpp:86).
     ROW_NUMBER = "row_number"
     RANK = "rank"
+    # COUNT(DISTINCT expr) — extension.
+    COUNT_DISTINCT = "count_distinct"
 
 
 @dataclass(frozen=True, repr=False)
@@ -181,6 +183,8 @@ class Aggregation(Node):
         return self.agg.value
 
     def canonical(self) -> str:
+        if self.agg is AggregationType.COUNT_DISTINCT:
+            return f"COUNT(DISTINCT {self.expr.canonical()})"
         return f"{self.agg.name}({self.expr.canonical()})"
 
     def children(self) -> tuple[Node, ...]:

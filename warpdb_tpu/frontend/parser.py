@@ -161,11 +161,16 @@ class _ExprParser:
             self.advance()
             if not self.match_op("("):
                 raise ParseError(f"Invalid syntax for {tok.value} aggregation")
-            # COUNT(*) — extension over the reference grammar.
+            # COUNT(*) / COUNT(DISTINCT e) — extensions over the reference.
             if tok.value == "COUNT" and self.match_op("*"):
                 if not self.match_op(")"):
                     raise ParseError("Expected ')' after arguments")
                 return Aggregation(AggregationType.COUNT, Star())
+            if tok.value == "COUNT" and self.match_kw("DISTINCT"):
+                inner = self.logical_or()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return Aggregation(AggregationType.COUNT_DISTINCT, inner)
             inner = self.logical_or()
             if not self.match_op(")"):
                 raise ParseError("Expected ')' after arguments")
@@ -387,6 +392,14 @@ class _QueryParser:
                 and inner[0].value == "*"
             ):
                 inner_expr: Node = Star()
+            elif (
+                kw == "COUNT"
+                and inner
+                and inner[0].type is TokenType.KEYWORD
+                and inner[0].value == "DISTINCT"
+            ):
+                agg_type = AggregationType.COUNT_DISTINCT
+                inner_expr = parse_expression(inner[1:])
             else:
                 inner_expr = parse_expression(inner)
             if over_idx < len(body):

@@ -124,6 +124,7 @@ def run_streaming_sql(
     from ..frontend import parse_query, validate_query
     from ..frontend.ast import (
         Aggregation,
+        AggregationType,
         Constant,
         GroupBy,
         WindowFunction,
@@ -143,11 +144,22 @@ def run_streaming_sql(
         raise UnsupportedError(
             "Streaming SQL does not support string columns"
         )
-    for item in ast.select_list:
+    for item in [*ast.select_list, ast.having,
+                 *(t.expr for t in (ast.order_by.terms if ast.order_by else ()))]:
+        if item is None:
+            continue
         for n in walk(item):
             if isinstance(n, WindowFunction):
                 raise UnsupportedError(
                     "Streaming SQL does not support window functions"
+                )
+            if (
+                isinstance(n, Aggregation)
+                and n.agg is AggregationType.COUNT_DISTINCT
+            ):
+                # Per-chunk distinct counts are not mergeable.
+                raise UnsupportedError(
+                    "Streaming SQL does not support COUNT(DISTINCT)"
                 )
 
     columns = set(table_column_names(csv_path))
