@@ -228,3 +228,55 @@ def test_empty_string_column_exports_utf8():
     rb = db.query_record_batch("SELECT cat, v FROM t WHERE v > 100")
     assert rb.num_rows == 0
     assert pa.types.is_string(rb.schema.field("cat").type)
+
+
+# --- IN / BETWEEN / NOT / LIKE (extensions) --------------------------------
+
+
+def test_in_between_not_predicates():
+    db = WarpDB(
+        HostTable.from_dict({"v": np.arange(1, 7, dtype=np.float32)})
+    )
+    assert db.query_sql("SELECT v FROM t WHERE v IN (2, 4, 9)") == [2.0, 4.0]
+    assert db.query_sql("SELECT v FROM t WHERE v BETWEEN 3 AND 5") == [
+        3.0, 4.0, 5.0,
+    ]
+    assert db.query_sql("SELECT v FROM t WHERE NOT v > 4") == [
+        1.0, 2.0, 3.0, 4.0,
+    ]
+    assert db.query_sql(
+        "SELECT v FROM t WHERE NOT v BETWEEN 2 AND 5"
+    ) == [1.0, 6.0]
+    assert db.query_sql(
+        "SELECT v FROM t WHERE v IN (1, 2) OR v BETWEEN 5 AND 6"
+    ) == [1.0, 2.0, 5.0, 6.0]
+
+
+def test_like_and_string_in():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "cat": np.array(
+                    ["toys", "books", "tools", "games", "totes"], object
+                ),
+                "v": np.array([1, 2, 3, 4, 5], np.float32),
+            },
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    assert db.query_sql("SELECT v FROM t WHERE cat LIKE 'to%'") == [
+        1.0, 3.0, 5.0,
+    ]
+    assert db.query_sql("SELECT v FROM t WHERE cat LIKE '%oo%'") == [
+        2.0, 3.0,
+    ]
+    assert db.query_sql("SELECT v FROM t WHERE cat LIKE 't_ys'") == [1.0]
+    assert db.query_sql("SELECT v FROM t WHERE NOT cat LIKE 'to%'") == [
+        2.0, 4.0,
+    ]
+    assert db.query_sql(
+        "SELECT v FROM t WHERE cat IN ('books', 'games')"
+    ) == [2.0, 4.0]
+    # LIKE on a numeric column is a validation error.
+    with pytest.raises(ValidationError, match="LIKE requires a string"):
+        db.query_sql("SELECT v FROM t WHERE v LIKE 'x%'")

@@ -36,6 +36,8 @@ from ..frontend.ast import (
     BinaryOp,
     Constant,
     FunctionCall,
+    InCodeSet,
+    LikePattern,
     Node,
     Star,
     Variable,
@@ -132,6 +134,25 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
             return _as_f32(fn(*[a(cols) for a in arg_fns]))
 
         return call_fn
+    if isinstance(node, InCodeSet):
+        import numpy as _np
+
+        inner = build_evaluator(node.expr)
+        lut_np = _np.zeros(max(node.vocab_size, 1), _np.bool_)
+        if node.codes:
+            lut_np[list(node.codes)] = True
+        lut = jnp.asarray(lut_np)
+
+        def in_codes_fn(cols):
+            codes = inner(cols).astype(jnp.int32)
+            return jnp.take(lut, jnp.clip(codes, 0, lut.shape[0] - 1))
+
+        return in_codes_fn
+    if isinstance(node, LikePattern):
+        raise ExecutionError(
+            "LIKE requires a string column (binding against the table's "
+            "dictionary did not occur — is the column numeric?)"
+        )
     if isinstance(node, (Aggregation, WindowFunction)):
         raise ExecutionError(
             f"{type(node).__name__} is not a row-level expression; "

@@ -34,6 +34,8 @@ from ..frontend.ast import (
     Constant,
     FunctionCall,
     GroupBy,
+    InCodeSet,
+    LikePattern,
     Node,
     OrderBy,
     Query,
@@ -155,6 +157,23 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                     "Comparing a string column with a numeric column"
                 )
         return BinaryOp(node.op, bind_strings(l, table), bind_strings(r, table))
+    if isinstance(node, LikePattern):
+        import fnmatch
+        import re
+
+        vocab = _vocab_of(node.expr, table)
+        if vocab is None:
+            raise ValidationError(
+                "LIKE requires a string column on its left side"
+            )
+        # SQL LIKE wildcards: % = any sequence, _ = one character.
+        rx = re.compile(
+            fnmatch.translate(node.pattern.replace("%", "*").replace("_", "?"))
+        )
+        codes = tuple(
+            int(i) for i, s in enumerate(vocab) if rx.match(str(s))
+        )
+        return InCodeSet(node.expr, codes, len(vocab))
     if isinstance(node, FunctionCall):
         return FunctionCall(
             node.name, tuple(bind_strings(a, table) for a in node.args)
@@ -180,7 +199,7 @@ def _bind_query_strings(query: Query, table: DeviceTable) -> Query:
     """Bind string literals in every clause (joins are bound separately in
     ``_materialize_join``, where both tables are known)."""
     if not table.dicts and not any(
-        isinstance(n, StringLiteral) for item in [
+        isinstance(n, (StringLiteral, LikePattern)) for item in [
             *query.select_list, query.where, query.having,
             *(t.expr for t in (query.order_by.terms if query.order_by else ())),
             *(query.group_by.keys if query.group_by else ()),

@@ -22,7 +22,7 @@ from typing import Callable, Iterator, Optional
 __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
-    "StringLiteral",
+    "StringLiteral", "LikePattern", "InCodeSet",
     "OrderBy", "Join", "GroupBy", "Query",
     "walk", "column_refs", "unalias",
 ]
@@ -122,6 +122,42 @@ class StringLiteral(Node):
 
     def canonical(self) -> str:
         return f"'{self.text}'"
+
+
+@dataclass(frozen=True, repr=False)
+class LikePattern(Node):
+    """``expr LIKE 'pat%'`` (extension).  Bound against the column's
+    dictionary at plan lowering into an :class:`InCodeSet`."""
+
+    expr: Node
+    pattern: str
+
+    def canonical(self) -> str:
+        return f"({self.expr.canonical()} LIKE '{self.pattern}')"
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False)
+class InCodeSet(Node):
+    """Membership of a dictionary-coded column in a static code set (the
+    bound form of LIKE).  The code tuple is part of the canonical string,
+    so kernels cache correctly across tables with different
+    vocabularies."""
+
+    expr: Node
+    codes: tuple
+    vocab_size: int
+
+    def canonical(self) -> str:
+        return (
+            f"({self.expr.canonical()} IN_CODES "
+            f"{self.vocab_size}:{','.join(str(c) for c in self.codes)})"
+        )
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
 
 
 @dataclass(frozen=True, repr=False)

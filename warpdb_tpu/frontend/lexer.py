@@ -53,11 +53,12 @@ KEYWORDS = frozenset(
         "BY", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
         "SUM", "AVG", "COUNT", "MIN", "MAX", "OVER",
         "PARTITION", "AND", "OR", "HAVING", "DISTINCT",
-        # Extension over the reference's 23 keywords (expression.cpp:58-62).
+        # Extensions over the reference's 23 keywords (expression.cpp:58-62).
         # ROW_NUMBER/RANK are deliberately NOT keywords: they are
         # recognised contextually (`RANK() OVER ...`) so columns named
-        # "rank" keep working.
-        "AS",
+        # "rank" keep working.  NOT/IN/BETWEEN/LIKE are reserved in
+        # standard SQL, so reserving them here is safe.
+        "AS", "NOT", "IN", "BETWEEN", "LIKE",
     }
 )
 

@@ -33,6 +33,7 @@ from .ast import (
     FunctionCall,
     GroupBy,
     Join,
+    LikePattern,
     Node,
     OrderBy,
     Query,
@@ -105,13 +106,48 @@ class _ExprParser:
         return node
 
     def logical_and(self) -> Node:
-        node = self.comparison()
+        node = self.unary_not()
         while self.match_kw("AND"):
-            node = BinaryOp("&&", node, self.comparison())
+            node = BinaryOp("&&", node, self.unary_not())
         return node
+
+    def unary_not(self) -> Node:
+        # SQL NOT (extension): rewrites to (expr == 0) — the engine's
+        # boolean representation is {0, 1} f32.
+        if self.match_kw("NOT"):
+            return BinaryOp("==", self.unary_not(), Constant("0"))
+        return self.comparison()
 
     def comparison(self) -> Node:
         node = self.additive()
+        # IN / BETWEEN / LIKE (extensions) — pure grammar rewrites.
+        if self.match_kw("IN"):
+            if not self.match_op("("):
+                raise ParseError("Expected '(' after IN")
+            out: Optional[Node] = None
+            while True:
+                item = self.logical_or()
+                eq = BinaryOp("==", node, item)
+                out = eq if out is None else BinaryOp("||", out, eq)
+                if not self.match_op(","):
+                    break
+            if not self.match_op(")"):
+                raise ParseError("Expected ')' after IN list")
+            return out
+        if self.match_kw("BETWEEN"):
+            lo = self.additive()
+            if not self.match_kw("AND"):
+                raise ParseError("Expected AND in BETWEEN")
+            hi = self.additive()
+            return BinaryOp(
+                "&&", BinaryOp(">=", node, lo), BinaryOp("<=", node, hi)
+            )
+        if self.match_kw("LIKE"):
+            tok = self.peek()
+            if tok.type is not TokenType.STRING:
+                raise ParseError("Expected string pattern after LIKE")
+            self.advance()
+            return LikePattern(node, tok.value)
         while True:
             op = self.match_op(*_COMPARISON_OPS)
             if op is None:
