@@ -179,3 +179,17 @@ def test_iter_table_chunks_ndjson(tmp_path):
     assert [c.num_rows for c in chunks] == [4, 4, 2]
     got = np.concatenate([c.get_column("price").data for c in chunks])
     np.testing.assert_allclose(got, np.arange(10) + 0.5)
+
+
+def test_warpdb_from_pyarrow_table():
+    pa = pytest.importorskip("pyarrow")
+
+    from warpdb_tpu import WarpDB
+
+    t = pa.table({
+        "price": np.float32([1.5, 2.5, 3.5]),
+        "cat": ["a", "b", "a"],
+    })
+    db = WarpDB(t)
+    assert db.query_sql("SELECT SUM(price) FROM t GROUP BY cat") == [5.0, 2.5]
+    assert db.query_sql("SELECT cat FROM t WHERE price > 2") == ["b", "a"]

@@ -280,3 +280,14 @@ def test_like_and_string_in():
     # LIKE on a numeric column is a validation error.
     with pytest.raises(ValidationError, match="LIKE requires a string"):
         db.query_sql("SELECT v FROM t WHERE v LIKE 'x%'")
+
+
+def test_min_max_string_decoded(sdb):
+    out = sdb.query_sql_table(
+        "SELECT quantity, MIN(category) AS lo, MAX(category) AS hi "
+        "FROM sales GROUP BY quantity ORDER BY quantity ASC"
+    )
+    # each quantity appears once: lo == hi == that row's category
+    assert out["lo"] == ["books", "toys", "toys", "books", "games"]
+    assert out["hi"] == out["lo"]
+    assert sdb.query_sql("SELECT MIN(category) FROM sales") == ["books"]

@@ -62,6 +62,12 @@ class WarpDB:
         if isinstance(filepath_or_table, HostTable):
             self._host = filepath_or_table
             self._name = "table"
+        elif type(filepath_or_table).__module__.startswith("pyarrow"):
+            # pyarrow.Table / RecordBatch accepted directly.
+            from .storage.arrow import host_table_from_arrow
+
+            self._host = host_table_from_arrow(filepath_or_table)
+            self._name = "table"
         else:
             self._host = load_table(str(filepath_or_table), schema)
             base = str(filepath_or_table).rsplit("/", 1)[-1]
@@ -180,10 +186,16 @@ class WarpDB:
         """Decode dictionary codes back to strings when the select item is
         a bare string column (extension: the reference cannot query string
         columns at all, csv_loader.cpp:151-155)."""
-        from .frontend.ast import Variable, unalias
+        from .frontend.ast import Aggregation, AggregationType, Variable, unalias
         from .storage.strings import decode_codes
 
         node = unalias(item)
+        # MIN/MAX of a string column: the lexicographic extreme's code.
+        if isinstance(node, Aggregation) and node.agg in (
+            AggregationType.MIN,
+            AggregationType.MAX,
+        ):
+            node = node.expr
         if isinstance(node, Variable):
             vocab = self._table.dicts.get(node.name)
             if vocab is None:
