@@ -291,3 +291,62 @@ def test_min_max_string_decoded(sdb):
     assert out["lo"] == ["books", "toys", "toys", "books", "games"]
     assert out["hi"] == out["lo"]
     assert sdb.query_sql("SELECT MIN(category) FROM sales") == ["books"]
+
+
+def test_like_metacharacters_literal():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "cat": np.array(["a[b]", "ab", "2*3", "2xx3", "a?"], object),
+                "v": np.array([1, 2, 3, 4, 5], np.float32),
+            },
+            dtypes={"cat": DataType.STRING},
+        )
+    )
+    assert db.query_sql("SELECT v FROM t WHERE cat LIKE 'a[b]'") == [1.0]
+    assert db.query_sql("SELECT v FROM t WHERE cat LIKE '2*3'") == [3.0]
+    assert db.query_sql("SELECT v FROM t WHERE cat LIKE 'a?'") == [5.0]
+    assert db.query_sql("SELECT v FROM t WHERE cat LIKE '2%3'") == [3.0, 4.0]
+
+
+def test_negated_predicates():
+    db = WarpDB(HostTable.from_dict({"v": np.arange(1, 6, dtype=np.float32)}))
+    assert db.query_sql("SELECT v FROM t WHERE v NOT IN (1, 3)") == [
+        2.0, 4.0, 5.0,
+    ]
+    assert db.query_sql("SELECT v FROM t WHERE v NOT BETWEEN 2 AND 4") == [
+        1.0, 5.0,
+    ]
+
+
+def test_count_distinct_window_rejected():
+    from warpdb_tpu.errors import ParseError
+
+    db = WarpDB(HostTable.from_dict({"v": np.float32([1, 2])}))
+    with pytest.raises(ParseError, match="window"):
+        db.query_sql("SELECT COUNT(DISTINCT v) OVER (PARTITION BY v) FROM t")
+
+
+def test_count_distinct_large_int_keys():
+    ids = np.array([16777216, 16777216, 16777217, 16777217], np.int32)
+    db = WarpDB(
+        HostTable.from_dict({"id": ids, "v": np.float32([1, 2, 3, 4])})
+    )
+    out = db.query_sql_table(
+        "SELECT COUNT(DISTINCT v) AS d, COUNT(*) AS n FROM t GROUP BY id"
+    )
+    assert out["d"] == [2.0, 2.0] and out["n"] == [2.0, 2.0]
+
+
+def test_min_string_empty_result_stays_float(sdb):
+    out = sdb.query_sql("SELECT MIN(category) FROM sales WHERE price > 99999")
+    assert out == [float("inf")]
+
+
+def test_streaming_expression_rejects_strings(tmp_path):
+    from warpdb_tpu.errors import WarpDBError
+
+    path = tmp_path / "s.ndjson"
+    path.write_text('{"cat": "zebra", "v": 1.0}\n{"cat": "apple", "v": 2.0}\n')
+    with pytest.raises(WarpDBError, match="string columns"):
+        WarpDB.query_streaming_csv(str(path), "cat", rows_per_chunk=1)

@@ -197,6 +197,12 @@ class WarpDB:
         ):
             node = node.expr
         if isinstance(node, Variable):
+            vals_arr = np.asarray(values)
+            if vals_arr.dtype.kind == "f" and not np.all(
+                np.isfinite(vals_arr)
+            ):
+                # Empty-aggregate sentinels (±inf) have no string form.
+                return vals_arr.tolist()
             vocab = self._table.dicts.get(node.name)
             if vocab is None:
                 vocab = self._table.dicts.get(node.unqualified)

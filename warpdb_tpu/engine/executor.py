@@ -49,12 +49,9 @@ from ..frontend.ast import (
 from ..ops.aggregate import (
     count_distinct,
     dense_group_aggregate,
-    distinct_values,
-    group_aggregate,
     is_integral,
     window_aggregate,
 )
-from ..ops.filter import compact
 from ..ops.join import join_gather_indices, join_match_counts
 from ..ops.sort import sort_pairs, sort_values, top_k_values
 from ..storage.table import DeviceTable
@@ -158,7 +155,6 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                 )
         return BinaryOp(node.op, bind_strings(l, table), bind_strings(r, table))
     if isinstance(node, LikePattern):
-        import fnmatch
         import re
 
         vocab = _vocab_of(node.expr, table)
@@ -167,11 +163,17 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                 "LIKE requires a string column on its left side"
             )
         # SQL LIKE wildcards: % = any sequence, _ = one character.
+        # Everything else is literal — escape it so regex/glob
+        # metacharacters ([, ], *, ?, .) in patterns or data match
+        # literally.
         rx = re.compile(
-            fnmatch.translate(node.pattern.replace("%", "*").replace("_", "?"))
+            "".join(
+                ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+                for ch in node.pattern
+            )
         )
         codes = tuple(
-            int(i) for i, s in enumerate(vocab) if rx.match(str(s))
+            int(i) for i, s in enumerate(vocab) if rx.fullmatch(str(s))
         )
         return InCodeSet(node.expr, codes, len(vocab))
     if isinstance(node, FunctionCall):
@@ -766,6 +768,7 @@ def _grouped_partials(
         result.dcounts[spec.key] = _grouped_count_distinct(
             query, table, group_keys, spec.expr, result.num_groups,
             plan["keys_canon"], where_canon,
+            raw_int_key=getattr(result, "raw_int_key", False),
         )
     return result
 
@@ -948,7 +951,13 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     values = tuple(
         (v.sums[occ], v.mins[occ], v.maxs[occ]) for v in result.values
     )
-    return _HostGroupResult(keys, counts[occ], values, int(occ.sum()))
+    out = _HostGroupResult(keys, counts[occ], values, int(occ.sum()))
+    # COUNT(DISTINCT) kernels must group keys exactly the way this path
+    # did: raw ints when the dense kernel read the raw column.
+    out.raw_int_key = bool(
+        isinstance(key_expr, Variable) and integral_static
+    )
+    return out
 
 
 class _HostGroupResult:
@@ -961,10 +970,14 @@ class _HostGroupResult:
         self.num_groups = num_groups
         # COUNT(DISTINCT e) per-group counts, keyed by spec key.
         self.dcounts: dict = dcounts or {}
+        # Whether the producing path grouped on raw integer keys (dense
+        # fast path) — COUNT(DISTINCT) kernels must match it exactly.
+        self.raw_int_key: bool = False
 
 
 def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
-                            keys_canon, where_canon) -> np.ndarray:
+                            keys_canon, where_canon,
+                            raw_int_key: bool = False) -> np.ndarray:
     """Per-group COUNT(DISTINCT expr): one sort by (group keys…, value),
     then distinct-(key, value) boundary flags scatter-added per key
     segment.  Segments emerge in the same ascending key order as every
@@ -977,10 +990,27 @@ def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
     capacity = _next_pow2(max(int(num_groups), 16))
 
     key = ("group_count_distinct", keys_canon, expr.canonical(), where_canon,
-           schema_signature(cols), capacity, udf_mod.registry_version())
+           schema_signature(cols), capacity, raw_int_key,
+           udf_mod.registry_version())
 
     def build():
-        key_fns = [build_evaluator(k) for k in group_keys]
+        from ..ops.sort import int_sort_key
+
+        if raw_int_key:
+            # Mirror the dense path: group on the raw integer column so
+            # ids beyond f32's 2^24 integer range stay distinct.
+            kvar = group_keys[0]
+            kname, kuname = kvar.name, kvar.unqualified
+
+            def raw_key(cols):
+                arr = cols.get(kname)
+                if arr is None:
+                    arr = cols.get(kuname)
+                return arr
+
+            key_fns = [raw_key]
+        else:
+            key_fns = [build_evaluator(k) for k in group_keys]
         val_fn = build_evaluator(expr)
         cond_fn = build_evaluator(query.where) if query.where is not None else None
         u32_max = jnp.uint32(0xFFFFFFFF)
@@ -990,11 +1020,20 @@ def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
+            if raw_int_key:
+                keys = tuple(_broadcast(f(cols), cols) for f in key_fns)
+                skeys = tuple(
+                    jnp.where(valid, int_sort_key(k), u32_max) for k in keys
+                )
+            else:
+                keys = tuple(
+                    _broadcast(_as_f32(f(cols)), cols) for f in key_fns
+                )
+                skeys = tuple(
+                    jnp.where(valid, float_sort_key(k), u32_max)
+                    for k in keys
+                )
             vals = _broadcast(_as_f32(val_fn(cols)), cols)
-            skeys = tuple(
-                jnp.where(valid, float_sort_key(k), u32_max) for k in keys
-            )
             sval = float_sort_key(vals)
             nk = len(skeys)
             sorted_ops = jax.lax.sort(
@@ -1005,14 +1044,9 @@ def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
             skeys_s = sorted_ops[:nk]
             sval_s = sorted_ops[nk]
             valid_s = sorted_ops[nk + 1].astype(jnp.bool_)
-            key_first = jnp.zeros(sval_s.shape, jnp.bool_).at[0].set(True)
-            for sk in skeys_s:
-                key_first = jnp.logical_or(
-                    key_first,
-                    jnp.concatenate(
-                        [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
-                    ),
-                )
+            from ..ops.aggregate import sorted_first_flags
+
+            key_first = sorted_first_flags(skeys_s)
             val_first = jnp.logical_or(
                 key_first,
                 jnp.concatenate(
@@ -1079,8 +1113,6 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
             table.padded_rows, capacity, need)
 
     def build_scatter():
-        nk = len(keys_canon)
-
         @jax.jit
         def kernel(keys_s, vals_s, valid_s, seg, ng):
             return group_scatter_stage(

@@ -120,6 +120,35 @@ class _ExprParser:
 
     def comparison(self) -> Node:
         node = self.additive()
+        # Negated predicate forms: a NOT IN (...), a NOT BETWEEN x AND y,
+        # a NOT LIKE 'p' — the standard SQL spellings.
+        if (
+            self.peek().type is TokenType.KEYWORD
+            and self.peek().value == "NOT"
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1].type is TokenType.KEYWORD
+            and self.toks[self.pos + 1].value in ("IN", "BETWEEN", "LIKE")
+        ):
+            self.advance()  # NOT
+            positive = self._predicate_tail(node)
+            return BinaryOp("==", positive, Constant("0"))
+        tail = self._maybe_predicate_tail(node)
+        if tail is not None:
+            return tail
+        while True:
+            op = self.match_op(*_COMPARISON_OPS)
+            if op is None:
+                return node
+            node = BinaryOp(op, node, self.additive())
+
+    def _maybe_predicate_tail(self, node: Node) -> Optional[Node]:
+        if self.peek().type is TokenType.KEYWORD and self.peek().value in (
+            "IN", "BETWEEN", "LIKE",
+        ):
+            return self._predicate_tail(node)
+        return None
+
+    def _predicate_tail(self, node: Node) -> Node:
         # IN / BETWEEN / LIKE (extensions) — pure grammar rewrites.
         if self.match_kw("IN"):
             if not self.match_op("("):
@@ -148,11 +177,7 @@ class _ExprParser:
                 raise ParseError("Expected string pattern after LIKE")
             self.advance()
             return LikePattern(node, tok.value)
-        while True:
-            op = self.match_op(*_COMPARISON_OPS)
-            if op is None:
-                return node
-            node = BinaryOp(op, node, self.additive())
+        raise ParseError("Expected IN, BETWEEN or LIKE")
 
     def additive(self) -> Node:
         node = self.term()
@@ -434,6 +459,11 @@ class _QueryParser:
                 and inner[0].type is TokenType.KEYWORD
                 and inner[0].value == "DISTINCT"
             ):
+                if over_idx < len(body):
+                    raise ParseError(
+                        "COUNT(DISTINCT ...) cannot be used as a window "
+                        "function"
+                    )
                 agg_type = AggregationType.COUNT_DISTINCT
                 inner_expr = parse_expression(inner[1:])
             else:

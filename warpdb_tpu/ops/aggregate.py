@@ -37,6 +37,7 @@ from .sort import float_sort_key
 
 __all__ = [
     "GroupResult",
+    "sorted_first_flags",
     "ValueAggregates",
     "group_aggregate",
     "count_distinct",
@@ -71,6 +72,18 @@ def _as_key_tuple(keys) -> tuple:
     return (keys,)
 
 
+
+def sorted_first_flags(skeys_s: tuple) -> jax.Array:
+    """Row-starts-a-new-key-run flags over lexicographically sorted key
+    columns (position 0 is always a start).  Shared by every segmented
+    operator so boundary semantics cannot drift between paths."""
+    first = jnp.zeros(skeys_s[0].shape, jnp.bool_).at[0].set(True)
+    for sk in skeys_s:
+        first = jnp.logical_or(first, jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        ))
+    return first
+
 def group_sort_stage(keys, values_list, mask: jax.Array):
     """The expensive half of a segmented aggregate: ONE stable sort by
     key tuple carrying every value column, plus segment ids and the
@@ -99,12 +112,7 @@ def group_sort_stage(keys, values_list, mask: jax.Array):
     valid_s = sorted_ops[2 * nk].astype(jnp.bool_)
     vals_s = sorted_ops[2 * nk + 1 :]
 
-    first = jnp.zeros(skeys_s[0].shape, jnp.bool_).at[0].set(True)
-    for sk in skeys_s:
-        first = jnp.logical_or(first, jnp.concatenate(
-            [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
-        ))
-    first = jnp.logical_and(first, valid_s)
+    first = jnp.logical_and(sorted_first_flags(skeys_s), valid_s)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     num_groups = jnp.sum(first.astype(jnp.int32))
     return keys_s, vals_s, valid_s, seg, num_groups
@@ -171,12 +179,7 @@ def group_aggregate(
     valid_s = sorted_ops[2 * nk].astype(jnp.bool_)
     vals_s = sorted_ops[2 * nk + 1 :]
 
-    first = jnp.zeros(skeys_s[0].shape, jnp.bool_).at[0].set(True)
-    for sk in skeys_s:
-        first = jnp.logical_or(first, jnp.concatenate(
-            [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
-        ))
-    first = jnp.logical_and(first, valid_s)
+    first = jnp.logical_and(sorted_first_flags(skeys_s), valid_s)
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     # Invalid rows (sentinel block at the back) scatter out of range.
     seg = jnp.where(valid_s, seg, capacity)
@@ -206,11 +209,7 @@ def count_distinct(keys, mask: jax.Array) -> jax.Array:
     )
     skeys_s = sorted_ops[:nk]
     valid_s = sorted_ops[nk].astype(jnp.bool_)
-    first = jnp.zeros(skeys_s[0].shape, jnp.bool_).at[0].set(True)
-    for sk in skeys_s:
-        first = jnp.logical_or(first, jnp.concatenate(
-            [jnp.zeros((1,), jnp.bool_), sk[1:] != sk[:-1]]
-        ))
+    first = sorted_first_flags(skeys_s)
     return jnp.sum(jnp.logical_and(first, valid_s).astype(jnp.int32))
 
 

@@ -119,6 +119,12 @@ def top_k_values(values: jax.Array, mask: jax.Array, k: int, ascending: bool):
     return -out if ascending else out
 
 
+def int_sort_key(values: jax.Array) -> jax.Array:
+    """Order-preserving bijection int32 → uint32 (sign-bit flip)."""
+    bits = lax.bitcast_convert_type(values.astype(jnp.int32), jnp.uint32)
+    return bits ^ jnp.uint32(0x80000000)
+
+
 def float_sort_key(values: jax.Array) -> jax.Array:
     """Order-preserving bijection f32 → uint32 (for radix-style keying and
     exact float grouping): flips the sign bit for non-negatives and all

@@ -78,6 +78,11 @@ def run_streaming_csv(
             dt = shard_table(chunk, mesh)
         else:
             dt = DeviceTable.from_host(chunk, keep_host=False)
+        if dt.dicts:
+            raise WarpDBError(
+                "Streaming expressions do not support string columns "
+                "(per-chunk dictionaries are not comparable across chunks)"
+            )
         out = run_expression_sharded(
             dt, expr_ast, cond_ast, mesh=mesh, device_out=True
         )

@@ -57,8 +57,14 @@ def table_column_names(path: str) -> list[str]:
         with open(path) as f:
             for line in f:
                 line = line.strip()
-                if line:
-                    return list(json.loads(line).keys())
+                if not line:
+                    continue
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # the loaders skip malformed lines too
+                if isinstance(obj, dict):
+                    return list(obj.keys())
         return []
     raise UnsupportedError(f"Unsupported file format: .{ext}")
 
