@@ -430,3 +430,30 @@ def test_streaming_sql_parquet(tmp_path):
     np.testing.assert_allclose(out["quantity"], uniq)
     want = [float(price[q == u].sum()) for u in uniq]
     np.testing.assert_allclose(out["s"], want, rtol=1e-4)
+
+
+def test_mesh_multi_key_group(mesh):
+    """Multi-key GROUP BY on a mesh table: no shard_map path exists, so
+    the sorted path runs under GSPMD (global sort over sharded columns)
+    and must still be exact."""
+    rng = np.random.default_rng(41)
+    n = 20_000
+    table = {
+        "a": rng.integers(0, 4, n).astype(np.float32),
+        "b": rng.integers(0, 3, n).astype(np.float32),
+        "v": rng.uniform(0, 10, n).astype(np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table), mesh=mesh)
+    out = db.query_sql_table(
+        "SELECT a, b, SUM(v) AS s FROM t GROUP BY a, b ORDER BY a ASC, b ASC"
+    )
+    import itertools
+
+    expect = []
+    for ka, kb in itertools.product(sorted(set(table["a"])), sorted(set(table["b"]))):
+        m = (table["a"] == ka) & (table["b"] == kb)
+        if m.any():
+            expect.append((ka, kb, float(table["v"][m].sum())))
+    np.testing.assert_allclose(out["a"], [e[0] for e in expect])
+    np.testing.assert_allclose(out["b"], [e[1] for e in expect])
+    np.testing.assert_allclose(out["s"], [e[2] for e in expect], rtol=1e-4)
