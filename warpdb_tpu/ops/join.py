@@ -140,6 +140,8 @@ def join_match_counts(
     lo_pos = lax.cummax(lo_at_start)
 
     # Un-merge: probes first (ordered by original index), builds last.
+    # (A scatter-based un-merge measured ~15% slower on v5e than this
+    # sort — two 2^24 int scatter-max passes lose to one 3-operand sort.)
     _, hi_u, lo_u = lax.sort(
         (is_build_s * (n_probe + n_build) + i_s, hi_pos, lo_pos),
         num_keys=1,
