@@ -165,3 +165,51 @@ def test_fuzz_string_group(seed):
     want_s = [float(price[cat == u].sum()) for u in uniq]
     np.testing.assert_allclose(out["s"], want_s, rtol=1e-4)
     assert out["n"] == [int((cat == u).sum()) for u in uniq]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_join_vs_numpy(seed):
+    rng = np.random.default_rng(6000 + seed)
+    nl, nr = rng.integers(50, 400), rng.integers(20, 200)
+    lk = rng.integers(0, 20, nl).astype(np.float32)
+    rk = rng.integers(0, 25, nr).astype(np.float32)
+    lv = rng.uniform(0, 100, nl).astype(np.float32)
+    rv = rng.uniform(0, 100, nr).astype(np.float32)
+    left = WarpDB(HostTable.from_dict({"k": lk, "v": lv}))
+    left.register_table("r", HostTable.from_dict({"k": rk, "w": rv}))
+    out = left.query_sql_table("SELECT v, r.w FROM t JOIN r ON k = r.k")
+
+    want = sorted(
+        (float(lv[i]), float(rv[j]))
+        for i in range(nl)
+        for j in range(nr)
+        if lk[i] == rk[j]
+    )
+    got = sorted(zip(out["v"], out["r.w"]))
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_join_groupby(seed):
+    rng = np.random.default_rng(7000 + seed)
+    nl = 600
+    lk = rng.integers(0, 8, nl).astype(np.float32)
+    lv = rng.uniform(0, 10, nl).astype(np.float32)
+    rk = np.arange(8, dtype=np.float32)
+    rw = rng.uniform(1, 2, 8).astype(np.float32)
+    left = WarpDB(HostTable.from_dict({"k": lk, "v": lv}))
+    left.register_table("r", HostTable.from_dict({"k": rk, "w": rw}))
+    out = left.query_sql_table(
+        "SELECT k, SUM(v) AS s, COUNT(*) AS n FROM t JOIN r ON k = r.k "
+        "WHERE r.w > 1.5 GROUP BY k ORDER BY k ASC"
+    )
+    keep = rw > 1.5
+    uniq = [float(k) for k in rk[keep] if (lk == k).any()]
+    assert out["k"] == sorted(uniq)
+    for i, k in enumerate(out["k"]):
+        m = lk == k
+        np.testing.assert_allclose(out["s"][i], float(lv[m].sum()), rtol=1e-4)
+        assert out["n"][i] == int(m.sum())
