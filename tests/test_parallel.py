@@ -394,19 +394,34 @@ def test_streaming_sql_empty_global_matches_inmemory(tmp_path):
     assert db.query_sql("SELECT COUNT(*) FROM t WHERE price > 99") == [0.0]
 
 
-def test_streaming_sql_rejects_strings(tmp_path):
+def test_streaming_sql_string_group(tmp_path):
+    """Out-of-core GROUP BY on a string column: a host pre-pass builds a
+    global vocabulary so codes are comparable across chunks."""
     from warpdb_tpu import DataType
-    from warpdb_tpu.errors import UnsupportedError
-
-    path = tmp_path / "s.csv"
-    path.write_text("price,cat\n1,a\n2,b\n")
     from warpdb_tpu.parallel.streaming import run_streaming_sql
 
-    with pytest.raises(UnsupportedError, match="string"):
-        run_streaming_sql(
-            str(path), "SELECT COUNT(*) FROM t GROUP BY cat",
-            schema=[DataType.FLOAT32, DataType.STRING],
-        )
+    path = tmp_path / "s.csv"
+    rng = np.random.default_rng(33)
+    cats = ["zebra", "apple", "mango", "kiwi"]
+    n = 4000
+    chosen = rng.choice(cats, n)
+    price = rng.uniform(0, 10, n)
+    body = "\n".join(f"{p:.3f},{c}" for p, c in zip(price, chosen))
+    path.write_text("price,cat\n" + body + "\n")
+    out = run_streaming_sql(
+        str(path),
+        "SELECT cat, SUM(price) AS s, COUNT(*) AS n FROM t "
+        "WHERE cat != 'kiwi' GROUP BY cat ORDER BY cat ASC",
+        rows_per_chunk=700,
+        schema=[DataType.FLOAT32, DataType.STRING],
+    )
+    pricef = np.asarray([float(f"{p:.3f}") for p in price], np.float64)
+    uniq = sorted(set(cats) - {"kiwi"})
+    assert out["cat"] == uniq
+    for i, c in enumerate(uniq):
+        m = chosen == c
+        assert out["n"][i] == int(m.sum())
+        np.testing.assert_allclose(out["s"][i], pricef[m].sum(), rtol=1e-4)
 
 
 def test_streaming_sql_parquet(tmp_path):

@@ -142,13 +142,6 @@ def run_streaming_sql(
         raise UnsupportedError("Streaming SQL does not support JOIN")
     if ast.distinct:
         raise UnsupportedError("Streaming SQL does not support DISTINCT")
-    if schema is not None and any(not t.is_numeric for t in schema):
-        # Each chunk would build its own dictionary, making codes
-        # incomparable across chunks — a global vocabulary exchange is a
-        # documented follow-up.
-        raise UnsupportedError(
-            "Streaming SQL does not support string columns"
-        )
     for item in [*ast.select_list, ast.having,
                  *(t.expr for t in (ast.order_by.terms if ast.order_by else ()))]:
         if item is None:
@@ -182,6 +175,34 @@ def run_streaming_sql(
             )
         query.group_by = GroupBy((Constant("1"),))
 
+    # String columns need codes comparable ACROSS chunks: a host-side
+    # pre-pass over the (cheap, parse-only) chunk stream builds one
+    # global vocabulary shared by every string column, and each chunk
+    # then encodes against it.
+    global_dicts: dict = {}
+    str_col_names: list = []
+    uniques: set = set()
+    for chunk in iter_table_chunks(csv_path, rows_per_chunk, schema):
+        for col in chunk.columns:
+            if not col.dtype.is_numeric:
+                if col.name not in str_col_names:
+                    str_col_names.append(col.name)
+                uniques.update(
+                    "" if v is None else str(v) for v in col.data
+                )
+        if not str_col_names:
+            break  # first chunk defines the schema; no strings anywhere
+    if str_col_names:
+        vocab = np.asarray(sorted(uniques))
+        global_dicts = {name: vocab for name in str_col_names}
+        from types import SimpleNamespace
+
+        from ..engine.executor import _bind_query_strings
+
+        query = _bind_query_strings(
+            query, SimpleNamespace(dicts=global_dicts)
+        )
+
     select_items = [unalias(s) for s in query.select_list]
     plan = _grouped_plan(query, select_items)
     nv = len(plan["vexpr_nodes"])
@@ -194,10 +215,9 @@ def run_streaming_sql(
         if mesh.devices.size > 1:
             dt = shard_table(chunk, mesh)
         else:
-            dt = DeviceTable.from_host(chunk, keep_host=False)
-        if dt.dicts:
-            raise UnsupportedError(
-                "Streaming SQL does not support string columns"
+            dt = DeviceTable.from_host(
+                chunk, keep_host=False,
+                dicts_override=global_dicts or None,
             )
         part = _grouped_partials(
             query, dt, plan, mesh=mesh if mesh.devices.size > 1 else None
@@ -255,11 +275,26 @@ def run_streaming_sql(
         plan["keys_canon"],
     )
 
+    from ..frontend.ast import Variable
+    from ..storage.strings import decode_codes
+
     table_out: dict = {}
     for i, (item, vals) in enumerate(zip(ast.select_list, outs)):
         if query.offset is not None:
             vals = vals[query.offset:] if query.offset < len(vals) else vals[:0]
         if query.limit is not None and query.limit < len(vals):
             vals = vals[: query.limit]
-        table_out[result_column_name(item, i, table_out)] = vals.tolist()
+        node = unalias(item)
+        if (
+            isinstance(node, Variable)
+            and (node.name in global_dicts or node.unqualified in global_dicts)
+            and np.all(np.isfinite(vals))
+        ):
+            out_vals = decode_codes(
+                vals,
+                global_dicts.get(node.name, global_dicts.get(node.unqualified)),
+            )
+        else:
+            out_vals = vals.tolist()
+        table_out[result_column_name(item, i, table_out)] = out_vals
     return table_out

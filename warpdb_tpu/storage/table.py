@@ -246,6 +246,7 @@ class DeviceTable:
         pad_multiple: int = PAD_MULTIPLE,
         sharding=None,
         keep_host: bool = True,
+        dicts_override: Optional[dict] = None,
     ) -> "DeviceTable":
         import jax
         import jax.numpy as jnp
@@ -265,15 +266,37 @@ class DeviceTable:
             for col in host.columns
             if not col.dtype.is_numeric
         }
-        if str_cols:
+        if str_cols and dicts_override is None:
             from .strings import encode_string_columns
 
             encoded, vocab = encode_string_columns(str_cols)
+        elif str_cols:
+            # Encode against a caller-supplied (e.g. global, cross-chunk)
+            # vocabulary.  Every value must be present in it.
+            encoded = {}
+            for name, vals in str_cols.items():
+                v = dicts_override[name]
+                as_str = np.asarray(
+                    [("" if x is None else str(x)) for x in vals]
+                )
+                codes = np.searchsorted(v, as_str)
+                codes = np.clip(codes, 0, max(len(v) - 1, 0))
+                if len(v) and not np.all(v[codes] == as_str):
+                    raise ValidationError(
+                        f"string column '{name}' contains values absent "
+                        "from the supplied vocabulary"
+                    )
+                encoded[name] = codes.astype(np.int32)
         for col in host.columns:
             dtypes[col.name] = col.dtype
             stats[col.name] = col.stats
             if not col.dtype.is_numeric:
                 data = encoded[col.name]
+                vocab = (
+                    dicts_override[col.name]
+                    if dicts_override is not None
+                    else vocab
+                )
                 dicts[col.name] = vocab
                 stats[col.name] = ColumnStats(
                     min=float(data.min()) if n else 0.0,
