@@ -832,3 +832,42 @@ def test_count_distinct(db, random_db):
     got = np.asarray(rdb.query_sql(sql), dtype=np.float32)
     want = oracle.query_sql(table, parse_query_text(sql))
     np.testing.assert_allclose(got, want)
+
+
+def test_concurrent_queries_thread_safe(db, test_table):
+    # The reference's parser used file-static mutable state and was not
+    # reentrant (expression.cpp:123-124); this engine must serve
+    # concurrent queries from one table correctly.
+    import concurrent.futures
+
+    queries = [
+        ("q", "price * quantity WHERE price > 15"),
+        ("s", "SELECT SUM(price) FROM test GROUP BY quantity ORDER BY quantity ASC"),
+        ("s", "SELECT price FROM test ORDER BY price DESC LIMIT 2"),
+        ("q", "discount(price, 0.9)"),
+    ] * 8
+
+    def run(args):
+        kind, text = args
+        return (db.query if kind == "q" else db.query_sql)(text)
+
+    expected = [run(q) for q in queries[:4]]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, queries))
+    for i, r in enumerate(results):
+        assert r == pytest.approx(expected[i % 4], rel=1e-6)
+
+
+def test_fuzz_window_vs_oracle(random_db):
+    import oracle as _oracle
+
+    db, table = random_db
+    for seed in range(4):
+        rng = np.random.default_rng(8000 + seed)
+        agg = rng.choice(["SUM", "AVG", "COUNT", "MIN", "MAX"])
+        sql = f"SELECT {agg}(price) OVER (PARTITION BY quantity) FROM t"
+        if rng.uniform() < 0.5:
+            sql += " WHERE price > 30"
+        got = np.asarray(db.query_sql(sql), dtype=np.float32)
+        want = _oracle.query_sql(table, parse_query_text(sql))
+        np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=sql)
