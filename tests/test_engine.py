@@ -871,3 +871,20 @@ def test_fuzz_window_vs_oracle(random_db):
         got = np.asarray(db.query_sql(sql), dtype=np.float32)
         want = _oracle.query_sql(table, parse_query_text(sql))
         np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=sql)
+
+
+def test_metrics_operator_trace():
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(55)
+    t = {
+        "price": rng.uniform(0, 100, 8000).astype(np.float32),
+        "k": np.arange(8000, dtype=np.float32),  # high cardinality
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    db.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
+    ops = [name for name, _hit in last().operators]
+    assert "group_sort" in ops and "group_scatter" in ops
+    # Second run: same operators, now cache hits.
+    db.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
+    assert all(hit for _name, hit in last().operators)

@@ -199,16 +199,20 @@ def get_or_compile(key: tuple, build: Callable[[], Callable]) -> Callable:
     """Plan-keyed kernel cache — the fix for the reference's
     recompile-per-call (jit.cpp:98-157).  ``build`` runs at most once per
     distinct key."""
+    from ..utils.metrics import note_operator
+
     global _cache_hits, _cache_misses
     with _cache_lock:
         fn = _kernel_cache.get(key)
         if fn is not None:
             _cache_hits += 1
+            note_operator(str(key[0]), True)
             return fn
     fn = build()
     with _cache_lock:
         _kernel_cache[key] = fn
         _cache_misses += 1
+    note_operator(str(key[0]), False)
     return fn
 
 

@@ -21,7 +21,7 @@ from typing import Optional
 logger = logging.getLogger("warpdb_tpu")
 
 __all__ = ["QueryMetrics", "record", "history", "last", "timed_query",
-           "profile_trace", "logger"]
+           "note_operator", "profile_trace", "logger"]
 
 
 @dataclass(frozen=True)
@@ -32,6 +32,10 @@ class QueryMetrics:
     rows: int
     bytes_scanned: int
     output_rows: int
+    # Cached-kernel invocations during this query, in execution order
+    # (operator names = first element of each plan-cache key), with
+    # compile-vs-cache-hit flags: [(name, was_cache_hit), ...].
+    operators: tuple = ()
 
     @property
     def rows_per_s(self) -> float:
@@ -65,14 +69,31 @@ def last() -> Optional[QueryMetrics]:
         return _history[-1] if _history else None
 
 
+# Per-thread operator trace filled by engine.compiler.get_or_compile.
+_trace_local = threading.local()
+
+
+def note_operator(name: str, cache_hit: bool) -> None:
+    """Called by the kernel cache on every lookup; recorded per query."""
+    ops = getattr(_trace_local, "ops", None)
+    if ops is not None:
+        ops.append((name, cache_hit))
+
+
 @contextlib.contextmanager
 def timed_query(query: str, kind: str, rows: int, bytes_scanned: int):
-    """Context manager recording one query execution."""
+    """Context manager recording one query execution (including which
+    physical operators ran — the per-operator accounting SURVEY §5 asks
+    for, without forcing a device sync per operator)."""
     t0 = time.perf_counter()
     out_rows = [0]
+    prev_ops = getattr(_trace_local, "ops", None)
+    _trace_local.ops = []
     try:
         yield out_rows
     finally:
+        ops = tuple(_trace_local.ops)
+        _trace_local.ops = prev_ops
         record(
             QueryMetrics(
                 query=query,
@@ -81,6 +102,7 @@ def timed_query(query: str, kind: str, rows: int, bytes_scanned: int):
                 rows=rows,
                 bytes_scanned=bytes_scanned,
                 output_rows=out_rows[0],
+                operators=ops,
             )
         )
 
