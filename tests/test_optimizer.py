@@ -135,3 +135,41 @@ def test_explain_does_not_execute(data_dir):
     before = cache_stats()["misses"]
     db.explain("SELECT SUM(price) FROM test GROUP BY quantity")
     assert cache_stats()["misses"] == before  # no kernel was built
+
+
+def test_persistent_compilation_cache_config(tmp_path, monkeypatch):
+    # WARPDB_COMPILATION_CACHE_DIR wires jax's persistent executable
+    # cache (the durable analogue of the kernel cache; the reference
+    # recompiled everything per call).
+    import jax
+
+    import warpdb_tpu.config as cfg
+
+    monkeypatch.setenv("WARPDB_COMPILATION_CACHE_DIR", str(tmp_path))
+    cfg.set_config(None)  # force re-read from env
+    try:
+        c = cfg.get_config()
+        assert c.compilation_cache_dir == str(tmp_path)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.delenv("WARPDB_COMPILATION_CACHE_DIR")
+        cfg.set_config(None)
+        cfg.get_config()
+
+
+def test_env_overrides_int_field(monkeypatch):
+    import warpdb_tpu.config as cfg
+
+    monkeypatch.setenv("WARPDB_DENSE_GROUP_MAX_SLOTS", "123")
+    monkeypatch.setenv("WARPDB_UDF_MODULE", "my_udfs.py")
+    cfg.set_config(None)
+    try:
+        c = cfg.get_config()
+        assert c.dense_group_max_slots == 123
+        assert c.udf_module == "my_udfs.py"
+    finally:
+        monkeypatch.delenv("WARPDB_DENSE_GROUP_MAX_SLOTS")
+        monkeypatch.delenv("WARPDB_UDF_MODULE")
+        cfg.set_config(None)
+        cfg.get_config()

@@ -39,11 +39,20 @@ class EngineConfig:
         cfg = cls()
         for field in dataclasses.fields(cls):
             env = os.environ.get(f"WARPDB_{field.name.upper()}")
-            if env is not None:
-                value = field.type(env) if field.type is not str else env
-                if field.type is int:
-                    value = int(env)
-                setattr(cfg, field.name, value)
+            if env is None:
+                continue
+            # With `from __future__ import annotations`, field.type is
+            # the annotation STRING — dispatch by name, not identity.
+            tname = (
+                field.type if isinstance(field.type, str)
+                else getattr(field.type, "__name__", "str")
+            )
+            if tname == "int":
+                setattr(cfg, field.name, int(env))
+            elif tname == "float":
+                setattr(cfg, field.name, float(env))
+            else:
+                setattr(cfg, field.name, env)
         return cfg
 
 
