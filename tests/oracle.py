@@ -83,6 +83,8 @@ def _agg(agg_type, values: np.ndarray) -> float:
         return float(len(values))
     if agg_type is AggregationType.COUNT_DISTINCT:
         return float(len(np.unique(values)))
+    if agg_type is AggregationType.MEDIAN:
+        return float(np.median(values)) if len(values) else 0.0
     if agg_type is AggregationType.MIN:
         return float(np.min(values)) if len(values) else np.inf
     if agg_type is AggregationType.MAX:

@@ -888,3 +888,29 @@ def test_metrics_operator_trace():
     # Second run: same operators, now cache hits.
     db.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
     assert all(hit for _name, hit in last().operators)
+
+
+def test_median(db, random_db):
+    t = {
+        "k": np.array([1, 1, 1, 2, 2, 2, 2], np.float32),
+        "v": np.array([5, 1, 9, 4, 2, 8, 6], np.float32),
+    }
+    d = WarpDB(HostTable.from_dict(t))
+    out = d.query_sql_table("SELECT k, MEDIAN(v) AS m FROM t GROUP BY k")
+    assert out["m"] == [5.0, 5.0]
+    assert d.query_sql("SELECT MEDIAN(v) FROM t") == [5.0]
+    assert d.query_sql("SELECT MEDIAN(v) FROM t WHERE k == 2") == [5.0]
+
+    # randomized vs numpy oracle
+    rdb, table = random_db
+    sql = (
+        "SELECT MEDIAN(price) FROM t WHERE price > 20 "
+        "GROUP BY quantity ORDER BY quantity ASC"
+    )
+    got = np.asarray(rdb.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # a column named median still works
+    d2 = WarpDB(HostTable.from_dict({"median": np.float32([3.0, 1.0])}))
+    assert d2.query_sql("SELECT median FROM t ORDER BY median ASC") == [1.0, 3.0]

@@ -707,6 +707,10 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
             spec_to_vidx[spec.key] = "cd"
             cd_specs.append(spec)
             continue
+        if spec.agg is AggregationType.MEDIAN:
+            spec_to_vidx[spec.key] = "cd"
+            cd_specs.append(spec)
+            continue
         c = spec.expr.canonical()
         if c not in vexpr_canons:
             vexpr_canons.append(c)
@@ -765,9 +769,9 @@ def _grouped_partials(
                                vexpr_canons, where_canon, plan["keys_canon"],
                                plan["need"])
     for spec in plan["cd_specs"]:
-        result.dcounts[spec.key] = _grouped_count_distinct(
+        result.dcounts[spec.key] = _grouped_value_order_stat(
             query, table, group_keys, spec.expr, result.num_groups,
-            plan["keys_canon"], where_canon,
+            plan["keys_canon"], where_canon, spec.agg,
             raw_int_key=getattr(result, "raw_int_key", False),
         )
     return result
@@ -975,11 +979,13 @@ class _HostGroupResult:
         self.raw_int_key: bool = False
 
 
-def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
-                            keys_canon, where_canon,
-                            raw_int_key: bool = False) -> np.ndarray:
-    """Per-group COUNT(DISTINCT expr): one sort by (group keys…, value),
-    then distinct-(key, value) boundary flags scatter-added per key
+def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,
+                              keys_canon, where_canon, agg,
+                              raw_int_key: bool = False) -> np.ndarray:
+    """Per-group statistics needing values SORTED WITHIN each group —
+    COUNT(DISTINCT expr) and MEDIAN(expr) — from one sort by
+    (group keys…, value).  Distinct counts scatter-add value-boundary
+    flags per key segment; medians gather the middle element(s) of each
     segment.  Segments emerge in the same ascending key order as every
     other grouped path, so the output aligns with the main aggregate
     table row-for-row."""
@@ -989,8 +995,8 @@ def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
     n_rows = jnp.int32(table.num_rows)
     capacity = _next_pow2(max(int(num_groups), 16))
 
-    key = ("group_count_distinct", keys_canon, expr.canonical(), where_canon,
-           schema_signature(cols), capacity, raw_int_key,
+    key = ("group_order_stat", agg.value, keys_canon, expr.canonical(),
+           where_canon, schema_signature(cols), capacity, raw_int_key,
            udf_mod.registry_version())
 
     def build():
@@ -1037,13 +1043,14 @@ def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
             sval = float_sort_key(vals)
             nk = len(skeys)
             sorted_ops = jax.lax.sort(
-                skeys + (sval, valid.astype(jnp.int32)),
+                skeys + (sval, valid.astype(jnp.int32), vals),
                 num_keys=nk + 1,
                 is_stable=True,
             )
             skeys_s = sorted_ops[:nk]
             sval_s = sorted_ops[nk]
             valid_s = sorted_ops[nk + 1].astype(jnp.bool_)
+            sorted_vals_ref = (sorted_ops[nk + 2],)
             from ..ops.aggregate import sorted_first_flags
 
             key_first = sorted_first_flags(skeys_s)
@@ -1057,11 +1064,32 @@ def _grouped_count_distinct(query, table, group_keys, expr, num_groups,
             val_first = jnp.logical_and(val_first, valid_s)
             seg = jnp.cumsum(key_first.astype(jnp.int32)) - 1
             seg = jnp.where(valid_s, seg, capacity)
-            return (
+            if agg is AggregationType.COUNT_DISTINCT:
+                return (
+                    jnp.zeros((capacity,), jnp.int32)
+                    .at[seg]
+                    .add(val_first.astype(jnp.int32), mode="drop")
+                ).astype(jnp.float32)
+            # MEDIAN: values are sorted within each segment; gather the
+            # middle element(s) via per-group start positions + counts.
+            n_pad = sval_s.shape[0]
+            pos = jnp.arange(n_pad, dtype=jnp.int32)
+            starts = (
+                jnp.zeros((capacity,), jnp.int32)
+                .at[jnp.where(key_first, seg, capacity)]
+                .max(pos, mode="drop")
+            )
+            counts = (
                 jnp.zeros((capacity,), jnp.int32)
                 .at[seg]
-                .add(val_first.astype(jnp.int32), mode="drop")
+                .add(1, mode="drop")
             )
+            c = jnp.maximum(counts, 1)
+            # vals in sorted order (same permutation as sval_s).
+            lo_idx = jnp.clip(starts + (c - 1) // 2, 0, n_pad - 1)
+            hi_idx = jnp.clip(starts + c // 2, 0, n_pad - 1)
+            vals_sorted = sorted_vals_ref[0]
+            return (vals_sorted[lo_idx] + vals_sorted[hi_idx]) * 0.5
 
         return kernel
 
@@ -1471,6 +1499,14 @@ def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
             cnt = jnp.sum(valid.astype(jnp.float32))
             if agg is AggregationType.COUNT_DISTINCT:
                 return count_distinct((vals,), valid).astype(jnp.float32)
+            if agg is AggregationType.MEDIAN:
+                from ..ops.sort import sort_values
+
+                v = sort_values(vals, valid, ascending=True)
+                c = jnp.maximum(cnt.astype(jnp.int32), 1)
+                lo = v[jnp.clip((c - 1) // 2, 0, v.shape[0] - 1)]
+                hi = v[jnp.clip(c // 2, 0, v.shape[0] - 1)]
+                return (lo + hi) * 0.5
             if agg is AggregationType.COUNT:
                 return cnt
             if agg is AggregationType.SUM:

@@ -204,6 +204,9 @@ class AggregationType(enum.Enum):
     RANK = "rank"
     # COUNT(DISTINCT expr) — extension.
     COUNT_DISTINCT = "count_distinct"
+    # MEDIAN(expr) — extension (interpolated: mean of the two middle
+    # values for even counts).
+    MEDIAN = "median"
 
 
 @dataclass(frozen=True, repr=False)

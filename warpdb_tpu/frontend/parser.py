@@ -205,6 +205,13 @@ class _ExprParser:
             return StringLiteral(tok.value)
         if tok.type is TokenType.IDENTIFIER:
             self.advance()
+            # MEDIAN(expr) — contextual aggregate (not a reserved word;
+            # a bare column named "median" still parses as a Variable).
+            if tok.value.upper() == "MEDIAN" and self.match_op("("):
+                inner = self.logical_or()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return Aggregation(AggregationType.MEDIAN, inner)
             if self.match_op("("):
                 args: list[Node] = []
                 if not self.match_op(")"):

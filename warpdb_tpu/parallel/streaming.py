@@ -151,13 +151,13 @@ def run_streaming_sql(
                 raise UnsupportedError(
                     "Streaming SQL does not support window functions"
                 )
-            if (
-                isinstance(n, Aggregation)
-                and n.agg is AggregationType.COUNT_DISTINCT
+            if isinstance(n, Aggregation) and n.agg in (
+                AggregationType.COUNT_DISTINCT,
+                AggregationType.MEDIAN,
             ):
-                # Per-chunk distinct counts are not mergeable.
+                # Per-chunk distinct counts / medians are not mergeable.
                 raise UnsupportedError(
-                    "Streaming SQL does not support COUNT(DISTINCT)"
+                    f"Streaming SQL does not support {n.agg.name}"
                 )
 
     columns = set(table_column_names(csv_path))
