@@ -914,3 +914,30 @@ def test_median(db, random_db):
     # a column named median still works
     d2 = WarpDB(HostTable.from_dict({"median": np.float32([3.0, 1.0])}))
     assert d2.query_sql("SELECT median FROM t ORDER BY median ASC") == [1.0, 3.0]
+
+
+def test_order_by_nan_key_keeps_valid_rows():
+    # A valid row whose ORDER BY key is NaN must stay in the result (it
+    # sorts last among valid rows), not be displaced by padding.
+    t = {
+        "a": np.array([1.0, 0.0, 2.0], np.float32),
+        "b": np.array([0.0, 0.0, 1.0], np.float32),
+        "flag": np.array([1.0, 1.0, 1.0], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    # a/b: [inf, nan, 2.0] — row order by ratio ASC: 2.0, inf, nan
+    got = db.query_sql("SELECT a FROM t WHERE flag > 0 ORDER BY a / b ASC")
+    assert len(got) == 3
+    assert got[0] == 2.0 and got[1] == 1.0 and got[2] == 0.0
+
+
+def test_nan_stats_do_not_prune_filters(tmp_path):
+    # A column containing NaN must not produce an "always true" verdict
+    # from min/max stats — the NaN row evaluates False on device.
+    t = HostTable.from_dict(
+        {"x": np.array([1.0, 2.0, np.nan], np.float32)}
+    )
+    db = WarpDB(t)
+    assert db.table.stats["x"].null_count == 1
+    got = db.query_sql("SELECT x FROM t WHERE x < 100")
+    assert len(got) == 2  # NaN row excluded, not blindly included

@@ -173,3 +173,20 @@ def test_env_overrides_int_field(monkeypatch):
         monkeypatch.delenv("WARPDB_UDF_MODULE")
         cfg.set_config(None)
         cfg.get_config()
+
+
+def test_config_pad_and_chunk_defaults_honored(monkeypatch):
+    import warpdb_tpu.config as cfg
+    from warpdb_tpu.storage import DeviceTable, HostTable
+
+    monkeypatch.setenv("WARPDB_PAD_MULTIPLE", "2048")
+    cfg.set_config(None)
+    try:
+        dt = DeviceTable.from_host(
+            HostTable.from_dict({"v": np.arange(10, dtype=np.float32)})
+        )
+        assert dt.padded_rows % 2048 == 0
+    finally:
+        monkeypatch.delenv("WARPDB_PAD_MULTIPLE")
+        cfg.set_config(None)
+        cfg.get_config()

@@ -290,7 +290,7 @@ class WarpDB:
     def query_streaming_csv(
         csv_path: str,
         expr: str,
-        rows_per_chunk: int = 1_000_000,
+        rows_per_chunk: Optional[int] = None,
         mesh=None,
     ) -> list:
         """Stream a CSV in chunks across all devices (out-of-core path;
@@ -306,7 +306,7 @@ class WarpDB:
     def query_streaming_sql(
         csv_path: str,
         sql: str,
-        rows_per_chunk: int = 1_000_000,
+        rows_per_chunk: Optional[int] = None,
         mesh=None,
     ) -> dict:
         """Out-of-core SQL aggregation: per-chunk device aggregation with

@@ -19,8 +19,8 @@ __all__ = ["EngineConfig", "get_config", "set_config", "enable_persistent_compil
 class EngineConfig:
     # Padding multiple for device columns (lane alignment).
     pad_multiple: int = 1024
-    # Rows per chunk for streaming CSV execution (reference default
-    # 1e6, warpdb.hpp:35).
+    # Rows per chunk for streaming execution when the caller passes no
+    # explicit value (reference default 1e6, warpdb.hpp:35).
     rows_per_chunk: int = 1_000_000
     # Dense GROUP BY fast path: max key-range slots.  Crossover vs the
     # sort path measured on v5e at N=2^24: dense is ~15x faster at 1K

@@ -864,6 +864,10 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     num_slots = int(np.floor(hi)) - base + 1
     if num_slots < 1:
         return None
+    if not (-(2**31) <= base and base + num_slots <= 2**31 - 1):
+        # Key values outside int32: the dense gid arithmetic would
+        # overflow at trace time; the sort path handles these fine.
+        return None
 
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
@@ -1215,6 +1219,8 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
             vals = vals[order]
         if query.distinct:
             vals = np.unique(np.asarray(vals, dtype=np.float32))
+            if query.order_by is not None and not query.order_by.ascending:
+                vals = vals[::-1]
         outs.append(np.ascontiguousarray(vals, dtype=np.float32))
     return outs
 
@@ -1258,14 +1264,12 @@ def _run_projection_multi(
             count = jnp.sum(valid.astype(jnp.int32))
             if not ord_fns:
                 return outs, valid, count
+            from ..ops.sort import order_key
+
             keys = []
             for i, (f, asc) in enumerate(ord_fns):
                 kk = _broadcast(_as_f32(f(cols)), cols)
-                if not asc:
-                    kk = -kk
-                if i == 0:
-                    kk = jnp.where(valid, kk, jnp.float32(jnp.inf))
-                keys.append(kk)
+                keys.append(order_key(kk, valid if i == 0 else None, asc))
             nk = len(keys)
             sorted_ops = jax.lax.sort(
                 (*keys, *outs, valid.astype(jnp.int32)),
@@ -1596,7 +1600,7 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             elif okeys is not None:
                 # Running aggregate over the window's ORDER BY — what the
                 # reference parsed and threw away (expression.cpp:296-329).
-                win = window_running(part, okeys, vals, valid, agg_name, capacity)
+                win = window_running(part, okeys, vals, valid, agg_name)
             else:
                 win = window_aggregate(part, vals, valid, agg_name, capacity)
             if outer_fns is not None:

@@ -85,6 +85,11 @@ def expr_range(node: Node, stats: dict) -> Optional[_Interval]:
         st = stats.get(node.name) or stats.get(node.unqualified)
         if st is None or st.min is None or st.max is None:
             return None
+        if st.null_count:
+            # NaN rows are outside [min, max]; a verdict derived from the
+            # range would wrongly keep (always-true) or drop
+            # (always-false) them.
+            return None
         return (float(st.min), float(st.max))
     if isinstance(node, BinaryOp):
         lr = expr_range(node.left, stats)

@@ -291,7 +291,7 @@ def parse_expression_text(text: str) -> Node:
 # SQL query parser
 # ---------------------------------------------------------------------------
 
-_CLAUSE_BOUNDARY_AFTER_JOIN = ("WHERE", "GROUP", "ORDER", "HAVING", "JOIN", "LIMIT")
+_CLAUSE_BOUNDARY_AFTER_JOIN = ("WHERE", "GROUP", "ORDER", "HAVING", "JOIN", "LIMIT", "OFFSET")
 _CLAUSE_BOUNDARY_AFTER_WHERE = ("GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET")
 _CLAUSE_BOUNDARY_AFTER_HAVING = ("ORDER", "LIMIT", "OFFSET")
 

@@ -421,7 +421,6 @@ def window_running(
     values: jax.Array,
     mask: jax.Array,
     agg: str,
-    capacity: int,
 ) -> jax.Array:
     """Running window aggregate
     ``AGG(values) OVER (PARTITION BY part ORDER BY ord)`` — each row sees
@@ -454,8 +453,6 @@ def window_running(
     val_s, idx_s = sorted_ops[nk + 1], sorted_ops[nk + 2]
     valid_s = sorted_ops[nk + 3].astype(jnp.bool_)
     first = _partition_boundaries(pkeys_s, valid_s)
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    seg = jnp.where(valid_s, seg, capacity)
 
     ones = valid_s.astype(jnp.float32)
     v = jnp.where(valid_s, val_s, 0.0)

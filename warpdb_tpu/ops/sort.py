@@ -18,26 +18,45 @@ from jax import lax
 
 __all__ = [
     "sort_values", "sort_pairs", "sort_by_keys", "top_k_values",
-    "float_sort_key",
+    "order_key", "float_sort_key", "int_sort_key",
 ]
 
 _F32_INF = jnp.float32(jnp.inf)
+_U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 
 def _sentineled(values: jax.Array, mask: jax.Array, ascending: bool) -> jax.Array:
-    """Map invalid lanes to +inf (asc) / -inf (desc) so they land last."""
+    """Map invalid lanes to +inf (asc) / -inf (desc) so they land last.
+    Used by the top-k pull, which works in value space; NaN values rank
+    above +inf under lax.top_k (documented caveat)."""
     sentinel = _F32_INF if ascending else -_F32_INF
     return jnp.where(mask, values, sentinel)
+
+
+def order_key(values: jax.Array, mask, ascending: bool) -> jax.Array:
+    """Direction-aware u32 sort key with an invalid-last sentinel.
+
+    Sorting in ``float_sort_key`` space (a total order where NaN ranks
+    above +inf) rather than raw f32 keeps valid rows with NaN keys IN
+    the result ahead of the invalid sentinel — a raw ±inf sentinel would
+    let NaN-keyed valid rows sort behind it and fall off the row-count
+    slice.  (A valid key whose u32 image is exactly the sentinel — only
+    an all-ones-payload NaN — still collides; accepted.)"""
+    k = float_sort_key(values)
+    if not ascending:
+        k = ~k
+    if mask is None:
+        return k
+    return jnp.where(mask, k, _U32_MAX)
 
 
 def sort_values(values: jax.Array, mask: jax.Array, ascending: bool) -> jax.Array:
     """Sort valid values; invalid lanes sort to the back.
 
     Direct analogue of jit_sort_float (jit.cpp:283-307)."""
-    v = _sentineled(values, mask, ascending)
-    if ascending:
-        return lax.sort(v)
-    return -lax.sort(-v)
+    k = order_key(values, mask, ascending)
+    _, out = lax.sort((k, values), num_keys=1, is_stable=True)
+    return out
 
 
 def sort_pairs(
@@ -47,14 +66,10 @@ def sort_pairs(
 
     Stable, so equal keys preserve row order (the reference's bubble sort,
     jit.cpp:248-281, was also stable).  Invalid lanes sort last."""
-    k = _sentineled(keys, mask, ascending)
-    if not ascending:
-        k = -k
-    k_sorted, v_sorted, m_sorted = lax.sort(
-        (k, values, mask.astype(jnp.int32)), num_keys=1, is_stable=True
+    k = order_key(keys, mask, ascending)
+    _, k_sorted, v_sorted, m_sorted = lax.sort(
+        (k, keys, values, mask.astype(jnp.int32)), num_keys=1, is_stable=True
     )
-    if not ascending:
-        k_sorted = -k_sorted
     return k_sorted, v_sorted, m_sorted.astype(jnp.bool_)
 
 
@@ -65,10 +80,7 @@ def sort_by_keys(keys_dirs, values: jax.Array, mask: jax.Array) -> jax.Array:
     ORDER BY expression, expression.cpp:474-513)."""
     ks = []
     for i, (k, asc) in enumerate(keys_dirs):
-        kk = k if asc else -k
-        if i == 0:
-            kk = jnp.where(mask, kk, _F32_INF)
-        ks.append(kk)
+        ks.append(order_key(k, mask if i == 0 else None, asc))
     sorted_ops = lax.sort(
         (*ks, values, mask.astype(jnp.int32)),
         num_keys=len(ks),
@@ -129,8 +141,12 @@ def float_sort_key(values: jax.Array) -> jax.Array:
     """Order-preserving bijection f32 → uint32 (for radix-style keying and
     exact float grouping): flips the sign bit for non-negatives and all
     bits for negatives, so unsigned integer order == float order.
-    Normalises -0.0 to +0.0 first so they group together."""
+    Normalises -0.0 to +0.0, and every NaN to the positive canonical NaN
+    (XLA freely produces negative-sign NaNs — e.g. 0/0 inside jit on CPU
+    — whose raw bits would rank below -inf and group apart), so zeros and
+    NaNs each form one group and NaN ranks last."""
     v = jnp.where(values == 0.0, jnp.float32(0.0), values)
+    v = jnp.where(jnp.isnan(v), jnp.float32(jnp.nan), v)
     bits = lax.bitcast_convert_type(v, jnp.uint32)
     flipped = jnp.where(
         bits >= jnp.uint32(0x80000000),

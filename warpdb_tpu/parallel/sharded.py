@@ -42,9 +42,11 @@ __all__ = [
 ]
 
 
-def shard_table(host: HostTable, mesh=None) -> DeviceTable:
+def shard_table(host: HostTable, mesh=None, dicts_override=None) -> DeviceTable:
     """Upload a host table row-sharded over the mesh.  Padding is rounded
-    up so every device gets an equal, lane-aligned shard."""
+    up so every device gets an equal, lane-aligned shard.
+    ``dicts_override`` forces string columns to encode against supplied
+    vocabularies (cross-chunk streaming)."""
     if mesh is None:
         mesh = data_mesh()
     n_dev = mesh.devices.size
@@ -52,7 +54,10 @@ def shard_table(host: HostTable, mesh=None) -> DeviceTable:
     # Ensure divisibility by the device count.
     while pad % n_dev:
         pad *= 2
-    return DeviceTable.from_host(host, pad_multiple=pad, sharding=row_sharding(mesh))
+    return DeviceTable.from_host(
+        host, pad_multiple=pad, sharding=row_sharding(mesh),
+        dicts_override=dicts_override,
+    )
 
 
 def run_expression_sharded(
@@ -71,10 +76,16 @@ def run_expression_sharded(
     ``device_out=True`` returns the (padded) device array without
     blocking on the device→host copy — the streaming path uses this to
     overlap chunk k+1's parse/upload with chunk k's compute."""
+    from ..engine.executor import bind_strings
+
     if mesh is None:
         mesh = data_mesh()
     if mesh.devices.size > 1:
         table = _ensure_sharded(table, mesh)
+
+    expr = bind_strings(expr, table)
+    if cond is not None:
+        cond = bind_strings(cond, table)
 
     key = (
         "sharded_filter_project",
@@ -117,7 +128,7 @@ def _ensure_sharded(table: DeviceTable, mesh) -> DeviceTable:
         }
         return DeviceTable(
             cols, table.dtypes, table.num_rows, table.padded_rows,
-            table.stats, table.host,
+            table.stats, table.host, table.dicts,
         )
     if table.host is None:
         raise RuntimeError(

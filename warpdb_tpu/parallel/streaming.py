@@ -29,7 +29,7 @@ __all__ = ["run_streaming_csv", "run_streaming_sql"]
 def run_streaming_csv(
     csv_path: str,
     expr: str,
-    rows_per_chunk: int = 1_000_000,
+    rows_per_chunk: Optional[int] = None,
     mesh=None,
     schema=None,
 ) -> np.ndarray:
@@ -37,6 +37,10 @@ def run_streaming_csv(
     every chunk across all devices; results concatenate in row order."""
     if not expr or not expr.strip():
         raise WarpDBError("Empty query expression")
+    if rows_per_chunk is None:
+        from ..config import get_config
+
+        rows_per_chunk = get_config().rows_per_chunk
     if mesh is None:
         mesh = data_mesh()
 
@@ -99,7 +103,7 @@ def run_streaming_csv(
 def run_streaming_sql(
     csv_path: str,
     sql: str,
-    rows_per_chunk: int = 1_000_000,
+    rows_per_chunk: Optional[int] = None,
     mesh=None,
     schema=None,
 ) -> dict:
@@ -136,6 +140,11 @@ def run_streaming_sql(
         unalias,
         walk,
     )
+
+    if rows_per_chunk is None:
+        from ..config import get_config
+
+        rows_per_chunk = get_config().rows_per_chunk
 
     ast = parse_query(tokenize(sql))
     if ast.joins:
@@ -213,7 +222,7 @@ def run_streaming_sql(
         mesh = data_mesh()
     for chunk in iter_table_chunks(csv_path, rows_per_chunk, schema):
         if mesh.devices.size > 1:
-            dt = shard_table(chunk, mesh)
+            dt = shard_table(chunk, mesh, dicts_override=global_dicts or None)
         else:
             dt = DeviceTable.from_host(
                 chunk, keep_host=False,

@@ -243,13 +243,18 @@ class DeviceTable:
     def from_host(
         cls,
         host: HostTable,
-        pad_multiple: int = PAD_MULTIPLE,
+        pad_multiple: Optional[int] = None,
         sharding=None,
         keep_host: bool = True,
         dicts_override: Optional[dict] = None,
     ) -> "DeviceTable":
         import jax
         import jax.numpy as jnp
+
+        if pad_multiple is None:
+            from ..config import get_config
+
+            pad_multiple = get_config().pad_multiple
 
         n = host.num_rows
         padded = padded_length(n, pad_multiple)
