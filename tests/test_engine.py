@@ -941,3 +941,21 @@ def test_nan_stats_do_not_prune_filters(tmp_path):
     assert db.table.stats["x"].null_count == 1
     got = db.query_sql("SELECT x FROM t WHERE x < 100")
     assert len(got) == 2  # NaN row excluded, not blindly included
+
+
+def test_topk_nan_semantics_match_full_sort():
+    t = {
+        "v": np.array([5.0, np.nan, 3.0, 8.0, 1.0], np.float32),
+        "f": np.ones(5, np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    # ASC: NaN ranks last → never in a small LIMIT.
+    asc_topk = db.query_sql("SELECT v FROM t ORDER BY v ASC LIMIT 3")
+    assert asc_topk == [1.0, 3.0, 5.0]
+    full_asc = db.query_sql("SELECT v FROM t ORDER BY v ASC")
+    assert full_asc[:3] == asc_topk and np.isnan(full_asc[-1])
+    # DESC: NaN ranks first, consistent with the full sort.
+    full_desc = db.query_sql("SELECT v FROM t ORDER BY v DESC")
+    assert np.isnan(full_desc[0]) and full_desc[1:] == [8.0, 5.0, 3.0, 1.0]
+    desc_topk = db.query_sql("SELECT v FROM t ORDER BY v DESC LIMIT 2")
+    assert np.isnan(desc_topk[0]) and desc_topk[1] == 8.0

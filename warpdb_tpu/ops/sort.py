@@ -100,6 +100,12 @@ def top_k_values(values: jax.Array, mask: jax.Array, k: int, ascending: bool):
     v = _sentineled(values, mask, ascending)
     # Work in descending-priority space: u's k largest are the answer.
     u = -v if ascending else v
+    # NaN values rank as "largest" in the sort paths (canonical-NaN u32
+    # keys).  lax.top_k already ranks NaN first, which matches DESC; for
+    # ASC push NaNs to the bottom of the priority space so a small LIMIT
+    # never returns them.
+    if ascending:
+        u = jnp.where(jnp.isnan(u), -_F32_INF, u)
     n = u.shape[0]
     # Stage 1: candidate selection.
     #
