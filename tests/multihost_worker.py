@@ -64,6 +64,22 @@ def main() -> int:
         np.asarray(out_vals[0][0])[:ng], want_sums, rtol=1e-4
     )
 
+    # Distributed ORDER BY ... LIMIT across processes: replicated output,
+    # every process checks against the full-table oracle.
+    from warpdb_tpu.parallel.sharded import run_topk_sharded
+
+    topk, total = run_topk_sharded(
+        parse_expression_text("price"),
+        parse_expression_text("price > 50"),
+        table,
+        8,
+        False,
+        mesh=mesh,
+    )
+    want = np.sort(price[price > 50])[::-1][:8]
+    np.testing.assert_allclose(np.asarray(topk)[: len(want)], want, rtol=1e-6)
+    assert total == int((price > 50).sum())
+
     print(f"proc {proc_id}: OK ({ng} groups over {nprocs} processes)")
     return 0
 
