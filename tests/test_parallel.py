@@ -472,3 +472,33 @@ def test_mesh_multi_key_group(mesh):
     np.testing.assert_allclose(out["a"], [e[0] for e in expect])
     np.testing.assert_allclose(out["b"], [e[1] for e in expect])
     np.testing.assert_allclose(out["s"], [e[2] for e in expect], rtol=1e-4)
+
+
+def test_mesh_join_groupby(mesh):
+    """JOIN on a mesh-resident table: the sort-merge phases run under
+    GSPMD over the sharded columns."""
+    rng = np.random.default_rng(47)
+    n = 16_000
+    table = {
+        "k": rng.integers(0, 16, n).astype(np.float32),
+        "v": rng.uniform(0, 10, n).astype(np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(table), mesh=mesh)
+    rates = HostTable.from_dict(
+        {
+            "k": np.arange(16, dtype=np.float32),
+            "w": rng.uniform(1, 2, 16).astype(np.float32),
+        }
+    )
+    db.register_table("r", rates)
+    out = db.query_sql_table(
+        "SELECT k, SUM(v) AS s FROM t JOIN r ON k = r.k "
+        "WHERE r.w > 1.5 GROUP BY k ORDER BY k ASC"
+    )
+    rw = rates.get_column("w").data
+    keep = [float(k) for k in range(16) if rw[k] > 1.5 and (table["k"] == k).any()]
+    assert out["k"] == keep
+    for i, k in enumerate(keep):
+        np.testing.assert_allclose(
+            out["s"][i], float(table["v"][table["k"] == k].sum()), rtol=1e-4
+        )
