@@ -166,7 +166,12 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
 # ---------------------------------------------------------------------------
 
 _cache_lock = threading.Lock()
-_kernel_cache: dict = {}
+# LRU-bounded: long-running services touch many (plan, schema, capacity)
+# combinations; without a cap the executable cache grows without bound.
+_CACHE_MAX_ENTRIES = 1024
+from collections import OrderedDict as _OrderedDict
+
+_kernel_cache: "_OrderedDict" = _OrderedDict()
 _cache_hits = 0
 _cache_misses = 0
 
@@ -205,12 +210,16 @@ def get_or_compile(key: tuple, build: Callable[[], Callable]) -> Callable:
     with _cache_lock:
         fn = _kernel_cache.get(key)
         if fn is not None:
+            _kernel_cache.move_to_end(key)
             _cache_hits += 1
             note_operator(str(key[0]), True)
             return fn
     fn = build()
     with _cache_lock:
         _kernel_cache[key] = fn
+        _kernel_cache.move_to_end(key)
+        while len(_kernel_cache) > _CACHE_MAX_ENTRIES:
+            _kernel_cache.popitem(last=False)
         _cache_misses += 1
     note_operator(str(key[0]), False)
     return fn
