@@ -19,7 +19,7 @@ from warpdb_tpu.frontend import (
     Variable,
     WindowFunction,
 )
-from warpdb_tpu.frontend.ast import Alias, Star
+from warpdb_tpu.frontend.ast import Alias, CaseWhen, Star
 
 
 def eval_expr(node, table: dict, n: int) -> np.ndarray:
@@ -55,6 +55,16 @@ def eval_expr(node, table: dict, n: int) -> np.ndarray:
             "!=": np.not_equal,
         }[op]
         return cmp(l, r).astype(np.float32)
+    if isinstance(node, CaseWhen):
+        out = (
+            eval_expr(node.default, table, n)
+            if node.default is not None
+            else np.zeros(n, np.float32)
+        )
+        for c, v in zip(reversed(node.conditions), reversed(node.values)):
+            m = eval_expr(c, table, n) != 0
+            out = np.where(m, eval_expr(v, table, n), out)
+        return out.astype(np.float32)
     if isinstance(node, FunctionCall):
         if node.name == "discount":
             a = eval_expr(node.args[0], table, n)

@@ -959,3 +959,27 @@ def test_topk_nan_semantics_match_full_sort():
     assert np.isnan(full_desc[0]) and full_desc[1:] == [8.0, 5.0, 3.0, 1.0]
     desc_topk = db.query_sql("SELECT v FROM t ORDER BY v DESC LIMIT 2")
     assert np.isnan(desc_topk[0]) and desc_topk[1] == 8.0
+
+
+def test_case_when(db, test_table, random_db):
+    got = db.query(
+        "CASE WHEN price > 19 THEN 100 WHEN price > 12 THEN 50 ELSE 1 END"
+    )
+    assert got == [1.0, 100.0, 50.0, 100.0]
+    # Conditional aggregation (the classic use).
+    assert db.query_sql(
+        "SELECT SUM(CASE WHEN price > 15 THEN price ELSE 0 END) FROM test"
+    ) == [65.25]
+    # No ELSE -> 0.0 default.
+    assert db.query("CASE WHEN price > 19 THEN 7 END") == [
+        0.0, 7.0, 0.0, 7.0,
+    ]
+    # Randomized vs oracle, inside WHERE and grouped select.
+    rdb, table = random_db
+    sql = (
+        "SELECT SUM(CASE WHEN price > 50 THEN price ELSE 0 END) FROM t "
+        "GROUP BY quantity ORDER BY quantity ASC"
+    )
+    got = np.asarray(rdb.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -34,6 +34,7 @@ from ..frontend.ast import (
     Aggregation,
     Alias,
     BinaryOp,
+    CaseWhen,
     Constant,
     FunctionCall,
     InCodeSet,
@@ -134,6 +135,25 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
             return _as_f32(fn(*[a(cols) for a in arg_fns]))
 
         return call_fn
+    if isinstance(node, CaseWhen):
+        cond_fns = [build_evaluator(c) for c in node.conditions]
+        val_fns = [build_evaluator(v) for v in node.values]
+        default_fn = (
+            build_evaluator(node.default) if node.default is not None else None
+        )
+
+        def case_fn(cols):
+            out = (
+                _as_f32(default_fn(cols))
+                if default_fn is not None
+                else jnp.float32(0.0)
+            )
+            # First matching branch wins: fold right-to-left.
+            for c, v in zip(reversed(cond_fns), reversed(val_fns)):
+                out = jnp.where(_as_bool(c(cols)), _as_f32(v(cols)), out)
+            return out
+
+        return case_fn
     if isinstance(node, InCodeSet):
         import numpy as _np
 

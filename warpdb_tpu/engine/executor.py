@@ -31,6 +31,7 @@ from ..frontend.ast import (
     AggregationType,
     Alias,
     BinaryOp,
+    CaseWhen,
     Constant,
     FunctionCall,
     GroupBy,
@@ -176,6 +177,12 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             int(i) for i, s in enumerate(vocab) if rx.fullmatch(str(s))
         )
         return InCodeSet(node.expr, codes, len(vocab))
+    if isinstance(node, CaseWhen):
+        return CaseWhen(
+            tuple(bind_strings(c, table) for c in node.conditions),
+            tuple(bind_strings(v, table) for v in node.values),
+            bind_strings(node.default, table),
+        )
     if isinstance(node, FunctionCall):
         return FunctionCall(
             node.name, tuple(bind_strings(a, table) for a in node.args)

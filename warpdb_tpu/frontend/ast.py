@@ -22,7 +22,7 @@ from typing import Callable, Iterator, Optional
 __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
-    "StringLiteral", "LikePattern", "InCodeSet",
+    "StringLiteral", "LikePattern", "InCodeSet", "CaseWhen",
     "OrderBy", "Join", "GroupBy", "Query",
     "walk", "column_refs", "unalias",
 ]
@@ -158,6 +158,32 @@ class InCodeSet(Node):
 
     def children(self) -> tuple[Node, ...]:
         return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False)
+class CaseWhen(Node):
+    """``CASE WHEN c1 THEN v1 [WHEN c2 THEN v2 …] [ELSE d] END``
+    (extension).  Evaluates to the first matching branch; without ELSE,
+    unmatched rows yield 0.0 (the engine's defined filtered-out value)."""
+
+    conditions: tuple[Node, ...]
+    values: tuple[Node, ...]
+    default: Optional[Node] = None
+
+    def canonical(self) -> str:
+        parts = ["CASE"]
+        for c, v in zip(self.conditions, self.values):
+            parts.append(f"WHEN {c.canonical()} THEN {v.canonical()}")
+        if self.default is not None:
+            parts.append(f"ELSE {self.default.canonical()}")
+        parts.append("END")
+        return " ".join(parts)
+
+    def children(self) -> tuple[Node, ...]:
+        kids = [*self.conditions, *self.values]
+        if self.default is not None:
+            kids.append(self.default)
+        return tuple(kids)
 
 
 @dataclass(frozen=True, repr=False)

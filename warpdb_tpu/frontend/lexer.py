@@ -59,6 +59,7 @@ KEYWORDS = frozenset(
         # "rank" keep working.  NOT/IN/BETWEEN/LIKE are reserved in
         # standard SQL, so reserving them here is safe.
         "AS", "NOT", "IN", "BETWEEN", "LIKE",
+        "CASE", "WHEN", "THEN", "ELSE", "END",
     }
 )
 

@@ -29,6 +29,7 @@ from .ast import (
     AggregationType,
     Alias,
     BinaryOp,
+    CaseWhen,
     Constant,
     FunctionCall,
     GroupBy,
@@ -197,6 +198,23 @@ class _ExprParser:
 
     def factor(self) -> Node:
         tok = self.peek()
+        if tok.type is TokenType.KEYWORD and tok.value == "CASE":
+            self.advance()
+            conds: list[Node] = []
+            vals: list[Node] = []
+            while self.match_kw("WHEN"):
+                conds.append(self.logical_or())
+                if not self.match_kw("THEN"):
+                    raise ParseError("Expected THEN in CASE expression")
+                vals.append(self.logical_or())
+            if not conds:
+                raise ParseError("CASE requires at least one WHEN branch")
+            default = None
+            if self.match_kw("ELSE"):
+                default = self.logical_or()
+            if not self.match_kw("END"):
+                raise ParseError("Expected END to close CASE expression")
+            return CaseWhen(tuple(conds), tuple(vals), default)
         if tok.type is TokenType.NUMBER:
             self.advance()
             return Constant(tok.value)
