@@ -70,6 +70,14 @@ def eval_expr(node, table: dict, n: int) -> np.ndarray:
             a = eval_expr(node.args[0], table, n)
             b = eval_expr(node.args[1], table, n)
             return (a * b).astype(np.float32)
+        builtins = {
+            "abs": np.abs, "sqrt": np.sqrt, "log": np.log, "exp": np.exp,
+            "round": np.round, "floor": np.floor, "ceil": np.ceil,
+            "pow": np.power, "minimum": np.minimum, "maximum": np.maximum,
+        }
+        if node.name in builtins:
+            args = [eval_expr(a, table, n) for a in node.args]
+            return builtins[node.name](*args).astype(np.float32)
         raise NotImplementedError(node.name)
     raise NotImplementedError(type(node).__name__)
 

@@ -983,3 +983,24 @@ def test_case_when(db, test_table, random_db):
     got = np.asarray(rdb.query_sql(sql), dtype=np.float32)
     want = oracle.query_sql(table, parse_query_text(sql))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_builtin_math_functions(db, test_table):
+    got = np.asarray(db.query("sqrt(price)"))
+    np.testing.assert_allclose(got, np.sqrt(test_table["price"]), rtol=1e-6)
+    got = np.asarray(db.query("maximum(price, quantity * 5)"))
+    np.testing.assert_allclose(
+        got, np.maximum(test_table["price"], test_table["quantity"] * 5),
+        rtol=1e-6,
+    )
+    assert db.query_sql("SELECT SUM(floor(price)) FROM test") == [
+        float(np.floor(test_table["price"]).sum())
+    ]
+    # User UDFs shadow builtins.
+    from warpdb_tpu import register_udf
+
+    register_udf("sqrt", lambda x: x * 0 + 42.0)
+    try:
+        assert db.query("sqrt(price)") == [42.0] * 4
+    finally:
+        register_udf("sqrt", None)

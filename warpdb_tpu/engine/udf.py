@@ -39,6 +39,25 @@ def _builtin_discount(price, rate):
     return price * rate
 
 
+def _builtin_math() -> dict:
+    """Standard scalar math builtins, lazily bound to jnp (user UDFs of
+    the same name shadow them)."""
+    import jax.numpy as jnp
+
+    return {
+        "abs": jnp.abs,
+        "sqrt": jnp.sqrt,
+        "log": jnp.log,
+        "exp": jnp.exp,
+        "round": jnp.round,
+        "floor": jnp.floor,
+        "ceil": jnp.ceil,
+        "pow": jnp.power,
+        "minimum": jnp.minimum,
+        "maximum": jnp.maximum,
+    }
+
+
 _BUILTINS: dict[str, Callable] = {"discount": _builtin_discount}
 
 
@@ -89,6 +108,8 @@ def resolve_udf(name: str) -> Callable:
         fn = _registry.get(name)
     if fn is None:
         fn = _BUILTINS.get(name)
+    if fn is None:
+        fn = _builtin_math().get(name)
     if fn is None:
         raise ValidationError(f"Unknown function: {name}")
     return fn
