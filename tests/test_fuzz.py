@@ -22,6 +22,16 @@ def _rand_arith(rng, depth: int) -> str:
             return rng.choice(COLS)
         # Non-negative literals only (the grammar has no unary minus).
         return f"{rng.uniform(0.1, 20):.3f}"
+    r = rng.uniform()
+    if r < 0.1:
+        # CASE WHEN branch.
+        c = _rand_cond(rng, 1)
+        a = _rand_arith(rng, depth - 1)
+        b = _rand_arith(rng, depth - 1)
+        return f"CASE WHEN {c} THEN {a} ELSE {b} END"
+    if r < 0.2:
+        fn = rng.choice(["abs", "sqrt", "floor", "ceil"])
+        return f"{fn}({_rand_arith(rng, depth - 1)})"
     a = _rand_arith(rng, depth - 1)
     b = _rand_arith(rng, depth - 1)
     op = rng.choice(_ARITH)
