@@ -1004,3 +1004,35 @@ def test_builtin_math_functions(db, test_table):
         assert db.query("sqrt(price)") == [42.0] * 4
     finally:
         register_udf("sqrt", None)
+
+
+def test_window_desc_nan_rank_consistent():
+    # NaN order keys rank "largest" everywhere: first under DESC in both
+    # plain ORDER BY and windows.
+    t = {
+        "k": np.array([1.0, np.nan, 3.0], np.float32),
+        "v": np.array([10.0, 20.0, 30.0], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    rn = db.query_sql("SELECT ROW_NUMBER() OVER (ORDER BY k DESC) FROM t")
+    assert rn == [3.0, 1.0, 2.0]  # nan row ranks first under DESC
+
+
+def test_case_over_aggregates_grouped(db):
+    got = db.query_sql(
+        "SELECT CASE WHEN SUM(price) > 16 THEN 1 ELSE 0 END FROM test "
+        "GROUP BY quantity ORDER BY quantity ASC"
+    )
+    # sums per quantity asc: 15.25, 10.5, 20, 30
+    assert got == [0.0, 0.0, 1.0, 1.0]
+    got = db.query_sql(
+        "SELECT quantity FROM test GROUP BY quantity "
+        "HAVING CASE WHEN SUM(price) > 16 THEN 1 ELSE 0 END > 0 "
+        "ORDER BY quantity ASC"
+    )
+    assert got == [4.0, 5.0]
+
+
+def test_uppercase_builtins(db, test_table):
+    got = np.asarray(db.query("SQRT(price)"))
+    np.testing.assert_allclose(got, np.sqrt(test_table["price"]), rtol=1e-6)

@@ -337,6 +337,26 @@ def _group_level_eval(
     canon = node.canonical()
     if canon in key_canon:
         return key_canon[canon]
+    if isinstance(node, CaseWhen):
+        out = (
+            np.asarray(
+                _group_level_eval(node.default, key_canon, agg_values),
+                np.float32,
+            )
+            if node.default is not None
+            else np.float32(0.0)
+        )
+        for c, v in zip(reversed(node.conditions), reversed(node.values)):
+            m = np.asarray(_group_level_eval(c, key_canon, agg_values))
+            m = m if m.dtype == bool else m != 0
+            out = np.where(
+                m,
+                np.asarray(
+                    _group_level_eval(v, key_canon, agg_values), np.float32
+                ),
+                out,
+            )
+        return out
     if isinstance(node, FunctionCall):
         args = [
             np.asarray(_group_level_eval(a, key_canon, agg_values), np.float32)
@@ -1342,9 +1362,22 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     # instead of a full sort (the reference bubble-sorted everything,
     # jit.cpp:283-307).
     limit_total = (query.limit or 0) + (query.offset or 0)
+    # The value-space top-k pull cannot represent the sort paths' NaN
+    # total order, so it only runs when stats PROVE the order key is
+    # finite (expr_range returns a finite interval: no NaN-able division
+    # / UDFs / NaN-bearing columns); otherwise the full sort handles
+    # NaN placement exactly.
+    from .optimizer import expr_range
+
+    order_nan_free = bool(
+        order is not None
+        and single_term
+        and expr_range(order_terms[0].expr, table.stats) is not None
+    )
     use_topk = (
         same_expr
         and not distinct
+        and order_nan_free
         and query.limit is not None
         and 0 < limit_total < table.padded_rows // 2
     )
@@ -1392,9 +1425,7 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
                         out = sort_values(vals, valid, order.ascending)
                 elif single_term:
                     okeys = _broadcast(_as_f32(ord_fns[0][0](cols)), cols)
-                    _, out, _ = sort_pairs(
-                        okeys, vals, valid, order.ascending
-                    )
+                    out, _ = sort_pairs(okeys, vals, valid, order.ascending)
                 else:
                     keys = [
                         (_broadcast(_as_f32(f(cols)), cols), asc)
@@ -1591,8 +1622,6 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 part = (jnp.zeros_like(vals),)
             if ord_fn is not None:
                 okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
-                if not ord_asc:
-                    okeys = -okeys
             else:
                 okeys = None
             if ranking:
@@ -1603,11 +1632,16 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                     if okeys is not None
                     else jnp.arange(n_pad, dtype=jnp.float32)
                 )
-                win = window_rank(part, ok, valid, agg_name)
+                win = window_rank(
+                    part, ok, valid, agg_name,
+                    ascending=ord_asc if okeys is not None else True,
+                )
             elif okeys is not None:
                 # Running aggregate over the window's ORDER BY — what the
                 # reference parsed and threw away (expression.cpp:296-329).
-                win = window_running(part, okeys, vals, valid, agg_name)
+                win = window_running(
+                    part, okeys, vals, valid, agg_name, ascending=ord_asc
+                )
             else:
                 win = window_aggregate(part, vals, valid, agg_name, capacity)
             if outer_fns is not None:

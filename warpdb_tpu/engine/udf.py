@@ -107,9 +107,10 @@ def resolve_udf(name: str) -> Callable:
     with _lock:
         fn = _registry.get(name)
     if fn is None:
-        fn = _BUILTINS.get(name)
+        fn = _BUILTINS.get(name) or _BUILTINS.get(name.lower())
     if fn is None:
-        fn = _builtin_math().get(name)
+        math = _builtin_math()
+        fn = math.get(name) or math.get(name.lower())
     if fn is None:
         raise ValidationError(f"Unknown function: {name}")
     return fn

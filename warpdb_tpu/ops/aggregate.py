@@ -360,6 +360,7 @@ def window_rank(
     order_keys: jax.Array,
     mask: jax.Array,
     kind: str,
+    ascending: bool = True,
 ) -> jax.Array:
     """``ROW_NUMBER()`` / ``RANK()`` OVER (PARTITION BY … ORDER BY …).
 
@@ -377,6 +378,10 @@ def window_rank(
     )
     nk = len(pkeys)
     okey = float_sort_key(order_keys)
+    if not ascending:
+        # Invert in u32 space so NaN keeps its "largest value" rank
+        # (negating the f32 key would leave NaN last under DESC).
+        okey = ~okey
     idx = jnp.arange(n, dtype=jnp.int32)
 
     sorted_ops = lax.sort(
@@ -421,6 +426,7 @@ def window_running(
     values: jax.Array,
     mask: jax.Array,
     agg: str,
+    ascending: bool = True,
 ) -> jax.Array:
     """Running window aggregate
     ``AGG(values) OVER (PARTITION BY part ORDER BY ord)`` — each row sees
@@ -442,6 +448,8 @@ def window_running(
     )
     nk = len(pkeys)
     okey = float_sort_key(order_keys)
+    if not ascending:
+        okey = ~okey  # u32-space inversion: NaN stays "largest"
     idx = jnp.arange(n, dtype=jnp.int32)
 
     sorted_ops = lax.sort(

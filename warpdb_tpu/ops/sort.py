@@ -62,15 +62,15 @@ def sort_values(values: jax.Array, mask: jax.Array, ascending: bool) -> jax.Arra
 def sort_pairs(
     keys: jax.Array, values: jax.Array, mask: jax.Array, ascending: bool
 ):
-    """Sort ``values`` by ``keys``; returns (keys_sorted, values_sorted).
+    """Sort ``values`` by ``keys``; returns (values_sorted, mask_sorted).
 
     Stable, so equal keys preserve row order (the reference's bubble sort,
     jit.cpp:248-281, was also stable).  Invalid lanes sort last."""
     k = order_key(keys, mask, ascending)
-    _, k_sorted, v_sorted, m_sorted = lax.sort(
-        (k, keys, values, mask.astype(jnp.int32)), num_keys=1, is_stable=True
+    _, v_sorted, m_sorted = lax.sort(
+        (k, values, mask.astype(jnp.int32)), num_keys=1, is_stable=True
     )
-    return k_sorted, v_sorted, m_sorted.astype(jnp.bool_)
+    return v_sorted, m_sorted.astype(jnp.bool_)
 
 
 def sort_by_keys(keys_dirs, values: jax.Array, mask: jax.Array) -> jax.Array:
@@ -100,12 +100,9 @@ def top_k_values(values: jax.Array, mask: jax.Array, k: int, ascending: bool):
     v = _sentineled(values, mask, ascending)
     # Work in descending-priority space: u's k largest are the answer.
     u = -v if ascending else v
-    # NaN values rank as "largest" in the sort paths (canonical-NaN u32
-    # keys).  lax.top_k already ranks NaN first, which matches DESC; for
-    # ASC push NaNs to the bottom of the priority space so a small LIMIT
-    # never returns them.
-    if ascending:
-        u = jnp.where(jnp.isnan(u), -_F32_INF, u)
+    # Callers gate this fast path to order keys that provably cannot be
+    # NaN (finite stats interval); value-space top-k cannot represent
+    # the sort paths' NaN total order.
     n = u.shape[0]
     # Stage 1: candidate selection.
     #
