@@ -1036,3 +1036,58 @@ def test_case_over_aggregates_grouped(db):
 def test_uppercase_builtins(db, test_table):
     got = np.asarray(db.query("SQRT(price)"))
     np.testing.assert_allclose(got, np.sqrt(test_table["price"]), rtol=1e-6)
+
+
+def test_join_propagates_stats_and_orderby_limit():
+    # Joined tables carry conservative source stats, so the stats-gated
+    # top-k path stays live after a join; the sorted-with-LIMIT fallback
+    # slices on device — either way the result must match the oracle.
+    rng = np.random.default_rng(11)
+    n = 4000
+    q = rng.integers(0, 16, n).astype(np.float32)
+    price = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"price": price, "quantity": q}))
+    rates = HostTable.from_dict(
+        {
+            "quantity": np.arange(16, dtype=np.float32),
+            "rate": np.linspace(0, 1, 16).astype(np.float32),
+        }
+    )
+    db.register_table("rates", rates)
+    got = db.query_sql(
+        "SELECT price FROM t JOIN rates ON quantity = rates.quantity "
+        "WHERE rates.rate > 0.5 ORDER BY price DESC LIMIT 5"
+    )
+    keep = price[np.linspace(0, 1, 16)[q.astype(int)] > 0.5]
+    want = np.sort(keep)[::-1][:5]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+    # The joined table's stats interval contains every joined value.
+    from warpdb_tpu.engine.executor import _materialize_join
+    from warpdb_tpu.frontend import parse_query_text
+
+    ast = parse_query_text(
+        "SELECT price FROM t JOIN rates ON quantity = rates.quantity"
+    )
+    joined = _materialize_join(
+        db.table, db._catalog["rates"], "rates", ast.joins[0].condition
+    )
+    st = joined.stats["price"]
+    vals = np.asarray(joined.columns["price"])[: joined.num_rows]
+    assert st.min <= vals.min() and vals.max() <= st.max
+
+
+def test_sorted_limit_offset_device_slice(db):
+    # ORDER BY (non-select expr) + LIMIT/OFFSET goes through the full-sort
+    # path with a device-side prefix slice; results must be exact.
+    got = db.query_sql(
+        "SELECT quantity FROM test ORDER BY price ASC LIMIT 2 OFFSET 1"
+    )
+    # prices asc: 10.5, 15.25, 20, 30 -> quantities 3, 2, 4, 5
+    assert got == [2.0, 4.0]
+    got = db.query_sql_table(
+        "SELECT price, quantity FROM test ORDER BY price DESC, quantity ASC "
+        "LIMIT 3 OFFSET 1"
+    )
+    assert got["price"] == [20.0, 15.25, 10.5]
+    assert got["quantity"] == [4.0, 2.0, 3.0]

@@ -567,7 +567,17 @@ def _materialize_join(
     for name, vocab in right.dicts.items():
         dicts[f"{right_name}.{name}"] = vocab
         dicts.setdefault(name, vocab)
-    return DeviceTable(new_cols, dtypes, total, capacity, dicts=dicts)
+    # Stats carry through: every joined value is drawn from its source
+    # column, so the source min/max interval (and null flag) remains a
+    # sound — merely conservative — bound.  Keeps the stats-gated fast
+    # paths (dense GROUP BY, value-space top-k) live after a join.
+    stats = dict(left.stats)
+    for name, st in right.stats.items():
+        stats[f"{right_name}.{name}"] = st
+        stats.setdefault(name, st)
+    return DeviceTable(
+        new_cols, dtypes, total, capacity, stats=stats, dicts=dicts
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1268,7 +1278,14 @@ def _run_projection_multi(
     items_canon = tuple(s.canonical() for s in select_items)
     order_canon = order.canonical() if order is not None else ""
 
-    pkey = ("project_multi", items_canon, where_canon, order_canon,
+    # Sorted result + LIMIT → static device-side prefix slice, so the
+    # transfer is O(limit) per column, never O(N).
+    limit_total = (query.limit or 0) + (query.offset or 0)
+    sort_cap = 0
+    if order is not None and query.limit is not None and limit_total > 0:
+        sort_cap = min(table.padded_rows, _next_pow2(max(limit_total, 16)))
+
+    pkey = ("project_multi", items_canon, where_canon, order_canon, sort_cap,
             schema_signature(cols), udf_mod.registry_version())
 
     def build():
@@ -1305,6 +1322,9 @@ def _run_projection_multi(
             )
             outs_s = sorted_ops[nk:-1]
             valid_s = sorted_ops[-1].astype(jnp.bool_)
+            if sort_cap:
+                outs_s = tuple(o[:sort_cap] for o in outs_s)
+                valid_s = valid_s[:sort_cap]
             return tuple(outs_s), valid_s, count
 
         return kernel
@@ -1393,8 +1413,20 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
         )
         return out[: min(limit_total, total)].astype(np.float32)
 
+    # Full-sort path with a LIMIT: the sorted result is a prefix, so the
+    # kernel slices to a static power-of-two cap on device — the
+    # device→host transfer stays O(limit), never O(N).
+    sort_cap = 0
+    if (
+        order is not None
+        and not use_topk
+        and query.limit is not None
+        and limit_total > 0
+    ):
+        sort_cap = min(table.padded_rows, _next_pow2(max(limit_total, 16)))
+
     pkey = ("project", select_canon, where_canon, order_canon, distinct,
-            None if order is None else order.ascending, topk_k,
+            None if order is None else order.ascending, topk_k, sort_cap,
             schema_signature(cols), udf_mod.registry_version())
 
     def build():
@@ -1432,6 +1464,8 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
                         for f, asc in ord_fns
                     ]
                     out = sort_by_keys(keys, vals, valid)
+                if sort_cap:
+                    out = out[:sort_cap]
                 return out, None, count
             if cond_fn is None:
                 # Dense already: rows [0, num_rows) are the result.
