@@ -24,6 +24,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..errors import ExecutionError, UnsupportedError, ValidationError
 from ..frontend.ast import (
@@ -537,15 +538,66 @@ def _materialize_join(
     )
 
     def build_expand_gather():
+        # All column dtypes are 4-byte (f32 / i32 codes), so both sides
+        # bitcast to u32 and ride ONE stacked (C, n) take each: TPU
+        # gather cost is per-row dominated, so C columns in one take
+        # cost about one column's separate gather (measured 4.4x for
+        # C=4 at 2^25 rows).  The build side is pre-permuted into
+        # sorted-build order (an n_build-sized shuffle) and indexed by
+        # slot, skipping the build_order indirection gather entirely.
+        lnames = list(lcols_in)
+        rnames = list(rcols_in)
+
+        def _bits(arr):
+            return lax.bitcast_convert_type(arr, jnp.uint32)
+
         @jax.jit
+        def indices(p1):
+            return join_gather_indices(p1, capacity, return_slot=True)
+
+        def _take(m, idx):
+            # 2-D index block keeps the gather output's minor dim 128-wide;
+            # a flat index would emit a [capacity, C] intermediate whose
+            # size-C minor dim tile-pads to 128 (64x HBM blowup at C=2).
+            # Kept in its own program: fused with the index computation,
+            # XLA's layout assignment re-materialises that padded form.
+            t = jnp.take(m, idx.reshape(-1, 1024), axis=1)
+            return t.reshape(m.shape[0], -1)
+
+        @jax.jit
+        def take_probe(cols_tuple, idx, valid):
+            m = jnp.stack([_bits(c) for c in cols_tuple], axis=0)
+            t = jnp.where(valid[None, :], _take(m, idx), jnp.uint32(0))
+            return tuple(
+                lax.bitcast_convert_type(t[i], c.dtype)
+                for i, c in enumerate(cols_tuple)
+            )
+
+        @jax.jit
+        def take_build(cols_tuple, slot, valid, order):
+            # Small-source gathers: per-column 1-D takes on columns
+            # pre-permuted into sorted-build order (the stacked 2-D form
+            # re-materialises the 64x-padded gather when the operand is
+            # tiny, and take_along_axis is ~4x slower per column).
+            return tuple(
+                jnp.where(valid, c[order][slot], jnp.zeros((), c.dtype))
+                for c in cols_tuple
+            )
+
         def expand_gather(p1, lcols, rcols):
-            pidx, bidx, valid = join_gather_indices(p1, capacity)
+            pidx, slot, valid = indices(p1)
             out = {}
-            for name, arr in lcols.items():
-                out[name] = jnp.where(valid, arr[pidx], jnp.zeros((), arr.dtype))
-            for name, arr in rcols.items():
-                qual = f"{right_name}.{name}"
-                out[qual] = jnp.where(valid, arr[bidx], jnp.zeros((), arr.dtype))
+            if lnames:
+                lt = take_probe(tuple(lcols[n] for n in lnames), pidx, valid)
+                for n, arr in zip(lnames, lt):
+                    out[n] = arr
+            if rnames:
+                rt = take_build(
+                    tuple(rcols[n] for n in rnames), slot, valid,
+                    p1.build_order,
+                )
+                for n, arr in zip(rnames, rt):
+                    out[f"{right_name}.{n}"] = arr
             return out
 
         return expand_gather
@@ -1610,10 +1662,39 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
     else:
         part_exprs = select.partition_by
     outer_order = query.order_by
+
+    # Two-phase when a WHERE can shrink the result: count survivors,
+    # then the window kernel compacts valid rows to the front (stable
+    # sort on original position — order-preserving) and returns only a
+    # capacity-sized buffer, so the device→host transfer is O(matches),
+    # not O(N).
+    out_cap = table.padded_rows
+    if where is not None:
+        ckey = ("window_count", where.canonical(),
+                schema_signature(cols), udf_mod.registry_version())
+
+        def build_count():
+            cond_fn = build_evaluator(where)
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = jnp.logical_and(
+                    _valid_mask(cols, num_rows), _as_bool(cond_fn(cols))
+                )
+                return jnp.sum(valid.astype(jnp.int32))
+
+            return kernel
+
+        n_match = int(jax.device_get(
+            get_or_compile(ckey, build_count)(cols, jnp.int32(table.num_rows))
+        ))
+        out_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
+
     key = ("window", select.canonical(),
            where.canonical() if where else "",
            outer_order.canonical() if outer_order else "",
-           schema_signature(cols), table.padded_rows, udf_mod.registry_version())
+           schema_signature(cols), table.padded_rows, out_cap,
+           udf_mod.registry_version())
 
     def build():
         from ..ops.aggregate import window_rank, window_running
@@ -1688,7 +1769,16 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 ]
                 win_sorted = sort_by_keys(keys, win, valid)
                 count = jnp.sum(valid.astype(jnp.int32))
-                return win_sorted, None, count
+                return win_sorted[:out_cap], None, count
+            if cond_fn is not None:
+                # Compact survivors to the front, preserving row order:
+                # stable sort on original position with invalid-last key.
+                n_pad = win.shape[0]
+                pos = jnp.arange(n_pad, dtype=jnp.uint32)
+                ck = jnp.where(valid, pos, jnp.uint32(0xFFFFFFFF))
+                _, win_c = jax.lax.sort((ck, win), num_keys=1, is_stable=True)
+                count = jnp.sum(valid.astype(jnp.int32))
+                return win_c[:out_cap], None, count
             return win, valid, None
 
         return kernel
