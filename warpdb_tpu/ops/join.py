@@ -33,7 +33,9 @@ from jax import lax
 
 from .sort import float_sort_key
 
-__all__ = ["join_match_counts", "join_gather_indices", "JoinPhase1"]
+__all__ = [
+    "join_match_counts", "join_gather_indices", "stacked_take", "JoinPhase1",
+]
 
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
 
@@ -152,6 +154,35 @@ def join_match_counts(
     counts = jnp.where(probe_mask, hi - lo, 0)
     total = jnp.sum(counts)
     return JoinPhase1(order_s, bkey_s, lo, counts, total)
+
+
+def stacked_take(cols, idx, valid):
+    """Gather the same ``idx`` from C equally-sized columns in ONE take.
+
+    TPU gather cost is per-row dominated, so C columns stacked as (C, n)
+    cost about one column's separate gather.  The index is reshaped to a
+    2-D block so the gather output's minor dim stays 128-wide — a flat
+    index emits a [len(idx), C] intermediate whose tiny minor dim
+    tile-pads to 128 (64x HBM blowup at 2^25).  Falls back to separate
+    1-D gathers when the index length isn't lane-divisible or the source
+    is tiny (small operands re-materialise the padded form regardless,
+    and small-source 1-D gathers are ~2x faster per column anyway).
+    Invalid output slots are zeroed."""
+    cols = tuple(cols)
+    n_idx = idx.shape[0]
+    if len(cols) > 1 and n_idx % 1024 == 0 and cols[0].shape[0] >= 4096:
+        m = jnp.stack(
+            [lax.bitcast_convert_type(c, jnp.uint32) for c in cols], axis=0
+        )
+        t = jnp.take(m, idx.reshape(-1, 1024), axis=1).reshape(len(cols), n_idx)
+        t = jnp.where(valid[None, :], t, jnp.uint32(0))
+        return tuple(
+            lax.bitcast_convert_type(t[i], c.dtype)
+            for i, c in enumerate(cols)
+        )
+    return tuple(
+        jnp.where(valid, c[idx], jnp.zeros((), c.dtype)) for c in cols
+    )
 
 
 def join_gather_indices(

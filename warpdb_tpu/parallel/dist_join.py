@@ -151,10 +151,11 @@ def distributed_join(
                 )
                 out_overflow = phase1.total > out_cap
 
-                out_cols = tuple(
-                    jnp.where(pair_valid, p[probe_idx], 0.0) for p in lpay
-                ) + tuple(
-                    jnp.where(pair_valid, p[build_idx], 0.0) for p in rpay
+                from ..ops.join import stacked_take
+
+                out_cols = (
+                    stacked_take(lpay, probe_idx, pair_valid)
+                    + stacked_take(rpay, build_idx, pair_valid)
                 )
                 count = jnp.minimum(phase1.total, out_cap)
                 overflow = jnp.logical_or(jnp.logical_or(ovl, ovr), out_overflow)
