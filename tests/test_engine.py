@@ -1091,3 +1091,53 @@ def test_sorted_limit_offset_device_slice(db):
     )
     assert got["price"] == [20.0, 15.25, 10.5]
     assert got["quantity"] == [4.0, 2.0, 3.0]
+
+
+def test_window_where_preserves_row_order():
+    # The filtered-window two-phase path compacts survivors with a
+    # stable position sort; output must stay in original row order.
+    rng = np.random.default_rng(5)
+    n = 3000
+    q = rng.integers(0, 8, n).astype(np.float32)
+    price = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"price": price, "quantity": q}))
+    got = np.asarray(db.query_sql(
+        "SELECT SUM(price) OVER (PARTITION BY quantity) FROM t "
+        "WHERE price > 90"
+    ))
+    m = price > 90
+    sums = {u: price[m][q[m] == u].sum() for u in np.unique(q[m])}
+    want = np.array([sums[u] for u in q[m]], np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_stacked_take_fallbacks():
+    import jax.numpy as jnp
+
+    from warpdb_tpu.ops.join import stacked_take
+
+    rng = np.random.default_rng(9)
+    # Small source -> per-column 1-D fallback.
+    small = jnp.asarray(rng.uniform(0, 1, 64).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, 2048).astype(np.int32))
+    valid = jnp.asarray(rng.uniform(0, 1, 2048) < 0.7)
+    a, b = stacked_take((small, small * 2), idx, valid)
+    np.testing.assert_allclose(
+        np.asarray(a), np.where(valid, np.asarray(small)[idx], 0.0)
+    )
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a) * 2)
+    # Large lane-divisible source -> stacked 2-D take; int32 codes keep
+    # their dtype through the u32 bitcast round-trip.
+    big_f = jnp.asarray(rng.uniform(0, 1, 8192).astype(np.float32))
+    big_i = jnp.asarray(rng.integers(-100, 100, 8192).astype(np.int32))
+    idx2 = jnp.asarray(rng.integers(0, 8192, 1024).astype(np.int32))
+    v2 = jnp.ones(1024, bool)
+    f, i = stacked_take((big_f, big_i), idx2, v2)
+    assert i.dtype == jnp.int32
+    np.testing.assert_allclose(np.asarray(f), np.asarray(big_f)[idx2])
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(big_i)[idx2])
+    # Non-lane-divisible index -> per-column fallback still correct.
+    idx3 = jnp.asarray(rng.integers(0, 8192, 1000).astype(np.int32))
+    f3, _ = stacked_take((big_f, big_i), idx3, jnp.ones(1000, bool))
+    np.testing.assert_allclose(np.asarray(f3), np.asarray(big_f)[idx3])
