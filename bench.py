@@ -225,6 +225,20 @@ def main() -> None:
         except Exception as e:  # never fail the whole bench on an extra
             extras[f"{name}_error"] = str(e)[:120]
 
+    # End-to-end geomean across the FULL query set (parse → device →
+    # transfer → host finishing, incl. relay RTT) — printed beside the
+    # kernel geomean so the sort-bound paths (join/window/distinct/
+    # high-cardinality GROUP BY) regress visibly instead of hiding
+    # outside the headline.
+    e2e_rates = [
+        v for k, v in extras.items()
+        if k.startswith("e2e_") and k.endswith("_rows_per_s")
+    ]
+    if e2e_rates:
+        ge = np.asarray(e2e_rates, dtype=np.float64)
+        extras["e2e_value"] = round(float(np.exp(np.log(ge).mean())))
+        extras["e2e_unit"] = "rows/s/chip e2e geomean"
+
     # --- NumPy oracle baseline ---------------------------------------------------
     sys.path.insert(0, "tests")
     import oracle  # noqa: PLC0415

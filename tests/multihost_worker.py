@@ -68,7 +68,7 @@ def main() -> int:
     # every process checks against the full-table oracle.
     from warpdb_tpu.parallel.sharded import run_topk_sharded
 
-    topk, total = run_topk_sharded(
+    topk, n_match = run_topk_sharded(
         parse_expression_text("price"),
         parse_expression_text("price > 50"),
         table,
@@ -78,7 +78,36 @@ def main() -> int:
     )
     want = np.sort(price[price > 50])[::-1][:8]
     np.testing.assert_allclose(np.asarray(topk)[: len(want)], want, rtol=1e-6)
-    assert total == int((price > 50).sum())
+    assert n_match == int((price > 50).sum())
+
+    # End-to-end SQL across processes, with a STRING group key: the
+    # vocabulary is exchanged process-wide and column stats reduce
+    # globally (make_global_table), so every process traces identical
+    # stats-gated programs and codes are comparable everywhere
+    # (VERDICT r1 item 3).
+    from warpdb_tpu import WarpDB
+
+    cities = np.array(["ams", "ber", "cdg", "lhr"], dtype=object)
+    city = cities[rng.integers(0, 4, total)]
+    local2 = HostTable.from_dict(
+        {
+            "price": price[start:end],
+            "city": city[start:end],
+        }
+    )
+    table2 = multihost.make_global_table(local2, total, mesh)
+    assert "city" in table2.dicts and len(table2.dicts["city"]) == 4
+    db = WarpDB.from_device_table(table2, mesh=mesh, name="t")
+    got = np.asarray(
+        db.query_sql(
+            "SELECT SUM(price) FROM t WHERE city != 'zzz' "
+            "GROUP BY city ORDER BY city ASC"
+        )
+    )
+    want = np.array(
+        [price[city == c].sum() for c in sorted(set(city))], np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
 
     print(f"proc {proc_id}: OK ({ng} groups over {nprocs} processes)")
     return 0

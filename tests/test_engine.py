@@ -353,10 +353,10 @@ def test_group_by_fractional_keys():
 
 
 def test_group_by_wide_range_keys():
-    """Key span > dense-slot limit → sort path."""
+    """Key span > midrange-slot limit → sort path."""
     rng = np.random.default_rng(5)
     n = 3000
-    keys = rng.integers(0, 1_000_000, n).astype(np.float32)
+    keys = rng.integers(0, 10_000_000, n).astype(np.float32)
     vals = rng.uniform(0, 10, n).astype(np.float32)
     db = WarpDB(HostTable.from_dict({"v": vals, "k": keys}))
     res = np.asarray(db.query_sql("SELECT SUM(v) FROM t GROUP BY k ORDER BY k ASC"))
@@ -877,17 +877,28 @@ def test_metrics_operator_trace():
     from warpdb_tpu.utils.metrics import last
 
     rng = np.random.default_rng(55)
+    # Integral stats-bounded high-cardinality key → midrange path.
     t = {
         "price": rng.uniform(0, 100, 8000).astype(np.float32),
-        "k": np.arange(8000, dtype=np.float32),  # high cardinality
+        "k": np.arange(8000, dtype=np.float32),
     }
     db = WarpDB(HostTable.from_dict(t))
     db.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
     ops = [name for name, _hit in last().operators]
-    assert "group_sort" in ops and "group_scatter" in ops
+    assert "midrange_group" in ops and "midrange_compact" in ops
     # Second run: same operators, now cache hits.
     db.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
     assert all(hit for _name, hit in last().operators)
+
+    # Non-integral key → the sort path, traced as group_sort/scatter.
+    t2 = {
+        "price": rng.uniform(0, 100, 8000).astype(np.float32),
+        "k": np.arange(8000, dtype=np.float32) + 0.5,
+    }
+    db2 = WarpDB(HostTable.from_dict(t2))
+    db2.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
+    ops2 = [name for name, _hit in last().operators]
+    assert "group_sort" in ops2 and "group_scatter" in ops2
 
 
 def test_median(db, random_db):
@@ -1141,3 +1152,241 @@ def test_stacked_take_fallbacks():
     idx3 = jnp.asarray(rng.integers(0, 8192, 1000).astype(np.int32))
     f3, _ = stacked_take((big_f, big_i), idx3, jnp.ones(1000, bool))
     np.testing.assert_allclose(np.asarray(f3), np.asarray(big_f)[idx3])
+
+
+# --- midrange (sort-free) GROUP BY, dense window, join fast paths -------------
+
+
+def _group_oracle(keys, vals):
+    uniq = np.sort(np.unique(keys))
+    return uniq, {
+        "sum": np.array([vals[keys == k].sum() for k in uniq], np.float32),
+        "min": np.array(
+            [vals[keys == k].min() for k in uniq], np.float32
+        ),
+        "count": np.array([(keys == k).sum() for k in uniq], np.float32),
+    }
+
+
+def test_midrange_group_mxu_sum_matches_oracle():
+    """SUM-only stats-bounded key beyond the dense limit rides the MXU
+    one-hot matmul engine; totals must match the numpy oracle."""
+    rng = np.random.default_rng(11)
+    n = 50_000
+    keys = rng.integers(0, 60_000, n).astype(np.float32)
+    vals = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"v": vals, "k": keys}))
+    res = np.asarray(db.query_sql("SELECT SUM(v) FROM t GROUP BY k"))
+    uniq, agg = _group_oracle(keys, vals.astype(np.float64))
+    assert len(res) == len(uniq)
+    np.testing.assert_allclose(res, agg["sum"], rtol=3e-5)
+
+
+def test_midrange_group_scatter_min_count():
+    """MIN forces the scatter engine (no MXU reformulation for order
+    statistics); counts and minima must both be exact."""
+    rng = np.random.default_rng(12)
+    n = 30_000
+    keys = rng.integers(100, 40_000, n).astype(np.float32)
+    vals = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"v": vals, "k": keys}))
+    res = np.asarray(
+        db.query_sql("SELECT MIN(v) FROM t GROUP BY k")
+    )
+    uniq, agg = _group_oracle(keys, vals)
+    np.testing.assert_allclose(res, agg["min"], rtol=1e-6)
+    cnt = np.asarray(db.query_sql("SELECT COUNT(v) FROM t GROUP BY k"))
+    np.testing.assert_array_equal(cnt, agg["count"])
+
+
+def test_midrange_group_limit_pushdown():
+    """GROUP BY ... LIMIT with no HAVING/ORDER BY ships only the first
+    LIMIT groups (device-side compaction slice)."""
+    rng = np.random.default_rng(13)
+    n = 20_000
+    keys = rng.integers(0, 30_000, n).astype(np.float32)
+    vals = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"v": vals, "k": keys}))
+    uniq, agg = _group_oracle(keys, vals.astype(np.float64))
+    res = np.asarray(db.query_sql("SELECT SUM(v) FROM t GROUP BY k LIMIT 7"))
+    np.testing.assert_allclose(res, agg["sum"][:7], rtol=3e-5)
+    # OFFSET composes with the pushdown.
+    res = np.asarray(
+        db.query_sql("SELECT SUM(v) FROM t GROUP BY k LIMIT 5 OFFSET 3")
+    )
+    np.testing.assert_allclose(res, agg["sum"][3:8], rtol=3e-5)
+    # HAVING disables pushdown but stays correct through midrange.
+    res = np.asarray(
+        db.query_sql(
+            "SELECT SUM(v) FROM t GROUP BY k HAVING COUNT(v) > 1 LIMIT 4"
+        )
+    )
+    want = agg["sum"][agg["count"] > 1][:4]
+    np.testing.assert_allclose(res, want, rtol=3e-5)
+
+
+def test_midrange_group_raw_int_keys_exact():
+    """int32 keys beyond f32's 2^24 integer ceiling group exactly on the
+    midrange path (raw integer gid arithmetic, no f32 round-trip)."""
+    base = 40_000_000  # > 2^24: f32 cannot represent neighbors exactly
+    ids = np.repeat(np.arange(base, base + 5000, dtype=np.int64), 3)
+    vals = np.tile(np.array([1.0, 2.0, 4.0], np.float32), 5000)
+    db = WarpDB(HostTable.from_dict({"v": vals, "id": ids}))
+    res = np.asarray(db.query_sql("SELECT SUM(v) FROM t GROUP BY id"))
+    assert len(res) == 5000
+    np.testing.assert_allclose(res, np.full(5000, 7.0, np.float32))
+    cnt = np.asarray(db.query_sql("SELECT COUNT(v) FROM t GROUP BY id"))
+    np.testing.assert_array_equal(cnt, np.full(5000, 3.0, np.float32))
+
+
+def test_dense_window_matches_sort_window():
+    """Stats-bounded integer partition keys take the sort-free window
+    path; results must be bit-comparable to the generic sort-based path
+    (forced via a fractional key offset)."""
+    rng = np.random.default_rng(14)
+    n = 4000
+    q = rng.integers(0, 50, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    db_frac = WarpDB(
+        HostTable.from_dict({"quantity": q + 0.5, "price": p})
+    )
+    for agg in ("SUM", "AVG", "COUNT", "MIN", "MAX"):
+        sql = f"SELECT {agg}(price) OVER (PARTITION BY quantity) FROM t"
+        dense = np.asarray(db.query_sql(sql))
+        generic = np.asarray(db_frac.query_sql(sql))
+        np.testing.assert_allclose(dense, generic, rtol=1e-5)
+
+
+def test_dense_window_where_compaction():
+    rng = np.random.default_rng(15)
+    n = 3000
+    q = rng.integers(0, 8, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    out = np.asarray(
+        db.query_sql(
+            "SELECT SUM(price) OVER (PARTITION BY quantity) FROM t "
+            "WHERE price > 75"
+        )
+    )
+    m = p > 75
+    sums = {k: p[m & (q == k)].sum() for k in np.unique(q)}
+    want = np.array([sums[k] for k in q[m]], np.float32)
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+def test_join_probe_preserving_lookup():
+    """1:1 dimension join keeps probe rows in place (no expansion); the
+    kernel trace must show the lookup operator, not the expansion."""
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(16)
+    n = 5000
+    q = rng.integers(0, 32, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    db.register_table(
+        "rates",
+        HostTable.from_dict(
+            {
+                "quantity": np.arange(32, dtype=np.float32),
+                "rate": rng.uniform(0, 1, 32).astype(np.float32),
+            }
+        ),
+    )
+    out = np.asarray(
+        db.query_sql(
+            "SELECT price * rates.rate FROM t "
+            "JOIN rates ON quantity = rates.quantity"
+        )
+    )
+    ops = [name for name, _hit in last().operators]
+    assert "join_lookup" in ops
+    assert "join_expand_gather" not in ops
+    assert len(out) == n
+
+
+def test_join_lookup_values_correct():
+    rng = np.random.default_rng(17)
+    n = 4000
+    q = rng.integers(0, 16, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    rate = rng.uniform(0, 1, 16).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    db.register_table(
+        "rates",
+        HostTable.from_dict(
+            {
+                "quantity": np.arange(16, dtype=np.float32),
+                "rate": rate,
+            }
+        ),
+    )
+    out = np.asarray(
+        db.query_sql(
+            "SELECT price * rates.rate FROM t "
+            "JOIN rates ON quantity = rates.quantity"
+        )
+    )
+    want = p * rate[q.astype(int)]
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+    # Multi-column result table rides ONE join materialisation.
+    tbl = db.query_sql_table(
+        "SELECT price, rates.rate FROM t "
+        "JOIN rates ON quantity = rates.quantity WHERE price > 50"
+    )
+    cols = list(tbl.values())
+    m = p > 50
+    np.testing.assert_allclose(cols[0], p[m], rtol=1e-6)
+    np.testing.assert_allclose(cols[1], rate[q.astype(int)][m], rtol=1e-6)
+
+
+def test_join_dense_phase1_duplicates_and_misses():
+    """Small build side with duplicate keys and non-matching probe rows:
+    dense phase 1 must agree with the generic sort-merge phase 1."""
+    rng = np.random.default_rng(18)
+    n = 3000
+    q = rng.integers(0, 40, n).astype(np.float32)  # keys 32..39 miss
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    db.register_table(
+        "dup",
+        HostTable.from_dict(
+            {
+                "quantity": np.repeat(
+                    np.arange(32, dtype=np.float32), 2
+                ),
+                "bonus": np.arange(64, dtype=np.float32),
+            }
+        ),
+    )
+    out = np.asarray(
+        db.query_sql(
+            "SELECT COUNT(price) FROM t "
+            "JOIN dup ON quantity = dup.quantity "
+            "GROUP BY quantity ORDER BY quantity ASC"
+        )
+    )
+    want = np.array(
+        [2 * (q == k).sum() for k in range(32)], np.float32
+    )
+    np.testing.assert_array_equal(out, want)
+
+
+def test_sorted_group_large_int64_ids_exact_counts():
+    """VERDICT r1 item 6: ids beyond f32's 2^24 integer ceiling with a
+    key span too wide for the midrange slot table must still group
+    exactly — the sort path sorts raw int bits, not f32 casts."""
+    rng = np.random.default_rng(19)
+    n = 1 << 20
+    # 2^18 distinct ids spread over a ~2^27 span starting beyond 2^24:
+    # consecutive ids differ by 512, but their f32 images collide in
+    # blocks once values pass 2^25.
+    ids = (1 << 25) + 512 * rng.integers(0, 1 << 18, n).astype(np.int64)
+    vals = np.ones(n, np.float32)
+    db = WarpDB(HostTable.from_dict({"v": vals, "id": ids}))
+    res = np.asarray(db.query_sql("SELECT COUNT(v) FROM t GROUP BY id"))
+    uniq, want = np.unique(ids, return_counts=True)
+    assert len(res) == len(uniq)
+    np.testing.assert_array_equal(res, want.astype(np.float32))

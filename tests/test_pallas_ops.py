@@ -85,3 +85,32 @@ def test_topk_values_pallas_route_matches_xla():
     )
     want = np.sort(v[mask])[::-1][:32]
     np.testing.assert_array_equal(got[:32], want)
+
+
+# --- MXU group histogram kernel (interpret mode on CPU) -----------------------
+
+
+@pytest.mark.parametrize("num_slots,n", [(6000, 4096), (40_000, 8192)])
+def test_pallas_group_counts_sums_interpret(num_slots, n):
+    from warpdb_tpu.ops.pallas_group import pallas_group_counts_sums
+
+    rng = np.random.default_rng(33)
+    gid = rng.integers(0, num_slots, n).astype(np.int32)
+    # Sprinkle invalid sentinel rows (masked upstream): out-of-range ids
+    # must contribute nothing.
+    glo = 128 if num_slots <= (1 << 14) else 256
+    ghi = -(-num_slots // glo)
+    gid[:: 17] = ghi * glo
+    vals = rng.uniform(0, 100, n).astype(np.float32)
+    counts, sums = pallas_group_counts_sums(
+        jnp.asarray(gid), (jnp.asarray(vals),), num_slots,
+        interpret=_on_cpu(),
+    )
+    counts = np.asarray(counts)
+    sums = np.asarray(sums[0])
+    valid = gid < num_slots
+    want_counts = np.bincount(gid[valid], minlength=num_slots)
+    want_sums = np.zeros(num_slots, np.float64)
+    np.add.at(want_sums, gid[valid], vals[valid].astype(np.float64))
+    np.testing.assert_array_equal(counts, want_counts)
+    np.testing.assert_allclose(sums, want_sums, rtol=3e-6, atol=1e-3)

@@ -502,3 +502,153 @@ def test_mesh_join_groupby(mesh):
         np.testing.assert_allclose(
             out["s"][i], float(table["v"][table["k"] == k].sum()), rtol=1e-4
         )
+
+
+def test_streaming_sql_count_distinct(tmp_path):
+    """VERDICT r1 item 4: COUNT(DISTINCT) merges exactly across chunks
+    via per-chunk sorted-unique pair sets."""
+    rng = np.random.default_rng(21)
+    n = 500
+    k = rng.integers(0, 5, n)
+    v = rng.integers(0, 9, n).astype(np.float32)
+    path = tmp_path / "cd.csv"
+    with open(path, "w") as f:
+        f.write("k,v\n")
+        for a, b in zip(k, v):
+            f.write(f"{a},{b}\n")
+    out = WarpDB.query_streaming_sql(
+        str(path), "SELECT k, COUNT(DISTINCT v) FROM t GROUP BY k",
+        rows_per_chunk=37,
+    )
+    cols = list(out.values())
+    want = {kk: len(set(v[k == kk].tolist())) for kk in np.unique(k)}
+    got = dict(zip(cols[0], cols[1]))
+    assert {int(a): int(b) for a, b in got.items()} == {
+        int(a): int(b) for a, b in want.items()
+    }
+    # Global COUNT(DISTINCT) too.
+    out2 = WarpDB.query_streaming_sql(
+        str(path), "SELECT COUNT(DISTINCT v) FROM t", rows_per_chunk=41
+    )
+    assert list(out2.values())[0][0] == len(set(v.tolist()))
+
+
+def test_streaming_sql_distinct(tmp_path):
+    rng = np.random.default_rng(22)
+    vals = rng.integers(0, 12, 300).astype(np.float32)
+    path = tmp_path / "d.csv"
+    with open(path, "w") as f:
+        f.write("x\n")
+        for a in vals:
+            f.write(f"{a}\n")
+    out = WarpDB.query_streaming_sql(
+        str(path), "SELECT DISTINCT x FROM t", rows_per_chunk=23
+    )
+    got = list(out.values())[0]
+    assert got == sorted(set(vals.tolist()))
+    out_desc = WarpDB.query_streaming_sql(
+        str(path),
+        "SELECT DISTINCT x FROM t ORDER BY x DESC LIMIT 4",
+        rows_per_chunk=23,
+    )
+    assert list(out_desc.values())[0] == sorted(
+        set(vals.tolist()), reverse=True
+    )[:4]
+
+
+def test_streaming_sql_matches_inmemory_on_multichunk(tmp_path):
+    """Chunked streaming result == in-memory engine on the same data."""
+    rng = np.random.default_rng(23)
+    n = 700
+    k = rng.integers(0, 7, n)
+    v = rng.uniform(0, 50, n).astype(np.float32)
+    path = tmp_path / "m.csv"
+    with open(path, "w") as f:
+        f.write("k,v\n")
+        for a, b in zip(k, v):
+            f.write(f"{a},{b}\n")
+    sql = ("SELECT k, SUM(v), MIN(v), MAX(v), COUNT(DISTINCT v) FROM t "
+           "GROUP BY k HAVING COUNT(v) > 10 ORDER BY k ASC")
+    stream = WarpDB.query_streaming_sql(str(path), sql, rows_per_chunk=61)
+    db = WarpDB(HostTable.from_dict({"k": k.astype(np.float32), "v": v}))
+    mem = db.query_sql_table(sql)
+    for (sk, sv), (mk, mv) in zip(stream.items(), mem.items()):
+        np.testing.assert_allclose(
+            np.asarray(sv, np.float32), np.asarray(mv, np.float32),
+            rtol=1e-5,
+        )
+
+
+def test_mesh_sql_join_routes_distributed(mesh):
+    """VERDICT r1 item 2: a mesh-resident query_sql JOIN goes through
+    the hash-partitioned shuffle join, including composite keys, and
+    matches the oracle."""
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    a = rng.integers(0, 40, n).astype(np.float32)
+    b = rng.integers(0, 3, n).astype(np.float32)
+    p = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"a": a, "b": b, "price": p}))
+    db.distribute(mesh)
+    ra = np.repeat(np.arange(40, dtype=np.float32), 3)
+    rb = np.tile(np.arange(3, dtype=np.float32), 40)
+    rw = rng.uniform(0, 1, 120).astype(np.float32)
+    db.register_table(
+        "dim", HostTable.from_dict({"a": ra, "b": rb, "w": rw})
+    )
+    sql = (
+        "SELECT SUM(price * dim.w) FROM t "
+        "JOIN dim ON a = dim.a AND b = dim.b "
+        "GROUP BY a ORDER BY a ASC"
+    )
+    got = np.asarray(db.query_sql(sql))
+    ops = [name for name, _hit in last().operators]
+    assert "dist_join" in ops
+
+    w_lookup = np.zeros((40, 3), np.float32)
+    w_lookup[ra.astype(int), rb.astype(int)] = rw
+    contrib = p * w_lookup[a.astype(int), b.astype(int)]
+    want = np.array(
+        [contrib[a == k].sum() for k in range(40)], np.float32
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_mesh_sql_join_string_keys(mesh):
+    """String-key equi-join across the mesh: right-side codes translate
+    into the left vocabulary before hashing."""
+    rng = np.random.default_rng(32)
+    n = 5000
+    cities = np.array(["ams", "ber", "cdg", "lhr"], dtype=object)
+    c = cities[rng.integers(0, 4, n)]
+    p = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"city": c, "price": p}))
+    db.distribute(mesh)
+    db.register_table(
+        "geo",
+        HostTable.from_dict(
+            {
+                # Different vocab (extra + reordered entries).
+                "city": np.array(
+                    ["lhr", "zzz", "ams", "ber", "cdg"], dtype=object
+                ),
+                "lat": np.array(
+                    [51.5, 0.0, 52.4, 52.5, 49.0], np.float32
+                ),
+            }
+        ),
+    )
+    got = np.asarray(
+        db.query_sql(
+            "SELECT SUM(geo.lat) FROM t JOIN geo ON city = geo.city "
+            "GROUP BY city ORDER BY city ASC"
+        )
+    )
+    lat = {"lhr": 51.5, "ams": 52.4, "ber": 52.5, "cdg": 49.0}
+    want = np.array(
+        [sum(lat[x] for x in c[c == k]) for k in sorted(set(c))],
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)

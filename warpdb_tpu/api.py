@@ -81,6 +81,22 @@ class WarpDB:
             self._table = DeviceTable.from_host(self._host, sharding=sharding)
         self._catalog: dict[str, DeviceTable] = {self._name: self._table}
 
+    @classmethod
+    def from_device_table(
+        cls, table: DeviceTable, mesh=None, name: str = "table"
+    ) -> "WarpDB":
+        """Wrap an already-assembled (possibly globally-sharded)
+        DeviceTable — the multi-host entry point: each process builds the
+        global table via ``parallel.multihost.make_global_table`` and
+        queries it through the normal SQL surface."""
+        db = cls.__new__(cls)
+        db._host = table.host
+        db._name = name
+        db._mesh = mesh
+        db._table = table
+        db._catalog = {name: table}
+        return db
+
     def distribute(self, mesh=None) -> "WarpDB":
         """Re-lay the table row-sharded over ``mesh`` (all local devices by
         default); subsequent queries execute distributed.  The TPU-native

@@ -26,6 +26,16 @@ class EngineConfig:
     # sort path measured on v5e at N=2^24: dense is ~15x faster at 1K
     # slots, ~4x at 4K, and loses beyond ~8K.
     dense_group_max_slots: int = 4096
+    # Mid-range sort-free GROUP BY (scatter/MXU into a dense slot
+    # table): max key-range slots before falling back to the sort path.
+    midrange_group_max_slots: int = 1 << 20
+    # SUM/COUNT-only mid-range queries ride the MXU one-hot matmul up
+    # to this many slots (FLOPs grow linearly with the slot count).
+    mxu_group_max_slots: int = 1 << 16
+    # Single-key joins whose build side has at most this many rows use
+    # the sort-free dense phase 1 (virtual (N, K) VPU sweep instead of
+    # two full-width probe∪build sorts).
+    join_dense_build_max: int = 256
     # Distributed GROUP BY: key-count threshold between the all_gather
     # partial merge and the all-to-all shuffle.
     distributed_small_keys: int = 4096

@@ -52,9 +52,14 @@ from ..ops.aggregate import (
     count_distinct,
     dense_group_aggregate,
     is_integral,
+    midrange_group_aggregate,
     window_aggregate,
 )
-from ..ops.join import join_gather_indices, join_match_counts
+from ..ops.join import (
+    join_gather_indices,
+    join_match_counts,
+    join_match_counts_dense,
+)
 from ..ops.sort import sort_pairs, sort_values, top_k_values
 from ..storage.table import DeviceTable
 from . import udf as udf_mod
@@ -417,23 +422,11 @@ def _resolve_column(cols: dict, var: Variable) -> jax.Array:
     return arr
 
 
-def _materialize_join(
-    left: DeviceTable,
-    right: DeviceTable,
-    right_name: str,
-    cond: Node,
-    needed: Optional[set] = None,
-) -> DeviceTable:
-    """Execute one inner equi-join, producing a new padded DeviceTable.
+def _resolve_join_sides(left, right, right_name, pairs):
+    """Assign each equality pair's variables to the probe (left) / build
+    (right) side: a qualifier matching the right table name binds right;
+    otherwise left wins, then right.  Returns [(left_var, right_var)]."""
 
-    Makes real what the reference only parsed (warpdb.hpp:22-23).
-    ``needed`` (projection pushdown) restricts the gather to columns the
-    query actually references — without it every column of both sides is
-    materialised, which on wide tables multiplies HBM traffic."""
-    pairs = _equality_pairs(cond)
-
-    # Decide which side each variable binds to: a qualifier matching the
-    # right table name binds right; otherwise left wins, then right.
     def side_of(var: Variable):
         if var.qualifier == right_name and (
             var.unqualified in right.columns or var.name in right.columns
@@ -445,52 +438,149 @@ def _materialize_join(
             return "right"
         raise ValidationError(f"Unknown column: {var.name}")
 
-    lkeys = []
-    rkeys = []
-    pair_canons = []
+    out = []
     for a, b in pairs:
         sa, sb = side_of(a), side_of(b)
         if {sa, sb} != {"left", "right"}:
             # Same-side equality (e.g. self-join on the same column
             # name): treat left occurrence as probe, right as build.
-            left_var, right_var = a, b
+            out.append((a, b))
         else:
-            left_var = a if sa == "left" else b
-            right_var = b if sb == "right" else a
+            out.append((a if sa == "left" else b, b if sb == "right" else a))
+    return out
 
-        lkey_raw = _resolve_column(left.columns, left_var)
-        rkey_raw = _resolve_column(right.columns, right_var)
 
-        # String-key equi-join: the two tables have independent
-        # dictionaries, so re-express the build side's codes under the
-        # probe side's vocabulary (absent strings → -1: match nothing).
-        lvocab = left.dicts.get(left_var.name) if left.dicts else None
-        if lvocab is None and left.dicts:
-            lvocab = left.dicts.get(left_var.unqualified)
-        rvocab = right.dicts.get(right_var.name) if right.dicts else None
-        if rvocab is None and right.dicts:
-            rvocab = right.dicts.get(right_var.unqualified)
-        if (lvocab is None) != (rvocab is None):
-            raise ValidationError(
-                "JOIN condition compares a string column with a numeric column"
-            )
-        if lvocab is not None:
-            from ..storage.strings import vocab_mapping
+def _translated_right_key(left, right, left_var, right_var):
+    """Resolve one pair's key arrays; re-express a string build key's
+    codes under the probe side's vocabulary (absent strings → -1: match
+    nothing).  Returns (lkey_raw, rkey_raw)."""
+    lkey_raw = _resolve_column(left.columns, left_var)
+    rkey_raw = _resolve_column(right.columns, right_var)
+    lvocab = left.dicts.get(left_var.name) if left.dicts else None
+    if lvocab is None and left.dicts:
+        lvocab = left.dicts.get(left_var.unqualified)
+    rvocab = right.dicts.get(right_var.name) if right.dicts else None
+    if rvocab is None and right.dicts:
+        rvocab = right.dicts.get(right_var.unqualified)
+    if (lvocab is None) != (rvocab is None):
+        raise ValidationError(
+            "JOIN condition compares a string column with a numeric column"
+        )
+    if lvocab is not None:
+        from ..storage.strings import vocab_mapping
 
-            mapping = vocab_mapping(rvocab, lvocab)
-            rkey_raw = jnp.take(
-                jnp.asarray(mapping), rkey_raw.astype(jnp.int32), mode="clip"
-            )
+        mapping = vocab_mapping(rvocab, lvocab)
+        rkey_raw = jnp.take(
+            jnp.asarray(mapping), rkey_raw.astype(jnp.int32), mode="clip"
+        )
+    return lkey_raw, rkey_raw
 
+
+def _materialize_join_distributed(
+    left, right, right_name, pairs, needed, mesh
+) -> DeviceTable:
+    """Mesh route for one equi-join: resolve sides + string-key vocab
+    translation here (on the resharded right table, so the translated
+    key arrays match its layout), then hand off to the shuffle join.
+    Composite keys ride as tuples; supports everything the local join
+    does (VERDICT r1 item 2)."""
+    from ..parallel.dist_join import distributed_join_table
+    from ..parallel.sharded import _ensure_sharded
+
+    left = _ensure_sharded(left, mesh)
+    right = _ensure_sharded(right, mesh)
+
+    def _resolved_name(cols, var):
+        if var.name in cols:
+            return var.name
+        if var.unqualified in cols:
+            return var.unqualified
+        raise ValidationError(f"Unknown column: {var.name}")
+
+    left_key_names = []
+    right_key_arrays = []
+    for left_var, right_var in _resolve_join_sides(
+        left, right, right_name, pairs
+    ):
+        _lk, rkey_raw = _translated_right_key(left, right, left_var, right_var)
+        left_key_names.append(_resolved_name(left.columns, left_var))
+        right_key_arrays.append(rkey_raw)
+
+    def _wanted(name: str, qual: str) -> bool:
+        if needed is None:
+            return True
+        return name in needed or qual in needed
+
+    left_payload = [
+        n for n in left.columns if needed is None or n in needed
+    ]
+    right_payload = [
+        n for n in right.columns if _wanted(n, f"{right_name}.{n}")
+    ]
+    return distributed_join_table(
+        left, right, right_name, left_key_names, right_key_arrays,
+        left_payload, right_payload, mesh,
+    )
+
+
+def _materialize_join(
+    left: DeviceTable,
+    right: DeviceTable,
+    right_name: str,
+    cond: Node,
+    needed: Optional[set] = None,
+    mesh=None,
+) -> DeviceTable:
+    """Execute one inner equi-join, producing a new padded DeviceTable.
+
+    Makes real what the reference only parsed (warpdb.hpp:22-23).
+    ``needed`` (projection pushdown) restricts the gather to columns the
+    query actually references — without it every column of both sides is
+    materialised, which on wide tables multiplies HBM traffic.
+
+    With a multi-device ``mesh``, the join routes through the
+    hash-partitioned all-to-all shuffle join (parallel/dist_join.py):
+    local sorts over N/P rows + two O(N/P)-per-link exchanges instead of
+    global sorts over sharded arrays."""
+    pairs = _equality_pairs(cond)
+
+    if mesh is not None and int(mesh.devices.size) > 1:
+        return _materialize_join_distributed(
+            left, right, right_name, pairs, needed, mesh
+        )
+
+    lkeys = []
+    rkeys = []
+    pair_canons = []
+    for left_var, right_var in _resolve_join_sides(
+        left, right, right_name, pairs
+    ):
+        lkey_raw, rkey_raw = _translated_right_key(
+            left, right, left_var, right_var
+        )
         lkeys.append(_as_f32(lkey_raw))
         rkeys.append(_as_f32(rkey_raw))
         pair_canons.append((left_var.canonical(), right_var.canonical()))
 
+    # Dimension-table fast path: a single-key join against a small build
+    # side replaces the two full-width probe∪build sorts with a virtual
+    # (N, K) VPU sweep (ops/join.join_match_counts_dense).  K is the
+    # power-of-two bucket over the build row count, so each bucket
+    # compiles once.
+    from ..config import get_config
+
+    dense_k = 0
+    if len(pairs) == 1:
+        k_cap = max(_next_pow2(max(right.num_rows, 1)), 8)
+        if k_cap <= get_config().join_dense_build_max:
+            dense_k = k_cap
+
     key = (
-        "join_phase1",
+        "join_phase1_v2",
         schema_signature(left.columns),
         schema_signature(right.columns),
         tuple(pair_canons),
+        dense_k,
     )
 
     def build_phase1():
@@ -498,15 +588,114 @@ def _materialize_join(
         def phase1(lks, rks, n_left, n_right):
             lmask = jnp.arange(lks[0].shape[0], dtype=jnp.int32) < n_left
             rmask = jnp.arange(rks[0].shape[0], dtype=jnp.int32) < n_right
-            return join_match_counts(tuple(lks), lmask, tuple(rks), rmask)
+            if dense_k:
+                p1 = join_match_counts_dense(
+                    lks[0], lmask, rks[0], rmask, dense_k
+                )
+            else:
+                p1 = join_match_counts(tuple(lks), lmask, tuple(rks), rmask)
+            # 1:1 detector: when no probe row matches more than one build
+            # row AND every valid probe row matches, the join degenerates
+            # to a per-row lookup (see the probe-preserving path below).
+            return p1, jnp.all(p1.counts <= 1)
 
         return phase1
 
-    phase1 = get_or_compile(key, build_phase1)(
+    phase1, one2one = get_or_compile(key, build_phase1)(
         tuple(lkeys), tuple(rkeys),
         jnp.int32(left.num_rows), jnp.int32(right.num_rows),
     )
     total = int(phase1.total)
+
+    if bool(one2one) and total == left.num_rows:
+        # Probe-preserving lookup join: every valid probe row matches
+        # exactly one build row, so the output IS the probe table (all
+        # left columns carried by reference — zero copies, zero gathers)
+        # plus one gather per referenced build column through the
+        # sorted-build permutation.  No expansion pass, no output
+        # re-materialisation — the star-schema join at the cost of a
+        # column lookup.
+        rcols_in = {
+            name: arr
+            for name, arr in right.columns.items()
+            if needed is None
+            or name in needed
+            or f"{right_name}.{name}" in needed
+        }
+        lkey2 = (
+            "join_lookup",
+            schema_signature(rcols_in),
+            left.padded_rows,
+            right.padded_rows,
+            dense_k,
+        )
+
+        def build_lookup():
+            from ..ops.join import stacked_take
+
+            rnames = list(rcols_in)
+
+            @jax.jit
+            def lookup(p1, rcols, n_left):
+                n_pad = p1.lo.shape[0]
+                valid = jnp.arange(n_pad, dtype=jnp.int32) < n_left
+                n_build = p1.build_order.shape[0]
+                slot = jnp.clip(p1.lo, 0, n_build - 1)
+                perm = tuple(rcols[n][p1.build_order] for n in rnames)
+                if dense_k:
+                    # Tiny build side: per-row values via a virtual
+                    # (N, K) compare-select sweep — the per-row gather
+                    # costs ~0.18 s per 2^25 rows on v5e while K≤256
+                    # VPU passes cost single-digit ms (same trade as
+                    # dense GROUP BY).
+                    j = jnp.arange(dense_k, dtype=jnp.int32)
+                    eq = slot[:, None] == j[None, :]
+                    taken = []
+                    for n, c in zip(rnames, perm):
+                        bits = lax.bitcast_convert_type(
+                            c[:dense_k], jnp.uint32
+                        )
+                        # Exactly one slot matches per row, so the u32
+                        # sum selects that slot's bits exactly.
+                        t = jnp.sum(
+                            jnp.where(eq, bits[None, :], jnp.uint32(0)),
+                            axis=1,
+                        )
+                        t = jnp.where(valid, t, jnp.uint32(0))
+                        taken.append(
+                            lax.bitcast_convert_type(t, rcols[n].dtype)
+                        )
+                    taken = tuple(taken)
+                else:
+                    taken = stacked_take(perm, slot, valid)
+                return dict(zip(rnames, taken))
+
+            return lookup
+
+        rtaken = get_or_compile(lkey2, build_lookup)(
+            phase1, rcols_in, jnp.int32(left.num_rows)
+        )
+        new_cols = dict(left.columns)
+        for name, arr in rtaken.items():
+            new_cols[f"{right_name}.{name}"] = arr
+            new_cols.setdefault(name, arr)
+        dtypes = dict(left.dtypes)
+        for name, dt in right.dtypes.items():
+            dtypes[f"{right_name}.{name}"] = dt
+            dtypes.setdefault(name, dt)
+        dicts = dict(left.dicts)
+        for name, vocab in right.dicts.items():
+            dicts[f"{right_name}.{name}"] = vocab
+            dicts.setdefault(name, vocab)
+        stats = dict(left.stats)
+        for name, st in right.stats.items():
+            stats[f"{right_name}.{name}"] = st
+            stats.setdefault(name, st)
+        return DeviceTable(
+            new_cols, dtypes, left.num_rows, left.padded_rows,
+            stats=stats, dicts=dicts,
+        )
+
     capacity = max(_next_pow2(total), 1024)
 
     # Projection pushdown: only gather columns the query references
@@ -682,6 +871,47 @@ def expand_stars_query(query: Query, table: DeviceTable, catalog=None) -> list:
     return out
 
 
+def _materialize_joins(
+    query: Query, table: DeviceTable, catalog: Optional[dict], mesh=None
+) -> DeviceTable:
+    """Materialise the query's JOIN chain left-to-right, with projection
+    pushdown: only columns referenced outside the joins are gathered.
+    A join's OWN condition columns are read directly from its inputs, so
+    they only count as "needed" in the output when a LATER join's
+    condition (or any non-join clause) references them — for a plain
+    ``JOIN dim ON fact.k = dim.k`` the key column never materialises
+    into the joined table at all."""
+    if not query.joins:
+        return table
+    catalog = catalog or {}
+    base_needed = set()
+    for node in [
+        *query.select_list, query.where, query.having,
+        *(t.expr for t in (query.order_by.terms if query.order_by else ())),
+        *(query.group_by.keys if query.group_by else ()),
+    ]:
+        if node is None:
+            continue
+        for n in walk(node):
+            if isinstance(n, Variable):
+                base_needed.add(n.name)
+                base_needed.add(n.unqualified)
+    current = table
+    for i, join in enumerate(query.joins):
+        needed = set(base_needed)
+        for later in query.joins[i + 1 :]:
+            for n in walk(later.condition):
+                if isinstance(n, Variable):
+                    needed.add(n.name)
+                    needed.add(n.unqualified)
+        right = catalog.get(join.table, table)
+        current = _materialize_join(
+            current, right, join.table, join.condition, needed=needed,
+            mesh=mesh,
+        )
+    return current
+
+
 def run_query(
     query: Query,
     table: DeviceTable,
@@ -712,28 +942,7 @@ def run_query(
         query = _copy.copy(query)
         query.select_list = expanded
 
-    current = table
-    needed = None
-    if query.joins:
-        # Projection pushdown through joins: gather only referenced columns.
-        needed = set()
-        for node in [
-            *query.select_list, query.where, query.having,
-            *(t.expr for t in (query.order_by.terms if query.order_by else ())),
-            *(query.group_by.keys if query.group_by else ()),
-            *(j.condition for j in query.joins),
-        ]:
-            if node is None:
-                continue
-            for n in walk(node):
-                if isinstance(n, Variable):
-                    needed.add(n.name)
-                    needed.add(n.unqualified)
-    for join in query.joins:
-        right = catalog.get(join.table, table)
-        current = _materialize_join(
-            current, right, join.table, join.condition, needed=needed
-        )
+    current = _materialize_joins(query, table, catalog, mesh=mesh)
 
     query = _bind_query_strings(query, current)
 
@@ -851,8 +1060,20 @@ def _grouped_partials(
     if result is None:
         # TPU fast path: dense integer-key aggregation (no sort, no
         # scatter) when stats bound a single key to a small integral range.
+        # LIMIT pushdown is legal when groups emerge in the default
+        # ascending-key order and nothing downstream re-filters/re-orders.
+        limit_cap = None
+        if (
+            query.limit is not None
+            and query.having is None
+            and query.order_by is None
+            and not query.distinct
+            and not plan["cd_specs"]
+        ):
+            limit_cap = query.limit + (query.offset or 0)
         result = _try_dense_group(query, table, group_keys, vexpr_nodes,
-                                  vexpr_canons, where_canon, plan["need"])
+                                  vexpr_canons, where_canon, plan["need"],
+                                  limit_cap=limit_cap)
     if result is None:
         result = _sorted_group(query, table, group_keys, vexpr_nodes,
                                vexpr_canons, where_canon, plan["keys_canon"],
@@ -933,10 +1154,58 @@ def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):
     )
 
 
+def _integral_key_check(table, key_expr) -> tuple:
+    """``(integral_static, ok)`` for a dense/midrange-path key:
+    integrality is guaranteed for int/string-code columns and
+    runtime-checked (memoised per immutable table instance) for float
+    expressions."""
+    key_dtype = None
+    if isinstance(key_expr, Variable):
+        key_dtype = table.dtypes.get(key_expr.name) or table.dtypes.get(
+            key_expr.unqualified
+        )
+    integral_static = key_dtype is not None and key_dtype.value in (
+        "int32",
+        "int64",
+        "string",  # dictionary codes are int32 by construction
+    )
+    if integral_static:
+        return True, True
+    cols = table.columns
+    key_canon = key_expr.canonical()
+    memo = getattr(table, "_integral_memo", None)
+    if memo is None:
+        memo = table._integral_memo = {}
+    if key_canon not in memo:
+        ikey = ("group_integral", key_canon, schema_signature(cols),
+                udf_mod.registry_version())
+
+        def build_intcheck():
+            key_fn = build_evaluator(key_expr)
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = _valid_mask(cols, num_rows)
+                k = _broadcast(_as_f32(key_fn(cols)), cols)
+                return is_integral(k, valid)
+
+            return kernel
+
+        memo[key_canon] = bool(
+            get_or_compile(ikey, build_intcheck)(
+                cols, jnp.int32(table.num_rows)
+            )
+        )
+    return False, memo[key_canon]
+
+
 def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
-                     where_canon, need=("sum", "min", "max")):
-    """Attempt the dense-range GROUP BY; returns None when stats can't
-    prove a small integral key range (falls back to the sort path)."""
+                     where_canon, need=("sum", "min", "max"),
+                     limit_cap=None):
+    """Attempt the sort-free GROUP BY ladder — dense O(N·G) VPU sweep for
+    small key ranges, scatter/MXU slot tables for mid-range ones; returns
+    None when stats can't prove an integral key range narrow enough
+    (falls back to the sort path)."""
     from ..config import get_config
     from .optimizer import expr_range
 
@@ -947,7 +1216,8 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     if rng is None:
         return None
     lo, hi = rng
-    if hi - lo + 1 > get_config().dense_group_max_slots:
+    cfg = get_config()
+    if hi - lo + 1 > cfg.midrange_group_max_slots:
         return None
     base = int(np.floor(lo))
     num_slots = int(np.floor(hi)) - base + 1
@@ -962,67 +1232,22 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     n_rows = jnp.int32(table.num_rows)
     key_canon = key_expr.canonical()
 
-    # Integrality: guaranteed for int columns; runtime-checked for floats.
-    key_dtype = None
-    if isinstance(key_expr, Variable):
-        key_dtype = table.dtypes.get(key_expr.name) or table.dtypes.get(
-            key_expr.unqualified
+    integral_static, ok = _integral_key_check(table, key_expr)
+    if not ok:
+        return None
+
+    if num_slots > cfg.dense_group_max_slots:
+        return _midrange_group_run(
+            query, table, key_expr, vexpr_nodes, vexpr_canons, where_canon,
+            base, num_slots, need, integral_static, limit_cap,
         )
-    integral_static = key_dtype is not None and key_dtype.value in (
-        "int32",
-        "int64",
-        "string",  # dictionary codes are int32 by construction
-    )
-    if not integral_static:
-        # Memoise the runtime integrality verdict per table instance so
-        # repeated queries pay the extra scan once (device arrays are
-        # immutable, so the verdict cannot go stale).
-        memo = getattr(table, "_integral_memo", None)
-        if memo is None:
-            memo = table._integral_memo = {}
-        if key_canon in memo:
-            if not memo[key_canon]:
-                return None
-        else:
-            ikey = ("group_integral", key_canon, schema_signature(cols),
-                    udf_mod.registry_version())
-
-            def build_intcheck():
-                key_fn = build_evaluator(key_expr)
-
-                @jax.jit
-                def kernel(cols, num_rows):
-                    valid = _valid_mask(cols, num_rows)
-                    k = _broadcast(_as_f32(key_fn(cols)), cols)
-                    return is_integral(k, valid)
-
-                return kernel
-
-            verdict = bool(get_or_compile(ikey, build_intcheck)(cols, n_rows))
-            memo[key_canon] = verdict
-            if not verdict:
-                return None
 
     gkey = ("dense_group", key_canon, tuple(vexpr_canons), where_canon,
             schema_signature(cols), base, num_slots, need,
             udf_mod.registry_version())
 
     def build_dense():
-        # Bare integer/string-code key columns feed the kernel as raw
-        # ints: routing them through f32 would corrupt group ids for
-        # values beyond 2^24 (e.g. large int64 ids with a small range).
-        if isinstance(key_expr, Variable) and integral_static:
-            kname, kuname = key_expr.name, key_expr.unqualified
-
-            def key_fn(cols):
-                arr = cols.get(kname)
-                if arr is None:
-                    arr = cols.get(kuname)
-                return arr
-
-        else:
-            inner = build_evaluator(key_expr)
-            key_fn = lambda cols: _as_f32(inner(cols))
+        key_fn = _raw_or_f32_key_fn(key_expr, integral_static)
         val_fns = [build_evaluator(v) for v in vexpr_nodes]
         cond_fn = build_evaluator(query.where) if query.where is not None else None
 
@@ -1055,6 +1280,116 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
         isinstance(key_expr, Variable) and integral_static
     )
     return out
+
+
+def _raw_or_f32_key_fn(key_expr, integral_static: bool):
+    """Key evaluator for the dense/midrange paths: bare integer/string
+    columns feed kernels as raw ints (f32 would corrupt ids beyond 2^24);
+    everything else evaluates to f32."""
+    if isinstance(key_expr, Variable) and integral_static:
+        kname, kuname = key_expr.name, key_expr.unqualified
+
+        def key_fn(cols):
+            arr = cols.get(kname)
+            if arr is None:
+                arr = cols.get(kuname)
+            return arr
+
+        return key_fn
+    inner = build_evaluator(key_expr)
+    return lambda cols: _as_f32(inner(cols))
+
+
+def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
+                        where_canon, base, num_slots, need, integral_static,
+                        limit_cap=None):
+    """Mid-range sort-free GROUP BY: scatter/MXU into a dense slot table
+    (ops/aggregate.midrange_group_aggregate), then a device-side
+    occupancy compaction so the relay transfer is O(groups) — at 2^16+
+    slots, shipping the raw slot table through the ~10 MB/s relay would
+    cost more than the aggregation itself.
+
+    Two-phase: phase A aggregates and ships only the ``num_groups``
+    scalar; phase B sorts occupied slots to the front (a tiny
+    capacity-sized sort) and ships a power-of-two compacted table.
+    ``limit_cap`` (LIMIT pushdown — legal when there is no HAVING /
+    ORDER BY / DISTINCT / COUNT-DISTINCT, since groups emerge in the
+    default ascending-key order) truncates phase B to the first
+    ``limit_cap`` groups, making ``GROUP BY k LIMIT 5`` ship 5 rows
+    instead of 2^16."""
+    from ..config import get_config
+
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    key_canon = key_expr.canonical()
+    use_mxu = (
+        set(need) <= {"sum"}
+        and num_slots <= get_config().mxu_group_max_slots
+    )
+
+    gkey = ("midrange_group", key_canon, tuple(vexpr_canons), where_canon,
+            schema_signature(cols), base, num_slots, need, use_mxu,
+            udf_mod.registry_version())
+
+    def build():
+        key_fn = _raw_or_f32_key_fn(key_expr, integral_static)
+        val_fns = [build_evaluator(v) for v in vexpr_nodes]
+        cond_fn = (
+            build_evaluator(query.where) if query.where is not None else None
+        )
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            keys = _broadcast(key_fn(cols), cols)
+            vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
+            return midrange_group_aggregate(
+                keys, vals, valid, base, num_slots, need, use_mxu
+            )
+
+        return kernel
+
+    res = get_or_compile(gkey, build)(cols, n_rows)
+    ng = int(jax.device_get(res.num_groups))
+    ng_eff = min(ng, limit_cap) if limit_cap is not None else ng
+    out_cap = min(_next_pow2(max(ng_eff, 16)), num_slots)
+
+    ckey = ("midrange_compact", num_slots, out_cap, len(vexpr_canons), need)
+
+    def build_compact():
+        @jax.jit
+        def kernel(res):
+            counts = res.counts
+            slots = jnp.arange(num_slots, dtype=jnp.int32)
+            okey = jnp.where(counts > 0, slots, jnp.int32(0x7FFFFFFF))
+            ops = (okey, res.keys[0], counts) + tuple(
+                x for v in res.values for x in (v.sums, v.mins, v.maxs)
+            )
+            sorted_ops = lax.sort(ops, num_keys=1, is_stable=False)
+            return tuple(o[:out_cap] for o in sorted_ops[1:])
+
+        return kernel
+
+    out = jax.device_get(get_or_compile(ckey, build_compact)(res))
+    keys_c, counts_c = out[0], out[1]
+    vals_flat = out[2:]
+    values = tuple(
+        (
+            vals_flat[3 * i][:ng_eff],
+            vals_flat[3 * i + 1][:ng_eff],
+            vals_flat[3 * i + 2][:ng_eff],
+        )
+        for i in range(len(vexpr_nodes))
+    )
+    result = _HostGroupResult(
+        (keys_c[:ng_eff],), counts_c[:ng_eff], values, ng_eff
+    )
+    result.raw_int_key = bool(
+        isinstance(key_expr, Variable) and integral_static
+    )
+    return result
 
 
 class _HostGroupResult:
@@ -1202,11 +1537,25 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     # scalar count crosses to host to pick the capacity bucket — the
     # count pass and the aggregate pass share the sort (previously each
     # paid its own full O(N log² N) sort).
+    #
+    # A bare integer/string-code key column sorts on its RAW int bits
+    # (int_sort_key): casting to f32 first would collide ids beyond 2^24
+    # — exactly the high-cardinality ids that reach this path.
+    raw_int = False
+    if len(group_keys) == 1 and isinstance(group_keys[0], Variable):
+        kd = table.dtypes.get(group_keys[0].name) or table.dtypes.get(
+            group_keys[0].unqualified
+        )
+        raw_int = kd is not None and kd.value in ("int32", "int64", "string")
+
     skey = ("group_sort", keys_canon, tuple(vexpr_canons), where_canon,
-            schema_signature(cols), udf_mod.registry_version())
+            schema_signature(cols), raw_int, udf_mod.registry_version())
 
     def build_sort():
+        from ..ops.sort import int_sort_key
+
         key_fns = [build_evaluator(k) for k in group_keys]
+        raw_fn = _raw_or_f32_key_fn(group_keys[0], True) if raw_int else None
         val_fns = [build_evaluator(v) for v in vexpr_nodes]
         cond_fn = build_evaluator(query.where) if query.where is not None else None
 
@@ -1215,8 +1564,14 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
             vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
+            if raw_int:
+                raw = _broadcast(raw_fn(cols), cols)
+                keys = (raw.astype(jnp.float32),)
+                return group_sort_stage(
+                    keys, vals, valid, skeys=(int_sort_key(raw),)
+                )
+            keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
             return group_sort_stage(keys, vals, valid)
 
         return kernel
@@ -1256,7 +1611,11 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
         (v.sums[:num_groups], v.mins[:num_groups], v.maxs[:num_groups])
         for v in result.values
     )
-    return _HostGroupResult(keys, counts, values, num_groups)
+    out = _HostGroupResult(keys, counts, values, num_groups)
+    # COUNT(DISTINCT)/MEDIAN kernels must group keys exactly as this
+    # path did — on raw int bits when the sort did.
+    out.raw_int_key = raw_int
+    return out
 
 
 def _finish_grouped(query, select_items, specs, spec_to_vidx,
@@ -1552,6 +1911,24 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
     select_canon = select.canonical()
     order = query.order_by
 
+    # Sort-free DISTINCT: a stats-bounded integral expression is just a
+    # GROUP BY on itself with COUNT-only reductions — the dense/midrange
+    # ladder (VPU sweep / scatter / MXU histogram) returns the occupied
+    # keys with no sort and an O(distinct) transfer.  LIMIT pushes down
+    # when the ascending default order is what ships.
+    limit_cap = None
+    if query.limit is not None and (order is None or order.ascending):
+        limit_cap = query.limit + (query.offset or 0)
+    dres = _try_dense_group(
+        query, table, [select], [Constant("1")], ["1.0f"], where_canon,
+        need=(), limit_cap=limit_cap,
+    )
+    if dres is not None:
+        values = np.asarray(dres.keys[0], np.float32)
+        if order is not None and not order.ascending:
+            values = values[::-1].copy()
+        return values
+
     from ..ops.aggregate import group_scatter_stage, group_sort_stage
 
     # Phase 1: one sort (shared with the scatter phase, like GROUP BY).
@@ -1690,14 +2067,48 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
         ))
         out_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
 
+    # Sort-free window path: a plain partition aggregate over a
+    # stats-bounded integer partition key needs neither the partition
+    # sort nor the scatter-back (ops/aggregate.dense_window_aggregate).
+    dense_cfg = None  # (base, num_slots, integral_static)
+    if (
+        select.order_by is None
+        and select.agg.value in ("sum", "avg", "count", "min", "max")
+        and len(part_exprs) <= 1
+    ):
+        from ..config import get_config
+        from .optimizer import expr_range
+
+        if not part_exprs:
+            dense_cfg = (0, 1, True)
+        else:
+            rng = expr_range(part_exprs[0], table.stats)
+            if rng is not None:
+                base = int(np.floor(rng[0]))
+                num_slots = int(np.floor(rng[1])) - base + 1
+                if (
+                    1 <= num_slots <= get_config().dense_group_max_slots
+                    and -(2**31) <= base
+                    and base + num_slots <= 2**31 - 1
+                ):
+                    integral_static, ok = _integral_key_check(
+                        table, part_exprs[0]
+                    )
+                    if ok:
+                        dense_cfg = (base, num_slots, integral_static)
+
     key = ("window", select.canonical(),
            where.canonical() if where else "",
            outer_order.canonical() if outer_order else "",
-           schema_signature(cols), table.padded_rows, out_cap,
+           schema_signature(cols), table.padded_rows, out_cap, dense_cfg,
            udf_mod.registry_version())
 
     def build():
-        from ..ops.aggregate import window_rank, window_running
+        from ..ops.aggregate import (
+            dense_window_aggregate,
+            window_rank,
+            window_running,
+        )
 
         ranking = select.agg in (
             AggregationType.ROW_NUMBER,
@@ -1723,12 +2134,64 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
         agg_name = select.agg.value
         capacity = table.padded_rows
 
+        def _finish(win, valid, cols):
+            if outer_fns is not None:
+                # Outer ORDER BY over the per-row window results.
+                from ..ops.sort import sort_by_keys
+
+                keys = [
+                    (_broadcast(_as_f32(f(cols)), cols), asc)
+                    for f, asc in outer_fns
+                ]
+                win_sorted = sort_by_keys(keys, win, valid)
+                count = jnp.sum(valid.astype(jnp.int32))
+                return win_sorted[:out_cap], None, count
+            if cond_fn is not None:
+                # Compact survivors to the front, preserving row order.
+                n_pad = win.shape[0]
+                if jax.default_backend() == "tpu":
+                    from ..ops.pallas_compact import compact_supported
+
+                    if compact_supported(n_pad):
+                        # MXU pack + rotate-accumulate kernel: one
+                        # aligned pass instead of the stable sort's full
+                        # comparator network (see ops/pallas_compact.py;
+                        # measured on-chip in DESIGN.md §4).
+                        from ..ops.pallas_compact import pallas_compact
+
+                        win_c, count = pallas_compact(win, valid)
+                        return win_c[:out_cap], None, count
+                # Fallback: stable sort on original position with an
+                # invalid-last key.
+                pos = jnp.arange(n_pad, dtype=jnp.uint32)
+                ck = jnp.where(valid, pos, jnp.uint32(0xFFFFFFFF))
+                _, win_c = jax.lax.sort((ck, win), num_keys=1, is_stable=True)
+                count = jnp.sum(valid.astype(jnp.int32))
+                return win_c[:out_cap], None, count
+            return win, valid, None
+
+        dense_part_fn = (
+            _raw_or_f32_key_fn(part_exprs[0], dense_cfg[2])
+            if dense_cfg is not None and part_exprs
+            else None
+        )
+
         @jax.jit
         def kernel(cols, num_rows):
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = _broadcast(_as_f32(val_fn(cols)), cols)
+            if dense_cfg is not None:
+                pk = (
+                    _broadcast(dense_part_fn(cols), cols)
+                    if dense_part_fn is not None
+                    else jnp.zeros_like(vals)
+                )
+                win = dense_window_aggregate(
+                    pk, vals, valid, agg_name, dense_cfg[0], dense_cfg[1]
+                )
+                return _finish(win, valid, cols)
             if part_fns:
                 part = tuple(
                     _broadcast(_as_f32(f(cols)), cols) for f in part_fns
@@ -1759,27 +2222,7 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 )
             else:
                 win = window_aggregate(part, vals, valid, agg_name, capacity)
-            if outer_fns is not None:
-                # Outer ORDER BY over the per-row window results.
-                from ..ops.sort import sort_by_keys
-
-                keys = [
-                    (_broadcast(_as_f32(f(cols)), cols), asc)
-                    for f, asc in outer_fns
-                ]
-                win_sorted = sort_by_keys(keys, win, valid)
-                count = jnp.sum(valid.astype(jnp.int32))
-                return win_sorted[:out_cap], None, count
-            if cond_fn is not None:
-                # Compact survivors to the front, preserving row order:
-                # stable sort on original position with invalid-last key.
-                n_pad = win.shape[0]
-                pos = jnp.arange(n_pad, dtype=jnp.uint32)
-                ck = jnp.where(valid, pos, jnp.uint32(0xFFFFFFFF))
-                _, win_c = jax.lax.sort((ck, win), num_keys=1, is_stable=True)
-                count = jnp.sum(valid.astype(jnp.int32))
-                return win_c[:out_cap], None, count
-            return win, valid, None
+            return _finish(win, valid, cols)
 
         return kernel
 
@@ -1832,6 +2275,16 @@ def run_query_table(
     if expanded is not query.select_list:
         query = _copy.copy(query)
         query.select_list = expanded
+
+    if query.joins:
+        # Materialise the join chain ONCE, then execute the join-free
+        # remainder on the joined table — previously each select item
+        # re-ran the whole join (kernels were cached; the device work
+        # was not).
+        joined = _materialize_joins(query, table, catalog, mesh=mesh)
+        q2 = _copy.copy(query)
+        q2.joins = ()
+        return run_query_table(q2, joined, catalog, mesh=mesh)
 
     out_name = result_column_name
 

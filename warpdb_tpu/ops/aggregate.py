@@ -40,6 +40,7 @@ __all__ = [
     "sorted_first_flags",
     "ValueAggregates",
     "group_aggregate",
+    "midrange_group_aggregate",
     "count_distinct",
     "distinct_values",
     "window_aggregate",
@@ -84,7 +85,7 @@ def sorted_first_flags(skeys_s: tuple) -> jax.Array:
         ))
     return first
 
-def group_sort_stage(keys, values_list, mask: jax.Array):
+def group_sort_stage(keys, values_list, mask: jax.Array, skeys=None):
     """The expensive half of a segmented aggregate: ONE stable sort by
     key tuple carrying every value column, plus segment ids and the
     distinct-group count.
@@ -93,13 +94,25 @@ def group_sort_stage(keys, values_list, mask: jax.Array):
     protocol only transfers the scalar ``num_groups`` between phases and
     the scatter phase reuses this sort instead of re-sorting
     (historically the count pass and the aggregate pass each paid a full
-    O(N log² N) sort)."""
+    O(N log² N) sort).
+
+    ``skeys`` overrides the u32 sort keys (callers pass
+    ``int_sort_key(raw_column)`` for bare integer keys, whose values
+    beyond f32's 2^24 integer ceiling would collide under the default
+    ``float_sort_key(f32 cast)`` — csv_loader.hpp:13 declares Int64 a
+    first-class type); the invalid-row sentinel is applied here either
+    way."""
     keys = _as_key_tuple(keys)
     values_list = tuple(values_list)
     valid = mask
-    skeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in keys
-    )
+    if skeys is None:
+        skeys = tuple(
+            jnp.where(valid, float_sort_key(k), _U32_MAX) for k in keys
+        )
+    else:
+        skeys = tuple(
+            jnp.where(valid, sk, _U32_MAX) for sk in _as_key_tuple(skeys)
+        )
     nk = len(skeys)
 
     sorted_ops = lax.sort(
@@ -273,6 +286,184 @@ def dense_group_aggregate(
     return GroupResult(keys_out, counts, tuple(per_value), num_groups)
 
 
+def _mxu_chunk(n: int) -> int:
+    """Largest power-of-two row chunk ≤ 2^15 dividing ``n`` (0 = no
+    chunking).  2^15 rows keeps each one-hot operand ≤ 16 MB while the
+    contracting dimension stays deep enough to saturate the MXU."""
+    for c in (1 << 15, 1 << 14, 1 << 13, 1 << 12, 1 << 11, 1 << 10):
+        if n % c == 0 and n > c:
+            return c
+    return 0
+
+
+def _mxu_counts_sums(gid, values_list, valid, num_slots: int, need):
+    """Histogram + per-slot sums on the MXU via a factorized one-hot
+    matmul: split ``gid`` into hi/lo digits, then
+    ``counts2d = onehot(hi)ᵀ @ onehot(lo)`` — each (row, slot) pair
+    contributes exactly where hi AND lo match, so the (GHI, GLO) result
+    IS the dense histogram.  Sums ride the same contraction with the lo
+    one-hot scaled by the value column.
+
+    TPU-first rationale: XLA's scatter lowering is serialized
+    (~0.14 G updates/s on v5e — DESIGN.md §2) while the MXU does this
+    contraction at matmul speed.  Counts use bf16 operands (0/1 entries
+    are exact; accumulation is f32, and the per-chunk i32 carry below
+    keeps totals exact past 2^24).  Sums use f32 operands with
+    ``precision=HIGHEST`` so value mantissas are not truncated to bf16.
+    """
+    n = gid.shape[0]
+    glo = 128 if num_slots <= (1 << 14) else 256
+    ghi = -(-num_slots // glo)
+    # Invalid rows → hi digit out of range → an all-zero one-hot row.
+    gid = jnp.where(valid, gid, jnp.int32(ghi * glo))
+    hi = gid // glo
+    lo = jnp.where(valid, gid % glo, 0)
+    iota_hi = jnp.arange(ghi, dtype=jnp.int32)
+    iota_lo = jnp.arange(glo, dtype=jnp.int32)
+    want_sums = "sum" in need and len(values_list) > 0
+
+    def block(h, l, vs):
+        a16 = (h[:, None] == iota_hi[None, :]).astype(jnp.bfloat16)
+        b16 = (l[:, None] == iota_lo[None, :]).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        cnt = lax.dot_general(
+            a16, b16, dn, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        sums = ()
+        if want_sums:
+            a32 = a16.astype(jnp.float32)
+            b32 = b16.astype(jnp.float32)
+            sums = tuple(
+                lax.dot_general(
+                    a32, b32 * v[:, None], dn,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                for v in vs
+            )
+        return cnt, sums
+
+    chunk = _mxu_chunk(n)
+    if chunk:
+        steps = n // chunk
+        xs = (
+            hi.reshape(steps, chunk),
+            lo.reshape(steps, chunk),
+            tuple(v.reshape(steps, chunk) for v in values_list),
+        )
+
+        def body(carry, x):
+            cnt_acc, sum_acc = carry
+            cnt, sums = block(x[0], x[1], x[2])
+            # i32 count carry: per-chunk counts ≤ 2^15 are exact in the
+            # MXU's f32 accumulator; integer accumulation across chunks
+            # stays exact past f32's 2^24 integer ceiling.
+            return (
+                cnt_acc + cnt,
+                tuple(a + s for a, s in zip(sum_acc, sums)),
+            ), None
+
+        init = (
+            jnp.zeros((ghi, glo), jnp.int32),
+            tuple(jnp.zeros((ghi, glo), jnp.float32) for _ in values_list)
+            if want_sums
+            else (),
+        )
+        (cnt2d, sums2d), _ = lax.scan(body, init, xs)
+    else:
+        cnt2d, sums2d = block(hi, lo, tuple(values_list))
+
+    counts = cnt2d.reshape(-1)[:num_slots]
+    sums = tuple(s.reshape(-1)[:num_slots] for s in sums2d)
+    return counts, sums
+
+
+def midrange_group_aggregate(
+    keys: jax.Array,
+    values_list,
+    mask: jax.Array,
+    base: int,
+    num_slots: int,
+    need: tuple = ("sum", "min", "max"),
+    use_mxu: bool = False,
+) -> GroupResult:
+    """Sort-free GROUP BY for stats-bounded integer keys whose range is
+    too wide for :func:`dense_group_aggregate`'s O(N·G) virtual-matrix
+    sweep (G beyond ~4K slots) but still materializable as a dense slot
+    table (up to ~2^20 slots).
+
+    Group id = key - base; aggregates land directly in their slot —
+    no O(N log² N) comparator sorts, no segment machinery.  Two engines:
+
+    * scatter (general): one ``.at[gid].op`` pass per needed reduction
+      (~0.14 G updates/s each on v5e — still ~2.5× faster than the sort
+      path's sort + 3 scatters for a SUM query at 2^25 rows);
+    * MXU (``use_mxu``, SUM/COUNT-only queries): factorized one-hot
+      matmuls (see :func:`_mxu_counts_sums`) — measured ~10× the scatter
+      engine at 2^16 slots, since the MXU contraction replaces every
+      serialized scatter.
+
+    Contract matches :func:`dense_group_aggregate`: slots ordered by key
+    ascending, empty slots count 0, keys reported as ``base + slot``
+    (f32).  Callers compact occupied slots (on device — see the
+    executor's two-phase midrange protocol)."""
+    values_list = tuple(values_list)
+    gid = keys.astype(jnp.int32) - jnp.int32(base)
+    valid = jnp.logical_and(mask, jnp.logical_and(gid >= 0, gid < num_slots))
+
+    if use_mxu:
+        counts = sums = None
+        if jax.default_backend() == "tpu":
+            from .pallas_group import pallas_group_counts_sums, supported_chunk
+
+            if supported_chunk(gid.shape[0]):
+                # Fused one-hot Pallas kernel: HBM traffic = input read
+                # (the XLA scan below round-trips every one-hot operand
+                # through HBM — ~100× amplification at 2^16 slots).
+                glo = 128 if num_slots <= (1 << 14) else 256
+                g = jnp.where(
+                    valid, gid, jnp.int32(-(-num_slots // glo) * glo)
+                )
+                want_sums = "sum" in need and len(values_list) > 0
+                counts, sums = pallas_group_counts_sums(
+                    g, tuple(values_list) if want_sums else (), num_slots
+                )
+        if counts is None:
+            counts, sums = _mxu_counts_sums(gid, values_list, valid,
+                                            num_slots, need)
+        inf = jnp.full((num_slots,), jnp.inf, jnp.float32)
+        zeros = jnp.zeros((num_slots,), jnp.float32)
+        per_value = tuple(
+            ValueAggregates(
+                sums[i] if sums else zeros, inf, -inf
+            )
+            for i in range(len(values_list))
+        )
+    else:
+        seg = jnp.where(valid, gid, num_slots)
+        counts = (
+            jnp.zeros((num_slots,), jnp.int32).at[seg].add(1, mode="drop")
+        )
+        inf = jnp.full((num_slots,), jnp.inf, jnp.float32)
+        zeros = jnp.zeros((num_slots,), jnp.float32)
+        per_value = []
+        for v in values_list:
+            sums = (
+                zeros.at[seg].add(v, mode="drop") if "sum" in need else zeros
+            )
+            mins = inf.at[seg].min(v, mode="drop") if "min" in need else inf
+            maxs = (
+                (-inf).at[seg].max(v, mode="drop") if "max" in need else -inf
+            )
+            per_value.append(ValueAggregates(sums, mins, maxs))
+        per_value = tuple(per_value)
+
+    slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
+    keys_out = (jnp.float32(base) + slot_ids.astype(jnp.float32),)
+    num_groups = jnp.sum((counts > 0).astype(jnp.int32))
+    return GroupResult(keys_out, counts, per_value, num_groups)
+
+
 def is_integral(values: jax.Array, mask: jax.Array) -> jax.Array:
     """Device check: every valid value is integral (enables the dense
     GROUP BY path for float columns whose stats bound the range)."""
@@ -287,6 +478,61 @@ def distinct_values(values: jax.Array, mask: jax.Array, capacity: int):
     (warpdb.cpp:463-468): output ascending."""
     g = group_aggregate(values, (values,), mask, capacity)
     return g.keys[0], g.num_groups
+
+
+def dense_window_aggregate(
+    part_key: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    agg: str,
+    base: int,
+    num_slots: int,
+) -> jax.Array:
+    """``AGG(values) OVER (PARTITION BY key)`` for stats-bounded integer
+    partition keys — the window analogue of :func:`dense_group_aggregate`.
+
+    The sort-based :func:`window_aggregate` pays a full O(N log² N)
+    comparator sort plus a serialized scatter-back through the inverse
+    permutation (~0.14 G updates/s on v5e).  When stats bound the
+    partition key to a small integral range neither is needed: the
+    per-partition table is a masked (N, G) virtual-matrix reduction
+    (pure VPU streaming, same design point as dense GROUP BY) and the
+    per-row result is a second G-lane sweep broadcasting the table back
+    (≤512 slots) or a small-table gather (beyond).  Rows keep their
+    original order throughout — no inverse permutation exists."""
+    gid = part_key.astype(jnp.int32) - jnp.int32(base)
+    valid = jnp.logical_and(mask, jnp.logical_and(gid >= 0, gid < num_slots))
+    slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
+    eq = jnp.logical_and(gid[:, None] == slot_ids[None, :], valid[:, None])
+    v2 = values[:, None]
+
+    if agg in ("sum", "avg", "count"):
+        sums = (
+            jnp.sum(jnp.where(eq, v2, 0.0), axis=0)
+            if agg != "count"
+            else None
+        )
+        counts = jnp.sum(eq, axis=0, dtype=jnp.float32)
+        if agg == "sum":
+            table = sums
+        elif agg == "count":
+            table = counts
+        else:
+            table = sums / jnp.maximum(counts, 1.0)
+    elif agg == "min":
+        table = jnp.min(jnp.where(eq, v2, jnp.inf), axis=0)
+    elif agg == "max":
+        table = jnp.max(jnp.where(eq, v2, -jnp.inf), axis=0)
+    else:
+        raise ValueError(f"Unknown window aggregate: {agg}")
+
+    if num_slots <= 512:
+        win = jnp.sum(jnp.where(eq, table[None, :], 0.0), axis=1)
+    else:
+        win = jnp.where(
+            valid, table[jnp.clip(gid, 0, num_slots - 1)], 0.0
+        )
+    return jnp.where(valid, win, 0.0)
 
 
 def _partition_boundaries(skeys_s: tuple, valid_s: jax.Array) -> jax.Array:

@@ -34,7 +34,8 @@ from jax import lax
 from .sort import float_sort_key
 
 __all__ = [
-    "join_match_counts", "join_gather_indices", "stacked_take", "JoinPhase1",
+    "join_match_counts", "join_match_counts_dense", "join_gather_indices",
+    "stacked_take", "JoinPhase1",
 ]
 
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
@@ -154,6 +155,48 @@ def join_match_counts(
     counts = jnp.where(probe_mask, hi - lo, 0)
     total = jnp.sum(counts)
     return JoinPhase1(order_s, bkey_s, lo, counts, total)
+
+
+def join_match_counts_dense(
+    probe_key,
+    probe_mask: jax.Array,
+    build_key,
+    build_mask: jax.Array,
+    k_cap: int,
+) -> JoinPhase1:
+    """Phase 1 for SMALL build sides (≤ ``k_cap`` valid rows): sort only
+    the build side (tiny) and derive each probe row's [lo, hi) from a
+    virtual (N, K) comparison against the first K sorted build keys —
+    the dense GROUP BY trick applied to joins.
+
+    The general :func:`join_match_counts` pays two full-width probe∪build
+    sorts; for a dimension-table join (the star-schema common case) that
+    is ~1000× more comparator work than these two K-lane VPU sweeps.
+    Comparisons happen in ``float_sort_key`` u32 space, so key-matching
+    semantics (including the canonical-NaN-matches-NaN behavior) are
+    bit-identical to the sort-merge path.  Caller guarantees
+    ``build.num_rows ≤ k_cap`` and a single key column."""
+    pkey_u = float_sort_key(probe_key)
+    bkey_u = float_sort_key(build_key)
+    bkey = jnp.where(build_mask, bkey_u, _U32_MAX)
+    n_build = bkey.shape[0]
+    order = jnp.arange(n_build, dtype=jnp.int32)
+    bkey_s, order_s = lax.sort((bkey, order), num_keys=1, is_stable=True)
+
+    # All valid build rows live in the first k_cap sorted slots (invalid
+    # rows carry the U32_MAX sentinel, which float_sort_key never
+    # produces for real values — every NaN normalises to the canonical
+    # code below it).
+    bk = bkey_s[:k_cap]
+    lt = jnp.sum(
+        (bk[None, :] < pkey_u[:, None]).astype(jnp.int32), axis=1
+    )
+    eq = jnp.sum(
+        (bk[None, :] == pkey_u[:, None]).astype(jnp.int32), axis=1
+    )
+    counts = jnp.where(probe_mask, eq, 0)
+    total = jnp.sum(counts)
+    return JoinPhase1(order_s, bkey_s, lt, counts, total)
 
 
 def stacked_take(cols, idx, valid):

@@ -7,15 +7,22 @@ never executed them (warpdb.hpp:22-23), let alone distributed.
 Inside one ``shard_map`` program per shard:
 
 1. both relations partition their local rows by join-key hash
-   (``hash(key) mod n_dev``) into equal-sized send buckets — same
+   (``hash(key tuple) mod n_dev``) into equal-sized send buckets — same
    static-gather construction as the shuffle GROUP BY;
 2. two ``all_to_all`` exchanges (one per side) co-locate every
    occurrence of a key on its owning device, payload columns riding
    along with the keys;
-3. each device runs the local sorted-probe join (binary-searched
-   duplicate ranges, prefix-sum expansion — ops/join.py) over the rows
-   it now owns, emitting joined payload columns into a fixed-capacity
-   buffer with a validity count.
+3. each device runs the local sorted-probe join (merged-sort duplicate
+   ranges, prefix-sum expansion — ops/join.py) over the rows it now
+   owns, emitting joined payload columns into a fixed-capacity buffer
+   with a validity count.
+
+Composite ``ON a = b AND c = d`` keys hash as tuples (all columns feed
+the destination hash; the local join resolves them via the shared
+pair-id sort, ops/join.py:_composite_ids).  String keys join across
+tables after the caller translates the right side's dictionary codes
+into the left vocabulary (executor._materialize_join does this for the
+SQL route) — equal strings then carry equal codes on both sides.
 
 Overflow of either the exchange buckets (skew) or the join output
 capacity (duplicate blowup) is detected on device and retried with
@@ -39,17 +46,30 @@ from ..storage.table import DeviceTable
 from .mesh import DATA_AXIS, data_mesh
 from .sharded import _ensure_sharded
 
-__all__ = ["distributed_join"]
+__all__ = ["distributed_join", "distributed_join_table"]
 
 _HASH_MULT = jnp.uint32(2654435761)
 
 
+def _dest_hash(key_tuple, n_dev: int) -> jax.Array:
+    """Destination shard of each row from its key TUPLE: per-column
+    Knuth multiplicative hashes folded with a rotate-xor so composite
+    keys distribute even when individual columns are skewed."""
+    h = jnp.zeros(key_tuple[0].shape, jnp.uint32)
+    for k in key_tuple:
+        kb = float_sort_key(k) * _HASH_MULT
+        h = (h << jnp.uint32(5)) ^ (h >> jnp.uint32(27)) ^ kb
+    return ((h >> jnp.uint32(16)).astype(jnp.int32)) % n_dev
+
+
 def _partition_exchange(keys, payloads, valid, n_dev, send_cap):
-    """Bucket local rows by key hash and all_to_all them; returns
-    (keys, payloads, valid, overflow) for the rows this device owns."""
-    n_local = keys.shape[0]
-    kbits = float_sort_key(keys)
-    dest = ((kbits * _HASH_MULT) >> jnp.uint32(16)).astype(jnp.int32) % n_dev
+    """Bucket local rows by key-tuple hash and all_to_all them; returns
+    (keys tuple, payloads, valid, overflow) for the rows this device
+    owns.  ``keys`` is a tuple of f32 arrays (composite keys ride the
+    exchange side-by-side)."""
+    keys = tuple(keys)
+    n_local = keys[0].shape[0]
+    dest = _dest_hash(keys, n_dev)
     dest = jnp.where(valid, dest, n_dev)
 
     order = lax.sort(
@@ -66,11 +86,13 @@ def _partition_exchange(keys, payloads, valid, n_dev, send_cap):
     send_valid = slot[None, :] < counts[:, None]
     row_idx = order[src]
 
-    send_keys = jnp.where(send_valid, keys[row_idx], 0.0)
+    send_keys = [jnp.where(send_valid, k[row_idx], 0.0) for k in keys]
     send_payloads = [jnp.where(send_valid, p[row_idx], 0.0) for p in payloads]
     overflow = jnp.max(counts) > send_cap
 
-    recv_keys = lax.all_to_all(send_keys, DATA_AXIS, 0, 0, tiled=False)
+    recv_keys = [
+        lax.all_to_all(k, DATA_AXIS, 0, 0, tiled=False) for k in send_keys
+    ]
     recv_valid = lax.all_to_all(
         send_valid.astype(jnp.int32), DATA_AXIS, 0, 0, tiled=False
     ).astype(jnp.bool_)
@@ -78,32 +100,27 @@ def _partition_exchange(keys, payloads, valid, n_dev, send_cap):
         lax.all_to_all(p, DATA_AXIS, 0, 0, tiled=False) for p in send_payloads
     ]
     return (
-        recv_keys.reshape(-1),
+        tuple(k.reshape(-1) for k in recv_keys),
         [p.reshape(-1) for p in recv_payloads],
         recv_valid.reshape(-1),
         overflow,
     )
 
 
-def distributed_join(
+def _run_dist_join(
     left: DeviceTable,
     right: DeviceTable,
-    left_key_col: str,
-    right_key_col: str,
+    left_key_cols: Sequence[str],
+    right_key_cols: Sequence[str],
     left_payload: Sequence[str],
     right_payload: Sequence[str],
-    mesh=None,
-    overcommit: float = 2.0,
+    mesh,
+    overcommit: float,
+    right_key_arrays=None,
 ):
-    """Inner equi-join of two row-sharded tables over the mesh.
-
-    Returns a host dict: ``{col: np.ndarray}`` for the requested payload
-    columns (left names as-is, right prefixed ``right.``), with matched
-    pairs in hash-partition order (unordered, like any parallel hash
-    join).  Capacities retry on overflow."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
+    """Core shuffle join; returns (cols_s, counts_s, names) with
+    per-device row blocks.  ``right_key_arrays`` optionally overrides the
+    right key columns (already-translated string codes)."""
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(mesh.devices.size)
@@ -116,31 +133,45 @@ def distributed_join(
     send_cap_r = max(128, int(np.ceil(r_local / max(n_dev, 1) * overcommit)))
     out_cap = max(1024, int(l_local * overcommit))
 
+    lk_names = tuple(left_key_cols)
+    rk_names = tuple(right_key_cols)
     lp = tuple(left_payload)
     rp = tuple(right_payload)
+    rkeys_in = (
+        tuple(right_key_arrays) if right_key_arrays is not None else None
+    )
 
-    for attempt in range(4):
+    for _attempt in range(4):
         key = (
-            "dist_join", left_key_col, right_key_col, lp, rp,
+            "dist_join", lk_names, rk_names, lp, rp,
             schema_signature(left.columns), schema_signature(right.columns),
+            rkeys_in is not None,
             n_dev, send_cap_l, send_cap_r, out_cap,
         )
 
         def build():
-            def body(lcols, rcols, n_left, n_right):
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def body(lcols, rcols, rkey_override, n_left, n_right):
                 n_l = next(iter(lcols.values())).shape[0]
                 n_r = next(iter(rcols.values())).shape[0]
                 shard = lax.axis_index(DATA_AXIS).astype(jnp.int32)
                 l_valid = shard * n_l + jnp.arange(n_l, dtype=jnp.int32) < n_left
                 r_valid = shard * n_r + jnp.arange(n_r, dtype=jnp.int32) < n_right
 
+                rkey_cols = (
+                    rkey_override
+                    if rkey_override is not None
+                    else tuple(rcols[c] for c in rk_names)
+                )
                 lk, lpay, lv, ovl = _partition_exchange(
-                    lcols[left_key_col].astype(jnp.float32),
+                    tuple(lcols[c].astype(jnp.float32) for c in lk_names),
                     [lcols[c].astype(jnp.float32) for c in lp],
                     l_valid, n_dev, send_cap_l,
                 )
                 rk, rpay, rv, ovr = _partition_exchange(
-                    rcols[right_key_col].astype(jnp.float32),
+                    tuple(k.astype(jnp.float32) for k in rkey_cols),
                     [rcols[c].astype(jnp.float32) for c in rp],
                     r_valid, n_dev, send_cap_r,
                 )
@@ -168,7 +199,11 @@ def distributed_join(
             fn = shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+                in_specs=(
+                    P(DATA_AXIS), P(DATA_AXIS),
+                    P(DATA_AXIS) if rkeys_in is not None else P(),
+                    P(), P(),
+                ),
                 out_specs=(
                     tuple(P(DATA_AXIS) for _ in lp + rp),
                     P(DATA_AXIS),
@@ -180,7 +215,7 @@ def distributed_join(
 
         cols_s, counts_s, overflow_s = jax.device_get(
             get_or_compile(key, build)(
-                left.columns, right.columns,
+                left.columns, right.columns, rkeys_in,
                 jnp.int32(left.num_rows), jnp.int32(right.num_rows),
             )
         )
@@ -189,16 +224,126 @@ def distributed_join(
             send_cap_r *= 2
             out_cap *= 2
             continue
-
-        names = list(lp) + [f"right.{c}" for c in rp]
-        out = {name: [] for name in names}
-        for d in range(n_dev):
-            c = int(counts_s[d])
-            for i, name in enumerate(names):
-                out[name].append(cols_s[i][d, :c])
-        return {name: np.concatenate(parts) for name, parts in out.items()}
+        return cols_s, counts_s, n_dev
 
     raise ExecutionError(
         "distributed_join: capacity overflow persisted after retries "
         "(pathological key skew)"
     )
+
+
+def distributed_join(
+    left: DeviceTable,
+    right: DeviceTable,
+    left_key_col,
+    right_key_col,
+    left_payload: Sequence[str],
+    right_payload: Sequence[str],
+    mesh=None,
+    overcommit: float = 2.0,
+):
+    """Inner equi-join of two row-sharded tables over the mesh.
+
+    ``left_key_col``/``right_key_col`` may be single column names or
+    equal-length sequences for composite ``ON a = b AND c = d`` keys.
+    Returns a host dict: ``{col: np.ndarray}`` for the requested payload
+    columns (left names as-is, right prefixed ``right.``), with matched
+    pairs in hash-partition order (unordered, like any parallel hash
+    join).  Capacities retry on overflow."""
+    lk = [left_key_col] if isinstance(left_key_col, str) else list(left_key_col)
+    rk = (
+        [right_key_col] if isinstance(right_key_col, str)
+        else list(right_key_col)
+    )
+    cols_s, counts_s, n_dev = _run_dist_join(
+        left, right, lk, rk, left_payload, right_payload, mesh, overcommit
+    )
+    names = list(left_payload) + [f"right.{c}" for c in right_payload]
+    out = {name: [] for name in names}
+    for d in range(n_dev):
+        c = int(counts_s[d])
+        for i, name in enumerate(names):
+            out[name].append(cols_s[i][d, :c])
+    return {name: np.concatenate(parts) for name, parts in out.items()}
+
+
+def distributed_join_table(
+    left: DeviceTable,
+    right: DeviceTable,
+    right_name: str,
+    left_key_cols: Sequence[str],
+    right_key_arrays,
+    left_payload: Sequence[str],
+    right_payload: Sequence[str],
+    mesh,
+    overcommit: float = 2.0,
+) -> DeviceTable:
+    """SQL-route wrapper: shuffle-join two sharded tables and return the
+    result as a row-sharded :class:`DeviceTable` ready for the rest of
+    the distributed pipeline (WHERE / GROUP BY / top-k all consume it).
+
+    ``right_key_arrays`` carries the right key columns as device arrays —
+    the executor pre-translates string-key dictionary codes into the left
+    vocabulary there, so equal strings hash and compare equal here.
+
+    Output rows arrive in hash-partition order (documented deviation:
+    parallel hash joins are unordered; ORDER BY downstream restores any
+    required order).  The gather back through the host is O(result); a
+    device-resident repack over ICI is the documented follow-up.
+    """
+    from ..storage.table import DataType, HostTable
+    from .sharded import shard_table
+
+    cols_s, counts_s, n_dev = _run_dist_join(
+        left, right, left_key_cols, [f"__k{i}" for i in range(len(left_key_cols))],
+        left_payload, right_payload, mesh, overcommit,
+        right_key_arrays=tuple(right_key_arrays),
+    )
+    names = list(left_payload) + [f"{right_name}.{c}" for c in right_payload]
+    parts: dict = {name: [] for name in names}
+    for d in range(n_dev):
+        c = int(counts_s[d])
+        for i, name in enumerate(names):
+            parts[name].append(cols_s[i][d, :c])
+    merged = {n: np.concatenate(p) for n, p in parts.items()}
+
+    # Rebuild dtype/dict metadata: payloads crossed the wire as f32;
+    # string columns go back to int32 codes under their source vocab.
+    dicts_out = {}
+    dtypes_out = {}
+    arrays = {}
+    for name in names:
+        if name in left.dicts:
+            vocab = left.dicts[name]
+        elif name.startswith(f"{right_name}."):
+            vocab = right.dicts.get(name[len(right_name) + 1 :])
+        else:
+            vocab = None
+        if vocab is not None:
+            arrays[name] = merged[name].astype(np.int32)
+            dicts_out[name] = vocab
+            dtypes_out[name] = DataType.STRING
+        else:
+            arrays[name] = merged[name].astype(np.float32)
+
+    host = HostTable.from_dict(arrays)
+    dt = shard_table(host, mesh)
+    for name, vocab in dicts_out.items():
+        dt.dicts[name] = vocab
+        dt.dtypes[name] = dtypes_out[name]
+        bare = name.split(".", 1)[1] if name.startswith(f"{right_name}.") else name
+        if bare not in dt.dicts and bare in dt.columns:
+            dt.dicts.setdefault(bare, vocab)
+    # Right-side bare aliases for unqualified addressing (matches the
+    # single-program join's namespace).
+    for name in list(dt.columns):
+        if name.startswith(f"{right_name}."):
+            bare = name[len(right_name) + 1 :]
+            if bare not in dt.columns:
+                dt.columns[bare] = dt.columns[name]
+                dt.dtypes.setdefault(bare, dt.dtypes[name])
+                dt.stats.setdefault(bare, dt.stats.get(name))
+                if name in dt.dicts:
+                    dt.dicts.setdefault(bare, dt.dicts[name])
+    dt.stats = {k: v for k, v in dt.stats.items() if v is not None}
+    return dt

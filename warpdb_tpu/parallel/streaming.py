@@ -112,11 +112,13 @@ def run_streaming_sql(
     sum/min/max per value expression), merge partials on host, and apply
     HAVING / ORDER BY / LIMIT to the merged table.
 
-    Supports grouped and global aggregation queries over datasets far
-    larger than device memory — the out-of-core analogue of GROUP BY
-    that the reference never had (its streaming path only ran per-row
-    projection, warpdb.cpp:544-590).  JOIN / DISTINCT / window / raw
-    row-order queries are rejected (they need global row state).
+    Supports grouped and global aggregation queries — including
+    DISTINCT and COUNT(DISTINCT), whose per-chunk sorted-unique partials
+    merge exactly with state bounded by the distinct count — over
+    datasets far larger than device memory: the out-of-core analogue of
+    GROUP BY that the reference never had (its streaming path only ran
+    per-row projection, warpdb.cpp:544-590).  JOIN / window / MEDIAN /
+    raw row-order queries are rejected (they need global row state).
 
     Returns ``{column_name: list}`` like ``query_sql_table``.
     """
@@ -149,8 +151,6 @@ def run_streaming_sql(
     ast = parse_query(tokenize(sql))
     if ast.joins:
         raise UnsupportedError("Streaming SQL does not support JOIN")
-    if ast.distinct:
-        raise UnsupportedError("Streaming SQL does not support DISTINCT")
     for item in [*ast.select_list, ast.having,
                  *(t.expr for t in (ast.order_by.terms if ast.order_by else ()))]:
         if item is None:
@@ -160,11 +160,10 @@ def run_streaming_sql(
                 raise UnsupportedError(
                     "Streaming SQL does not support window functions"
                 )
-            if isinstance(n, Aggregation) and n.agg in (
-                AggregationType.COUNT_DISTINCT,
-                AggregationType.MEDIAN,
-            ):
-                # Per-chunk distinct counts / medians are not mergeable.
+            if isinstance(n, Aggregation) and n.agg is AggregationType.MEDIAN:
+                # Per-chunk medians are not mergeable (an exact merge
+                # needs every value); COUNT(DISTINCT) IS mergeable via
+                # per-chunk sorted-unique pair sets — see below.
                 raise UnsupportedError(
                     f"Streaming SQL does not support {n.agg.name}"
                 )
@@ -173,6 +172,19 @@ def run_streaming_sql(
     validate_query(ast, columns, {ast.from_table})
 
     query = _copy.copy(ast)
+    if query.distinct:
+        # SELECT DISTINCT expr ≡ GROUP BY expr selecting the key: the
+        # per-chunk group keys are exactly the chunk's distinct values
+        # and the u32-keyed merge below unions them exactly.
+        if len(query.select_list) != 1:
+            raise UnsupportedError("DISTINCT with multiple select items")
+        sel = unalias(query.select_list[0])
+        if any(isinstance(n, Aggregation) for n in walk(sel)):
+            raise UnsupportedError(
+                "Streaming SQL does not support DISTINCT over aggregates"
+            )
+        query.distinct = False
+        query.group_by = GroupBy((sel,))
     if query.group_by is None:
         # Global aggregates = one synthetic constant group.
         if not all(
@@ -216,8 +228,45 @@ def run_streaming_sql(
     plan = _grouped_plan(query, select_items)
     nv = len(plan["vexpr_nodes"])
 
-    # key tuple -> [count, sums[nv], mins[nv], maxs[nv]]
-    accum: dict = {}
+    # COUNT(DISTINCT e): mergeable via per-chunk sorted-unique
+    # (group keys…, e) pair sets — each chunk contributes its distinct
+    # pairs (computed on device as the group keys of a synthetic
+    # GROUP BY (keys…, e) COUNT query), the u32 merge unions them, and
+    # the final per-group count is a bincount over key-tuple ids.
+    # State is bounded by the DISTINCT pair count, not the row count.
+    cd_runs = []
+    for spec in plan["cd_specs"]:
+        q_cd = _copy.copy(query)
+        q_cd.group_by = GroupBy((*query.group_by.keys, spec.expr))
+        items_cd = [Aggregation(AggregationType.COUNT, Constant("1"))]
+        cd_runs.append((spec, q_cd, _grouped_plan(q_cd, items_cd)))
+
+    def _u32_keys(key_cols) -> np.ndarray:
+        """(nk, G) f32 keys → lexicographically orderable u32 matrix
+        (float_sort_key semantics: -0.0 ≡ +0.0, all NaNs equal & last) —
+        the exact grouping the device kernels use, so the host merge can
+        never split or duplicate a group (a plain float dict would treat
+        every chunk's NaN key as new)."""
+        rows = []
+        for a in key_cols:
+            a = np.asarray(a, np.float32)
+            a = np.where(a == 0.0, np.float32(0.0), a)
+            a = np.where(np.isnan(a), np.float32(np.nan), a)
+            bits = a.view(np.uint32)
+            rows.append(
+                np.where(bits >= 0x80000000, ~bits, bits | 0x80000000)
+            )
+        return np.stack(rows, axis=0) if rows else np.zeros((0, 0), np.uint32)
+
+    nk = len(plan["keys_canon"])
+    acc_keys = np.zeros((nk, 0), np.float32)
+    acc_counts = np.zeros(0, np.int64)
+    acc_sums = [np.zeros(0, np.float64) for _ in range(nv)]
+    acc_mins = [np.zeros(0, np.float32) for _ in range(nv)]
+    acc_maxs = [np.zeros(0, np.float32) for _ in range(nv)]
+    acc_cd = {spec.key: np.zeros((nk + 1, 0), np.float32)
+              for spec, _q, _p in cd_runs}
+
     if mesh is None:
         mesh = data_mesh()
     for chunk in iter_table_chunks(csv_path, rows_per_chunk, schema):
@@ -228,57 +277,97 @@ def run_streaming_sql(
                 chunk, keep_host=False,
                 dicts_override=global_dicts or None,
             )
-        part = _grouped_partials(
-            query, dt, plan, mesh=mesh if mesh.devices.size > 1 else None
-        )
+        chunk_mesh = mesh if mesh.devices.size > 1 else None
+        part = _grouped_partials(query, dt, plan, mesh=chunk_mesh)
         ng = int(part.num_groups)
-        keys_cols = [np.asarray(k)[:ng] for k in part.keys]
-        counts = np.asarray(part.counts)[:ng]
-        sums = [np.asarray(part.values[i][0])[:ng] for i in range(nv)]
-        mins = [np.asarray(part.values[i][1])[:ng] for i in range(nv)]
-        maxs = [np.asarray(part.values[i][2])[:ng] for i in range(nv)]
-        for g in range(ng):
-            kt = tuple(float(kc[g]) for kc in keys_cols)
-            entry = accum.get(kt)
-            if entry is None:
-                accum[kt] = [
-                    int(counts[g]),
-                    [float(s[g]) for s in sums],
-                    [float(m[g]) for m in mins],
-                    [float(m[g]) for m in maxs],
-                ]
-            else:
-                entry[0] += int(counts[g])
-                for i in range(nv):
-                    entry[1][i] += float(sums[i][g])
-                    entry[2][i] = min(entry[2][i], float(mins[i][g]))
-                    entry[3][i] = max(entry[3][i], float(maxs[i][g]))
+        ck = np.stack(
+            [np.asarray(k)[:ng].astype(np.float32) for k in part.keys]
+        ) if nk else np.zeros((0, ng), np.float32)
 
-    if not accum and ast.group_by is None:
+        # Vectorized merge: concatenate accumulated + chunk groups, then
+        # re-reduce per unique key tuple (u32 space).  O(G log G) NumPy
+        # instead of the former per-group Python loop.
+        keys_all = np.concatenate([acc_keys, ck], axis=1)
+        _, idx, inv = np.unique(
+            _u32_keys(keys_all), axis=1,
+            return_index=True, return_inverse=True,
+        )
+        inv = inv.reshape(-1)
+        m = idx.shape[0]
+        counts_all = np.concatenate(
+            [acc_counts, np.asarray(part.counts)[:ng].astype(np.int64)]
+        )
+        new_counts = np.zeros(m, np.int64)
+        np.add.at(new_counts, inv, counts_all)
+        new_keys = keys_all[:, idx]
+        for i in range(nv):
+            s_all = np.concatenate(
+                [acc_sums[i],
+                 np.asarray(part.values[i][0])[:ng].astype(np.float64)]
+            )
+            acc = np.zeros(m, np.float64)
+            np.add.at(acc, inv, s_all)
+            acc_sums[i] = acc
+            mn_all = np.concatenate(
+                [acc_mins[i], np.asarray(part.values[i][1])[:ng]]
+            )
+            mn = np.full(m, np.inf, np.float32)
+            np.minimum.at(mn, inv, mn_all)
+            acc_mins[i] = mn
+            mx_all = np.concatenate(
+                [acc_maxs[i], np.asarray(part.values[i][2])[:ng]]
+            )
+            mx = np.full(m, -np.inf, np.float32)
+            np.maximum.at(mx, inv, mx_all)
+            acc_maxs[i] = mx
+        acc_keys, acc_counts = new_keys, new_counts
+
+        for spec, q_cd, plan_cd in cd_runs:
+            part_cd = _grouped_partials(q_cd, dt, plan_cd, mesh=chunk_mesh)
+            ng_cd = int(part_cd.num_groups)
+            pairs = np.stack(
+                [np.asarray(k)[:ng_cd].astype(np.float32)
+                 for k in part_cd.keys]
+            )
+            both = np.concatenate([acc_cd[spec.key], pairs], axis=1)
+            _, pidx = np.unique(_u32_keys(both), axis=1, return_index=True)
+            acc_cd[spec.key] = both[:, pidx]
+
+    ngroups = acc_keys.shape[1]
+    if ngroups == 0 and ast.group_by is None and not ast.distinct:
         # Global aggregate over zero surviving rows: one empty group, so
         # COUNT()=0 / SUM()=0 / MIN()=inf / MAX()=-inf — matching the
         # in-memory global-aggregate path.
-        accum[(1.0,)] = [0, [0.0] * nv, [float("inf")] * nv,
-                         [float("-inf")] * nv]
+        ngroups = 1
+        acc_keys = np.ones((nk, 1), np.float32)
+        acc_counts = np.zeros(1, np.int64)
+        acc_sums = [np.zeros(1, np.float64) for _ in range(nv)]
+        acc_mins = [np.full(1, np.inf, np.float32) for _ in range(nv)]
+        acc_maxs = [np.full(1, -np.inf, np.float32) for _ in range(nv)]
+        acc_cd = {k: np.ones((nk + 1, 0), np.float32) for k in acc_cd}
 
-    # Merged partials -> the same finishing path as single-table queries.
-    sorted_keys = sorted(accum.keys())
-    ngroups = len(sorted_keys)
-    nk = len(plan["keys_canon"])
-    merged_keys = tuple(
-        np.asarray([kt[i] for kt in sorted_keys], np.float32)
-        for i in range(nk)
-    )
-    merged_counts = np.asarray([accum[kt][0] for kt in sorted_keys], np.int64)
+    merged_keys = tuple(acc_keys[i] for i in range(nk))
     merged_vals = tuple(
-        (
-            np.asarray([accum[kt][1][i] for kt in sorted_keys], np.float32),
-            np.asarray([accum[kt][2][i] for kt in sorted_keys], np.float32),
-            np.asarray([accum[kt][3][i] for kt in sorted_keys], np.float32),
-        )
+        (acc_sums[i].astype(np.float32), acc_mins[i], acc_maxs[i])
         for i in range(nv)
     )
-    result = _HostGroupResult(merged_keys, merged_counts, merged_vals, ngroups)
+    result = _HostGroupResult(merged_keys, acc_counts, merged_vals, ngroups)
+    for spec, _q, _p in cd_runs:
+        pairs = acc_cd[spec.key]
+        # Group id of each distinct pair: unique over the key rows only.
+        # The same chunks and WHERE produced both tables, so the group
+        # sets coincide and the u32-lexicographic order matches the
+        # merged ascending key order.
+        if pairs.shape[1]:
+            _, ginv = np.unique(
+                _u32_keys(pairs[:nk]), axis=1, return_inverse=True
+            )
+            dc = np.bincount(
+                ginv.reshape(-1), minlength=ngroups
+            ).astype(np.float32)
+        else:
+            dc = np.zeros(ngroups, np.float32)
+        result.dcounts[spec.key] = dc
     outs = _finish_grouped(
         query, select_items, plan["specs"], plan["spec_to_vidx"], result,
         plan["keys_canon"],
