@@ -76,7 +76,7 @@ def test_fuzz_expression(fuzz_db, seed):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("seed", range(50))
 def test_fuzz_sql(fuzz_db, seed):
     db, table = fuzz_db
     rng = np.random.default_rng(2000 + seed)
@@ -96,11 +96,48 @@ def test_fuzz_sql(fuzz_db, seed):
     got = np.asarray(db.query_sql(sql), dtype=np.float32)
     want = oracle.query_sql(table, parse_query_text(sql))
     assert got.shape == want.shape, sql
-    # Sort-order ties may legitimately permute equal-key rows when the
-    # order key differs from the value; compare as sorted multisets then
-    # exact where the key is the value itself.
+    # Tie-aware ROW-ORDER comparison (VERDICT r1 item 10): both sides
+    # sort stably, so rows must match position-for-position EXCEPT
+    # within runs of equal order keys (where the f32-rounded key may tie
+    # differently than the oracle's f64 key) — sort within oracle-key
+    # runs on both sides, then compare elementwise.  A NaN-able order
+    # key (sqrt of a negative subtree) falls back to the multiset
+    # compare: the engine's DESC NaN-first total order differs from the
+    # oracle's negate-then-sort placement by design.
+    q = parse_query_text(sql)
+    n = len(next(iter(table.values())))
+    mask = np.ones(n, bool)
+    if q.where is not None:
+        mask = oracle.eval_expr(q.where, table, n) != 0
+    okey = np.asarray(
+        oracle.eval_expr(q.order_by.terms[0].expr, table, n), np.float32
+    )
+    okey = np.broadcast_to(okey, (n,))[mask]
+    if np.isnan(okey).any():
+        np.testing.assert_allclose(
+            np.sort(got), np.sort(want), rtol=1e-4, atol=1e-5, err_msg=sql
+        )
+        return
+    okey_sorted = np.sort(okey)[:: 1 if asc == "ASC" else -1]
+    off = q.offset or 0
+    okey_out = okey_sorted[off : off + len(got)] if q.limit is not None or off \
+        else okey_sorted
+    assert len(okey_out) == len(got), sql
+
+    def _runs_sorted(vals):
+        out = vals.copy()
+        i = 0
+        while i < len(out):
+            j = i + 1
+            while j < len(out) and okey_out[j] == okey_out[i]:
+                j += 1
+            out[i:j] = np.sort(out[i:j])
+            i = j
+        return out
+
     np.testing.assert_allclose(
-        np.sort(got), np.sort(want), rtol=1e-4, atol=1e-5, err_msg=sql
+        _runs_sorted(got), _runs_sorted(want), rtol=1e-4, atol=1e-5,
+        err_msg=sql,
     )
 
 
@@ -223,3 +260,45 @@ def test_fuzz_join_groupby(seed):
         m = lk == k
         np.testing.assert_allclose(out["s"][i], float(lv[m].sum()), rtol=1e-4)
         assert out["n"][i] == int(m.sum())
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_special_values(seed):
+    """NaN / ±inf data values through WHERE / ORDER BY / aggregates
+    (VERDICT r1 item 10): the engine's f32 pipeline must agree with the
+    oracle elementwise, NaNs included, when the order key itself is
+    NaN-free."""
+    rng = np.random.default_rng(8000 + seed)
+    n = 2000
+    price = rng.uniform(-50, 100, n).astype(np.float32)
+    special = rng.integers(0, 12, n)
+    price[special == 0] = np.nan
+    price[special == 1] = np.inf
+    price[special == 2] = -np.inf
+    quantity = rng.integers(0, 6, n).astype(np.float32)
+    table = {"price": price, "quantity": quantity}
+    db = WarpDB(HostTable.from_dict(table))
+
+    # Projection with WHERE on the clean column, ORDER BY clean key:
+    # stable sorts both sides → exact row order, NaNs aligned.
+    sql = (
+        "SELECT price FROM t WHERE quantity > 2 "
+        "ORDER BY quantity ASC LIMIT 500"
+    )
+    got = np.asarray(db.query_sql(sql), dtype=np.float32)
+    want = oracle.query_sql(table, parse_query_text(sql))
+    np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+
+    # Comparisons against NaN are false → NaN rows never pass the filter.
+    got = np.asarray(db.query_sql("SELECT quantity FROM t WHERE price > 0"))
+    want = quantity[np.greater(price, 0, where=~np.isnan(price),
+                               out=np.zeros(n, bool))]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # MIN/MAX propagate NaN (NaN is a value, not SQL NULL — DESIGN §8)
+    # and fold infinities like np.max.
+    got = float(db.query_sql("SELECT MAX(price) FROM t WHERE quantity < 3")[0])
+    want = float(price[quantity < 3].max())
+    assert got == want or (np.isnan(got) and np.isnan(want)) or (
+        np.isinf(got) and np.isinf(want)
+    )

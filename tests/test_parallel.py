@@ -237,7 +237,7 @@ def test_combine_shuffle_skew_proof(mesh):
     )
     assert res is not None  # combine fits: no fallback needed
     uniq = np.sort(np.unique(k))
-    np.testing.assert_allclose(res.keys, uniq)
+    np.testing.assert_allclose(res.keys[0], uniq)
     want_counts = np.array([(k == u).sum() for u in uniq])
     np.testing.assert_array_equal(res.counts, want_counts)
     want_sums = np.array(
@@ -652,3 +652,80 @@ def test_mesh_sql_join_string_keys(mesh):
         np.float32,
     )
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_mesh_multi_key_group_by_distributes(mesh):
+    """VERDICT r1 item 7: composite GROUP BY keys ride the shuffle as
+    tuples instead of silently falling back to single-program."""
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(41)
+    n = 30_000
+    # A wide fractional keyspace defeats both the small-keyspace
+    # all_gather path and the dense ladder → the composite hash shuffle
+    # must carry both columns.
+    a = (rng.integers(0, 100_000, n) + 0.5).astype(np.float32)
+    b = rng.integers(0, 4, n).astype(np.float32)
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"a": a, "b": b, "v": v})).distribute(mesh)
+    db.query_sql("SELECT SUM(v) FROM t GROUP BY a, b ORDER BY a ASC")
+    ops = [name for name, _hit in last().operators]
+    assert any("shuffle" in o for o in ops), ops
+    got = db.query_sql_table(
+        "SELECT a, b, SUM(v), COUNT(v) FROM t GROUP BY a, b "
+        "ORDER BY a ASC"
+    )
+
+    cols = list(got.values())
+    import collections
+
+    sums = collections.defaultdict(float)
+    cnts = collections.Counter()
+    for ai, bi, vi in zip(a, b, v.astype(np.float64)):
+        sums[(ai, bi)] += vi
+        cnts[(ai, bi)] += 1
+    keys = sorted(sums)
+    np.testing.assert_allclose(cols[0], [k[0] for k in keys])
+    np.testing.assert_allclose(cols[1], [k[1] for k in keys])
+    np.testing.assert_allclose(
+        cols[2], [sums[k] for k in keys], rtol=1e-4
+    )
+    np.testing.assert_array_equal(cols[3], [cnts[k] for k in keys])
+
+
+def test_shuffle_overlap_variant_matches(mesh):
+    """VERDICT r1 item 9: the comm/compute-overlapped shuffle (two
+    half-bucket all_to_alls pipelined with aggregation) returns exactly
+    the same merged group table as the single-exchange shuffle."""
+    from warpdb_tpu.config import EngineConfig, get_config, set_config
+    from warpdb_tpu.frontend import parse_expression_text
+    from warpdb_tpu.parallel.shuffle import shuffle_grouped
+    from warpdb_tpu.parallel.sharded import shard_table
+
+    rng = np.random.default_rng(51)
+    n = 40_000
+    k = rng.integers(0, 3000, n).astype(np.float32)
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    table = shard_table(HostTable.from_dict({"k": k, "v": v}), mesh)
+    keys = [parse_expression_text("k")]
+    vals = [parse_expression_text("v")]
+    cond = parse_expression_text("v > 2")
+
+    base_cfg = get_config()
+    try:
+        res_plain = shuffle_grouped(keys, vals, cond, table, mesh=mesh)
+        cfg = EngineConfig(**{
+            f.name: getattr(base_cfg, f.name)
+            for f in __import__("dataclasses").fields(EngineConfig)
+        })
+        cfg.shuffle_overlap = True
+        set_config(cfg)
+        res_ovl = shuffle_grouped(keys, vals, cond, table, mesh=mesh)
+    finally:
+        set_config(base_cfg)
+
+    np.testing.assert_array_equal(res_ovl.keys[0], res_plain.keys[0])
+    np.testing.assert_array_equal(res_ovl.counts, res_plain.counts)
+    np.testing.assert_allclose(res_ovl.sums, res_plain.sums, rtol=1e-5)
+    np.testing.assert_array_equal(res_ovl.mins, res_plain.mins)
+    np.testing.assert_array_equal(res_ovl.maxs, res_plain.maxs)

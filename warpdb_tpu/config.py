@@ -36,6 +36,10 @@ class EngineConfig:
     # the sort-free dense phase 1 (virtual (N, K) VPU sweep instead of
     # two full-width probe∪build sorts).
     join_dense_build_max: int = 256
+    # Comm/compute overlap in the distributed row shuffle: split the
+    # all-to-all into two half-bucket exchanges and aggregate the first
+    # half while the second is in flight on the ICI (DESIGN.md §6).
+    shuffle_overlap: bool = False
     # Distributed GROUP BY: key-count threshold between the all_gather
     # partial merge and the all-to-all shuffle.
     distributed_small_keys: int = 4096
@@ -61,6 +65,8 @@ class EngineConfig:
                 setattr(cfg, field.name, int(env))
             elif tname == "float":
                 setattr(cfg, field.name, float(env))
+            elif tname == "bool":
+                setattr(cfg, field.name, env.lower() in ("1", "true", "yes"))
             else:
                 setattr(cfg, field.name, env)
         return cfg

@@ -1054,8 +1054,8 @@ def _grouped_partials(
     where_canon = query.where.canonical() if query.where is not None else ""
 
     result = None
-    if mesh is not None and mesh.devices.size > 1 and len(group_keys) == 1:
-        result = _distributed_group(query, table, group_keys[0], vexpr_nodes,
+    if mesh is not None and mesh.devices.size > 1:
+        result = _distributed_group(query, table, group_keys, vexpr_nodes,
                                     mesh)
     if result is None:
         # TPU fast path: dense integer-key aggregation (no sort, no
@@ -1100,25 +1100,34 @@ def _run_grouped_multi(
                            plan["spec_to_vidx"], result, plan["keys_canon"])
 
 
-def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):
-    """Mesh-distributed GROUP BY.  Picks the all_gather partial-merge for
-    small key counts (stats-bounded) and the all-to-all hash shuffle
-    otherwise."""
+def _distributed_group(query, table, group_keys, vexpr_nodes, mesh):
+    """Mesh-distributed GROUP BY (single or composite keys).  Picks the
+    all_gather partial-merge for small stats-bounded key-space products
+    and the all-to-all hash shuffle otherwise — composite keys hash and
+    exchange as tuples (VERDICT r1 item 7)."""
     from ..parallel.shuffle import shuffle_grouped
     from ..parallel.sharded import run_grouped_sharded
     from .optimizer import expr_range
 
     from ..config import get_config
 
-    rng = expr_range(key_expr, table.stats)
-    small = rng is not None and (
-        rng[1] - rng[0] + 1
-    ) <= get_config().distributed_small_keys
+    # Key-space bound: product of per-key ranges (None = unbounded).
+    space = 1
+    for k in group_keys:
+        rng = expr_range(k, table.stats)
+        if rng is None:
+            space = None
+            break
+        space *= max(int(rng[1] - rng[0] + 1), 1)
+        if space > get_config().distributed_small_keys:
+            break
+    small = space is not None and space <= get_config().distributed_small_keys
 
     if small:
-        capacity = _next_pow2(max(int(rng[1] - rng[0] + 1), 16))
+        capacity = _next_pow2(max(space, 16))
         out_keys, out_counts, out_vals, num_groups = run_grouped_sharded(
-            [key_expr], vexpr_nodes, query.where, table, capacity, mesh=mesh
+            list(group_keys), vexpr_nodes, query.where, table, capacity,
+            mesh=mesh,
         )
         host = jax.device_get((out_keys, out_counts, out_vals, num_groups))
         out_keys, out_counts, out_vals, num_groups = host
@@ -1135,16 +1144,16 @@ def _distributed_group(query, table, key_expr, vexpr_nodes, mesh):
     from ..parallel.shuffle import combine_shuffle_grouped
 
     res = combine_shuffle_grouped(
-        key_expr, vexpr_nodes, query.where, table, mesh=mesh
+        list(group_keys), vexpr_nodes, query.where, table, mesh=mesh
     )
     if res is None:
         # Per-shard distinct keys exceeded the combine capacity (very
         # high cardinality): exchange raw rows instead.
         res = shuffle_grouped(
-            key_expr, vexpr_nodes, query.where, table, mesh=mesh
+            list(group_keys), vexpr_nodes, query.where, table, mesh=mesh
         )
     return _HostGroupResult(
-        (res.keys,),
+        tuple(res.keys),
         res.counts,
         tuple(
             (res.sums[i], res.mins[i], res.maxs[i])
@@ -2147,22 +2156,12 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 count = jnp.sum(valid.astype(jnp.int32))
                 return win_sorted[:out_cap], None, count
             if cond_fn is not None:
-                # Compact survivors to the front, preserving row order.
+                # Compact survivors to the front, preserving row order:
+                # stable sort on original position with an invalid-last
+                # key.  (A Pallas MXU-pack/rotate-accumulate compaction
+                # kernel was tried and removed — DESIGN.md §4 records
+                # the verdict.)
                 n_pad = win.shape[0]
-                if jax.default_backend() == "tpu":
-                    from ..ops.pallas_compact import compact_supported
-
-                    if compact_supported(n_pad):
-                        # MXU pack + rotate-accumulate kernel: one
-                        # aligned pass instead of the stable sort's full
-                        # comparator network (see ops/pallas_compact.py;
-                        # measured on-chip in DESIGN.md §4).
-                        from ..ops.pallas_compact import pallas_compact
-
-                        win_c, count = pallas_compact(win, valid)
-                        return win_c[:out_cap], None, count
-                # Fallback: stable sort on original position with an
-                # invalid-last key.
                 pos = jnp.arange(n_pad, dtype=jnp.uint32)
                 ck = jnp.where(valid, pos, jnp.uint32(0xFFFFFFFF))
                 _, win_c = jax.lax.sort((ck, win), num_keys=1, is_stable=True)

@@ -72,11 +72,36 @@ def explain_query(
     current = table
     for join in query.joins:
         right = catalog.get(join.table, table)
+        if mesh is not None and getattr(mesh.devices, "size", 1) > 1:
+            how = (
+                f"DISTRIBUTED hash-partitioned all-to-all shuffle join "
+                f"({mesh.devices.size} devices)"
+            )
+        else:
+            from .executor import _equality_pairs
+
+            try:
+                n_pairs = len(_equality_pairs(join.condition))
+            except Exception:
+                n_pairs = 0
+            small = (
+                n_pairs == 1
+                and right.num_rows <= cfg.join_dense_build_max
+            )
+            if small:
+                how = (
+                    "dense phase 1 (virtual (N, K) compare, no probe "
+                    "sorts); 1:1 joins degrade to a probe-preserving "
+                    "lookup"
+                )
+            else:
+                how = (
+                    "sort-merge: match-count -> pow2 capacity -> gather"
+                )
         lines.append(
             f"  join: inner equi-join with '{join.table}' on "
             f"{_fmt(join.condition)} "
-            f"[two-phase: match-count -> pow2 capacity -> gather; "
-            f"build side {right.num_rows} rows]"
+            f"[{how}; build side {right.num_rows} rows]"
         )
 
     select_items = [unalias(s) for s in _expand_stars(query.select_list, current)]
@@ -133,6 +158,18 @@ def explain_query(
                     f"({slots} slots, stats-bounded; no sort, no scatter — "
                     "fused VPU compare-reduce)"
                 )
+            elif slots is not None and slots <= cfg.midrange_group_max_slots:
+                engine = (
+                    "MXU one-hot histogram"
+                    if slots <= cfg.mxu_group_max_slots
+                    else "scatter slot table"
+                )
+                lines.append(
+                    f"    strategy: MIDRANGE sort-free aggregation "
+                    f"({slots} slots, stats-bounded; {engine} for "
+                    "SUM/COUNT, scatter for MIN/MAX; device-side "
+                    "occupancy compaction)"
+                )
             else:
                 lines.append(
                     "    strategy: SORTED segmented aggregation "
@@ -158,7 +195,26 @@ def explain_query(
             )
     elif select_items and isinstance(select_items[0], WindowFunction):
         w = select_items[0]
-        kind = "running (segmented scan)" if w.order_by else "partition broadcast"
+        if w.order_by:
+            kind = "running (segmented scan)"
+        else:
+            kind = "partition broadcast (sort-based)"
+            if (
+                w.agg.value in ("sum", "avg", "count", "min", "max")
+                and len(w.partition_by) <= 1
+            ):
+                rng = (
+                    expr_range(w.partition_by[0], current.stats)
+                    if w.partition_by
+                    else (0.0, 0.0)
+                )
+                if rng is not None and (
+                    int(rng[1]) - int(rng[0]) + 1
+                ) <= cfg.dense_group_max_slots:
+                    kind = (
+                        "DENSE partition broadcast (stats-bounded key; "
+                        "no sort, no scatter-back)"
+                    )
         lines.append(f"  window: {_fmt(w)}  [{kind}]")
     elif select_items and isinstance(select_items[0], Aggregation):
         lines.append(
@@ -196,7 +252,21 @@ def explain_query(
         else:
             lines.append(f"  order by: {terms}  [device stable multi-key sort]")
     if query.distinct:
-        lines.append("  distinct: sort-unique on device")
+        drng = (
+            expr_range(select_items[0], current.stats)
+            if select_items and query.group_by is None
+            else None
+        )
+        if drng is not None and (
+            int(drng[1]) - int(drng[0]) + 1
+        ) <= cfg.midrange_group_max_slots:
+            lines.append(
+                "  distinct: DENSE/MIDRANGE occupancy if integral "
+                "(stats-bounded; no sort, O(distinct) transfer), else "
+                "sort-unique"
+            )
+        else:
+            lines.append("  distinct: sort-unique on device")
     if query.offset is not None or query.limit is not None:
         lines.append(
             f"  offset/limit: offset={query.offset or 0} limit={query.limit}"

@@ -8,7 +8,6 @@ from .aggregate import (
     group_aggregate,
     window_aggregate,
 )
-from .filter import compact
 from .join import JoinPhase1, join_gather_indices, join_match_counts
 from .sort import float_sort_key, sort_pairs, sort_values, top_k_values
 
@@ -19,7 +18,6 @@ __all__ = [
     "distinct_values",
     "group_aggregate",
     "window_aggregate",
-    "compact",
     "JoinPhase1",
     "join_gather_indices",
     "join_match_counts",

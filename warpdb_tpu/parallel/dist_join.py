@@ -41,25 +41,12 @@ from jax import lax
 from ..engine.compiler import get_or_compile, schema_signature
 from ..errors import ExecutionError
 from ..ops.join import join_gather_indices, join_match_counts
-from ..ops.sort import float_sort_key
 from ..storage.table import DeviceTable
 from .mesh import DATA_AXIS, data_mesh
 from .sharded import _ensure_sharded
+from .shuffle import hash_dest
 
 __all__ = ["distributed_join", "distributed_join_table"]
-
-_HASH_MULT = jnp.uint32(2654435761)
-
-
-def _dest_hash(key_tuple, n_dev: int) -> jax.Array:
-    """Destination shard of each row from its key TUPLE: per-column
-    Knuth multiplicative hashes folded with a rotate-xor so composite
-    keys distribute even when individual columns are skewed."""
-    h = jnp.zeros(key_tuple[0].shape, jnp.uint32)
-    for k in key_tuple:
-        kb = float_sort_key(k) * _HASH_MULT
-        h = (h << jnp.uint32(5)) ^ (h >> jnp.uint32(27)) ^ kb
-    return ((h >> jnp.uint32(16)).astype(jnp.int32)) % n_dev
 
 
 def _partition_exchange(keys, payloads, valid, n_dev, send_cap):
@@ -69,7 +56,7 @@ def _partition_exchange(keys, payloads, valid, n_dev, send_cap):
     exchange side-by-side)."""
     keys = tuple(keys)
     n_local = keys[0].shape[0]
-    dest = _dest_hash(keys, n_dev)
+    dest = hash_dest(keys, n_dev)
     dest = jnp.where(valid, dest, n_dev)
 
     order = lax.sort(

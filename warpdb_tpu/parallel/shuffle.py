@@ -68,8 +68,23 @@ __all__ = [
 _HASH_MULT = jnp.uint32(2654435761)
 
 
+def hash_dest(key_tuple, n_dev: int) -> jax.Array:
+    """Destination shard of each row from its key TUPLE: per-column
+    Knuth multiplicative hashes folded with a rotate-xor, so composite
+    keys distribute even when individual columns are skewed.  Every
+    shard computes the identical function — the invariant that routes
+    all occurrences of one key tuple to one device."""
+    h = jnp.zeros(key_tuple[0].shape, jnp.uint32)
+    for k in key_tuple:
+        kb = float_sort_key(k) * _HASH_MULT
+        h = (h << jnp.uint32(5)) ^ (h >> jnp.uint32(27)) ^ kb
+    return ((h >> jnp.uint32(16)).astype(jnp.int32)) % n_dev
+
+
 class ShuffleGroupResult:
-    """Merged groups on host: keys ascending, one row per distinct key."""
+    """Merged groups on host: keys ascending (lexicographic over the key
+    tuple), one row per distinct key tuple.  ``keys`` is a tuple of
+    arrays, one per GROUP BY key."""
 
     def __init__(self, keys, counts, sums, mins, maxs):
         self.keys = keys
@@ -80,11 +95,21 @@ class ShuffleGroupResult:
 
     @property
     def num_groups(self) -> int:
-        return len(self.keys)
+        return len(self.keys[0])
 
 
-def _shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap):
-    """Builds the per-shard shard_map body."""
+def _shuffle_kernel(key_fns, val_fns, cond_fn, n_dev, send_cap, group_cap,
+                    overlap: bool = False):
+    """Builds the per-shard shard_map body.
+
+    ``overlap=True`` splits the exchange into two half-bucket
+    ``all_to_all``s and aggregates the first half's rows while the
+    second is still in flight — the two collectives have no data
+    dependence on the first aggregation, so XLA's async collective
+    scheduling (start/done pairs) can hide half the ICI time behind VPU
+    compute.  The halves produce two partial group tables merged by one
+    payload re-aggregation (counts ride the 4096-radix hi/lo lanes so
+    merged counts stay exact)."""
 
     def body(cols, num_rows):
         some = next(iter(cols.values()))
@@ -95,12 +120,13 @@ def _shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap):
         if cond_fn is not None:
             valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
 
-        keys = jnp.broadcast_to(_as_f32(key_fn(cols)), (n_local,))
+        keys = tuple(
+            jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in key_fns
+        )
         vals = [jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in val_fns]
 
-        # 1. destination shard by key hash.
-        kbits = float_sort_key(keys)
-        dest = ((kbits * _HASH_MULT) >> jnp.uint32(16)).astype(jnp.int32) % n_dev
+        # 1. destination shard by key-tuple hash.
+        dest = hash_dest(keys, n_dev)
         dest = jnp.where(valid, dest, n_dev)  # invalid rows park in a sink
 
         # 2. stable sort rows by destination; build (n_dev, send_cap)
@@ -121,32 +147,98 @@ def _shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap):
         src = jnp.clip(src, 0, n_local - 1)
         row_idx = order[src]  # (n_dev, send_cap)
 
-        send_keys = jnp.where(send_valid, keys[row_idx], 0.0)
+        send_keys = [jnp.where(send_valid, k[row_idx], 0.0) for k in keys]
         send_vals = [jnp.where(send_valid, v[row_idx], 0.0) for v in vals]
         overflow = jnp.max(counts) > send_cap
 
         # 3. the ICI exchange: bucket d → device d.
-        recv_keys = lax.all_to_all(send_keys, DATA_AXIS, 0, 0, tiled=False)
-        recv_valid = lax.all_to_all(
-            send_valid.astype(jnp.int32), DATA_AXIS, 0, 0, tiled=False
-        ).astype(jnp.bool_)
-        recv_vals = [
-            lax.all_to_all(v, DATA_AXIS, 0, 0, tiled=False) for v in send_vals
-        ]
+        def exchange(sl):
+            rk = [
+                lax.all_to_all(k[:, sl], DATA_AXIS, 0, 0, tiled=False)
+                for k in send_keys
+            ]
+            rvd = lax.all_to_all(
+                send_valid[:, sl].astype(jnp.int32), DATA_AXIS, 0, 0,
+                tiled=False,
+            ).astype(jnp.bool_)
+            rv = [
+                lax.all_to_all(v[:, sl], DATA_AXIS, 0, 0, tiled=False)
+                for v in send_vals
+            ]
+            return (
+                tuple(k.reshape(-1) for k in rk),
+                rvd.reshape(-1),
+                tuple(v.reshape(-1) for v in rv),
+            )
 
-        flat_keys = recv_keys.reshape(-1)
-        flat_valid = recv_valid.reshape(-1)
-        flat_vals = tuple(v.reshape(-1) for v in recv_vals)
+        if not overlap:
+            flat_keys, flat_valid, flat_vals = exchange(slice(None))
+            # 4. local aggregation over the keys this device now owns.
+            g = group_aggregate(flat_keys, flat_vals, flat_valid, group_cap)
+            counts_out = g.counts
+            vals_out = tuple(
+                (v.sums, v.mins, v.maxs) for v in g.values
+            )
+            local_overflow = jnp.logical_or(
+                overflow, g.num_groups > group_cap
+            )
+        else:
+            # Both exchanges issue BEFORE the first aggregation consumes
+            # its data, so the second one's DMA overlaps the first
+            # half's aggregation.
+            half = send_cap // 2
+            ex1 = exchange(slice(0, half))
+            ex2 = exchange(slice(half, send_cap))
+            g1 = group_aggregate(ex1[0], ex1[2], ex1[1], group_cap)
+            g2 = group_aggregate(ex2[0], ex2[2], ex2[1], group_cap)
 
-        # 4. local aggregation over the keys this device now owns.
-        g = group_aggregate(flat_keys, flat_vals, flat_valid, group_cap)
-        local_overflow = jnp.logical_or(overflow, g.num_groups > group_cap)
+            slot_ids = jnp.arange(group_cap, dtype=jnp.int32)
+
+            def table_rows(g):
+                pvalid = slot_ids < jnp.minimum(g.num_groups, group_cap)
+                payload = [
+                    (g.counts // 4096).astype(jnp.float32),
+                    (g.counts % 4096).astype(jnp.float32),
+                ]
+                for v in g.values:
+                    payload.extend((v.sums, v.mins, v.maxs))
+                return g.keys, payload, pvalid
+
+            k1, p1, v1 = table_rows(g1)
+            k2, p2, v2 = table_rows(g2)
+            keys_cat = tuple(
+                jnp.concatenate([a, b]) for a, b in zip(k1, k2)
+            )
+            pay_cat = tuple(
+                jnp.concatenate([a, b]) for a, b in zip(p1, p2)
+            )
+            valid_cat = jnp.concatenate([v1, v2])
+            g = group_aggregate(keys_cat, pay_cat, valid_cat, group_cap)
+            counts_out = (
+                jnp.rint(g.values[0].sums).astype(jnp.int32) * 4096
+                + jnp.rint(g.values[1].sums).astype(jnp.int32)
+            )
+            vals_out = tuple(
+                (
+                    g.values[2 + 3 * i].sums,
+                    g.values[3 + 3 * i].mins,
+                    g.values[4 + 3 * i].maxs,
+                )
+                for i in range(len(val_fns))
+            )
+            local_overflow = jnp.logical_or(
+                overflow,
+                jnp.logical_or(
+                    jnp.logical_or(
+                        g1.num_groups > group_cap, g2.num_groups > group_cap
+                    ),
+                    g.num_groups > group_cap,
+                ),
+            )
         return (
-            g.keys[0][None],
-            g.counts[None],
-            tuple(
-                (v.sums[None], v.mins[None], v.maxs[None]) for v in g.values
-            ),
+            tuple(k[None] for k in g.keys),
+            counts_out[None],
+            tuple((s[None], mn[None], mx[None]) for s, mn, mx in vals_out),
             g.num_groups[None],
             local_overflow[None],
         )
@@ -154,10 +246,11 @@ def _shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap):
     return body
 
 
-def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
+def _combine_shuffle_kernel(key_fns, val_fns, cond_fn, n_dev, local_cap,
                             group_cap):
     """Per-shard body: local pre-aggregate (map-side combine), then
-    shuffle ≤local_cap partial rows by key hash, then merge partials."""
+    shuffle ≤local_cap partial rows by key-tuple hash, then merge
+    partials."""
     nv = len(val_fns)
 
     def body(cols, num_rows):
@@ -168,7 +261,9 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
         valid = rows < num_rows
         if cond_fn is not None:
             valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-        keys = jnp.broadcast_to(_as_f32(key_fn(cols)), (n_local,))
+        keys = tuple(
+            jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in key_fns
+        )
         vals = tuple(
             jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in val_fns
         )
@@ -176,7 +271,7 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
         # 1. Map-side combine: one partial row per local distinct key.
         local = group_aggregate(keys, vals, valid, local_cap)
         local_overflow = local.num_groups > local_cap
-        pkeys = local.keys[0]
+        pkeys = local.keys
         slot_ids = jnp.arange(local_cap, dtype=jnp.int32)
         pvalid = slot_ids < jnp.minimum(local.num_groups, local_cap)
 
@@ -190,10 +285,10 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
         for v in local.values:
             payload.extend((v.sums, v.mins, v.maxs))
 
-        # 2. Destination by key hash; bucketize.  send_cap == local_cap,
-        #    so a bucket can never overflow (skew-proof by construction).
-        kbits = float_sort_key(pkeys)
-        dest = ((kbits * _HASH_MULT) >> jnp.uint32(16)).astype(jnp.int32) % n_dev
+        # 2. Destination by key-tuple hash; bucketize.  send_cap ==
+        #    local_cap, so a bucket can never overflow (skew-proof by
+        #    construction).
+        dest = hash_dest(pkeys, n_dev)
         dest = jnp.where(pvalid, dest, n_dev)
         order = lax.sort(
             (dest, jnp.arange(local_cap, dtype=jnp.int32)), num_keys=1,
@@ -209,11 +304,13 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
         send_valid = slot[None, :] < counts[:, None]
         row_idx = order[src]
 
-        send_keys = jnp.where(send_valid, pkeys[row_idx], 0.0)
+        send_keys = [jnp.where(send_valid, k[row_idx], 0.0) for k in pkeys]
         send_payload = [jnp.where(send_valid, p[row_idx], 0.0) for p in payload]
 
         # 3. ICI exchange.
-        recv_keys = lax.all_to_all(send_keys, DATA_AXIS, 0, 0, tiled=False)
+        recv_keys = [
+            lax.all_to_all(k, DATA_AXIS, 0, 0, tiled=False) for k in send_keys
+        ]
         recv_valid = lax.all_to_all(
             send_valid.astype(jnp.int32), DATA_AXIS, 0, 0, tiled=False
         ).astype(jnp.bool_)
@@ -222,7 +319,7 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
             for p in send_payload
         ]
 
-        flat_keys = recv_keys.reshape(-1)
+        flat_keys = tuple(k.reshape(-1) for k in recv_keys)
         flat_valid = recv_valid.reshape(-1)
         flat_payload = tuple(p.reshape(-1) for p in recv_payload)
 
@@ -244,7 +341,7 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
             (s[None], mn[None], mx[None]) for s, mn, mx in merged_vals
         )
         return (
-            g.keys[0][None],
+            tuple(k[None] for k in g.keys),
             merged_counts[None],
             out_vals,
             g.num_groups[None],
@@ -255,8 +352,14 @@ def _combine_shuffle_kernel(key_fn, val_fns, cond_fn, n_dev, local_cap,
     return body
 
 
+def _as_expr_list(key_exprs):
+    return list(key_exprs) if isinstance(key_exprs, (list, tuple)) else [
+        key_exprs
+    ]
+
+
 def combine_shuffle_grouped(
-    key_expr,
+    key_exprs,
     value_exprs,
     cond,
     table: DeviceTable,
@@ -267,11 +370,14 @@ def combine_shuffle_grouped(
     """Skew-proof distributed GROUP BY: map-side combine, then an
     all-to-all exchange of ≤``local_cap`` partial rows per shard.
 
-    Returns None when per-shard distinct keys exceed ``local_cap``
+    ``key_exprs`` may be one expression or a list (composite GROUP BY
+    keys ride the exchange side-by-side and hash as tuples).  Returns
+    None when per-shard distinct key tuples exceed ``local_cap``
     (caller falls back to the row shuffle)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    key_exprs = _as_expr_list(key_exprs)
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(mesh.devices.size)
@@ -282,25 +388,26 @@ def combine_shuffle_grouped(
     val_canons = tuple(v.canonical() for v in value_exprs)
     for attempt in range(2):
         key = (
-            "combine_shuffle_group", key_expr.canonical(), val_canons,
+            "combine_shuffle_group",
+            tuple(k.canonical() for k in key_exprs), val_canons,
             cond.canonical() if cond is not None else "",
             schema_signature(table.columns), n_dev, local_cap, group_cap,
             udf_mod.registry_version(),
         )
 
         def build():
-            key_fn = build_evaluator(key_expr)
+            key_fns = [build_evaluator(k) for k in key_exprs]
             val_fns = [build_evaluator(v) for v in value_exprs]
             cond_fn = build_evaluator(cond) if cond is not None else None
             body = _combine_shuffle_kernel(
-                key_fn, val_fns, cond_fn, n_dev, local_cap, group_cap
+                key_fns, val_fns, cond_fn, n_dev, local_cap, group_cap
             )
             fn = shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(P(DATA_AXIS), P()),
                 out_specs=(
-                    P(DATA_AXIS), P(DATA_AXIS),
+                    tuple(P(DATA_AXIS) for _ in key_exprs), P(DATA_AXIS),
                     tuple(
                         (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
                         for _ in value_exprs
@@ -334,31 +441,46 @@ def combine_shuffle_grouped(
     return None
 
 
+def _sort_key_u32(a: np.ndarray) -> np.ndarray:
+    """float_sort_key semantics on host: total order with -0≡+0, all
+    NaNs equal and last — the exact order the device kernels group by."""
+    a = np.asarray(a, np.float32)
+    a = np.where(a == 0.0, np.float32(0.0), a)
+    a = np.where(np.isnan(a), np.float32(np.nan), a)
+    bits = a.view(np.uint32)
+    return np.where(bits >= 0x80000000, ~bits, bits | 0x80000000)
+
+
 def _merge_shard_tables(keys_s, counts_s, vals_s, ngroups_s, n_dev, nv):
-    """Concatenate per-shard disjoint group tables, sorted by key."""
-    keys_list, counts_list = [], []
+    """Concatenate per-shard disjoint group tables, sorted ascending by
+    key tuple (lexicographic in float_sort_key space, matching the
+    single-program group order)."""
+    nk = len(keys_s)
+    keys_list = [[] for _ in range(nk)]
+    counts_list = []
     sums_list, mins_list, maxs_list = [], [], []
     for d in range(n_dev):
         ng = int(ngroups_s[d])
-        keys_list.append(keys_s[d, :ng])
+        for ki in range(nk):
+            keys_list[ki].append(keys_s[ki][d, :ng])
         counts_list.append(counts_s[d, :ng])
         sums_list.append(np.stack([vals_s[i][0][d, :ng] for i in range(nv)]))
         mins_list.append(np.stack([vals_s[i][1][d, :ng] for i in range(nv)]))
         maxs_list.append(np.stack([vals_s[i][2][d, :ng] for i in range(nv)]))
-    keys = np.concatenate(keys_list)
+    keys = tuple(np.concatenate(kl) for kl in keys_list)
     counts = np.concatenate(counts_list)
     sums = np.concatenate(sums_list, axis=1)
     mins = np.concatenate(mins_list, axis=1)
     maxs = np.concatenate(maxs_list, axis=1)
-    order = np.argsort(keys, kind="stable")
+    order = np.lexsort(tuple(_sort_key_u32(k) for k in reversed(keys)))
     return ShuffleGroupResult(
-        keys[order], counts[order],
+        tuple(k[order] for k in keys), counts[order],
         sums[:, order], mins[:, order], maxs[:, order],
     )
 
 
 def shuffle_grouped(
-    key_expr,
+    key_exprs,
     value_exprs,
     cond,
     table: DeviceTable,
@@ -368,44 +490,53 @@ def shuffle_grouped(
 ) -> ShuffleGroupResult:
     """Distributed GROUP BY with an all-to-all key shuffle.
 
+    ``key_exprs`` may be one expression or a list (composite keys).
     Returns the merged host-side group table (keys ascending).  Retries
     with doubled bucket capacity on skew-induced overflow."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    key_exprs = _as_expr_list(key_exprs)
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(mesh.devices.size)
     table = _ensure_sharded(table, mesh) if n_dev > 1 else table
 
+    from ..config import get_config
+
+    overlap = bool(get_config().shuffle_overlap)
     n_local = table.padded_rows // max(n_dev, 1)
     send_cap = int(np.ceil(n_local / max(n_dev, 1) * send_overcommit))
     send_cap = max(128, send_cap)
+    send_cap += send_cap % 2  # overlap halves split the slot axis evenly
     if group_cap is None:
         group_cap = max(1024, min(n_dev * send_cap, table.padded_rows))
 
     val_canons = tuple(v.canonical() for v in value_exprs)
     for attempt in range(4):
         key = (
-            "shuffle_group", key_expr.canonical(), val_canons,
+            "shuffle_group", tuple(k.canonical() for k in key_exprs),
+            val_canons,
             cond.canonical() if cond is not None else "",
             schema_signature(table.columns), n_dev, send_cap, group_cap,
+            overlap,
             udf_mod.registry_version(),
         )
 
         def build():
-            key_fn = build_evaluator(key_expr)
+            key_fns = [build_evaluator(k) for k in key_exprs]
             val_fns = [build_evaluator(v) for v in value_exprs]
             cond_fn = build_evaluator(cond) if cond is not None else None
             body = _shuffle_kernel(
-                key_fn, val_fns, cond_fn, n_dev, send_cap, group_cap
+                key_fns, val_fns, cond_fn, n_dev, send_cap, group_cap,
+                overlap=overlap,
             )
             fn = shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(P(DATA_AXIS), P()),
                 out_specs=(
-                    P(DATA_AXIS), P(DATA_AXIS),
+                    tuple(P(DATA_AXIS) for _ in key_exprs), P(DATA_AXIS),
                     tuple(
                         (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
                         for _ in value_exprs
