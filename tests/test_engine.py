@@ -883,11 +883,16 @@ def test_metrics_operator_trace():
         "k": np.arange(8000, dtype=np.float32),
     }
     db = WarpDB(HostTable.from_dict(t))
+    # LIMIT pushdown: aggregation + compaction fuse into ONE dispatch.
     db.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
+    ops = [name for name, _hit in last().operators]
+    assert "midrange_group" in ops and "midrange_compact" not in ops
+    # Without a LIMIT the two-phase protocol emits a separate compaction.
+    db.query_sql("SELECT SUM(price) FROM t GROUP BY k")
     ops = [name for name, _hit in last().operators]
     assert "midrange_group" in ops and "midrange_compact" in ops
     # Second run: same operators, now cache hits.
-    db.query_sql("SELECT SUM(price) FROM t GROUP BY k LIMIT 3")
+    db.query_sql("SELECT SUM(price) FROM t GROUP BY k")
     assert all(hit for _name, hit in last().operators)
 
     # Non-integral key → the sort path, traced as group_sort/scatter.

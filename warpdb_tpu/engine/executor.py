@@ -1336,9 +1336,29 @@ def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
         and num_slots <= get_config().mxu_group_max_slots
     )
 
+    # With LIMIT pushdown the output capacity is static, so aggregation
+    # and occupancy compaction fuse into ONE dispatch — no intermediate
+    # num_groups round-trip through the relay.  Without a limit the
+    # two-phase protocol sizes the compacted transfer from the scalar.
+    fused_cap = (
+        min(_next_pow2(max(min(limit_cap, num_slots), 16)), num_slots)
+        if limit_cap is not None
+        else 0
+    )
+
+    def _compact(res, out_cap):
+        counts = res.counts
+        slots = jnp.arange(num_slots, dtype=jnp.int32)
+        okey = jnp.where(counts > 0, slots, jnp.int32(0x7FFFFFFF))
+        ops = (okey, res.keys[0], counts) + tuple(
+            x for v in res.values for x in (v.sums, v.mins, v.maxs)
+        )
+        sorted_ops = lax.sort(ops, num_keys=1, is_stable=False)
+        return tuple(o[:out_cap] for o in sorted_ops[1:])
+
     gkey = ("midrange_group", key_canon, tuple(vexpr_canons), where_canon,
             schema_signature(cols), base, num_slots, need, use_mxu,
-            udf_mod.registry_version())
+            fused_cap, udf_mod.registry_version())
 
     def build():
         key_fn = _raw_or_f32_key_fn(key_expr, integral_static)
@@ -1354,34 +1374,37 @@ def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             keys = _broadcast(key_fn(cols), cols)
             vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
-            return midrange_group_aggregate(
+            res = midrange_group_aggregate(
                 keys, vals, valid, base, num_slots, need, use_mxu
             )
+            if fused_cap:
+                return _compact(res, fused_cap) + (res.num_groups,)
+            return res
 
         return kernel
 
-    res = get_or_compile(gkey, build)(cols, n_rows)
-    ng = int(jax.device_get(res.num_groups))
-    ng_eff = min(ng, limit_cap) if limit_cap is not None else ng
-    out_cap = min(_next_pow2(max(ng_eff, 16)), num_slots)
+    if fused_cap:
+        out = jax.device_get(get_or_compile(gkey, build)(cols, n_rows))
+        ng = int(out[-1])
+        out = out[:-1]
+        ng_eff = min(ng, limit_cap)
+    else:
+        res = get_or_compile(gkey, build)(cols, n_rows)
+        ng = int(jax.device_get(res.num_groups))
+        ng_eff = ng
+        out_cap = min(_next_pow2(max(ng_eff, 16)), num_slots)
 
-    ckey = ("midrange_compact", num_slots, out_cap, len(vexpr_canons), need)
+        ckey = ("midrange_compact", num_slots, out_cap, len(vexpr_canons),
+                need)
 
-    def build_compact():
-        @jax.jit
-        def kernel(res):
-            counts = res.counts
-            slots = jnp.arange(num_slots, dtype=jnp.int32)
-            okey = jnp.where(counts > 0, slots, jnp.int32(0x7FFFFFFF))
-            ops = (okey, res.keys[0], counts) + tuple(
-                x for v in res.values for x in (v.sums, v.mins, v.maxs)
-            )
-            sorted_ops = lax.sort(ops, num_keys=1, is_stable=False)
-            return tuple(o[:out_cap] for o in sorted_ops[1:])
+        def build_compact():
+            @jax.jit
+            def kernel(res):
+                return _compact(res, out_cap)
 
-        return kernel
+            return kernel
 
-    out = jax.device_get(get_or_compile(ckey, build_compact)(res))
+        out = jax.device_get(get_or_compile(ckey, build_compact)(res))
     keys_c, counts_c = out[0], out[1]
     vals_flat = out[2:]
     values = tuple(

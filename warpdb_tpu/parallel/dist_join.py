@@ -104,10 +104,19 @@ def _run_dist_join(
     mesh,
     overcommit: float,
     right_key_arrays=None,
+    repack: bool = False,
 ):
-    """Core shuffle join; returns (cols_s, counts_s, names) with
-    per-device row blocks.  ``right_key_arrays`` optionally overrides the
-    right key columns (already-translated string codes)."""
+    """Core shuffle join.  ``right_key_arrays`` optionally overrides the
+    right key columns (already-translated string codes).
+
+    With ``repack=False`` returns ``(cols_s, counts_s, n_dev)`` host
+    arrays with per-device row blocks.  With ``repack=True`` the joined
+    rows are re-packed ON DEVICE into a globally-contiguous row prefix
+    via ``lax.ragged_all_to_all`` (each shard's variable-count output
+    streams to its final global position over ICI — O(result) traffic,
+    no host round-trip) and the return is
+    ``(packed_cols, total, col_stats, out_cap, n_dev)`` where
+    ``packed_cols`` are global row-sharded device arrays."""
     if mesh is None:
         mesh = data_mesh()
     n_dev = int(mesh.devices.size)
@@ -132,13 +141,15 @@ def _run_dist_join(
         key = (
             "dist_join", lk_names, rk_names, lp, rp,
             schema_signature(left.columns), schema_signature(right.columns),
-            rkeys_in is not None,
+            rkeys_in is not None, repack,
             n_dev, send_cap_l, send_cap_r, out_cap,
         )
 
         def build():
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
+
+            use_ragged = jax.default_backend() == "tpu"
 
             def body(lcols, rcols, rkey_override, n_left, n_right):
                 n_l = next(iter(lcols.values())).shape[0]
@@ -177,12 +188,113 @@ def _run_dist_join(
                 )
                 count = jnp.minimum(phase1.total, out_cap)
                 overflow = jnp.logical_or(jnp.logical_or(ovl, ovr), out_overflow)
+                if not repack:
+                    return (
+                        tuple(c[None] for c in out_cols),
+                        count[None],
+                        overflow[None],
+                    )
+
+                # Device-resident repack: each shard's [0, count) output
+                # rows stream to their final global positions.  A row at
+                # local slot r has global position o_d + r; its target
+                # shard's range [e·L, (e+1)·L) overlaps my range in one
+                # contiguous chunk, so one ragged_all_to_all per column
+                # moves exactly the matched rows — the packed result IS
+                # a contiguous global row prefix (the DeviceTable
+                # contract) without leaving HBM.
+                counts_all = lax.all_gather(count, DATA_AXIS)
+                offs = jnp.cumsum(counts_all) - counts_all
+                me = lax.axis_index(DATA_AXIS).astype(jnp.int32)
+                o_d = offs[me]
+                if use_ragged:
+                    e = jnp.arange(n_dev, dtype=jnp.int32)
+                    g0 = jnp.maximum(o_d, e * out_cap)
+                    gend = jnp.minimum(o_d + count, (e + 1) * out_cap)
+                    in_off = jnp.clip(g0 - o_d, 0, out_cap)
+                    out_off = jnp.clip(g0 - e * out_cap, 0, out_cap)
+                    sizes = jnp.clip(gend - g0, 0, out_cap)
+                    gs0 = jnp.maximum(offs, me * out_cap)
+                    gse = jnp.minimum(offs + counts_all, (me + 1) * out_cap)
+                    recv = jnp.clip(gse - gs0, 0, out_cap)
+                    packed = tuple(
+                        lax.ragged_all_to_all(
+                            c, jnp.zeros((out_cap,), c.dtype),
+                            in_off, sizes, out_off, recv,
+                            axis_name=DATA_AXIS,
+                        )
+                        for c in out_cols
+                    )
+                else:
+                    # XLA:CPU has no ragged-all-to-all thunk: emulate
+                    # with a dense bucketized exchange (positions are
+                    # globally unique, so summing the received buckets
+                    # reconstructs the packed rows exactly).  n_dev×
+                    # traffic blowup — correctness path for the virtual
+                    # CPU mesh only.
+                    r = jnp.arange(out_cap, dtype=jnp.int32)
+                    gpos = o_d + r
+                    dest = jnp.where(
+                        r < count,
+                        jnp.clip(gpos // out_cap, 0, n_dev - 1),
+                        n_dev,
+                    )
+                    slot = gpos % out_cap
+                    packed = []
+                    for c in out_cols:
+                        send = (
+                            jnp.zeros((n_dev + 1, out_cap), c.dtype)
+                            .at[dest, slot]
+                            .set(c, mode="drop")
+                        )[:n_dev]
+                        rcv = lax.all_to_all(
+                            send, DATA_AXIS, 0, 0, tiled=False
+                        )
+                        packed.append(jnp.sum(rcv, axis=0))
+                    packed = tuple(packed)
+                total = jnp.sum(counts_all)
+                # Per-column min/max/has-NaN so stats-gated fast paths
+                # (dense GROUP BY, top-k) stay live on the joined table.
+                stats = []
+                for c in out_cols:
+                    mn = lax.pmin(
+                        jnp.min(jnp.where(pair_valid, c, jnp.inf)), DATA_AXIS
+                    )
+                    mx = lax.pmax(
+                        jnp.max(jnp.where(pair_valid, c, -jnp.inf)),
+                        DATA_AXIS,
+                    )
+                    nan = lax.pmax(
+                        jnp.max(
+                            jnp.where(
+                                jnp.logical_and(jnp.isnan(c), pair_valid),
+                                1.0, 0.0,
+                            )
+                        ),
+                        DATA_AXIS,
+                    )
+                    stats.append(jnp.stack([mn, mx, nan]))
                 return (
-                    tuple(c[None] for c in out_cols),
-                    count[None],
+                    tuple(p[None] for p in packed),
+                    total,
+                    jnp.stack(stats) if stats else jnp.zeros((0, 3)),
                     overflow[None],
                 )
 
+            out_specs = (
+                (
+                    tuple(P(DATA_AXIS) for _ in lp + rp),
+                    P(),
+                    P(),
+                    P(DATA_AXIS),
+                )
+                if repack
+                else (
+                    tuple(P(DATA_AXIS) for _ in lp + rp),
+                    P(DATA_AXIS),
+                    P(DATA_AXIS),
+                )
+            )
             fn = shard_map(
                 body,
                 mesh=mesh,
@@ -191,21 +303,30 @@ def _run_dist_join(
                     P(DATA_AXIS) if rkeys_in is not None else P(),
                     P(), P(),
                 ),
-                out_specs=(
-                    tuple(P(DATA_AXIS) for _ in lp + rp),
-                    P(DATA_AXIS),
-                    P(DATA_AXIS),
-                ),
+                out_specs=out_specs,
                 check_vma=False,
             )
             return jax.jit(fn)
 
-        cols_s, counts_s, overflow_s = jax.device_get(
-            get_or_compile(key, build)(
-                left.columns, right.columns, rkeys_in,
-                jnp.int32(left.num_rows), jnp.int32(right.num_rows),
-            )
+        result = get_or_compile(key, build)(
+            left.columns, right.columns, rkeys_in,
+            jnp.int32(left.num_rows), jnp.int32(right.num_rows),
         )
+        if repack:
+            packed, total, stats_arr, overflow_s = result
+            if bool(np.any(jax.device_get(overflow_s))):
+                send_cap_l *= 2
+                send_cap_r *= 2
+                out_cap *= 2
+                continue
+            return (
+                packed,
+                int(jax.device_get(total)),
+                np.asarray(jax.device_get(stats_arr)),
+                out_cap,
+                n_dev,
+            )
+        cols_s, counts_s, overflow_s = jax.device_get(result)
         if bool(np.any(overflow_s)):
             send_cap_l *= 2
             send_cap_r *= 2
@@ -275,52 +396,53 @@ def distributed_join_table(
 
     Output rows arrive in hash-partition order (documented deviation:
     parallel hash joins are unordered; ORDER BY downstream restores any
-    required order).  The gather back through the host is O(result); a
-    device-resident repack over ICI is the documented follow-up.
+    required order).  The joined rows stay ON DEVICE: a
+    ``ragged_all_to_all`` repack streams each shard's variable-count
+    output to its final global position over ICI, so the result table
+    is a contiguous row-sharded prefix with no host round-trip.
     """
-    from ..storage.table import DataType, HostTable
-    from .sharded import shard_table
+    import jax.numpy as jnp
 
-    cols_s, counts_s, n_dev = _run_dist_join(
-        left, right, left_key_cols, [f"__k{i}" for i in range(len(left_key_cols))],
+    from ..storage.table import ColumnStats, DataType
+
+    packed, total, stats_arr, out_cap, n_dev = _run_dist_join(
+        left, right, left_key_cols,
+        [f"__k{i}" for i in range(len(left_key_cols))],
         left_payload, right_payload, mesh, overcommit,
-        right_key_arrays=tuple(right_key_arrays),
+        right_key_arrays=tuple(right_key_arrays), repack=True,
     )
     names = list(left_payload) + [f"{right_name}.{c}" for c in right_payload]
-    parts: dict = {name: [] for name in names}
-    for d in range(n_dev):
-        c = int(counts_s[d])
-        for i, name in enumerate(names):
-            parts[name].append(cols_s[i][d, :c])
-    merged = {n: np.concatenate(p) for n, p in parts.items()}
 
-    # Rebuild dtype/dict metadata: payloads crossed the wire as f32;
-    # string columns go back to int32 codes under their source vocab.
-    dicts_out = {}
-    dtypes_out = {}
-    arrays = {}
-    for name in names:
+    columns = {}
+    dtypes = {}
+    dicts = {}
+    stats = {}
+    for i, name in enumerate(names):
         if name in left.dicts:
             vocab = left.dicts[name]
         elif name.startswith(f"{right_name}."):
             vocab = right.dicts.get(name[len(right_name) + 1 :])
         else:
             vocab = None
+        arr = packed[i].reshape(-1)  # (n_dev·out_cap,) global row-sharded
+        mn, mx, nan = (float(x) for x in stats_arr[i])
         if vocab is not None:
-            arrays[name] = merged[name].astype(np.int32)
-            dicts_out[name] = vocab
-            dtypes_out[name] = DataType.STRING
+            columns[name] = arr.astype(jnp.int32)
+            dicts[name] = vocab
+            dtypes[name] = DataType.STRING
         else:
-            arrays[name] = merged[name].astype(np.float32)
+            columns[name] = arr
+            dtypes[name] = DataType.FLOAT32
+        if total and np.isfinite(mn):
+            stats[name] = ColumnStats(
+                min=mn, max=mx, null_count=int(nan > 0)
+            )
+        else:
+            stats[name] = ColumnStats()
 
-    host = HostTable.from_dict(arrays)
-    dt = shard_table(host, mesh)
-    for name, vocab in dicts_out.items():
-        dt.dicts[name] = vocab
-        dt.dtypes[name] = dtypes_out[name]
-        bare = name.split(".", 1)[1] if name.startswith(f"{right_name}.") else name
-        if bare not in dt.dicts and bare in dt.columns:
-            dt.dicts.setdefault(bare, vocab)
+    dt = DeviceTable(
+        columns, dtypes, total, n_dev * out_cap, stats=stats, dicts=dicts
+    )
     # Right-side bare aliases for unqualified addressing (matches the
     # single-program join's namespace).
     for name in list(dt.columns):
@@ -332,5 +454,4 @@ def distributed_join_table(
                 dt.stats.setdefault(bare, dt.stats.get(name))
                 if name in dt.dicts:
                     dt.dicts.setdefault(bare, dt.dicts[name])
-    dt.stats = {k: v for k, v in dt.stats.items() if v is not None}
     return dt
