@@ -104,6 +104,13 @@ def main() -> None:
     cols = db.table.columns
     n_rows = jnp.int32(db.table.num_rows)
 
+    # The materialized-join cache would make repeated identical join
+    # queries skip the join entirely — honest COLD numbers need it off
+    # (the warm number is reported separately, outside the geomean).
+    from warpdb_tpu.config import get_config
+
+    get_config().join_cache_entries = 0
+
     results = {}
     extras = {}
 
@@ -206,10 +213,29 @@ def main() -> None:
         }
     )
     db.register_table("rates", rates)
+    # Duplicate build keys force the general expansion join (the
+    # dimension query below takes the probe-preserving lookup path, so
+    # without this the sort-merge machinery would be regress-invisible).
+    dup = HostTable.from_dict(
+        {
+            "quantity": np.tile(
+                np.arange(GROUP_SLOTS, dtype=np.float32), 2
+            ),
+            "bonus": rng.uniform(0.0, 1.0, 2 * GROUP_SLOTS).astype(
+                np.float32
+            ),
+        }
+    )
+    db.register_table("dup", dup)
     breadth = {
         "e2e_join": (
             "SELECT price FROM t JOIN rates ON quantity = rates.quantity "
             "WHERE rates.rate > 0.5 ORDER BY price DESC LIMIT 5"
+        ),
+        "e2e_join_expand": (
+            "SELECT SUM(price * dup.bonus) FROM t "
+            "JOIN dup ON quantity = dup.quantity "
+            "GROUP BY quantity ORDER BY quantity ASC"
         ),
         "e2e_window": (
             "SELECT SUM(price) OVER (PARTITION BY quantity) FROM t "
@@ -224,6 +250,16 @@ def main() -> None:
             extras[f"{name}_rows_per_s"] = round(EXPR_ROWS / dt)
         except Exception as e:  # never fail the whole bench on an extra
             extras[f"{name}_error"] = str(e)[:120]
+
+    # Warm repeat with the materialized-join cache on (default config):
+    # repeated star-schema queries skip the join.  Outside the geomean.
+    try:
+        get_config().join_cache_entries = 4
+        dt = _time(lambda: db.query_sql(breadth["e2e_join"]))
+        extras["join_cached_rows_per_s"] = round(EXPR_ROWS / dt)
+        get_config().join_cache_entries = 0
+    except Exception as e:
+        extras["join_cached_error"] = str(e)[:120]
 
     # End-to-end geomean across the FULL query set (parse → device →
     # transfer → host finishing, incl. relay RTT) — printed beside the

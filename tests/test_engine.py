@@ -1395,3 +1395,42 @@ def test_sorted_group_large_int64_ids_exact_counts():
     uniq, want = np.unique(ids, return_counts=True)
     assert len(res) == len(uniq)
     np.testing.assert_array_equal(res, want.astype(np.float32))
+
+
+def test_join_memo_reuses_materialized_join():
+    """Device tables are immutable, so repeated queries against the same
+    join reuse the materialized join table (no phase-1/lookup relaunch);
+    re-registering the build table invalidates by instance identity."""
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    q = rng.integers(0, 16, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    rate = rng.uniform(0, 1, 16).astype(np.float32)
+    db.register_table(
+        "rates",
+        HostTable.from_dict(
+            {"quantity": np.arange(16, dtype=np.float32), "rate": rate}
+        ),
+    )
+    sql = ("SELECT price * rates.rate FROM t "
+           "JOIN rates ON quantity = rates.quantity")
+    first = np.asarray(db.query_sql(sql))
+    assert any("join" in name for name, _ in last().operators)
+    second = np.asarray(db.query_sql(sql))
+    assert not any("join" in name for name, _ in last().operators)
+    np.testing.assert_array_equal(first, second)
+
+    # New build-table instance → new uid → the join re-materializes.
+    rate2 = rate * 2
+    db.register_table(
+        "rates",
+        HostTable.from_dict(
+            {"quantity": np.arange(16, dtype=np.float32), "rate": rate2}
+        ),
+    )
+    third = np.asarray(db.query_sql(sql))
+    assert any("join" in name for name, _ in last().operators)
+    np.testing.assert_allclose(third, first * 2, rtol=1e-6)

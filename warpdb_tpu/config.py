@@ -40,6 +40,10 @@ class EngineConfig:
     # all-to-all into two half-bucket exchanges and aggregate the first
     # half while the second is in flight on the ICI (DESIGN.md §6).
     shuffle_overlap: bool = False
+    # Materialized-join LRU per probe table (device tables are
+    # immutable, so a (build table, condition, columns) join result
+    # never goes stale).  0 disables.
+    join_cache_entries: int = 4
     # Distributed GROUP BY: key-count threshold between the all_gather
     # partial merge and the all-to-all shuffle.
     distributed_small_keys: int = 4096

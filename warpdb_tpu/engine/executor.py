@@ -541,14 +541,77 @@ def _materialize_join(
     With a multi-device ``mesh``, the join routes through the
     hash-partitioned all-to-all shuffle join (parallel/dist_join.py):
     local sorts over N/P rows + two O(N/P)-per-link exchanges instead of
-    global sorts over sharded arrays."""
+    global sorts over sharded arrays.
+
+    Results memoise per probe-table instance (LRU, config
+    ``join_cache_entries``): device tables are immutable, so the same
+    (build table, condition, projected columns) join can never go stale
+    — repeated star-schema queries skip the join entirely."""
+    from ..config import get_config
+
     pairs = _equality_pairs(cond)
 
+    cache_cap = get_config().join_cache_entries
+    memo = None
+    mkey = None
+    if cache_cap > 0:
+        memo = getattr(left, "_join_memo", None)
+        if memo is None:
+            from collections import OrderedDict
+
+            memo = left._join_memo = OrderedDict()
+        mkey = (
+            _table_uid(right), right_name, cond.canonical(),
+            None if needed is None else frozenset(needed),
+            None if mesh is None else int(mesh.devices.size),
+        )
+        hit = memo.get(mkey)
+        if hit is not None:
+            memo.move_to_end(mkey)
+            # keep the build table alive so its uid cannot be reused
+            _cached, _right_ref = hit
+            return _cached
+
     if mesh is not None and int(mesh.devices.size) > 1:
-        return _materialize_join_distributed(
+        out = _materialize_join_distributed(
             left, right, right_name, pairs, needed, mesh
         )
+        if memo is not None:
+            memo[mkey] = (out, right)
+            while len(memo) > cache_cap:
+                memo.popitem(last=False)
+        return out
 
+    out = _materialize_join_local(left, right, right_name, pairs, needed)
+    if memo is not None:
+        memo[mkey] = (out, right)
+        while len(memo) > cache_cap:
+            memo.popitem(last=False)
+    return out
+
+
+_TABLE_UID = [0]
+
+
+def _table_uid(table) -> int:
+    """Stable identity for a DeviceTable instance (id() can be reused
+    after garbage collection; this cannot)."""
+    uid = getattr(table, "_uid", None)
+    if uid is None:
+        _TABLE_UID[0] += 1
+        uid = table._uid = _TABLE_UID[0]
+    return uid
+
+
+def _materialize_join_local(
+    left: DeviceTable,
+    right: DeviceTable,
+    right_name: str,
+    pairs,
+    needed: Optional[set],
+) -> DeviceTable:
+    """Single-program inner equi-join (the mesh route and the join memo
+    live in :func:`_materialize_join`)."""
     lkeys = []
     rkeys = []
     pair_canons = []
