@@ -1434,3 +1434,107 @@ def test_join_memo_reuses_materialized_join():
     third = np.asarray(db.query_sql(sql))
     assert any("join" in name for name, _ in last().operators)
     np.testing.assert_allclose(third, first * 2, rtol=1e-6)
+
+
+# --- LEFT OUTER JOIN ----------------------------------------------------------
+
+
+def test_left_join_lookup_fills_nan():
+    """LEFT JOIN against a unique-key dimension table: unmatched probe
+    rows survive with build columns NaN (probe-preserving path)."""
+    q = np.array([0, 1, 2, 3, 7, 1], np.float32)  # 3 and 7 miss
+    p = np.array([10, 20, 30, 40, 50, 60], np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    db.register_table(
+        "rates",
+        HostTable.from_dict(
+            {
+                "quantity": np.array([0, 1, 2], np.float32),
+                "rate": np.array([0.5, 0.25, 2.0], np.float32),
+            }
+        ),
+    )
+    t = db.query_sql_table(
+        "SELECT price, rates.rate FROM t "
+        "LEFT JOIN rates ON quantity = rates.quantity"
+    )
+    cols = list(t.values())
+    np.testing.assert_allclose(cols[0], p, rtol=1e-6)
+    want = np.array([0.5, 0.25, 2.0, np.nan, np.nan, 0.25], np.float32)
+    np.testing.assert_allclose(cols[1], want, rtol=1e-6, equal_nan=True)
+    # Aggregates over the joined table see all probe rows.
+    cnt = db.query_sql(
+        "SELECT COUNT(price) FROM t LEFT JOIN rates "
+        "ON quantity = rates.quantity"
+    )
+    assert cnt[0] == len(q)
+
+
+def test_left_join_expansion_duplicates():
+    """General LEFT expansion: duplicate build keys multiply matches,
+    unmatched probe rows emit exactly one NaN-filled row."""
+    q = np.array([1, 2, 9, 2], np.float32)
+    p = np.array([10, 20, 30, 40], np.float32)
+    db = WarpDB(HostTable.from_dict({"k": q, "p": p}))
+    db.register_table(
+        "r",
+        HostTable.from_dict(
+            {
+                "k": np.array([1, 2, 2], np.float32),
+                "w": np.array([100, 200, 300], np.float32),
+            }
+        ),
+    )
+    t = db.query_sql_table(
+        "SELECT p, r.w FROM t LEFT JOIN r ON k = r.k"
+    )
+    got = sorted(
+        zip(list(t.values())[0], list(t.values())[1]),
+        key=lambda x: (x[0], x[1]),
+    )
+    # 1→(10,100); 2→(20,200),(20,300); 9→(30,NaN); 2→(40,200),(40,300)
+    assert len(got) == 6
+    vals = [g[0] for g in got]
+    assert vals == [10.0, 20.0, 20.0, 30.0, 40.0, 40.0]
+    assert np.isnan(got[3][1])
+    assert {got[1][1], got[2][1]} == {200.0, 300.0}
+
+
+def test_left_join_string_keys_decode_empty():
+    from warpdb_tpu import DataType
+
+    c = np.array(["a", "b", "zz", "a"], dtype=object)
+    p = np.array([1, 2, 3, 4], np.float32)
+    db = WarpDB(
+        HostTable.from_dict(
+            {"city": c, "price": p}, dtypes={"city": DataType.STRING}
+        )
+    )
+    db.register_table(
+        "geo",
+        HostTable.from_dict(
+            {
+                "city": np.array(["a", "b"], dtype=object),
+                "name": np.array(["alpha", "beta"], dtype=object),
+            },
+            dtypes={"city": DataType.STRING, "name": DataType.STRING},
+        ),
+    )
+    t = db.query_sql_table(
+        "SELECT price, geo.name FROM t LEFT JOIN geo ON city = geo.city"
+    )
+    cols = list(t.values())
+    np.testing.assert_allclose(cols[0], p)
+    assert cols[1] == ["alpha", "beta", "", "alpha"]
+
+
+def test_inner_join_keyword_variants(db):
+    a = db.query_sql(
+        "SELECT price FROM test JOIN test ON quantity = quantity "
+        "ORDER BY price ASC"
+    )
+    b = db.query_sql(
+        "SELECT price FROM test INNER JOIN test ON quantity = quantity "
+        "ORDER BY price ASC"
+    )
+    assert a == b

@@ -530,6 +530,7 @@ def _materialize_join(
     cond: Node,
     needed: Optional[set] = None,
     mesh=None,
+    kind: str = "inner",
 ) -> DeviceTable:
     """Execute one inner equi-join, producing a new padded DeviceTable.
 
@@ -561,7 +562,7 @@ def _materialize_join(
 
             memo = left._join_memo = OrderedDict()
         mkey = (
-            _table_uid(right), right_name, cond.canonical(),
+            _table_uid(right), right_name, cond.canonical(), kind,
             None if needed is None else frozenset(needed),
             None if mesh is None else int(mesh.devices.size),
         )
@@ -572,7 +573,9 @@ def _materialize_join(
             _cached, _right_ref = hit
             return _cached
 
-    if mesh is not None and int(mesh.devices.size) > 1:
+    if mesh is not None and int(mesh.devices.size) > 1 and kind == "inner":
+        # LEFT joins take the single-program path on a mesh for now
+        # (XLA partitions its sorts; correct, not yet shuffle-optimised).
         out = _materialize_join_distributed(
             left, right, right_name, pairs, needed, mesh
         )
@@ -582,7 +585,9 @@ def _materialize_join(
                 memo.popitem(last=False)
         return out
 
-    out = _materialize_join_local(left, right, right_name, pairs, needed)
+    out = _materialize_join_local(
+        left, right, right_name, pairs, needed, kind
+    )
     if memo is not None:
         memo[mkey] = (out, right)
         while len(memo) > cache_cap:
@@ -603,15 +608,34 @@ def _table_uid(table) -> int:
     return uid
 
 
+def _left_fill_stats(st, is_dict: bool, n_miss: int):
+    """Adjust a build-side column's carried stats for LEFT-join fill
+    values: numeric columns gain a NaN (null_count+1 keeps the range
+    gates honest); dictionary columns extend their code range to the
+    miss code -1 so dense grouping gives misses their own slot."""
+    if n_miss <= 0:
+        return st
+    from ..storage.table import ColumnStats
+
+    if is_dict:
+        return ColumnStats(min=-1.0, max=st.max, null_count=st.null_count)
+    return ColumnStats(
+        min=st.min, max=st.max, null_count=st.null_count + 1
+    )
+
+
 def _materialize_join_local(
     left: DeviceTable,
     right: DeviceTable,
     right_name: str,
     pairs,
     needed: Optional[set],
+    kind: str = "inner",
 ) -> DeviceTable:
-    """Single-program inner equi-join (the mesh route and the join memo
-    live in :func:`_materialize_join`)."""
+    """Single-program equi-join (the mesh route and the join memo live
+    in :func:`_materialize_join`).  ``kind="left"`` keeps unmatched
+    probe rows: emission counts become ``max(matches, 1)`` and the
+    missing build-side values fill NaN (string codes -1)."""
     lkeys = []
     rkeys = []
     pair_canons = []
@@ -660,17 +684,24 @@ def _materialize_join_local(
             # 1:1 detector: when no probe row matches more than one build
             # row AND every valid probe row matches, the join degenerates
             # to a per-row lookup (see the probe-preserving path below).
-            return p1, jnp.all(p1.counts <= 1)
+            # n_miss (valid probe rows with no match) sizes LEFT joins.
+            n_miss = jnp.sum(
+                jnp.logical_and(lmask, p1.counts == 0).astype(jnp.int32)
+            )
+            return p1, jnp.all(p1.counts <= 1), n_miss
 
         return phase1
 
-    phase1, one2one = get_or_compile(key, build_phase1)(
+    phase1, one2one, n_miss_dev = get_or_compile(key, build_phase1)(
         tuple(lkeys), tuple(rkeys),
         jnp.int32(left.num_rows), jnp.int32(right.num_rows),
     )
     total = int(phase1.total)
+    n_miss = int(n_miss_dev) if kind == "left" else 0
 
-    if bool(one2one) and total == left.num_rows:
+    if bool(one2one) and (
+        kind == "left" or total == left.num_rows
+    ):
         # Probe-preserving lookup join: every valid probe row matches
         # exactly one build row, so the output IS the probe table (all
         # left columns carried by reference — zero copies, zero gathers)
@@ -691,6 +722,7 @@ def _materialize_join_local(
             left.padded_rows,
             right.padded_rows,
             dense_k,
+            kind,
         )
 
         def build_lookup():
@@ -702,6 +734,12 @@ def _materialize_join_local(
             def lookup(p1, rcols, n_left):
                 n_pad = p1.lo.shape[0]
                 valid = jnp.arange(n_pad, dtype=jnp.int32) < n_left
+                if kind == "left":
+                    # LEFT lookup: unmatched probe rows keep their slot
+                    # clipped (value discarded) and fill NaN / code -1.
+                    row_matched = jnp.logical_and(valid, p1.counts > 0)
+                else:
+                    row_matched = None
                 n_build = p1.build_order.shape[0]
                 slot = jnp.clip(p1.lo, 0, n_build - 1)
                 perm = tuple(rcols[n][p1.build_order] for n in rnames)
@@ -731,6 +769,18 @@ def _materialize_join_local(
                     taken = tuple(taken)
                 else:
                     taken = stacked_take(perm, slot, valid)
+                if row_matched is not None:
+                    filled = []
+                    for n, v in zip(rnames, taken):
+                        if v.dtype == jnp.int32:
+                            fill = jnp.int32(-1)
+                        else:
+                            fill = jnp.float32(jnp.nan)
+                        filled.append(jnp.where(row_matched, v, fill))
+                    taken = tuple(
+                        jnp.where(valid, v, jnp.zeros((), v.dtype))
+                        for v in filled
+                    )
                 return dict(zip(rnames, taken))
 
             return lookup
@@ -752,14 +802,16 @@ def _materialize_join_local(
             dicts.setdefault(name, vocab)
         stats = dict(left.stats)
         for name, st in right.stats.items():
-            stats[f"{right_name}.{name}"] = st
-            stats.setdefault(name, st)
+            st2 = _left_fill_stats(st, name in right.dicts, n_miss)
+            stats[f"{right_name}.{name}"] = st2
+            stats.setdefault(name, st2)
         return DeviceTable(
             new_cols, dtypes, left.num_rows, left.padded_rows,
             stats=stats, dicts=dicts,
         )
 
-    capacity = max(_next_pow2(total), 1024)
+    total_emit = total + n_miss
+    capacity = max(_next_pow2(total_emit), 1024)
 
     # Projection pushdown: only gather columns the query references
     # (unqualified or via this join's qualifier).
@@ -787,6 +839,7 @@ def _materialize_join_local(
         schema_signature(rcols_in),
         capacity,
         right_name,
+        kind,
     )
 
     def build_expand_gather():
@@ -804,8 +857,21 @@ def _materialize_join_local(
             return lax.bitcast_convert_type(arr, jnp.uint32)
 
         @jax.jit
-        def indices(p1):
-            return join_gather_indices(p1, capacity, return_slot=True)
+        def indices(p1, n_left):
+            if kind == "left":
+                lmask = (
+                    jnp.arange(p1.counts.shape[0], dtype=jnp.int32) < n_left
+                )
+                emit = jnp.where(lmask, jnp.maximum(p1.counts, 1), 0)
+                p1e = p1._replace(counts=emit, total=jnp.sum(emit))
+                return join_gather_indices(
+                    p1e, capacity, return_slot=True,
+                    matched_counts=p1.counts,
+                )
+            pidx, slot, valid = join_gather_indices(
+                p1, capacity, return_slot=True
+            )
+            return pidx, slot, valid, None
 
         def _take(m, idx):
             # 2-D index block keeps the gather output's minor dim 128-wide;
@@ -836,8 +902,21 @@ def _materialize_join_local(
                 for c in cols_tuple
             )
 
-        def expand_gather(p1, lcols, rcols):
-            pidx, slot, valid = indices(p1)
+        @jax.jit
+        def left_fill(rt_tuple, matched, valid):
+            filled = []
+            for v in rt_tuple:
+                fill = (
+                    jnp.int32(-1)
+                    if v.dtype == jnp.int32
+                    else jnp.float32(jnp.nan)
+                )
+                f = jnp.where(matched, v, fill)
+                filled.append(jnp.where(valid, f, jnp.zeros((), v.dtype)))
+            return tuple(filled)
+
+        def expand_gather(p1, lcols, rcols, n_left):
+            pidx, slot, valid, matched = indices(p1, n_left)
             out = {}
             if lnames:
                 lt = take_probe(tuple(lcols[n] for n in lnames), pidx, valid)
@@ -848,6 +927,8 @@ def _materialize_join_local(
                     tuple(rcols[n] for n in rnames), slot, valid,
                     p1.build_order,
                 )
+                if kind == "left":
+                    rt = left_fill(rt, matched, valid)
                 for n, arr in zip(rnames, rt):
                     out[f"{right_name}.{n}"] = arr
             return out
@@ -855,7 +936,7 @@ def _materialize_join_local(
         return expand_gather
 
     new_cols = get_or_compile(key2, build_expand_gather)(
-        phase1, lcols_in, rcols_in
+        phase1, lcols_in, rcols_in, jnp.int32(left.num_rows)
     )
     # Bare right-side names that don't collide stay addressable unqualified.
     for name in rcols_in:
@@ -877,10 +958,11 @@ def _materialize_join_local(
     # paths (dense GROUP BY, value-space top-k) live after a join.
     stats = dict(left.stats)
     for name, st in right.stats.items():
-        stats[f"{right_name}.{name}"] = st
-        stats.setdefault(name, st)
+        st2 = _left_fill_stats(st, name in right.dicts, n_miss)
+        stats[f"{right_name}.{name}"] = st2
+        stats.setdefault(name, st2)
     return DeviceTable(
-        new_cols, dtypes, total, capacity, stats=stats, dicts=dicts
+        new_cols, dtypes, total_emit, capacity, stats=stats, dicts=dicts
     )
 
 
@@ -970,7 +1052,7 @@ def _materialize_joins(
         right = catalog.get(join.table, table)
         current = _materialize_join(
             current, right, join.table, join.condition, needed=needed,
-            mesh=mesh,
+            mesh=mesh, kind=getattr(join, "kind", "inner"),
         )
     return current
 

@@ -98,8 +98,13 @@ def explain_query(
                 how = (
                     "sort-merge: match-count -> pow2 capacity -> gather"
                 )
+        jk = (
+            "left outer"
+            if getattr(join, "kind", "inner") == "left"
+            else "inner"
+        )
         lines.append(
-            f"  join: inner equi-join with '{join.table}' on "
+            f"  join: {jk} equi-join with '{join.table}' on "
             f"{_fmt(join.condition)} "
             f"[{how}; build side {right.num_rows} rows]"
         )

@@ -321,6 +321,10 @@ class OrderBy:
 class Join:
     table: str
     condition: Node
+    # "inner" (default) or "left": LEFT OUTER JOIN keeps unmatched probe
+    # rows with build-side columns filled NaN (codes -1 for strings) —
+    # the engine's missing-value marker (it has no NULL representation).
+    kind: str = "inner"
 
 
 @dataclass(frozen=True)
@@ -352,7 +356,8 @@ class Query:
         parts.append(", ".join(e.canonical() for e in self.select_list))
         parts.append(f"FROM {self.from_table}")
         for j in self.joins:
-            parts.append(f"JOIN {j.table} ON {j.condition.canonical()}")
+            prefix = "LEFT JOIN" if j.kind == "left" else "JOIN"
+            parts.append(f"{prefix} {j.table} ON {j.condition.canonical()}")
         if self.where is not None:
             parts.append(f"WHERE {self.where.canonical()}")
         if self.group_by is not None:

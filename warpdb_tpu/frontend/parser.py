@@ -309,7 +309,10 @@ def parse_expression_text(text: str) -> Node:
 # SQL query parser
 # ---------------------------------------------------------------------------
 
-_CLAUSE_BOUNDARY_AFTER_JOIN = ("WHERE", "GROUP", "ORDER", "HAVING", "JOIN", "LIMIT", "OFFSET")
+_CLAUSE_BOUNDARY_AFTER_JOIN = (
+    "WHERE", "GROUP", "ORDER", "HAVING", "JOIN", "LEFT", "INNER",
+    "LIMIT", "OFFSET",
+)
 _CLAUSE_BOUNDARY_AFTER_WHERE = ("GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET")
 _CLAUSE_BOUNDARY_AFTER_HAVING = ("ORDER", "LIMIT", "OFFSET")
 
@@ -581,8 +584,18 @@ class _QueryParser:
         q.from_table = self.toks[self.pos].value
         self.pos += 1
 
-        while self.at_kw("JOIN"):
-            self.pos += 1
+        while (
+            self.at_kw("JOIN") or self.at_kw("LEFT") or self.at_kw("INNER")
+        ):
+            kind = "inner"
+            if self.at_kw("LEFT"):
+                kind = "left"
+                self.pos += 1
+                if self.at_kw("OUTER"):
+                    self.pos += 1
+            elif self.at_kw("INNER"):
+                self.pos += 1
+            self.expect_kw("JOIN")
             if (
                 self.pos >= len(self.toks)
                 or self.toks[self.pos].type is not TokenType.IDENTIFIER
@@ -595,7 +608,7 @@ class _QueryParser:
             self.pos += 1
             self.expect_kw("ON")
             cond = parse_expression(self.slice_until(*_CLAUSE_BOUNDARY_AFTER_JOIN))
-            q.joins.append(Join(table, cond))
+            q.joins.append(Join(table, cond, kind))
 
         if self.at_kw("WHERE"):
             self.pos += 1

@@ -229,7 +229,8 @@ def stacked_take(cols, idx, valid):
 
 
 def join_gather_indices(
-    phase1: JoinPhase1, capacity: int, return_slot: bool = False
+    phase1: JoinPhase1, capacity: int, return_slot: bool = False,
+    matched_counts=None,
 ):
     """Phase 2: expand matches into (probe_idx, build_idx) pairs.
 
@@ -241,6 +242,12 @@ def join_gather_indices(
     shuffle, cheap) skip one capacity-sized random gather — gathers are
     the dominant cost of the expansion on TPU (~0.5 s per 2^25 output
     at 4 B/row vs ~0.45 s for an entire stacked multi-column take).
+
+    LEFT OUTER expansion: the caller rewrites ``phase1.counts`` to the
+    EMISSION counts (``max(matches, 1)`` per valid probe row) and passes
+    the original match counts as ``matched_counts``; a fourth output
+    then flags which emitted rows actually matched a build row (the
+    rest take the missing-value fill).
     """
     counts = phase1.counts
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
@@ -260,26 +267,35 @@ def join_gather_indices(
         .max(row_ids, mode="drop")
     )
     probe_idx = lax.cummax(seg)
+    rows = [offsets, phase1.lo]
+    if matched_counts is not None:
+        rows.append(matched_counts)
     if capacity % 1024 == 0:
-        # One stacked 2-D take for both per-probe lookups (offsets, lo):
-        # TPU gather cost is per-row dominated, so sharing the index
-        # halves it; the 2-D index block keeps the output minor dim
-        # 128-wide (a flat index emits a [capacity, 2] intermediate that
-        # tile-pads 64x).
-        m = jnp.stack([offsets, phase1.lo], axis=0)
+        # One stacked 2-D take for all per-probe lookups (offsets, lo,
+        # [matched counts]): TPU gather cost is per-row dominated, so
+        # sharing the index amortises it; the 2-D index block keeps the
+        # output minor dim 128-wide (a flat index emits a [capacity, C]
+        # intermediate that tile-pads 64x).
+        m = jnp.stack(rows, axis=0)
         t = jnp.take(m, probe_idx.reshape(-1, 1024), axis=1)
-        t = t.reshape(2, capacity)
-        off_r, lo_r = t[0], t[1]
+        t = t.reshape(len(rows), capacity)
+        taken = tuple(t[i] for i in range(len(rows)))
     else:
-        off_r, lo_r = offsets[probe_idx], phase1.lo[probe_idx]
+        taken = tuple(a[probe_idx] for a in rows)
+    off_r, lo_r = taken[0], taken[1]
     dup_j = r - off_r
     slot = lo_r + dup_j
     n_build = phase1.build_order.shape[0]
     slot = jnp.clip(slot, 0, n_build - 1)
     valid = r < phase1.total
     probe_idx = jnp.where(valid, probe_idx, 0)
+    matched = None
+    if matched_counts is not None:
+        matched = jnp.logical_and(valid, dup_j < taken[2])
     if return_slot:
-        return probe_idx, jnp.where(valid, slot, 0), valid
+        out = (probe_idx, jnp.where(valid, slot, 0), valid)
+        return out + (matched,) if matched is not None else out
     build_idx = phase1.build_order[slot]
     build_idx = jnp.where(valid, build_idx, 0)
-    return probe_idx, build_idx, valid
+    out = (probe_idx, build_idx, valid)
+    return out + (matched,) if matched is not None else out

@@ -74,12 +74,16 @@ def literal_code(vocab: np.ndarray, text: str) -> float:
 
 
 def decode_codes(codes: np.ndarray, vocab: np.ndarray) -> list:
-    """Map integer codes (possibly float-typed) back to strings."""
-    idx = np.asarray(codes)
-    idx = np.clip(np.rint(idx).astype(np.int64), 0, max(len(vocab) - 1, 0))
+    """Map integer codes (possibly float-typed) back to strings.
+    Negative codes (LEFT-join misses) decode as the empty string."""
+    raw = np.rint(np.asarray(codes)).astype(np.int64)
+    idx = np.clip(raw, 0, max(len(vocab) - 1, 0))
     if len(vocab) == 0:
         return [""] * len(idx)
-    return [str(v) for v in vocab[idx]]
+    out = [str(v) for v in vocab[idx]]
+    return [
+        "" if r < 0 else s for r, s in zip(raw, out)
+    ]
 
 
 def vocab_mapping(from_vocab: np.ndarray, to_vocab: np.ndarray) -> np.ndarray:
