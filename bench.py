@@ -242,6 +242,9 @@ def main() -> None:
             "WHERE price > 99.5"
         ),
         "e2e_distinct": "SELECT DISTINCT quantity FROM t",
+        # Order-preserving filtered projection: two-phase compaction,
+        # O(matches) transfer (~0.5% selectivity here).
+        "e2e_filter_project": "SELECT price FROM t WHERE price > 99.5",
         "e2e_group_highcard": "SELECT SUM(price) FROM t GROUP BY k LIMIT 5",
     }
     for name, sql in breadth.items():

@@ -1538,3 +1538,45 @@ def test_inner_join_keyword_variants(db):
         "ORDER BY price ASC"
     )
     assert a == b
+
+
+def test_running_window_min_max():
+    """Running MIN/MAX over ordered partitions (r2: segmented doubling
+    scan replaced the associative_scan, unlocking order statistics)."""
+    k = np.array([1, 1, 1, 2, 2], np.float32)
+    o = np.array([1, 2, 3, 1, 2], np.float32)
+    v = np.array([5.0, 3.0, 4.0, 7.0, 9.0], np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "o": o, "v": v}))
+    got_min = np.asarray(
+        db.query_sql("SELECT MIN(v) OVER (PARTITION BY k ORDER BY o) FROM t")
+    )
+    np.testing.assert_allclose(got_min, [5, 3, 3, 7, 7])
+    got_max = np.asarray(
+        db.query_sql("SELECT MAX(v) OVER (PARTITION BY k ORDER BY o) FROM t")
+    )
+    np.testing.assert_allclose(got_max, [5, 5, 5, 7, 9])
+    # DESC order runs the scan over the reversed order.
+    got_desc = np.asarray(
+        db.query_sql(
+            "SELECT MAX(v) OVER (PARTITION BY k ORDER BY o DESC) FROM t"
+        )
+    )
+    np.testing.assert_allclose(got_desc, [5, 4, 4, 9, 9])
+
+
+def test_running_window_scan_matches_numpy_large():
+    rng = np.random.default_rng(71)
+    n = 5000
+    k = rng.integers(0, 7, n).astype(np.float32)
+    o = rng.permutation(n).astype(np.float32)
+    v = rng.uniform(-5, 5, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "o": o, "v": v}))
+    got = np.asarray(
+        db.query_sql("SELECT SUM(v) OVER (PARTITION BY k ORDER BY o) FROM t")
+    )
+    want = np.zeros(n, np.float64)
+    for kk in np.unique(k):
+        idx = np.where(k == kk)[0]
+        order = idx[np.argsort(o[idx], kind="stable")]
+        want[order] = np.cumsum(v[order].astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -1873,12 +1873,34 @@ def _run_projection_multi(
     if order is not None and query.limit is not None and limit_total > 0:
         sort_cap = min(table.padded_rows, _next_pow2(max(limit_total, 16)))
 
+    # Order-preserving filtered multi-projection: two-phase compaction
+    # so every column ships O(matches) (see _run_projection).
+    filter_cap = 0
+    if order is None and where is not None:
+        ckey = ("project_count", where_canon, schema_signature(cols),
+                udf_mod.registry_version())
+
+        def build_count():
+            cond_fn = build_evaluator(where)
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = jnp.logical_and(
+                    _valid_mask(cols, num_rows), _as_bool(cond_fn(cols))
+                )
+                return jnp.sum(valid.astype(jnp.int32))
+
+            return kernel
+
+        n_match = int(jax.device_get(
+            get_or_compile(ckey, build_count)(cols, n_rows)
+        ))
+        filter_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
+
     pkey = ("project_multi", items_canon, where_canon, order_canon, sort_cap,
-            schema_signature(cols), udf_mod.registry_version())
+            filter_cap, schema_signature(cols), udf_mod.registry_version())
 
     def build():
-        from ..ops.sort import float_sort_key
-
         sel_fns = [build_evaluator(s) for s in select_items]
         cond_fn = build_evaluator(where) if where is not None else None
         ord_fns = [
@@ -1895,7 +1917,21 @@ def _run_projection_multi(
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             count = jnp.sum(valid.astype(jnp.int32))
             if not ord_fns:
-                return outs, valid, count
+                if cond_fn is None:
+                    return outs, None, count
+                # Stable position-sort compaction carrying every select
+                # column; slice to the counted capacity.
+                n_pad = outs[0].shape[0]
+                pos = jnp.arange(n_pad, dtype=jnp.uint32)
+                ck = jnp.where(valid, pos, jnp.uint32(0xFFFFFFFF))
+                sorted_ops = jax.lax.sort(
+                    (ck, *outs), num_keys=1, is_stable=True
+                )
+                return (
+                    tuple(o[:filter_cap] for o in sorted_ops[1:]),
+                    None,
+                    count,
+                )
             from ..ops.sort import order_key
 
             keys = []
@@ -1909,25 +1945,17 @@ def _run_projection_multi(
                 is_stable=True,
             )
             outs_s = sorted_ops[nk:-1]
-            valid_s = sorted_ops[-1].astype(jnp.bool_)
             if sort_cap:
                 outs_s = tuple(o[:sort_cap] for o in outs_s)
-                valid_s = valid_s[:sort_cap]
-            return tuple(outs_s), valid_s, count
+            return tuple(outs_s), None, count
 
         return kernel
 
-    outs, valid, count = jax.device_get(
+    outs, _valid, count = jax.device_get(
         get_or_compile(pkey, build)(cols, n_rows)
     )
     count = int(count)
-    results = []
-    for out in outs:
-        if order is not None:
-            results.append(out[:count].astype(np.float32))
-        else:
-            results.append(out[valid].astype(np.float32))
-    return results
+    return [out[:count].astype(np.float32) for out in outs]
 
 
 def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
@@ -1940,8 +1968,9 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     ~0.14 G rows/s) — instead every downstream operator consumes the
     validity mask directly (sorts/distinct push invalid lanes to the
     back via sentinels), and the order-preserving plain-projection case
-    finishes with a host-side boolean gather on the already-transferred
-    buffer."""
+    compacts with a two-phase stable position sort so the transfer is
+    O(matches), never O(N) (shipping the padded column + mask through
+    the relay dwarfed the sort cost)."""
     select = query.select_list[0]
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
@@ -2013,9 +2042,36 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     ):
         sort_cap = min(table.padded_rows, _next_pow2(max(limit_total, 16)))
 
+    # Order-preserving filtered projection (no ORDER BY): two-phase so
+    # the device→host transfer is O(matches), not O(N) — shipping the
+    # full padded column + mask through the relay costs far more than
+    # the counting pass + the stable position-sort compaction (the same
+    # protocol the filtered-window path uses).
+    filter_cap = 0
+    if order is None and where is not None and not distinct:
+        ckey = ("project_count", where_canon, schema_signature(cols),
+                udf_mod.registry_version())
+
+        def build_count():
+            cond_fn = build_evaluator(where)
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = jnp.logical_and(
+                    _valid_mask(cols, num_rows), _as_bool(cond_fn(cols))
+                )
+                return jnp.sum(valid.astype(jnp.int32))
+
+            return kernel
+
+        n_match = int(jax.device_get(
+            get_or_compile(ckey, build_count)(cols, n_rows)
+        ))
+        filter_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
+
     pkey = ("project", select_canon, where_canon, order_canon, distinct,
             None if order is None else order.ascending, topk_k, sort_cap,
-            schema_signature(cols), udf_mod.registry_version())
+            filter_cap, schema_signature(cols), udf_mod.registry_version())
 
     def build():
         from ..ops.sort import sort_by_keys
@@ -2058,8 +2114,13 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
             if cond_fn is None:
                 # Dense already: rows [0, num_rows) are the result.
                 return vals, None, count
-            # Order-preserving filter: ship values + mask, gather on host.
-            return vals, valid, count
+            # Order-preserving compaction: stable sort on original
+            # position with an invalid-last key, sliced to the counted
+            # capacity — the transfer is O(matches).
+            pos = jnp.arange(n_pad, dtype=jnp.uint32)
+            ck = jnp.where(valid, pos, jnp.uint32(0xFFFFFFFF))
+            _, vals_c = jax.lax.sort((ck, vals), num_keys=1, is_stable=True)
+            return vals_c[:filter_cap], None, count
 
         return kernel
 

@@ -666,6 +666,33 @@ def window_rank(
     return jnp.where(valid, out, 0.0)
 
 
+def segmented_inclusive_scan(v: jax.Array, first: jax.Array, op, identity):
+    """True segmented inclusive scan via Hillis–Steele doubling.
+
+    ``lax.associative_scan`` unrolls a Python-built slice tree whose XLA
+    TPU compile time grows super-linearly with n (measured: a
+    2^24-element scan pushed a program past 10 minutes of compilation),
+    and there is no segmented-scan primitive.  Explicit doubling sticks
+    to concatenate/where/``op`` — log2(n) O(n) passes that compile
+    instantly and stream at HBM speed: element i combines with element
+    i−s iff both lie in the same segment (distance into the segment
+    ≥ s), the classic flag-free formulation using the distance from the
+    segment start."""
+    n = v.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    seg_start = lax.cummax(jnp.where(first, pos, 0))
+    off = pos - seg_start  # distance into own segment
+    ident = jnp.full((1,), identity, v.dtype)
+    shift = 1
+    while shift < n:
+        prev = jnp.concatenate(
+            [jnp.broadcast_to(ident, (shift,)), v[:-shift]]
+        )
+        v = jnp.where(off >= shift, op(v, prev), v)
+        shift *= 2
+    return v
+
+
 def window_running(
     part_keys,
     order_keys: jax.Array,
@@ -681,10 +708,10 @@ def window_running(
     ``part_keys`` may be one f32 array or a tuple (composite partitions).
 
     Sort once by (partition keys…, order key), then a true segmented
-    inclusive scan, then scatter back through the inverse permutation.
-    SUM/COUNT/AVG only (running MIN/MAX needs a segmented min-scan;
-    deliberate v1 limit)."""
-    if agg not in ("sum", "count", "avg"):
+    inclusive scan (:func:`segmented_inclusive_scan` — no
+    associative_scan compile hazard), then scatter back through the
+    inverse permutation.  Supports SUM/COUNT/AVG/MIN/MAX."""
+    if agg not in ("sum", "count", "avg", "min", "max"):
         raise ValueError(f"Running window aggregate '{agg}' not supported")
     part_keys = _as_key_tuple(part_keys)
     n = values.shape[0]
@@ -709,32 +736,32 @@ def window_running(
     first = _partition_boundaries(pkeys_s, valid_s)
 
     ones = valid_s.astype(jnp.float32)
-    v = jnp.where(valid_s, val_s, 0.0)
 
-    # True segmented inclusive scan: the classic associative operator
-    # that resets at segment boundaries.  (A global cumsum minus a
-    # per-segment base would catastrophically cancel in f32 once the
-    # global sum dwarfs individual running values.)
-    #
-    # NOTE: lax.associative_scan unrolls a Python-built slice tree whose
-    # XLA TPU compile time grows super-linearly with n (measured: a
-    # 2^24-element maximum-scan pushed a program past 10 minutes of
-    # compilation; the fused cum* primitives compile instantly).  There
-    # is no segmented-scan primitive, so running windows keep the
-    # associative_scan — fine at the row counts where running windows
-    # make sense, but expect slow first compiles beyond ~2^22 rows.
-    def seg_combine(a, b):
-        (va, sa), (vb, sb) = a, b
-        return (jnp.where(sb, vb, va + vb), jnp.logical_or(sa, sb))
-
-    run_sum, _ = lax.associative_scan(seg_combine, (v, first))
-    run_cnt, _ = lax.associative_scan(seg_combine, (ones, first))
-    if agg == "sum":
-        out_s = run_sum
-    elif agg == "count":
-        out_s = run_cnt
+    # A global cumsum minus a per-segment base would catastrophically
+    # cancel in f32 once the global sum dwarfs individual running
+    # values — the segmented scan combines only within segments.
+    if agg == "min":
+        v = jnp.where(valid_s, val_s, jnp.inf)
+        out_s = segmented_inclusive_scan(v, first, jnp.minimum, jnp.inf)
+    elif agg == "max":
+        v = jnp.where(valid_s, val_s, -jnp.inf)
+        out_s = segmented_inclusive_scan(v, first, jnp.maximum, -jnp.inf)
     else:
-        out_s = run_sum / jnp.maximum(run_cnt, 1.0)
+        v = jnp.where(valid_s, val_s, 0.0)
+        run_sum = segmented_inclusive_scan(
+            v, first, lambda a, b: a + b, 0.0
+        )
+        if agg == "sum":
+            out_s = run_sum
+        else:
+            run_cnt = segmented_inclusive_scan(
+                ones, first, lambda a, b: a + b, 0.0
+            )
+            out_s = (
+                run_cnt
+                if agg == "count"
+                else run_sum / jnp.maximum(run_cnt, 1.0)
+            )
 
     out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
     return jnp.where(valid, out, 0.0)
