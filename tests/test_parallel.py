@@ -729,3 +729,38 @@ def test_shuffle_overlap_variant_matches(mesh):
     np.testing.assert_allclose(res_ovl.sums, res_plain.sums, rtol=1e-5)
     np.testing.assert_array_equal(res_ovl.mins, res_plain.mins)
     np.testing.assert_array_equal(res_ovl.maxs, res_plain.maxs)
+
+
+def test_mesh_left_join_distributed(mesh):
+    """LEFT JOIN across the mesh: unmatched probe rows survive the
+    shuffle with NaN-filled build columns."""
+    rng = np.random.default_rng(81)
+    n = 10_000
+    k = rng.integers(0, 40, n).astype(np.float32)  # 20..39 miss
+    p = rng.uniform(1, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "price": p})).distribute(mesh)
+    db.register_table(
+        "dim",
+        HostTable.from_dict(
+            {
+                "k": np.arange(20, dtype=np.float32),
+                "w": rng.uniform(1, 2, 20).astype(np.float32),
+            }
+        ),
+    )
+    got = np.asarray(
+        db.query_sql(
+            "SELECT COUNT(price) FROM t LEFT JOIN dim ON k = dim.k"
+        )
+    )
+    assert got[0] == n  # every probe row survives
+    # Matched-only SUM: NaN fill removes unmatched rows from the SUM
+    # via the WHERE (comparisons with NaN are false).
+    got2 = np.asarray(
+        db.query_sql(
+            "SELECT SUM(price) FROM t LEFT JOIN dim ON k = dim.k "
+            "WHERE dim.w > 0"
+        )
+    )
+    want = p[k < 20].sum()
+    np.testing.assert_allclose(got2, [want], rtol=1e-4)

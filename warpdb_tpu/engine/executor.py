@@ -477,7 +477,7 @@ def _translated_right_key(left, right, left_var, right_var):
 
 
 def _materialize_join_distributed(
-    left, right, right_name, pairs, needed, mesh
+    left, right, right_name, pairs, needed, mesh, kind: str = "inner"
 ) -> DeviceTable:
     """Mesh route for one equi-join: resolve sides + string-key vocab
     translation here (on the resharded right table, so the translated
@@ -519,7 +519,7 @@ def _materialize_join_distributed(
     ]
     return distributed_join_table(
         left, right, right_name, left_key_names, right_key_arrays,
-        left_payload, right_payload, mesh,
+        left_payload, right_payload, mesh, kind=kind,
     )
 
 
@@ -573,11 +573,9 @@ def _materialize_join(
             _cached, _right_ref = hit
             return _cached
 
-    if mesh is not None and int(mesh.devices.size) > 1 and kind == "inner":
-        # LEFT joins take the single-program path on a mesh for now
-        # (XLA partitions its sorts; correct, not yet shuffle-optimised).
+    if mesh is not None and int(mesh.devices.size) > 1:
         out = _materialize_join_distributed(
-            left, right, right_name, pairs, needed, mesh
+            left, right, right_name, pairs, needed, mesh, kind
         )
         if memo is not None:
             memo[mkey] = (out, right)

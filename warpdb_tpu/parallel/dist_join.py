@@ -74,7 +74,10 @@ def _partition_exchange(keys, payloads, valid, n_dev, send_cap):
     row_idx = order[src]
 
     send_keys = [jnp.where(send_valid, k[row_idx], 0.0) for k in keys]
-    send_payloads = [jnp.where(send_valid, p[row_idx], 0.0) for p in payloads]
+    send_payloads = [
+        jnp.where(send_valid, p[row_idx], jnp.zeros((), p.dtype))
+        for p in payloads
+    ]
     overflow = jnp.max(counts) > send_cap
 
     recv_keys = [
@@ -105,6 +108,7 @@ def _run_dist_join(
     overcommit: float,
     right_key_arrays=None,
     repack: bool = False,
+    kind: str = "inner",
 ):
     """Core shuffle join.  ``right_key_arrays`` optionally overrides the
     right key columns (already-translated string codes).
@@ -141,7 +145,7 @@ def _run_dist_join(
         key = (
             "dist_join", lk_names, rk_names, lp, rp,
             schema_signature(left.columns), schema_signature(right.columns),
-            rkeys_in is not None, repack,
+            rkeys_in is not None, repack, kind,
             n_dev, send_cap_l, send_cap_r, out_cap,
         )
 
@@ -163,30 +167,63 @@ def _run_dist_join(
                     if rkey_override is not None
                     else tuple(rcols[c] for c in rk_names)
                 )
+                # Keys hash/compare as f32; payloads ride their RAW
+                # dtypes (an f32 round-trip would clip int32 values
+                # beyond 2^24 — stacked_take bitcasts internally, the
+                # exchange only selects).
                 lk, lpay, lv, ovl = _partition_exchange(
                     tuple(lcols[c].astype(jnp.float32) for c in lk_names),
-                    [lcols[c].astype(jnp.float32) for c in lp],
+                    [lcols[c] for c in lp],
                     l_valid, n_dev, send_cap_l,
                 )
                 rk, rpay, rv, ovr = _partition_exchange(
                     tuple(k.astype(jnp.float32) for k in rkey_cols),
-                    [rcols[c].astype(jnp.float32) for c in rp],
+                    [rcols[c] for c in rp],
                     r_valid, n_dev, send_cap_r,
                 )
 
                 phase1 = join_match_counts(lk, lv, rk, rv)
-                probe_idx, build_idx, pair_valid = join_gather_indices(
-                    phase1, out_cap
-                )
-                out_overflow = phase1.total > out_cap
+                if kind == "left":
+                    # Every valid probe row lands on exactly one device
+                    # after the exchange, so LEFT semantics apply
+                    # per-shard: emission counts max(matches, 1) and
+                    # unmatched rows take the missing-value fill.
+                    emit = jnp.where(lv, jnp.maximum(phase1.counts, 1), 0)
+                    p1e = phase1._replace(counts=emit, total=jnp.sum(emit))
+                    probe_idx, build_idx, pair_valid, matched = (
+                        join_gather_indices(
+                            p1e, out_cap, matched_counts=phase1.counts
+                        )
+                    )
+                    total_emit = p1e.total
+                else:
+                    probe_idx, build_idx, pair_valid = join_gather_indices(
+                        phase1, out_cap
+                    )
+                    matched = None
+                    total_emit = phase1.total
+                out_overflow = total_emit > out_cap
 
                 from ..ops.join import stacked_take
 
-                out_cols = (
-                    stacked_take(lpay, probe_idx, pair_valid)
-                    + stacked_take(rpay, build_idx, pair_valid)
-                )
-                count = jnp.minimum(phase1.total, out_cap)
+                rtaken = stacked_take(rpay, build_idx, pair_valid)
+                if matched is not None:
+                    rtaken = tuple(
+                        jnp.where(
+                            matched,
+                            v,
+                            jnp.int32(-1)
+                            if v.dtype == jnp.int32
+                            else jnp.float32(jnp.nan),
+                        )
+                        for v in rtaken
+                    )
+                    rtaken = tuple(
+                        jnp.where(pair_valid, v, jnp.zeros((), v.dtype))
+                        for v in rtaken
+                    )
+                out_cols = stacked_take(lpay, probe_idx, pair_valid) + rtaken
+                count = jnp.minimum(total_emit, out_cap)
                 overflow = jnp.logical_or(jnp.logical_or(ovl, ovr), out_overflow)
                 if not repack:
                     return (
@@ -257,17 +294,19 @@ def _run_dist_join(
                 # (dense GROUP BY, top-k) stay live on the joined table.
                 stats = []
                 for c in out_cols:
+                    cf = c.astype(jnp.float32)
                     mn = lax.pmin(
-                        jnp.min(jnp.where(pair_valid, c, jnp.inf)), DATA_AXIS
+                        jnp.min(jnp.where(pair_valid, cf, jnp.inf)),
+                        DATA_AXIS,
                     )
                     mx = lax.pmax(
-                        jnp.max(jnp.where(pair_valid, c, -jnp.inf)),
+                        jnp.max(jnp.where(pair_valid, cf, -jnp.inf)),
                         DATA_AXIS,
                     )
                     nan = lax.pmax(
                         jnp.max(
                             jnp.where(
-                                jnp.logical_and(jnp.isnan(c), pair_valid),
+                                jnp.logical_and(jnp.isnan(cf), pair_valid),
                                 1.0, 0.0,
                             )
                         ),
@@ -385,6 +424,7 @@ def distributed_join_table(
     right_payload: Sequence[str],
     mesh,
     overcommit: float = 2.0,
+    kind: str = "inner",
 ) -> DeviceTable:
     """SQL-route wrapper: shuffle-join two sharded tables and return the
     result as a row-sharded :class:`DeviceTable` ready for the rest of
@@ -409,7 +449,7 @@ def distributed_join_table(
         left, right, left_key_cols,
         [f"__k{i}" for i in range(len(left_key_cols))],
         left_payload, right_payload, mesh, overcommit,
-        right_key_arrays=tuple(right_key_arrays), repack=True,
+        right_key_arrays=tuple(right_key_arrays), repack=True, kind=kind,
     )
     names = list(left_payload) + [f"{right_name}.{c}" for c in right_payload]
 
@@ -432,7 +472,11 @@ def distributed_join_table(
             dtypes[name] = DataType.STRING
         else:
             columns[name] = arr
-            dtypes[name] = DataType.FLOAT32
+            dtypes[name] = (
+                DataType.INT32
+                if arr.dtype == jnp.int32
+                else DataType.FLOAT32
+            )
         if total and np.isfinite(mn):
             stats[name] = ColumnStats(
                 min=mn, max=mx, null_count=int(nan > 0)
