@@ -838,6 +838,7 @@ def _materialize_join_local(
         capacity,
         right_name,
         kind,
+        dense_k,
     )
 
     def build_expand_gather():
@@ -854,6 +855,14 @@ def _materialize_join_local(
         def _bits(arr):
             return lax.bitcast_convert_type(arr, jnp.uint32)
 
+        # Gather-free expansion metadata for dense build sides (packed
+        # monotone streams; see ops/join.join_gather_indices).
+        dp = (
+            dense_k + 1
+            if dense_k and left.padded_rows * (dense_k + 1) < 2**32
+            else 0
+        )
+
         @jax.jit
         def indices(p1, n_left):
             if kind == "left":
@@ -864,10 +873,10 @@ def _materialize_join_local(
                 p1e = p1._replace(counts=emit, total=jnp.sum(emit))
                 return join_gather_indices(
                     p1e, capacity, return_slot=True,
-                    matched_counts=p1.counts,
+                    matched_counts=p1.counts, dense_pack=dp,
                 )
             pidx, slot, valid = join_gather_indices(
-                p1, capacity, return_slot=True
+                p1, capacity, return_slot=True, dense_pack=dp
             )
             return pidx, slot, valid, None
 
@@ -891,6 +900,27 @@ def _materialize_join_local(
 
         @jax.jit
         def take_build(cols_tuple, slot, valid, order):
+            if dense_k:
+                # Tiny build side: per-row values via a virtual (N, K)
+                # compare-select sweep — per-row gathers cost ~0.7 s per
+                # column at 2^26 output rows while the K-lane VPU sweep
+                # costs tens of ms (same trade as the lookup join).
+                j = jnp.arange(dense_k, dtype=jnp.int32)
+                eq = slot[:, None] == j[None, :]
+                out = []
+                for c in cols_tuple:
+                    bits = lax.bitcast_convert_type(
+                        c[order][:dense_k], jnp.uint32
+                    )
+                    # Exactly one slot matches per valid row, so the u32
+                    # sum selects that slot's bits exactly.
+                    t = jnp.sum(
+                        jnp.where(eq, bits[None, :], jnp.uint32(0)),
+                        axis=1,
+                    )
+                    t = jnp.where(valid, t, jnp.uint32(0))
+                    out.append(lax.bitcast_convert_type(t, c.dtype))
+                return tuple(out)
             # Small-source gathers: per-column 1-D takes on columns
             # pre-permuted into sorted-build order (the stacked 2-D form
             # re-materialises the 64x-padded gather when the operand is

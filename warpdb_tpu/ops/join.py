@@ -230,7 +230,7 @@ def stacked_take(cols, idx, valid):
 
 def join_gather_indices(
     phase1: JoinPhase1, capacity: int, return_slot: bool = False,
-    matched_counts=None,
+    matched_counts=None, dense_pack: int = 0,
 ):
     """Phase 2: expand matches into (probe_idx, build_idx) pairs.
 
@@ -248,6 +248,14 @@ def join_gather_indices(
     the original match counts as ``matched_counts``; a fourth output
     then flags which emitted rows actually matched a build row (the
     rest take the missing-value fill).
+
+    ``dense_pack`` (= K+1 for a dense-phase-1 build of ≤K rows, when
+    ``n_probe·(K+1) < 2^32``): per-output metadata (probe row, lo,
+    matched count) comes from monotone u32 streams scattered at segment
+    starts and forward-filled with ``lax.cummax`` — ZERO capacity-sized
+    gathers.  ``row_id·(K+1) + lo`` is strictly increasing across rows
+    (the row stride dominates the packed digit), so the running max is
+    an exact forward fill and mod/div recover both fields.
     """
     counts = phase1.counts
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
@@ -261,28 +269,47 @@ def join_gather_indices(
     n_probe = counts.shape[0]
     row_ids = jnp.arange(n_probe, dtype=jnp.int32)
     starts = jnp.where(counts > 0, offsets, capacity)  # non-matching → drop
-    seg = (
-        jnp.zeros((capacity,), jnp.int32)
-        .at[starts]
-        .max(row_ids, mode="drop")
-    )
-    probe_idx = lax.cummax(seg)
-    rows = [offsets, phase1.lo]
-    if matched_counts is not None:
-        rows.append(matched_counts)
-    if capacity % 1024 == 0:
-        # One stacked 2-D take for all per-probe lookups (offsets, lo,
-        # [matched counts]): TPU gather cost is per-row dominated, so
-        # sharing the index amortises it; the 2-D index block keeps the
-        # output minor dim 128-wide (a flat index emits a [capacity, C]
-        # intermediate that tile-pads 64x).
-        m = jnp.stack(rows, axis=0)
-        t = jnp.take(m, probe_idx.reshape(-1, 1024), axis=1)
-        t = t.reshape(len(rows), capacity)
-        taken = tuple(t[i] for i in range(len(rows)))
+
+    def _fill(vals, dtype):
+        return lax.cummax(
+            jnp.zeros((capacity,), dtype).at[starts].max(vals, mode="drop")
+        )
+
+    if dense_pack:
+        k2 = jnp.uint32(dense_pack)
+        packed = row_ids.astype(jnp.uint32) * k2 + jnp.clip(
+            phase1.lo, 0, dense_pack - 1
+        ).astype(jnp.uint32)
+        seg2 = _fill(packed, jnp.uint32)
+        probe_idx = (seg2 // k2).astype(jnp.int32)
+        lo_r = (seg2 % k2).astype(jnp.int32)
+        off_r = _fill(offsets, jnp.int32)
+        mc_r = None
+        if matched_counts is not None:
+            packed_mc = row_ids.astype(jnp.uint32) * k2 + jnp.clip(
+                matched_counts, 0, dense_pack - 1
+            ).astype(jnp.uint32)
+            mc_r = (_fill(packed_mc, jnp.uint32) % k2).astype(jnp.int32)
     else:
-        taken = tuple(a[probe_idx] for a in rows)
-    off_r, lo_r = taken[0], taken[1]
+        probe_idx = _fill(row_ids, jnp.int32)
+        rows = [offsets, phase1.lo]
+        if matched_counts is not None:
+            rows.append(matched_counts)
+        if capacity % 1024 == 0:
+            # One stacked 2-D take for all per-probe lookups (offsets,
+            # lo, [matched counts]): TPU gather cost is per-row
+            # dominated, so sharing the index amortises it; the 2-D
+            # index block keeps the output minor dim 128-wide (a flat
+            # index emits a [capacity, C] intermediate that tile-pads
+            # 64x).
+            m = jnp.stack(rows, axis=0)
+            t = jnp.take(m, probe_idx.reshape(-1, 1024), axis=1)
+            t = t.reshape(len(rows), capacity)
+            taken = tuple(t[i] for i in range(len(rows)))
+        else:
+            taken = tuple(a[probe_idx] for a in rows)
+        off_r, lo_r = taken[0], taken[1]
+        mc_r = taken[2] if matched_counts is not None else None
     dup_j = r - off_r
     slot = lo_r + dup_j
     n_build = phase1.build_order.shape[0]
@@ -291,7 +318,7 @@ def join_gather_indices(
     probe_idx = jnp.where(valid, probe_idx, 0)
     matched = None
     if matched_counts is not None:
-        matched = jnp.logical_and(valid, dup_j < taken[2])
+        matched = jnp.logical_and(valid, dup_j < mc_r)
     if return_slot:
         out = (probe_idx, jnp.where(valid, slot, 0), valid)
         return out + (matched,) if matched is not None else out
