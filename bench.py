@@ -249,10 +249,26 @@ def main() -> None:
     }
     for name, sql in breadth.items():
         try:
+            if name == "e2e_join_expand":
+                # Measure the RAW expansion machinery (the optimizer's
+                # eager-aggregation rewrite would legitimately skip it).
+                get_config().eager_join_aggregation = False
             dt = _time(lambda s=sql: db.query_sql(s))
             extras[f"{name}_rows_per_s"] = round(EXPR_ROWS / dt)
         except Exception as e:  # never fail the whole bench on an extra
             extras[f"{name}_error"] = str(e)[:120]
+        finally:
+            get_config().eager_join_aggregation = True
+
+    # The same 1:N join-aggregate through the eager-aggregation rewrite
+    # (pre-aggregated build side + 1:1 lookup join) — the plan the
+    # optimizer actually picks.  Outside the geomean (the raw expansion
+    # number above keeps that machinery regress-visible).
+    try:
+        dt = _time(lambda: db.query_sql(breadth["e2e_join_expand"]))
+        extras["join_pushdown_rows_per_s"] = round(EXPR_ROWS / dt)
+    except Exception as e:
+        extras["join_pushdown_error"] = str(e)[:120]
 
     # Warm repeat with the materialized-join cache on (default config):
     # repeated star-schema queries skip the join.  Outside the geomean.

@@ -1580,3 +1580,148 @@ def test_running_window_scan_matches_numpy_large():
         order = idx[np.argsort(o[idx], kind="stable")]
         want[order] = np.cumsum(v[order].astype(np.float64))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# --- eager join aggregation (aggregate pushdown through joins) ----------------
+
+
+def _with_eja(flag):
+    import dataclasses
+
+    from warpdb_tpu.config import EngineConfig, get_config, set_config
+
+    base = get_config()
+    cfg = EngineConfig(**{
+        f.name: getattr(base, f.name)
+        for f in dataclasses.fields(EngineConfig)
+    })
+    cfg.eager_join_aggregation = flag
+    cfg.join_cache_entries = 0
+    return base, cfg
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_eager_join_aggregate_equivalence(seed):
+    """The pushdown rewrite must be result-equivalent to the plain
+    expansion join across aggregate shapes, duplicate build keys,
+    missing probe keys and HAVING/ORDER BY."""
+    from warpdb_tpu.config import set_config
+
+    rng = np.random.default_rng(9000 + seed)
+    n = 3000
+    k = rng.integers(0, 25, n).astype(np.float32)   # keys 20..24 miss dim
+    p = rng.uniform(1, 10, n).astype(np.float32)
+    g = rng.integers(0, 6, n).astype(np.float32)
+    dimk = np.repeat(np.arange(20, dtype=np.float32),
+                     rng.integers(1, 4, 20))        # duplicate build keys
+    w = rng.uniform(0.5, 2.0, len(dimk)).astype(np.float32)
+
+    db = WarpDB(HostTable.from_dict({"k": k, "p": p, "g": g}))
+    db.register_table("dim", HostTable.from_dict({"k": dimk, "w": w}))
+
+    sqls = [
+        "SELECT SUM(p * dim.w) FROM t JOIN dim ON k = dim.k "
+        "GROUP BY g ORDER BY g ASC",
+        "SELECT COUNT(p) FROM t JOIN dim ON k = dim.k "
+        "GROUP BY g ORDER BY g ASC",
+        "SELECT AVG(p) FROM t JOIN dim ON k = dim.k "
+        "GROUP BY g ORDER BY g ASC",
+        "SELECT SUM(p), MIN(p), MAX(dim.w) FROM t JOIN dim ON k = dim.k "
+        "WHERE p > 3 GROUP BY g ORDER BY g ASC",
+        "SELECT SUM(dim.w) FROM t JOIN dim ON k = dim.k "
+        "GROUP BY g HAVING COUNT(p) > 50 ORDER BY SUM(dim.w) DESC",
+        "SELECT g, SUM(p * dim.w) / COUNT(p) FROM t "
+        "JOIN dim ON k = dim.k GROUP BY g ORDER BY g ASC",
+    ]
+    base, cfg_on = _with_eja(True)
+    _, cfg_off = _with_eja(False)
+    try:
+        for sql in sqls:
+            set_config(cfg_on)
+            got = db.query_sql_table(sql)
+            set_config(cfg_off)
+            want = db.query_sql_table(sql)
+            for (kn, gv), (_, wv) in zip(got.items(), want.items()):
+                np.testing.assert_allclose(
+                    np.asarray(gv, np.float32),
+                    np.asarray(wv, np.float32),
+                    rtol=2e-4, atol=1e-3, err_msg=f"{sql} :: {kn}",
+                )
+    finally:
+        set_config(base)
+
+
+def test_eager_join_aggregate_trace_avoids_expansion():
+    """With the rewrite on, the 1:N join never expands — the trace shows
+    the pre-aggregation + lookup, not join_expand_gather."""
+    from warpdb_tpu.config import set_config
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(91)
+    n = 4000
+    k = rng.integers(0, 16, n).astype(np.float32)
+    p = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "p": p}))
+    db.register_table(
+        "dim",
+        HostTable.from_dict(
+            {
+                "k": np.tile(np.arange(16, dtype=np.float32), 3),
+                "w": rng.uniform(0, 1, 48).astype(np.float32),
+            }
+        ),
+    )
+    base, cfg_on = _with_eja(True)
+    try:
+        set_config(cfg_on)
+        db.query_sql(
+            "SELECT SUM(p * dim.w) FROM t JOIN dim ON k = dim.k "
+            "GROUP BY k ORDER BY k ASC"
+        )
+        ops = [name for name, _hit in last().operators]
+        assert "join_expand_gather" not in ops, ops
+        assert "join_lookup" in ops, ops
+    finally:
+        set_config(base)
+
+
+def test_eager_join_aggregate_string_key():
+    from warpdb_tpu import DataType
+    from warpdb_tpu.config import set_config
+
+    rng = np.random.default_rng(92)
+    n = 2000
+    cities = np.array(["ams", "ber", "cdg"], dtype=object)
+    c = cities[rng.integers(0, 3, n)]
+    p = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(
+        HostTable.from_dict(
+            {"city": c, "p": p}, dtypes={"city": DataType.STRING}
+        )
+    )
+    db.register_table(
+        "geo",
+        HostTable.from_dict(
+            {
+                "city": np.array(
+                    ["ber", "ams", "cdg", "ams"], dtype=object
+                ),
+                "w": np.array([1.0, 2.0, 3.0, 4.0], np.float32),
+            },
+            dtypes={"city": DataType.STRING},
+        ),
+    )
+    base, cfg_on = _with_eja(True)
+    _, cfg_off = _with_eja(False)
+    try:
+        sql = ("SELECT SUM(p * geo.w) FROM t JOIN geo ON city = geo.city "
+               "GROUP BY city ORDER BY city ASC")
+        set_config(cfg_on)
+        got = np.asarray(db.query_sql(sql))
+        set_config(cfg_off)
+        want = np.asarray(db.query_sql(sql))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+    finally:
+        from warpdb_tpu.config import set_config as _sc
+
+        _sc(base)

@@ -44,6 +44,10 @@ class EngineConfig:
     # immutable, so a (build table, condition, columns) join result
     # never goes stale).  0 disables.
     join_cache_entries: int = 4
+    # Eager aggregation: rewrite GROUP BY-over-join queries whose
+    # aggregates factor across the join into a pre-aggregated build side
+    # + 1:1 lookup join (classic aggregate pushdown).
+    eager_join_aggregation: bool = True
     # Distributed GROUP BY: key-count threshold between the all_gather
     # partial merge and the all-to-all shuffle.
     distributed_small_keys: int = 4096

@@ -1044,6 +1044,233 @@ def expand_stars_query(query: Query, table: DeviceTable, catalog=None) -> list:
     return out
 
 
+class _EjaBail(Exception):
+    """Internal: the eager-join-aggregation rewrite does not apply."""
+
+
+def _try_eager_join_aggregate(query, table, catalog, mesh):
+    """Eager aggregation — aggregate pushdown through a join.
+
+    ``SELECT AGG(e) FROM probe JOIN dim ON k = dim.k GROUP BY g`` where
+    every aggregate factors across the join rewrites into a
+    pre-aggregated build side plus a 1:1 lookup join:
+
+    * ``SUM(p·b) = Σ_i p_i · S_b(k_i)`` — SUM of a probe-expr × build-col
+      product becomes ``SUM(p · __eja_sum_b)``;
+    * ``SUM(p) = Σ_i p_i · c(k_i)`` → ``SUM(p · __eja_cnt)``;
+    * ``COUNT(e)`` → ``SUM(__eja_cnt)``; ``AVG`` = the two above divided;
+    * ``MIN/MAX`` of probe-only exprs are duplicate-invariant (kept); of
+      bare build columns they fold through per-key build MIN/MAX.
+
+    The expansion join's output is O(matched pairs); the rewritten plan
+    touches O(probe + distinct build keys) — measured 2.4 s → ~0.1 s on
+    the 2^25×2-dup benchmark join.  Returns ``(query', catalog')`` with
+    the build table replaced by its per-key aggregate, or None when the
+    pattern doesn't apply (composite keys, build refs in keys/WHERE,
+    non-factorable aggregates, COUNT(DISTINCT)/MEDIAN)."""
+    from ..config import get_config
+
+    if not get_config().eager_join_aggregation:
+        return None
+    if query.group_by is None or len(query.joins) != 1:
+        return None
+    join = query.joins[0]
+    if getattr(join, "kind", "inner") != "inner":
+        return None
+    catalog = catalog or {}
+    right = catalog.get(join.table, table)
+    try:
+        pairs = _equality_pairs(join.condition)
+    except UnsupportedError:
+        return None
+    if len(pairs) != 1:
+        return None
+    try:
+        _lv, right_var = _resolve_join_sides(
+            table, right, join.table, pairs
+        )[0]
+    except ValidationError:
+        return None
+    key_name = (
+        right_var.name
+        if right_var.name in right.columns
+        else right_var.unqualified
+    )
+
+    def is_build(var: Variable) -> bool:
+        if var.qualifier == join.table and (
+            var.unqualified in right.columns or var.name in right.columns
+        ):
+            return True
+        if var.name in table.columns or var.unqualified in table.columns:
+            return False
+        return var.name in right.columns or var.unqualified in right.columns
+
+    def probe_only(node) -> bool:
+        return all(
+            not (isinstance(n, Variable) and is_build(n)) for n in walk(node)
+        )
+
+    for k in query.group_by.keys:
+        if not probe_only(k):
+            return None
+    if query.where is not None and not probe_only(query.where):
+        return None
+
+    CNT = "__eja_cnt"
+    partials: dict = {}  # alias -> ("count"|"sum"|"min"|"max", col name)
+
+    def build_col_of(node):
+        node = unalias(node)
+        if isinstance(node, Variable) and is_build(node):
+            return node
+        return None
+
+    def sum_rewrite(e):
+        if probe_only(e):
+            partials[CNT] = ("count", None)
+            return Aggregation(
+                AggregationType.SUM, BinaryOp("*", e, Variable(CNT))
+            )
+        b = build_col_of(e)
+        if b is not None:
+            alias = f"__eja_sum_{b.unqualified}"
+            partials[alias] = ("sum", b.unqualified)
+            return Aggregation(AggregationType.SUM, Variable(alias))
+        if isinstance(e, BinaryOp) and e.op == "*":
+            bl, br = build_col_of(e.left), build_col_of(e.right)
+            if bl is not None and probe_only(e.right):
+                p, b = e.right, bl
+            elif br is not None and probe_only(e.left):
+                p, b = e.left, br
+            else:
+                raise _EjaBail
+            alias = f"__eja_sum_{b.unqualified}"
+            partials[alias] = ("sum", b.unqualified)
+            return Aggregation(
+                AggregationType.SUM, BinaryOp("*", p, Variable(alias))
+            )
+        raise _EjaBail
+
+    def rewrite_agg(n: Aggregation):
+        if n.agg is AggregationType.COUNT:
+            partials[CNT] = ("count", None)
+            return Aggregation(AggregationType.SUM, Variable(CNT))
+        if n.agg is AggregationType.SUM:
+            return sum_rewrite(n.expr)
+        if n.agg is AggregationType.AVG:
+            s = sum_rewrite(n.expr)
+            partials[CNT] = ("count", None)
+            return BinaryOp(
+                "/", s, Aggregation(AggregationType.SUM, Variable(CNT))
+            )
+        if n.agg in (AggregationType.MIN, AggregationType.MAX):
+            if probe_only(n.expr):
+                return n  # duplicate-invariant
+            b = build_col_of(n.expr)
+            if b is None:
+                raise _EjaBail
+            tag = "min" if n.agg is AggregationType.MIN else "max"
+            alias = f"__eja_{tag}_{b.unqualified}"
+            partials[alias] = (tag, b.unqualified)
+            return Aggregation(n.agg, Variable(alias))
+        raise _EjaBail  # COUNT_DISTINCT / MEDIAN are not mergeable
+
+    def rw(node):
+        if node is None:
+            return None
+        if isinstance(node, Alias):
+            return Alias(rw(node.expr), node.name)
+        if isinstance(node, Aggregation):
+            return rewrite_agg(node)
+        if isinstance(node, BinaryOp):
+            return BinaryOp(node.op, rw(node.left), rw(node.right))
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                tuple(rw(c) for c in node.conditions),
+                tuple(rw(v) for v in node.values),
+                rw(node.default),
+            )
+        if isinstance(node, FunctionCall):
+            return FunctionCall(node.name, tuple(rw(a) for a in node.args))
+        if isinstance(node, Variable) and is_build(node):
+            raise _EjaBail  # bare build ref outside an aggregate
+        return node
+
+    try:
+        new_select = [rw(s) for s in query.select_list]
+        new_having = rw(query.having)
+        new_order = None
+        if query.order_by is not None:
+            new_order = OrderBy(
+                rw(query.order_by.expr),
+                query.order_by.ascending,
+                tuple(
+                    OrderBy(rw(t.expr), t.ascending)
+                    for t in query.order_by.then
+                ),
+            )
+    except _EjaBail:
+        return None
+    if not partials:
+        return None
+    if any(a in table.columns for a in partials):
+        return None  # improbable name collision with probe columns
+
+    # Pre-aggregate the build side per join key through the engine
+    # itself (dense/midrange/distributed group paths all apply).
+    import copy as _copy
+
+    q_dim = Query()
+    q_dim.from_table = join.table
+    q_dim.group_by = GroupBy((Variable(key_name),))
+    sel = [Alias(Variable(key_name), key_name)]
+    agg_of = {
+        "count": AggregationType.COUNT,
+        "sum": AggregationType.SUM,
+        "min": AggregationType.MIN,
+        "max": AggregationType.MAX,
+    }
+    for alias, (tag, col) in partials.items():
+        expr = Constant("1") if col is None else Variable(col)
+        sel.append(Alias(Aggregation(agg_of[tag], expr), alias))
+    q_dim.select_list = sel
+
+    out = run_query_table(q_dim, right, catalog=None, mesh=mesh)
+    arrays = {}
+    dtypes = {}
+    key_vals = np.asarray(out[key_name], np.float32)
+    key_dt = right.dtypes.get(key_name)
+    if key_name in right.dicts:
+        from ..storage.strings import decode_codes
+
+        arrays[key_name] = np.asarray(
+            decode_codes(key_vals, right.dicts[key_name]), dtype=object
+        )
+        dtypes[key_name] = key_dt
+    elif key_dt is not None and key_dt.np_dtype is not None:
+        arrays[key_name] = key_vals.astype(key_dt.np_dtype)
+        dtypes[key_name] = key_dt
+    else:
+        arrays[key_name] = key_vals
+    for alias in partials:
+        arrays[alias] = np.asarray(out[alias], np.float32)
+
+    from ..storage.table import HostTable
+
+    dim2 = DeviceTable.from_host(
+        HostTable.from_dict(arrays, dtypes=dtypes or None)
+    )
+
+    q2 = _copy.copy(query)
+    q2.select_list = new_select
+    q2.having = new_having
+    q2.order_by = new_order
+    catalog2 = dict(catalog)
+    catalog2[join.table] = dim2
+    return q2, catalog2
+
+
 def _materialize_joins(
     query: Query, table: DeviceTable, catalog: Optional[dict], mesh=None
 ) -> DeviceTable:
@@ -1114,6 +1341,11 @@ def run_query(
     if expanded is not query.select_list:
         query = _copy.copy(query)
         query.select_list = expanded
+
+    if query.joins and query.group_by is not None:
+        rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
+        if rewritten is not None:
+            query, catalog = rewritten
 
     current = _materialize_joins(query, table, catalog, mesh=mesh)
 
@@ -2533,6 +2765,10 @@ def run_query_table(
         query.select_list = expanded
 
     if query.joins:
+        if query.group_by is not None:
+            rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
+            if rewritten is not None:
+                query, catalog = rewritten
         # Materialise the join chain ONCE, then execute the join-free
         # remainder on the joined table — previously each select item
         # re-ran the whole join (kernels were cached; the device work
