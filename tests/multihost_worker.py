@@ -109,6 +109,24 @@ def main() -> int:
     )
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
+    # High-cardinality grouped SQL across processes: the key range
+    # exceeds distributed_small_keys, so this exercises the map-side
+    # combine + all-to-all shuffle over the PROCESS-SPANNING mesh.
+    hk = rng.integers(0, 20_000, total).astype(np.float32)
+    local3 = HostTable.from_dict(
+        {"price": price[start:end], "hk": hk[start:end]}
+    )
+    table3 = multihost.make_global_table(local3, total, mesh)
+    db3 = WarpDB.from_device_table(table3, mesh=mesh, name="t")
+    got3 = np.asarray(
+        db3.query_sql(
+            "SELECT COUNT(price) FROM t GROUP BY hk ORDER BY hk ASC"
+        )
+    )
+    uniq3, want3 = np.unique(hk, return_counts=True)
+    assert len(got3) == len(uniq3), (len(got3), len(uniq3))
+    np.testing.assert_array_equal(got3, want3.astype(np.float32))
+
     print(f"proc {proc_id}: OK ({ng} groups over {nprocs} processes)")
     return 0
 

@@ -43,7 +43,7 @@ from ..errors import ExecutionError
 from ..ops.join import join_gather_indices, join_match_counts
 from ..storage.table import DeviceTable
 from .mesh import DATA_AXIS, data_mesh
-from .sharded import _ensure_sharded
+from .sharded import _ensure_sharded, fetch_global
 from .shuffle import hash_dest
 
 __all__ = ["distributed_join", "distributed_join_table"]
@@ -353,7 +353,7 @@ def _run_dist_join(
         )
         if repack:
             packed, total, stats_arr, overflow_s = result
-            if bool(np.any(jax.device_get(overflow_s))):
+            if bool(np.any(fetch_global(overflow_s))):
                 send_cap_l *= 2
                 send_cap_r *= 2
                 out_cap *= 2
@@ -365,7 +365,7 @@ def _run_dist_join(
                 out_cap,
                 n_dev,
             )
-        cols_s, counts_s, overflow_s = jax.device_get(result)
+        cols_s, counts_s, overflow_s = fetch_global(result)
         if bool(np.any(overflow_s)):
             send_cap_l *= 2
             send_cap_r *= 2

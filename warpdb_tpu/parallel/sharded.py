@@ -118,6 +118,27 @@ def run_expression_sharded(
     return np.asarray(out)[: table.num_rows]
 
 
+def fetch_global(tree):
+    """``jax.device_get`` that also works for arrays sharded across
+    PROCESSES: multi-host shards are non-addressable locally, so the
+    fetch rides ``process_allgather`` (every host receives the full
+    array — callers only fetch O(groups)-sized results)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        arr = jnp.asarray(x)
+        if all(
+            d.process_index == jax.process_index()
+            for d in arr.sharding.device_set
+        ):
+            return jax.device_get(arr)
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+    return jax.tree.map(one, tree)
+
+
 def _ensure_sharded(table: DeviceTable, mesh) -> DeviceTable:
     sharding = row_sharding(mesh)
     n_dev = mesh.devices.size

@@ -56,7 +56,7 @@ from ..ops.aggregate import group_aggregate
 from ..ops.sort import float_sort_key
 from ..storage.table import DeviceTable
 from .mesh import DATA_AXIS, data_mesh
-from .sharded import _ensure_sharded
+from .sharded import _ensure_sharded, fetch_global
 
 __all__ = [
     "shuffle_grouped",
@@ -419,7 +419,7 @@ def combine_shuffle_grouped(
             return jax.jit(fn)
 
         (keys_s, counts_s, vals_s, ngroups_s, local_ovf_s, merge_ovf_s) = (
-            jax.device_get(
+            fetch_global(
                 get_or_compile(key, build)(
                     table.columns, jnp.int32(table.num_rows)
                 )
@@ -547,7 +547,7 @@ def shuffle_grouped(
             )
             return jax.jit(fn)
 
-        keys_s, counts_s, vals_s, ngroups_s, overflow_s = jax.device_get(
+        keys_s, counts_s, vals_s, ngroups_s, overflow_s = fetch_global(
             get_or_compile(key, build)(
                 table.columns, jnp.int32(table.num_rows)
             )
