@@ -1079,6 +1079,26 @@ def _try_eager_join_aggregate(query, table, catalog, mesh):
         return None
     catalog = catalog or {}
     right = catalog.get(join.table, table)
+
+    # Repeated identical queries reuse the rewritten plan AND the
+    # pre-aggregated build table (immutable inputs, same instance-keyed
+    # rationale as the join memo).
+    memo = getattr(table, "_eja_memo", None)
+    if memo is None:
+        from collections import OrderedDict
+
+        memo = table._eja_memo = OrderedDict()
+    mkey = (
+        query.canonical(), _table_uid(right),
+        None if mesh is None else int(mesh.devices.size),
+    )
+    hit = memo.get(mkey)
+    if hit is not None:
+        memo.move_to_end(mkey)
+        q2, dim2, _right_ref = hit
+        catalog2 = dict(catalog)
+        catalog2[join.table] = dim2
+        return q2, catalog2
     try:
         pairs = _equality_pairs(join.condition)
     except UnsupportedError:
@@ -1266,6 +1286,9 @@ def _try_eager_join_aggregate(query, table, catalog, mesh):
     q2.select_list = new_select
     q2.having = new_having
     q2.order_by = new_order
+    memo[mkey] = (q2, dim2, right)
+    while len(memo) > 4:
+        memo.popitem(last=False)
     catalog2 = dict(catalog)
     catalog2[join.table] = dim2
     return q2, catalog2
