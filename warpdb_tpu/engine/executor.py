@@ -80,6 +80,22 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n - 1).bit_length())
 
 
+def _cached_count(table, key, compute) -> int:
+    """Memoise a counted cardinality per immutable table instance.
+
+    Device tables never mutate, so a count that depends only on the
+    table and a canonical plan fragment (match counts, distinct counts,
+    group counts) is deterministic — repeated queries skip the counting
+    dispatch AND the blocking host sync between the two-phase protocol's
+    phases (each sync costs a full relay round-trip)."""
+    memo = getattr(table, "_count_memo", None)
+    if memo is None:
+        memo = table._count_memo = {}
+    if key not in memo:
+        memo[key] = int(compute())
+    return memo[key]
+
+
 def _valid_mask(cols: dict, num_rows) -> jax.Array:
     n_pad = next(iter(cols.values())).shape[0]
     return jnp.arange(n_pad, dtype=jnp.int32) < num_rows
@@ -1818,7 +1834,12 @@ def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
         ng_eff = min(ng, limit_cap)
     else:
         res = get_or_compile(gkey, build)(cols, n_rows)
-        ng = int(jax.device_get(res.num_groups))
+        ng = _cached_count(
+            table,
+            ("midrange_ng", key_canon, where_canon, base, num_slots,
+             udf_mod.registry_version()),
+            lambda: jax.device_get(res.num_groups),
+        )
         ng_eff = ng
         out_cap = min(_next_pow2(max(ng_eff, 16)), num_slots)
 
@@ -2042,7 +2063,13 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     if table.padded_rows <= 4096:
         capacity = table.padded_rows
     else:
-        capacity = _next_pow2(max(int(ng_dev), 16))
+        ng = _cached_count(
+            table,
+            ("group_ng", keys_canon, where_canon, raw_int,
+             udf_mod.registry_version()),
+            lambda: ng_dev,
+        )
+        capacity = _next_pow2(max(ng, 16))
 
     # Phase 2: scatter the pre-sorted segments into capacity-sized tables.
     gkey = ("group_scatter", len(keys_canon), len(vexpr_canons),
@@ -2175,9 +2202,13 @@ def _run_projection_multi(
 
             return kernel
 
-        n_match = int(jax.device_get(
-            get_or_compile(ckey, build_count)(cols, n_rows)
-        ))
+        n_match = _cached_count(
+            table,
+            ("where_count", where.canonical(), udf_mod.registry_version()),
+            lambda: jax.device_get(
+                get_or_compile(ckey, build_count)(cols, n_rows)
+            ),
+        )
         filter_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
 
     pkey = ("project_multi", items_canon, where_canon, order_canon, sort_cap,
@@ -2347,9 +2378,13 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
 
             return kernel
 
-        n_match = int(jax.device_get(
-            get_or_compile(ckey, build_count)(cols, n_rows)
-        ))
+        n_match = _cached_count(
+            table,
+            ("where_count", where.canonical(), udf_mod.registry_version()),
+            lambda: jax.device_get(
+                get_or_compile(ckey, build_count)(cols, n_rows)
+            ),
+        )
         filter_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
 
     pkey = ("project", select_canon, where_canon, order_canon, distinct,
@@ -2473,7 +2508,12 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
     keys_s, _vals_s, valid_s, seg, ng_dev = get_or_compile(
         ckey, build_sort
     )(cols, n_rows)
-    n_uniq = int(ng_dev)
+    n_uniq = _cached_count(
+        table,
+        ("distinct_ng", select_canon, where_canon,
+         udf_mod.registry_version()),
+        lambda: ng_dev,
+    )
     capacity = min(_next_pow2(max(n_uniq, 16)), table.padded_rows)
 
     dkey = ("distinct_scatter", table.padded_rows, capacity)
@@ -2583,9 +2623,15 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
 
             return kernel
 
-        n_match = int(jax.device_get(
-            get_or_compile(ckey, build_count)(cols, jnp.int32(table.num_rows))
-        ))
+        n_match = _cached_count(
+            table,
+            ("where_count", where.canonical(), udf_mod.registry_version()),
+            lambda: jax.device_get(
+                get_or_compile(ckey, build_count)(
+                    cols, jnp.int32(table.num_rows)
+                )
+            ),
+        )
         out_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
 
     # Sort-free window path: a plain partition aggregate over a
