@@ -1725,3 +1725,63 @@ def test_eager_join_aggregate_string_key():
         from warpdb_tpu.config import set_config as _sc
 
         _sc(base)
+
+
+def test_dense_rank():
+    k = np.array([1, 1, 1, 1, 2, 2], np.float32)
+    o = np.array([10, 10, 20, 30, 5, 5], np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "o": o}))
+    got = np.asarray(
+        db.query_sql(
+            "SELECT DENSE_RANK() OVER (PARTITION BY k ORDER BY o) FROM t"
+        )
+    )
+    np.testing.assert_allclose(got, [1, 1, 2, 3, 1, 1])
+    got_rank = np.asarray(
+        db.query_sql("SELECT RANK() OVER (PARTITION BY k ORDER BY o) FROM t")
+    )
+    np.testing.assert_allclose(got_rank, [1, 1, 3, 4, 1, 1])
+    # A column named dense_rank stays an ordinary identifier.
+    db2 = WarpDB(
+        HostTable.from_dict({"dense_rank": np.array([7.0, 8.0], np.float32)})
+    )
+    np.testing.assert_allclose(
+        np.asarray(db2.query_sql("SELECT dense_rank FROM t")), [7.0, 8.0]
+    )
+
+
+def test_lag_lead():
+    k = np.array([1, 1, 1, 2, 2], np.float32)
+    o = np.array([1, 2, 3, 1, 2], np.float32)
+    v = np.array([10.0, 20.0, 30.0, 40.0, 50.0], np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "o": o, "v": v}))
+    lag = np.asarray(
+        db.query_sql("SELECT LAG(v) OVER (PARTITION BY k ORDER BY o) FROM t")
+    )
+    np.testing.assert_allclose(
+        lag, [np.nan, 10, 20, np.nan, 40], equal_nan=True
+    )
+    lead = np.asarray(
+        db.query_sql("SELECT LEAD(v) OVER (PARTITION BY k ORDER BY o) FROM t")
+    )
+    np.testing.assert_allclose(
+        lead, [20, 30, np.nan, 50, np.nan], equal_nan=True
+    )
+    # DESC order reverses the neighbour direction.
+    lag_d = np.asarray(
+        db.query_sql(
+            "SELECT LAG(v) OVER (PARTITION BY k ORDER BY o DESC) FROM t"
+        )
+    )
+    np.testing.assert_allclose(
+        lag_d, [20, 30, np.nan, 50, np.nan], equal_nan=True
+    )
+    # LAG without ORDER BY is rejected; a bare `lag` column still works.
+    from warpdb_tpu.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="LAG/LEAD"):
+        db.query_sql("SELECT LAG(v) OVER (PARTITION BY k) FROM t")
+    db3 = WarpDB(HostTable.from_dict({"lag": np.array([3.0], np.float32)}))
+    np.testing.assert_allclose(
+        np.asarray(db3.query_sql("SELECT lag FROM t")), [3.0]
+    )

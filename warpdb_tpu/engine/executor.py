@@ -2670,16 +2670,27 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
            schema_signature(cols), table.padded_rows, out_cap, dense_cfg,
            udf_mod.registry_version())
 
+    shift_dir = {
+        AggregationType.LAG: 1,
+        AggregationType.LEAD: -1,
+    }.get(select.agg, 0)
+    if shift_dir and select.order_by is None:
+        raise UnsupportedError(
+            "LAG/LEAD require an ORDER BY inside OVER (...)"
+        )
+
     def build():
         from ..ops.aggregate import (
             dense_window_aggregate,
             window_rank,
             window_running,
+            window_shift,
         )
 
         ranking = select.agg in (
             AggregationType.ROW_NUMBER,
             AggregationType.RANK,
+            AggregationType.DENSE_RANK,
         )
         val_fn = build_evaluator(select.expr)
         part_fns = [build_evaluator(p) for p in part_exprs]
@@ -2759,7 +2770,11 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
             else:
                 okeys = None
-            if ranking:
+            if shift_dir:
+                win = window_shift(
+                    part, okeys, vals, valid, shift_dir, ascending=ord_asc
+                )
+            elif ranking:
                 # ROW_NUMBER/RANK; without ORDER BY, row order decides.
                 n_pad = vals.shape[0]
                 ok = (

@@ -228,6 +228,11 @@ class AggregationType(enum.Enum):
     # aggregates, expression.hpp:86).
     ROW_NUMBER = "row_number"
     RANK = "rank"
+    DENSE_RANK = "dense_rank"
+    # Window-only neighbour functions (offset 1): previous / next row's
+    # value within the partition; NaN where absent.
+    LAG = "lag"
+    LEAD = "lead"
     # COUNT(DISTINCT expr) — extension.
     COUNT_DISTINCT = "count_distinct"
     # MEDIAN(expr) — extension (interpolated: mean of the two middle

@@ -66,6 +66,7 @@ _AGG_KEYWORDS = {
 _RANK_KEYWORDS = {
     "ROW_NUMBER": AggregationType.ROW_NUMBER,
     "RANK": AggregationType.RANK,
+    "DENSE_RANK": AggregationType.DENSE_RANK,
 }
 
 _COMPARISON_OPS = (">", "<", ">=", "<=", "==", "!=", "=")
@@ -434,6 +435,40 @@ class _QueryParser:
             return self._parse_window(
                 _RANK_KEYWORDS[body[0].value.upper()], Constant("1"), body[3:]
             )
+        # LAG(expr) / LEAD(expr) OVER (...) — contextual identifiers (a
+        # bare `lag` column keeps working), expression argument, OVER
+        # mandatory.
+        if (
+            len(body) >= 4
+            and body[0].type is TokenType.IDENTIFIER
+            and body[0].value.upper() in ("LAG", "LEAD")
+            and body[1].type is TokenType.OPERATOR
+            and body[1].value == "("
+        ):
+            depth_sh = 0
+            close = -1
+            for k, tok in enumerate(body[1:], start=1):
+                if tok.type is TokenType.OPERATOR and tok.value == "(":
+                    depth_sh += 1
+                elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                    depth_sh -= 1
+                    if depth_sh == 0:
+                        close = k
+                        break
+            if close > 1 and (
+                close + 1 < len(body)
+                and body[close + 1].type is TokenType.KEYWORD
+                and body[close + 1].value == "OVER"
+            ):
+                inner_expr = parse_expression(
+                    body[2:close] + [Token(TokenType.END, "")]
+                )
+                agg = (
+                    AggregationType.LAG
+                    if body[0].value.upper() == "LAG"
+                    else AggregationType.LEAD
+                )
+                return self._parse_window(agg, inner_expr, body[close + 1 :])
         if body and body[0].type is TokenType.KEYWORD and body[0].value in _AGG_KEYWORDS:
             kw = body[0].value
             over_idx = len(body)

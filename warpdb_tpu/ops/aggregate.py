@@ -608,13 +608,16 @@ def window_rank(
     kind: str,
     ascending: bool = True,
 ) -> jax.Array:
-    """``ROW_NUMBER()`` / ``RANK()`` OVER (PARTITION BY … ORDER BY …).
+    """``ROW_NUMBER()`` / ``RANK()`` / ``DENSE_RANK()``
+    OVER (PARTITION BY … ORDER BY …).
 
     Sort once by (partition keys…, order key); a row's number is its
     offset from its partition's first position (+1); RANK snaps tied
-    order keys to the run's first row-number.  All scans are the fused
-    ``lax.cummax`` primitive (see the associative_scan note above)."""
-    if kind not in ("row_number", "rank"):
+    order keys to the run's first row-number; DENSE_RANK counts the
+    DISTINCT order keys up to the row within its partition (no gaps).
+    All scans are the fused ``lax.cummax``/``cumsum`` primitives (see
+    the associative_scan note above)."""
+    if kind not in ("row_number", "rank", "dense_rank"):
         raise ValueError(f"Unknown ranking window function: {kind}")
     part_keys = _as_key_tuple(part_keys)
     n = order_keys.shape[0]
@@ -653,12 +656,21 @@ def window_rank(
                 [jnp.ones((1,), jnp.bool_), okey_s[1:] != okey_s[:-1]]
             ),
         )
-        # Rank = row number at the first row of the tied run.  The scan
-        # carries the run-start POSITION (globally nondecreasing, so
-        # cummax is valid across partition boundaries) and re-bases it
-        # per partition afterwards.
-        run_start = lax.cummax(jnp.where(okey_first, pos, 0))
-        out_s = run_start - part_start + 1
+        if kind == "dense_rank":
+            # Dense rank = distinct order keys seen in the partition up
+            # to the row: a global cumsum of run starts, re-based at
+            # each partition start (the re-base value forward-fills via
+            # cummax — the cumsum is nondecreasing).
+            runs = jnp.cumsum(okey_first.astype(jnp.int32))
+            base = lax.cummax(jnp.where(part_first, runs, 0))
+            out_s = runs - base + 1
+        else:
+            # Rank = row number at the first row of the tied run.  The
+            # scan carries the run-start POSITION (globally
+            # nondecreasing, so cummax is valid across partition
+            # boundaries) and re-bases it per partition afterwards.
+            run_start = lax.cummax(jnp.where(okey_first, pos, 0))
+            out_s = run_start - part_start + 1
 
     out = jnp.zeros((n,), jnp.float32).at[idx_s].set(
         out_s.astype(jnp.float32)
@@ -691,6 +703,69 @@ def segmented_inclusive_scan(v: jax.Array, first: jax.Array, op, identity):
         v = jnp.where(off >= shift, op(v, prev), v)
         shift *= 2
     return v
+
+
+def window_shift(
+    part_keys,
+    order_keys: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    offset: int,
+    ascending: bool = True,
+) -> jax.Array:
+    """``LAG(expr)`` (offset=+1) / ``LEAD(expr)`` (offset=-1)
+    ``OVER (PARTITION BY … ORDER BY …)``: the neighbouring row's value
+    within the partition, NaN where no such row exists (the engine's
+    missing-value marker).
+
+    Sort once by (partition keys…, order key); the neighbour is then a
+    static shift of the sorted values, masked by a partition-id match,
+    scattered back through the inverse permutation."""
+    part_keys = _as_key_tuple(part_keys)
+    n = values.shape[0]
+    valid = mask
+    pkeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+    )
+    nk = len(pkeys)
+    okey = float_sort_key(order_keys)
+    if not ascending:
+        okey = ~okey
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = lax.sort(
+        pkeys + (okey, values, idx, valid.astype(jnp.int32)),
+        num_keys=nk + 1,
+        is_stable=True,
+    )
+    pkeys_s = sorted_ops[:nk]
+    val_s, idx_s = sorted_ops[nk + 1], sorted_ops[nk + 2]
+    valid_s = sorted_ops[nk + 3].astype(jnp.bool_)
+    first = _partition_boundaries(pkeys_s, valid_s)
+    pid = jnp.cumsum(first.astype(jnp.int32))
+
+    nan = jnp.float32(jnp.nan)
+    if offset > 0:  # LAG: previous sorted row
+        shifted = jnp.concatenate([jnp.full((1,), nan), val_s[:-1]])
+        same = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), pid[1:] == pid[:-1]]
+        )
+        shifted_valid = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), valid_s[:-1]]
+        )
+    else:  # LEAD: next sorted row
+        shifted = jnp.concatenate([val_s[1:], jnp.full((1,), nan)])
+        same = jnp.concatenate(
+            [pid[1:] == pid[:-1], jnp.zeros((1,), jnp.bool_)]
+        )
+        shifted_valid = jnp.concatenate(
+            [valid_s[1:], jnp.zeros((1,), jnp.bool_)]
+        )
+    ok = jnp.logical_and(
+        valid_s, jnp.logical_and(same, shifted_valid)
+    )
+    out_s = jnp.where(ok, shifted, nan)
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
+    return jnp.where(valid, out, 0.0)
 
 
 def window_running(
