@@ -190,3 +190,29 @@ def test_config_pad_and_chunk_defaults_honored(monkeypatch):
         monkeypatch.delenv("WARPDB_PAD_MULTIPLE")
         cfg.set_config(None)
         cfg.get_config()
+
+
+def test_explain_analyze():
+    import numpy as np
+
+    from warpdb_tpu import WarpDB
+    from warpdb_tpu.storage import HostTable
+
+    rng = np.random.default_rng(3)
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "price": rng.uniform(0, 100, 2000).astype(np.float32),
+                "quantity": rng.integers(0, 8, 2000).astype(np.float32),
+            }
+        )
+    )
+    out = db.explain(
+        "SELECT SUM(price) FROM t GROUP BY quantity ORDER BY quantity ASC",
+        analyze=True,
+    )
+    assert "Execution (measured):" in out
+    assert "wall:" in out and "operators:" in out
+    # Expression form too.
+    out2 = db.explain("price * quantity WHERE price > 50", analyze=True)
+    assert "Execution (measured):" in out2

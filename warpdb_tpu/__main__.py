@@ -31,13 +31,16 @@ def main(argv=None) -> int:
                              "(mirrors the reference CLI, main.cu:120-385)")
     parser.add_argument("--explain", action="store_true",
                         help="print the physical plan instead of executing")
+    parser.add_argument("--analyze", action="store_true",
+                        help="with --explain: also execute and append the "
+                             "measured profile (EXPLAIN ANALYZE)")
     args = parser.parse_args(argv)
 
     from . import WarpDB
 
     if args.explain:
         db = WarpDB(args.data_file)
-        print(db.explain(args.query))
+        print(db.explain(args.query, analyze=args.analyze))
         return 0
 
     if args.demo:

@@ -268,10 +268,14 @@ class WarpDB:
                 out |= {f"{j.table}.{c}" for c in self._table.dtypes.keys()}
         return out
 
-    def explain(self, query: str) -> str:
-        """Physical-plan description without executing (observability
-        beyond the reference; SURVEY.md §5).  Accepts either a SQL
-        statement or a ``"<expr> [WHERE cond]"`` expression."""
+    def explain(self, query: str, analyze: bool = False) -> str:
+        """Physical-plan description (observability beyond the
+        reference; SURVEY.md §5).  Accepts either a SQL statement or a
+        ``"<expr> [WHERE cond]"`` expression.
+
+        ``analyze=True`` EXECUTES the query and appends the measured
+        profile: wall-clock, rows/s, and the per-operator kernel trace
+        with compile-cache hit/miss per dispatch (EXPLAIN ANALYZE)."""
         from .engine.explain import explain_expression, explain_query
 
         if query.strip().upper().startswith("SELECT"):
@@ -283,9 +287,43 @@ class WarpDB:
             table_names = {self._name, ast.from_table, *self._catalog.keys()}
             table_names |= {j.table for j in ast.joins}
             validate_query(ast, cols | self._join_columns(ast), table_names)
-            return explain_query(ast, self._table, self._catalog, mesh=self._mesh)
+            plan = explain_query(
+                ast, self._table, self._catalog, mesh=self._mesh
+            )
+            if analyze:
+                plan += "\n" + self._analyze(lambda: self.query_sql(query))
+            return plan
         expr_ast, cond_ast = self._parse_expr_query(query)
-        return explain_expression(self._table, expr_ast, cond_ast)
+        plan = explain_expression(self._table, expr_ast, cond_ast)
+        if analyze:
+            plan += "\n" + self._analyze(lambda: self.query(query))
+        return plan
+
+    def _analyze(self, run) -> str:
+        """Execute ``run`` and render the recorded metrics as the
+        EXPLAIN ANALYZE trailer."""
+        from .utils.metrics import last
+
+        result = run()
+        m = last()
+        lines = ["Execution (measured):"]
+        if m is None:
+            lines.append(f"  rows returned: {len(result)}")
+            return "\n".join(lines)
+        lines.append(
+            f"  wall: {m.wall_s * 1e3:.2f} ms  "
+            f"({m.rows_per_s / 1e6:.1f} M rows/s, {m.gb_per_s:.2f} GB/s)"
+        )
+        lines.append(
+            f"  rows: {m.rows} scanned -> {m.output_rows} returned"
+        )
+        if m.operators:
+            ops = ", ".join(
+                f"{name}{'' if hit else ' [compiled]'}"
+                for name, hit in m.operators
+            )
+            lines.append(f"  operators: {ops}")
+        return "\n".join(lines)
 
     # -- multi-device path (reference query_multi_gpu, warpdb.cpp:508-542) --
     def query_sharded(self, expr: str, mesh=None) -> list:
