@@ -1785,3 +1785,42 @@ def test_lag_lead():
     np.testing.assert_allclose(
         np.asarray(db3.query_sql("SELECT lag FROM t")), [3.0]
     )
+
+
+def test_percentile_aggregate():
+    rng = np.random.default_rng(93)
+    n = 4000
+    k = rng.integers(0, 5, n).astype(np.float32)
+    v = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    for q in (0.0, 0.25, 0.9, 1.0):
+        got = np.asarray(
+            db.query_sql(
+                f"SELECT PERCENTILE(v, {q}) FROM t GROUP BY k "
+                "ORDER BY k ASC"
+            )
+        )
+        want = np.array(
+            [np.percentile(v[k == kk].astype(np.float64), q * 100)
+             for kk in np.unique(k)],
+            np.float32,
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    # Global form + equivalence of MEDIAN and PERCENTILE 0.5.
+    g = float(db.query_sql("SELECT PERCENTILE(v, 0.95) FROM t")[0])
+    assert abs(g - np.percentile(v.astype(np.float64), 95)) < 1e-2
+    m = float(db.query_sql("SELECT MEDIAN(v) FROM t")[0])
+    p50 = float(db.query_sql("SELECT PERCENTILE(v, 0.5) FROM t")[0])
+    assert abs(m - p50) < 1e-4
+    # Quantile bounds validated at parse time.
+    from warpdb_tpu.errors import ParseError
+
+    with pytest.raises(ParseError, match="between 0 and 1"):
+        db.query_sql("SELECT PERCENTILE(v, 1.5) FROM t")
+    # A column named percentile keeps working.
+    db2 = WarpDB(
+        HostTable.from_dict({"percentile": np.array([4.0], np.float32)})
+    )
+    np.testing.assert_allclose(
+        np.asarray(db2.query_sql("SELECT percentile FROM t")), [4.0]
+    )

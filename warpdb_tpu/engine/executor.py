@@ -210,7 +210,7 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             node.name, tuple(bind_strings(a, table) for a in node.args)
         )
     if isinstance(node, Aggregation):
-        return Aggregation(node.agg, bind_strings(node.expr, table))
+        return Aggregation(node.agg, bind_strings(node.expr, table), node.param)
     if isinstance(node, WindowFunction):
         return WindowFunction(
             node.agg,
@@ -299,12 +299,14 @@ def run_expression(
 
 
 class _AggSpec:
-    """One (agg type, value-expression) pair needed by a query."""
+    """One (agg type, value-expression[, parameter]) triple needed by a
+    query."""
 
-    def __init__(self, agg: AggregationType, expr: Node):
+    def __init__(self, agg: AggregationType, expr: Node, param=None):
         self.agg = agg
         self.expr = expr
-        self.key = (agg.value, expr.canonical())
+        self.param = param
+        self.key = (agg.value, expr.canonical(), param)
 
 
 def _collect_agg_specs(nodes: Sequence[Node]) -> list[_AggSpec]:
@@ -314,7 +316,7 @@ def _collect_agg_specs(nodes: Sequence[Node]) -> list[_AggSpec]:
             continue
         for n in walk(node):
             if isinstance(n, Aggregation):
-                spec = _AggSpec(n.agg, n.expr)
+                spec = _AggSpec(n.agg, n.expr, getattr(n, "param", None))
                 specs.setdefault(spec.key, spec)
     return list(specs.values())
 
@@ -331,7 +333,10 @@ def _group_level_eval(
     if isinstance(node, Alias):
         return _group_level_eval(node.expr, key_canon, agg_values)
     if isinstance(node, Aggregation):
-        return agg_values[(node.agg.value, node.expr.canonical())]
+        return agg_values[
+            (node.agg.value, node.expr.canonical(),
+             getattr(node, "param", None))
+        ]
     if isinstance(node, Constant):
         return np.float32(node.value)
     if isinstance(node, BinaryOp):
@@ -1449,7 +1454,7 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
             spec_to_vidx[spec.key] = "cd"
             cd_specs.append(spec)
             continue
-        if spec.agg is AggregationType.MEDIAN:
+        if spec.agg in (AggregationType.MEDIAN, AggregationType.PERCENTILE):
             spec_to_vidx[spec.key] = "cd"
             cd_specs.append(spec)
             continue
@@ -1527,6 +1532,7 @@ def _grouped_partials(
             query, table, group_keys, spec.expr, result.num_groups,
             plan["keys_canon"], where_canon, spec.agg,
             raw_int_key=getattr(result, "raw_int_key", False),
+            param=spec.param,
         )
     return result
 
@@ -1890,7 +1896,8 @@ class _HostGroupResult:
 
 def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,
                               keys_canon, where_canon, agg,
-                              raw_int_key: bool = False) -> np.ndarray:
+                              raw_int_key: bool = False,
+                              param=None) -> np.ndarray:
     """Per-group statistics needing values SORTED WITHIN each group —
     COUNT(DISTINCT expr) and MEDIAN(expr) — from one sort by
     (group keys…, value).  Distinct counts scatter-add value-boundary
@@ -1904,9 +1911,9 @@ def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,
     n_rows = jnp.int32(table.num_rows)
     capacity = _next_pow2(max(int(num_groups), 16))
 
-    key = ("group_order_stat", agg.value, keys_canon, expr.canonical(),
-           where_canon, schema_signature(cols), capacity, raw_int_key,
-           udf_mod.registry_version())
+    key = ("group_order_stat", agg.value, param, keys_canon,
+           expr.canonical(), where_canon, schema_signature(cols), capacity,
+           raw_int_key, udf_mod.registry_version())
 
     def build():
         from ..ops.sort import int_sort_key
@@ -1994,11 +2001,22 @@ def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,
                 .add(1, mode="drop")
             )
             c = jnp.maximum(counts, 1)
-            # vals in sorted order (same permutation as sval_s).
-            lo_idx = jnp.clip(starts + (c - 1) // 2, 0, n_pad - 1)
-            hi_idx = jnp.clip(starts + c // 2, 0, n_pad - 1)
+            # Linear interpolation at q·(c−1) — numpy's default scheme;
+            # MEDIAN is q = 0.5 (reduces to the mean of the two middle
+            # values for even counts).
+            q = 0.5 if agg is AggregationType.MEDIAN else float(param)
+            pos = q * (c - 1).astype(jnp.float32)
+            lo_off = jnp.floor(pos).astype(jnp.int32)
+            frac = pos - lo_off.astype(jnp.float32)
+            lo_idx = jnp.clip(starts + lo_off, 0, n_pad - 1)
+            hi_idx = jnp.clip(
+                starts + jnp.minimum(lo_off + 1, c - 1), 0, n_pad - 1
+            )
             vals_sorted = sorted_vals_ref[0]
-            return (vals_sorted[lo_idx] + vals_sorted[hi_idx]) * 0.5
+            return (
+                vals_sorted[lo_idx] * (1.0 - frac)
+                + vals_sorted[hi_idx] * frac
+            )
 
         return kernel
 
@@ -2565,14 +2583,28 @@ def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
             cnt = jnp.sum(valid.astype(jnp.float32))
             if agg is AggregationType.COUNT_DISTINCT:
                 return count_distinct((vals,), valid).astype(jnp.float32)
-            if agg is AggregationType.MEDIAN:
+            if agg in (
+                AggregationType.MEDIAN, AggregationType.PERCENTILE
+            ):
                 from ..ops.sort import sort_values
 
                 v = sort_values(vals, valid, ascending=True)
                 c = jnp.maximum(cnt.astype(jnp.int32), 1)
-                lo = v[jnp.clip((c - 1) // 2, 0, v.shape[0] - 1)]
-                hi = v[jnp.clip(c // 2, 0, v.shape[0] - 1)]
-                return (lo + hi) * 0.5
+                q = (
+                    0.5
+                    if agg is AggregationType.MEDIAN
+                    else float(select.param)
+                )
+                pos = q * (c - 1).astype(jnp.float32)
+                lo_off = jnp.floor(pos).astype(jnp.int32)
+                frac = pos - lo_off.astype(jnp.float32)
+                lo = v[jnp.clip(lo_off, 0, v.shape[0] - 1)]
+                hi = v[
+                    jnp.clip(
+                        jnp.minimum(lo_off + 1, c - 1), 0, v.shape[0] - 1
+                    )
+                ]
+                return lo * (1.0 - frac) + hi * frac
             if agg is AggregationType.COUNT:
                 return cnt
             if agg is AggregationType.SUM:

@@ -69,7 +69,7 @@ def fold_constants(node: Node) -> Node:
             return node
         return FunctionCall(node.name, args)
     if isinstance(node, Aggregation):
-        return Aggregation(node.agg, fold_constants(node.expr))
+        return Aggregation(node.agg, fold_constants(node.expr), node.param)
     return node
 
 

@@ -238,6 +238,9 @@ class AggregationType(enum.Enum):
     # MEDIAN(expr) — extension (interpolated: mean of the two middle
     # values for even counts).
     MEDIAN = "median"
+    # PERCENTILE(expr, q) — extension (linear interpolation at
+    # q·(count−1), numpy's default scheme; MEDIAN ≡ PERCENTILE 0.5).
+    PERCENTILE = "percentile"
 
 
 @dataclass(frozen=True, repr=False)
@@ -247,6 +250,9 @@ class Aggregation(Node):
 
     agg: AggregationType
     expr: Node
+    # Parameterised aggregates (PERCENTILE's q); part of canonical() so
+    # kernels cache per parameter value.
+    param: Optional[float] = None
 
     @property
     def kernel_name(self) -> str:
@@ -255,6 +261,8 @@ class Aggregation(Node):
     def canonical(self) -> str:
         if self.agg is AggregationType.COUNT_DISTINCT:
             return f"COUNT(DISTINCT {self.expr.canonical()})"
+        if self.agg is AggregationType.PERCENTILE:
+            return f"PERCENTILE({self.expr.canonical()}, {self.param!r})"
         return f"{self.agg.name}({self.expr.canonical()})"
 
     def children(self) -> tuple[Node, ...]:

@@ -231,6 +231,27 @@ class _ExprParser:
                 if not self.match_op(")"):
                     raise ParseError("Expected ')' after arguments")
                 return Aggregation(AggregationType.MEDIAN, inner)
+            # PERCENTILE(expr, q) — contextual parameterised aggregate.
+            if tok.value.upper() == "PERCENTILE" and self.match_op("("):
+                inner = self.logical_or()
+                if not self.match_op(","):
+                    raise ParseError(
+                        "Expected ',' and a quantile in PERCENTILE"
+                    )
+                qtok = self.peek()
+                if qtok.type is not TokenType.NUMBER:
+                    raise ParseError(
+                        "Expected a numeric quantile in PERCENTILE"
+                    )
+                self.advance()
+                q = float(qtok.value)
+                if not 0.0 <= q <= 1.0:
+                    raise ParseError(
+                        "PERCENTILE quantile must be between 0 and 1"
+                    )
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return Aggregation(AggregationType.PERCENTILE, inner, q)
             if self.match_op("("):
                 args: list[Node] = []
                 if not self.match_op(")"):

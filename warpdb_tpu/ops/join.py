@@ -283,7 +283,16 @@ def join_gather_indices(
         seg2 = _fill(packed, jnp.uint32)
         probe_idx = (seg2 // k2).astype(jnp.int32)
         lo_r = (seg2 % k2).astype(jnp.int32)
-        off_r = _fill(offsets, jnp.int32)
+        # Segment start offsets need no scatter of their own: an output
+        # segment starts exactly where probe_idx changes, and its start
+        # POSITION equals the emission offset.
+        seg_first = jnp.concatenate(
+            [
+                jnp.ones((1,), jnp.bool_),
+                probe_idx[1:] != probe_idx[:-1],
+            ]
+        )
+        off_r = lax.cummax(jnp.where(seg_first, r, 0))
         mc_r = None
         if matched_counts is not None:
             packed_mc = row_ids.astype(jnp.uint32) * k2 + jnp.clip(

@@ -160,7 +160,9 @@ def run_streaming_sql(
                 raise UnsupportedError(
                     "Streaming SQL does not support window functions"
                 )
-            if isinstance(n, Aggregation) and n.agg is AggregationType.MEDIAN:
+            if isinstance(n, Aggregation) and n.agg in (
+                AggregationType.MEDIAN, AggregationType.PERCENTILE,
+            ):
                 # Per-chunk medians are not mergeable (an exact merge
                 # needs every value); COUNT(DISTINCT) IS mergeable via
                 # per-chunk sorted-unique pair sets — see below.
