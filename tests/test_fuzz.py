@@ -302,3 +302,38 @@ def test_fuzz_special_values(seed):
     assert got == want or (np.isnan(got) and np.isnan(want)) or (
         np.isinf(got) and np.isinf(want)
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_left_join_vs_numpy(seed):
+    rng = np.random.default_rng(10_000 + seed)
+    nl, nr = int(rng.integers(50, 400)), int(rng.integers(10, 100))
+    lk = rng.integers(0, 30, nl).astype(np.float32)
+    rk = rng.integers(0, 25, nr).astype(np.float32)
+    lv = rng.uniform(0, 100, nl).astype(np.float32)
+    rv = rng.uniform(0, 100, nr).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": lk, "v": lv}))
+    db.register_table("r", HostTable.from_dict({"k": rk, "w": rv}))
+    out = db.query_sql_table("SELECT v, r.w FROM t LEFT JOIN r ON k = r.k")
+
+    want = []
+    for i in range(nl):
+        matches = [float(rv[j]) for j in range(nr) if rk[j] == lk[i]]
+        if matches:
+            want.extend((float(lv[i]), m) for m in matches)
+        else:
+            want.append((float(lv[i]), None))
+    got = list(zip(out["v"], out["r.w"]))
+    assert len(got) == len(want)
+
+    def key(t):
+        return (t[0], -np.inf if (t[1] is None or np.isnan(t[1])) else t[1])
+
+    got_s = sorted(got, key=key)
+    want_s = sorted(want, key=key)
+    for (gv, gw), (wv, ww) in zip(got_s, want_s):
+        assert abs(gv - wv) < 1e-4
+        if ww is None:
+            assert np.isnan(gw)
+        else:
+            assert abs(gw - ww) < 1e-4
