@@ -83,3 +83,26 @@ def test_pallas_group_counts_sums_interpret(num_slots, n):
     np.add.at(want_sums, gid[valid], vals[valid].astype(np.float64))
     np.testing.assert_array_equal(counts, want_counts)
     np.testing.assert_allclose(sums, want_sums, rtol=3e-6, atol=1e-3)
+
+
+def test_midrange_inf_values_route_to_scatter_engine():
+    """±inf values cannot ride the MXU one-hot scaling (0·inf = NaN
+    would poison other slots) — the executor's finiteness gate must
+    route them to the scatter engine, which folds them exactly."""
+    import numpy as np
+
+    from warpdb_tpu import WarpDB
+    from warpdb_tpu.storage import HostTable
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    k = rng.integers(0, 30_000, n).astype(np.float32)
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    v[7] = np.inf
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = np.asarray(db.query_sql("SELECT SUM(v) FROM t GROUP BY k"))
+    uniq = np.sort(np.unique(k))
+    inf_slot = int(np.searchsorted(uniq, k[7]))
+    assert out[inf_slot] == np.inf
+    finite = np.delete(out, inf_slot)
+    assert np.isfinite(finite).all()

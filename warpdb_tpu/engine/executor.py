@@ -1778,12 +1778,29 @@ def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
     instead of 2^16."""
     from ..config import get_config
 
+    from .optimizer import expr_range
+
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
     key_canon = key_expr.canonical()
+    # The MXU engine scales one-hot columns by the value, so a ±inf/NaN
+    # value would poison OTHER slots through 0·inf = NaN — it only runs
+    # when stats PROVE every summed expression finite (same gate as the
+    # value-space top-k); the scatter engine folds non-finite values
+    # exactly.
+    import math
+
+    def _finite_range(e):
+        r = expr_range(e, table.stats)
+        return (
+            r is not None and math.isfinite(r[0]) and math.isfinite(r[1])
+        )
+
+    values_finite = all(_finite_range(v) for v in vexpr_nodes)
     use_mxu = (
         set(need) <= {"sum"}
         and num_slots <= get_config().mxu_group_max_slots
+        and ("sum" not in need or values_finite)
     )
 
     # With LIMIT pushdown the output capacity is static, so aggregation

@@ -74,12 +74,18 @@ def _kernel(gid_ref, val_ref, cnt_ref, sum_ref, *, ghi, glo, nv):
         # Column reshape happens in f32 (Mosaic only supports minor-dim
         # insertion for 32-bit types), THEN the 3-term bf16 split:
         # vh + vm + vl reproduces v to ~2^-24 relative, and each part
-        # times a 0/1 one-hot entry is exact in bf16.
+        # times a 0/1 one-hot entry is exact in bf16.  Residuals
+        # sanitise to 0 when non-finite: for v = ±inf the subtraction
+        # inf − inf would poison the lower terms with NaN (the head term
+        # alone carries ±inf exactly); NaN v keeps NaN in the head term
+        # and propagates as it should.
         v2 = val_ref[i, 0, 0, :][:, None]
         vh = v2.astype(jnp.bfloat16)
         r1 = v2 - vh.astype(jnp.float32)
+        r1 = jnp.where(jnp.isfinite(r1), r1, 0.0)
         vm = r1.astype(jnp.bfloat16)
-        vl = (r1 - vm.astype(jnp.float32)).astype(jnp.bfloat16)
+        r2 = r1 - vm.astype(jnp.float32)
+        vl = jnp.where(jnp.isfinite(r2), r2, 0.0).astype(jnp.bfloat16)
         acc = sum_ref[i]
         for part in (vh, vm, vl):
             acc = acc + lax.dot_general(
@@ -101,7 +107,11 @@ def pallas_group_counts_sums(
 ):
     """Dense histogram (+ per-slot sums) of ``gid`` ∈ [0, num_slots)
     (out-of-range ids contribute nothing).  Returns
-    ``(counts i32[num_slots], sums tuple of f32[num_slots])``."""
+    ``(counts i32[num_slots], sums tuple of f32[num_slots])``.
+
+    Values must be FINITE: the scaling matmul multiplies zero one-hot
+    entries by the value, and 0·inf = NaN would poison other slots —
+    callers gate on stats (executor ``values_finite``)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
