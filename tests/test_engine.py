@@ -1824,3 +1824,39 @@ def test_percentile_aggregate():
     np.testing.assert_allclose(
         np.asarray(db2.query_sql("SELECT percentile FROM t")), [4.0]
     )
+
+
+def test_infinite_stats_bounds_fall_back_safely():
+    """Columns containing ±inf give infinite stats bounds; every
+    stats-gated fast path must fall back (not crash on int(inf)) and
+    produce correct results via the sort paths."""
+    rng = np.random.default_rng(6)
+    n = 3000
+    g = rng.integers(0, 10, n).astype(np.float32)
+    g[5] = np.inf
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"g": g, "v": v}))
+    out = np.asarray(
+        db.query_sql("SELECT COUNT(v) FROM t GROUP BY g ORDER BY g ASC")
+    )
+    uniq, want = np.unique(g, return_counts=True)
+    assert len(out) == len(uniq)
+    np.testing.assert_array_equal(out, want.astype(np.float32))
+    # window over the inf-bounded partition key
+    win = np.asarray(
+        db.query_sql("SELECT SUM(v) OVER (PARTITION BY g) FROM t")
+    )
+    sums = {k: v[g == k].sum() for k in uniq}
+    np.testing.assert_allclose(
+        win, [sums[k] for k in g], rtol=1e-4
+    )
+    # DISTINCT and EXPLAIN over the same column
+    d = np.asarray(db.query_sql("SELECT DISTINCT g FROM t"))
+    np.testing.assert_allclose(d, uniq)
+    assert "Plan for" in db.explain(
+        "SELECT SUM(v) FROM t GROUP BY g"
+    )
+    assert "window" in db.explain(
+        "SELECT SUM(v) OVER (PARTITION BY g) FROM t"
+    )
+    assert "distinct" in db.explain("SELECT DISTINCT g FROM t")

@@ -1565,7 +1565,9 @@ def _distributed_group(query, table, group_keys, vexpr_nodes, mesh):
     space = 1
     for k in group_keys:
         rng = expr_range(k, table.stats)
-        if rng is None:
+        if rng is None or not (
+            np.isfinite(rng[0]) and np.isfinite(rng[1])
+        ):
             space = None
             break
         space *= max(int(rng[1] - rng[0] + 1), 1)
@@ -1676,6 +1678,8 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
         return None
     lo, hi = rng
     cfg = get_config()
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        return None
     if hi - lo + 1 > cfg.midrange_group_max_slots:
         return None
     base = int(np.floor(lo))
@@ -2699,7 +2703,9 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             dense_cfg = (0, 1, True)
         else:
             rng = expr_range(part_exprs[0], table.stats)
-            if rng is not None:
+            if rng is not None and np.isfinite(rng[0]) and np.isfinite(
+                rng[1]
+            ):
                 base = int(np.floor(rng[0]))
                 num_slots = int(np.floor(rng[1])) - base + 1
                 if (

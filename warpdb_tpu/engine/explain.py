@@ -155,7 +155,13 @@ def explain_query(
                     f"({mesh.devices.size} devices)"
                 )
         elif len(query.group_by.keys) == 1:
+            import math
+
             rng = expr_range(query.group_by.keys[0], current.stats)
+            if rng is not None and not (
+                math.isfinite(rng[0]) and math.isfinite(rng[1])
+            ):
+                rng = None
             slots = None if rng is None else int(rng[1]) - int(rng[0]) + 1
             if slots is not None and slots <= cfg.dense_group_max_slots:
                 lines.append(
@@ -208,11 +214,17 @@ def explain_query(
                 w.agg.value in ("sum", "avg", "count", "min", "max")
                 and len(w.partition_by) <= 1
             ):
+                import math
+
                 rng = (
                     expr_range(w.partition_by[0], current.stats)
                     if w.partition_by
                     else (0.0, 0.0)
                 )
+                if rng is not None and not (
+                    math.isfinite(rng[0]) and math.isfinite(rng[1])
+                ):
+                    rng = None
                 if rng is not None and (
                     int(rng[1]) - int(rng[0]) + 1
                 ) <= cfg.dense_group_max_slots:
@@ -257,11 +269,17 @@ def explain_query(
         else:
             lines.append(f"  order by: {terms}  [device stable multi-key sort]")
     if query.distinct:
+        import math
+
         drng = (
             expr_range(select_items[0], current.stats)
             if select_items and query.group_by is None
             else None
         )
+        if drng is not None and not (
+            math.isfinite(drng[0]) and math.isfinite(drng[1])
+        ):
+            drng = None
         if drng is not None and (
             int(drng[1]) - int(drng[0]) + 1
         ) <= cfg.midrange_group_max_slots:
