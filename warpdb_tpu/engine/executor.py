@@ -293,124 +293,6 @@ def run_expression(
     return np.asarray(out)[: table.num_rows]
 
 
-# ---------------------------------------------------------------------------
-# Aggregation helpers
-# ---------------------------------------------------------------------------
-
-
-class _AggSpec:
-    """One (agg type, value-expression[, parameter]) triple needed by a
-    query."""
-
-    def __init__(self, agg: AggregationType, expr: Node, param=None):
-        self.agg = agg
-        self.expr = expr
-        self.param = param
-        self.key = (agg.value, expr.canonical(), param)
-
-
-def _collect_agg_specs(nodes: Sequence[Node]) -> list[_AggSpec]:
-    specs: dict = {}
-    for node in nodes:
-        if node is None:
-            continue
-        for n in walk(node):
-            if isinstance(n, Aggregation):
-                spec = _AggSpec(n.agg, n.expr, getattr(n, "param", None))
-                specs.setdefault(spec.key, spec)
-    return list(specs.values())
-
-
-def _group_level_eval(
-    node: Node,
-    key_canon: dict,
-    agg_values: dict,
-) -> np.ndarray:
-    """NumPy evaluator over the (small) per-group aggregate table.
-    Used for select items, HAVING and group-level ORDER BY — the repaired
-    intent of the reference's host ``eval_having_node`` (warpdb.cpp:387-427),
-    except each aggregate evaluates over its *own* expression."""
-    if isinstance(node, Alias):
-        return _group_level_eval(node.expr, key_canon, agg_values)
-    if isinstance(node, Aggregation):
-        return agg_values[
-            (node.agg.value, node.expr.canonical(),
-             getattr(node, "param", None))
-        ]
-    if isinstance(node, Constant):
-        return np.float32(node.value)
-    if isinstance(node, BinaryOp):
-        l = _group_level_eval(node.left, key_canon, agg_values)
-        r = _group_level_eval(node.right, key_canon, agg_values)
-        op = node.op
-        if op == "+":
-            return l + r
-        if op == "-":
-            return l - r
-        if op == "*":
-            return l * r
-        if op == "/":
-            return l / r
-        if op == "&&":
-            return np.logical_and(l != 0, r != 0)
-        if op == "||":
-            return np.logical_or(l != 0, r != 0)
-        cmp = {
-            ">": np.greater, "<": np.less, ">=": np.greater_equal,
-            "<=": np.less_equal, "==": np.equal, "=": np.equal,
-            "!=": np.not_equal,
-        }[op]
-        return cmp(l, r)
-    canon = node.canonical()
-    if canon in key_canon:
-        return key_canon[canon]
-    if isinstance(node, CaseWhen):
-        out = (
-            np.asarray(
-                _group_level_eval(node.default, key_canon, agg_values),
-                np.float32,
-            )
-            if node.default is not None
-            else np.float32(0.0)
-        )
-        for c, v in zip(reversed(node.conditions), reversed(node.values)):
-            m = np.asarray(_group_level_eval(c, key_canon, agg_values))
-            m = m if m.dtype == bool else m != 0
-            out = np.where(
-                m,
-                np.asarray(
-                    _group_level_eval(v, key_canon, agg_values), np.float32
-                ),
-                out,
-            )
-        return out
-    if isinstance(node, FunctionCall):
-        args = [
-            np.asarray(_group_level_eval(a, key_canon, agg_values), np.float32)
-            for a in node.args
-        ]
-        return np.asarray(udf_mod.resolve_udf(node.name)(*args), np.float32)
-    raise UnsupportedError(
-        "Grouped SELECT/HAVING/ORDER BY expressions must reference the "
-        f"GROUP BY key or aggregates; got: {canon}"
-    )
-
-
-def _agg_value_from_result(spec: _AggSpec, counts, value_aggs) -> np.ndarray:
-    counts_f = counts.astype(np.float32)
-    if spec.agg is AggregationType.COUNT:
-        return counts_f  # no value column needed
-    sums, mins, maxs = value_aggs
-    if spec.agg is AggregationType.SUM:
-        return sums
-    if spec.agg is AggregationType.AVG:
-        return sums / np.maximum(counts_f, 1.0)
-    if spec.agg is AggregationType.MIN:
-        return mins
-    if spec.agg is AggregationType.MAX:
-        return maxs
-    raise ExecutionError(f"Unknown aggregation {spec.agg}")
-
 
 # ---------------------------------------------------------------------------
 # JOIN execution lives in engine/join_exec.py (same subsystem, split for
@@ -550,781 +432,30 @@ def run_query(
     if query.limit is not None and query.limit < len(values):
         values = values[: query.limit]
     return values
-
-
-def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
-    """First select item of the grouped pipeline (reference query_sql
-    returns only the first expression's values, warpdb.cpp:349-371)."""
-    return _run_grouped_multi(
-        query, table, [unalias(query.select_list[0])], mesh=mesh
-    )[0]
-
-
-def _grouped_plan(query: Query, select_items: list) -> dict:
-    """Static planning for a grouped query: aggregate specs, deduped value
-    expressions, and required reductions."""
-    group_keys = list(query.group_by.keys)
-    order_terms = query.order_by.terms if query.order_by else ()
-    specs = _collect_agg_specs(
-        [*select_items, query.having, *(t.expr for t in order_terms)]
-    )
-    # Map each non-COUNT spec to a value column (dedup by expression
-    # canonical); COUNT reads the always-produced per-group counts.
-    vexpr_canons: list[str] = []
-    vexpr_nodes: list[Node] = []
-    spec_to_vidx: dict = {}
-    cd_specs: list[_AggSpec] = []
-    for spec in specs:
-        if spec.agg is AggregationType.COUNT:
-            spec_to_vidx[spec.key] = None
-            continue
-        if spec.agg is AggregationType.COUNT_DISTINCT:
-            spec_to_vidx[spec.key] = "cd"
-            cd_specs.append(spec)
-            continue
-        if spec.agg in (AggregationType.MEDIAN, AggregationType.PERCENTILE):
-            spec_to_vidx[spec.key] = "cd"
-            cd_specs.append(spec)
-            continue
-        c = spec.expr.canonical()
-        if c not in vexpr_canons:
-            vexpr_canons.append(c)
-            vexpr_nodes.append(spec.expr)
-        spec_to_vidx[spec.key] = vexpr_canons.index(c)
-    if not vexpr_nodes:
-        # Keys/counts-only query; distributed + dense kernels expect at
-        # least one value column.
-        vexpr_canons = ["1.0f"]
-        vexpr_nodes = [Constant("1")]
-
-    # Which reductions the query actually needs (SUM-only queries skip
-    # the min/max passes in the dense kernel).
-    need = set()
-    for spec in specs:
-        if spec.agg in (AggregationType.SUM, AggregationType.AVG):
-            need.add("sum")
-        elif spec.agg is AggregationType.MIN:
-            need.add("min")
-        elif spec.agg is AggregationType.MAX:
-            need.add("max")
-    return {
-        "group_keys": group_keys,
-        "keys_canon": tuple(k.canonical() for k in group_keys),
-        "specs": specs,
-        "spec_to_vidx": spec_to_vidx,
-        "vexpr_nodes": vexpr_nodes,
-        "vexpr_canons": vexpr_canons,
-        "cd_specs": cd_specs,
-        "need": tuple(sorted(need)),
-    }
-
-
-def _grouped_partials(
-    query: Query, table: DeviceTable, plan: dict, mesh=None
-) -> "_HostGroupResult":
-    """Compute the per-group aggregate table (keys, counts, sum/min/max
-    per value expression) on device — the mergeable partial form shared
-    by the single-table, distributed, and out-of-core streaming paths."""
-    group_keys = plan["group_keys"]
-    vexpr_nodes = plan["vexpr_nodes"]
-    vexpr_canons = plan["vexpr_canons"]
-    where_canon = query.where.canonical() if query.where is not None else ""
-
-    result = None
-    if mesh is not None and mesh.devices.size > 1:
-        result = _distributed_group(query, table, group_keys, vexpr_nodes,
-                                    mesh)
-    if result is None:
-        # TPU fast path: dense integer-key aggregation (no sort, no
-        # scatter) when stats bound a single key to a small integral range.
-        # LIMIT pushdown is legal when groups emerge in the default
-        # ascending-key order and nothing downstream re-filters/re-orders.
-        limit_cap = None
-        if (
-            query.limit is not None
-            and query.having is None
-            and query.order_by is None
-            and not query.distinct
-            and not plan["cd_specs"]
-        ):
-            limit_cap = query.limit + (query.offset or 0)
-        result = _try_dense_group(query, table, group_keys, vexpr_nodes,
-                                  vexpr_canons, where_canon, plan["need"],
-                                  limit_cap=limit_cap)
-    if result is None:
-        result = _sorted_group(query, table, group_keys, vexpr_nodes,
-                               vexpr_canons, where_canon, plan["keys_canon"],
-                               plan["need"])
-    for spec in plan["cd_specs"]:
-        result.dcounts[spec.key] = _grouped_value_order_stat(
-            query, table, group_keys, spec.expr, result.num_groups,
-            plan["keys_canon"], where_canon, spec.agg,
-            raw_int_key=getattr(result, "raw_int_key", False),
-            param=spec.param,
-        )
-    return result
-
-
-def _run_grouped_multi(
-    query: Query, table: DeviceTable, select_items: list, mesh=None
-) -> list[np.ndarray]:
-    """Grouped pipeline for any number of select items.  Each item may be
-    an aggregate, the group key itself, or any arithmetic over them
-    (``SELECT quantity, SUM(price), SUM(price)/COUNT(*) …``) — exceeds the
-    reference, which required a lone aggregate (warpdb.cpp:350-353)."""
-    plan = _grouped_plan(query, select_items)
-    result = _grouped_partials(query, table, plan, mesh=mesh)
-    return _finish_grouped(query, select_items, plan["specs"],
-                           plan["spec_to_vidx"], result, plan["keys_canon"])
-
-
-def _distributed_group(query, table, group_keys, vexpr_nodes, mesh):
-    """Mesh-distributed GROUP BY (single or composite keys).  Picks the
-    all_gather partial-merge for small stats-bounded key-space products
-    and the all-to-all hash shuffle otherwise — composite keys hash and
-    exchange as tuples (VERDICT r1 item 7)."""
-    from ..parallel.shuffle import shuffle_grouped
-    from ..parallel.sharded import run_grouped_sharded
-    from .optimizer import expr_range
-
-    from ..config import get_config
-
-    # Key-space bound: product of per-key ranges (None = unbounded).
-    space = 1
-    for k in group_keys:
-        rng = expr_range(k, table.stats)
-        if rng is None or not (
-            np.isfinite(rng[0]) and np.isfinite(rng[1])
-        ):
-            space = None
-            break
-        space *= max(int(rng[1] - rng[0] + 1), 1)
-        if space > get_config().distributed_small_keys:
-            break
-    small = space is not None and space <= get_config().distributed_small_keys
-
-    if small:
-        capacity = _next_pow2(max(space, 16))
-        out_keys, out_counts, out_vals, num_groups = run_grouped_sharded(
-            list(group_keys), vexpr_nodes, query.where, table, capacity,
-            mesh=mesh,
-        )
-        host = jax.device_get((out_keys, out_counts, out_vals, num_groups))
-        out_keys, out_counts, out_vals, num_groups = host
-        ng = int(num_groups)
-        return _HostGroupResult(
-            tuple(k[:ng] for k in out_keys),
-            out_counts[:ng],
-            tuple((v[0][:ng], v[1][:ng], v[2][:ng]) for v in out_vals),
-            ng,
-        )
-
-    # Skew-proof map-side combine first: a hot key sends at most one
-    # partial per shard, so data skew cannot overflow an exchange bucket.
-    from ..parallel.shuffle import combine_shuffle_grouped
-
-    res = combine_shuffle_grouped(
-        list(group_keys), vexpr_nodes, query.where, table, mesh=mesh
-    )
-    if res is None:
-        # Per-shard distinct keys exceeded the combine capacity (very
-        # high cardinality): exchange raw rows instead.
-        res = shuffle_grouped(
-            list(group_keys), vexpr_nodes, query.where, table, mesh=mesh
-        )
-    return _HostGroupResult(
-        tuple(res.keys),
-        res.counts,
-        tuple(
-            (res.sums[i], res.mins[i], res.maxs[i])
-            for i in range(len(vexpr_nodes))
-        ),
-        res.num_groups,
-    )
-
-
-def _integral_key_check(table, key_expr) -> tuple:
-    """``(integral_static, ok)`` for a dense/midrange-path key:
-    integrality is guaranteed for int/string-code columns and
-    runtime-checked (memoised per immutable table instance) for float
-    expressions."""
-    key_dtype = None
-    if isinstance(key_expr, Variable):
-        key_dtype = table.dtypes.get(key_expr.name) or table.dtypes.get(
-            key_expr.unqualified
-        )
-    integral_static = key_dtype is not None and key_dtype.value in (
-        "int32",
-        "int64",
-        "string",  # dictionary codes are int32 by construction
-    )
-    if integral_static:
-        return True, True
-    cols = table.columns
-    key_canon = key_expr.canonical()
-    memo = getattr(table, "_integral_memo", None)
-    if memo is None:
-        memo = table._integral_memo = {}
-    if key_canon not in memo:
-        ikey = ("group_integral", key_canon, schema_signature(cols),
-                udf_mod.registry_version())
-
-        def build_intcheck():
-            key_fn = build_evaluator(key_expr)
-
-            @jax.jit
-            def kernel(cols, num_rows):
-                valid = _valid_mask(cols, num_rows)
-                k = _broadcast(_as_f32(key_fn(cols)), cols)
-                return is_integral(k, valid)
-
-            return kernel
-
-        memo[key_canon] = bool(
-            get_or_compile(ikey, build_intcheck)(
-                cols, jnp.int32(table.num_rows)
-            )
-        )
-    return False, memo[key_canon]
-
-
-def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
-                     where_canon, need=("sum", "min", "max"),
-                     limit_cap=None):
-    """Attempt the sort-free GROUP BY ladder — dense O(N·G) VPU sweep for
-    small key ranges, scatter/MXU slot tables for mid-range ones; returns
-    None when stats can't prove an integral key range narrow enough
-    (falls back to the sort path)."""
-    from ..config import get_config
-    from .optimizer import expr_range
-
-    if len(group_keys) != 1:
-        return None
-    key_expr = group_keys[0]
-    rng = expr_range(key_expr, table.stats)
-    if rng is None:
-        return None
-    lo, hi = rng
-    cfg = get_config()
-    if not (np.isfinite(lo) and np.isfinite(hi)):
-        return None
-    if hi - lo + 1 > cfg.midrange_group_max_slots:
-        return None
-    base = int(np.floor(lo))
-    num_slots = int(np.floor(hi)) - base + 1
-    if num_slots < 1:
-        return None
-    if not (-(2**31) <= base and base + num_slots <= 2**31 - 1):
-        # Key values outside int32: the dense gid arithmetic would
-        # overflow at trace time; the sort path handles these fine.
-        return None
-
-    cols = table.columns
-    n_rows = jnp.int32(table.num_rows)
-    key_canon = key_expr.canonical()
-
-    integral_static, ok = _integral_key_check(table, key_expr)
-    if not ok:
-        return None
-
-    if num_slots > cfg.dense_group_max_slots:
-        return _midrange_group_run(
-            query, table, key_expr, vexpr_nodes, vexpr_canons, where_canon,
-            base, num_slots, need, integral_static, limit_cap,
-        )
-
-    gkey = ("dense_group", key_canon, tuple(vexpr_canons), where_canon,
-            schema_signature(cols), base, num_slots, need,
-            udf_mod.registry_version())
-
-    def build_dense():
-        key_fn = _raw_or_f32_key_fn(key_expr, integral_static)
-        val_fns = [build_evaluator(v) for v in vexpr_nodes]
-        cond_fn = build_evaluator(query.where) if query.where is not None else None
-
-        @jax.jit
-        def kernel(cols, num_rows):
-            valid = _valid_mask(cols, num_rows)
-            if cond_fn is not None:
-                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            keys = _broadcast(key_fn(cols), cols)
-            vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
-            return dense_group_aggregate(
-                keys, vals, valid, base, num_slots, need
-            )
-
-        return kernel
-
-    result = jax.device_get(get_or_compile(gkey, build_dense)(cols, n_rows))
-    # Dense slots include empty groups; compact to occupied slots so the
-    # output contract matches the sort path.
-    counts = result.counts
-    occ = counts > 0
-    keys = tuple(k[occ] for k in result.keys)
-    values = tuple(
-        (v.sums[occ], v.mins[occ], v.maxs[occ]) for v in result.values
-    )
-    out = _HostGroupResult(keys, counts[occ], values, int(occ.sum()))
-    # COUNT(DISTINCT) kernels must group keys exactly the way this path
-    # did: raw ints when the dense kernel read the raw column.
-    out.raw_int_key = bool(
-        isinstance(key_expr, Variable) and integral_static
-    )
-    return out
-
-
-def _raw_or_f32_key_fn(key_expr, integral_static: bool):
-    """Key evaluator for the dense/midrange paths: bare integer/string
-    columns feed kernels as raw ints (f32 would corrupt ids beyond 2^24);
-    everything else evaluates to f32."""
-    if isinstance(key_expr, Variable) and integral_static:
-        kname, kuname = key_expr.name, key_expr.unqualified
-
-        def key_fn(cols):
-            arr = cols.get(kname)
-            if arr is None:
-                arr = cols.get(kuname)
-            return arr
-
-        return key_fn
-    inner = build_evaluator(key_expr)
-    return lambda cols: _as_f32(inner(cols))
-
-
-def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
-                        where_canon, base, num_slots, need, integral_static,
-                        limit_cap=None):
-    """Mid-range sort-free GROUP BY: scatter/MXU into a dense slot table
-    (ops/aggregate.midrange_group_aggregate), then a device-side
-    occupancy compaction so the relay transfer is O(groups) — at 2^16+
-    slots, shipping the raw slot table through the ~10 MB/s relay would
-    cost more than the aggregation itself.
-
-    Two-phase: phase A aggregates and ships only the ``num_groups``
-    scalar; phase B sorts occupied slots to the front (a tiny
-    capacity-sized sort) and ships a power-of-two compacted table.
-    ``limit_cap`` (LIMIT pushdown — legal when there is no HAVING /
-    ORDER BY / DISTINCT / COUNT-DISTINCT, since groups emerge in the
-    default ascending-key order) truncates phase B to the first
-    ``limit_cap`` groups, making ``GROUP BY k LIMIT 5`` ship 5 rows
-    instead of 2^16."""
-    from ..config import get_config
-
-    from .optimizer import expr_range
-
-    cols = table.columns
-    n_rows = jnp.int32(table.num_rows)
-    key_canon = key_expr.canonical()
-    # The MXU engine scales one-hot columns by the value, so a ±inf/NaN
-    # value would poison OTHER slots through 0·inf = NaN — it only runs
-    # when stats PROVE every summed expression finite (same gate as the
-    # value-space top-k); the scatter engine folds non-finite values
-    # exactly.
-    import math
-
-    def _finite_range(e):
-        r = expr_range(e, table.stats)
-        return (
-            r is not None and math.isfinite(r[0]) and math.isfinite(r[1])
-        )
-
-    values_finite = all(_finite_range(v) for v in vexpr_nodes)
-    use_mxu = (
-        set(need) <= {"sum"}
-        and num_slots <= get_config().mxu_group_max_slots
-        and ("sum" not in need or values_finite)
-    )
-
-    # With LIMIT pushdown the output capacity is static, so aggregation
-    # and occupancy compaction fuse into ONE dispatch — no intermediate
-    # num_groups round-trip through the relay.  Without a limit the
-    # two-phase protocol sizes the compacted transfer from the scalar.
-    fused_cap = (
-        min(_next_pow2(max(min(limit_cap, num_slots), 16)), num_slots)
-        if limit_cap is not None
-        else 0
-    )
-
-    def _compact(res, out_cap):
-        counts = res.counts
-        slots = jnp.arange(num_slots, dtype=jnp.int32)
-        okey = jnp.where(counts > 0, slots, jnp.int32(0x7FFFFFFF))
-        ops = (okey, res.keys[0], counts) + tuple(
-            x for v in res.values for x in (v.sums, v.mins, v.maxs)
-        )
-        sorted_ops = lax.sort(ops, num_keys=1, is_stable=False)
-        return tuple(o[:out_cap] for o in sorted_ops[1:])
-
-    gkey = ("midrange_group", key_canon, tuple(vexpr_canons), where_canon,
-            schema_signature(cols), base, num_slots, need, use_mxu,
-            fused_cap, udf_mod.registry_version())
-
-    def build():
-        key_fn = _raw_or_f32_key_fn(key_expr, integral_static)
-        val_fns = [build_evaluator(v) for v in vexpr_nodes]
-        cond_fn = (
-            build_evaluator(query.where) if query.where is not None else None
-        )
-
-        @jax.jit
-        def kernel(cols, num_rows):
-            valid = _valid_mask(cols, num_rows)
-            if cond_fn is not None:
-                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            keys = _broadcast(key_fn(cols), cols)
-            vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
-            res = midrange_group_aggregate(
-                keys, vals, valid, base, num_slots, need, use_mxu
-            )
-            if fused_cap:
-                return _compact(res, fused_cap) + (res.num_groups,)
-            return res
-
-        return kernel
-
-    if fused_cap:
-        out = jax.device_get(get_or_compile(gkey, build)(cols, n_rows))
-        ng = int(out[-1])
-        out = out[:-1]
-        ng_eff = min(ng, limit_cap)
-    else:
-        res = get_or_compile(gkey, build)(cols, n_rows)
-        ng = _cached_count(
-            table,
-            ("midrange_ng", key_canon, where_canon, base, num_slots,
-             udf_mod.registry_version()),
-            lambda: jax.device_get(res.num_groups),
-        )
-        ng_eff = ng
-        out_cap = min(_next_pow2(max(ng_eff, 16)), num_slots)
-
-        ckey = ("midrange_compact", num_slots, out_cap, len(vexpr_canons),
-                need)
-
-        def build_compact():
-            @jax.jit
-            def kernel(res):
-                return _compact(res, out_cap)
-
-            return kernel
-
-        out = jax.device_get(get_or_compile(ckey, build_compact)(res))
-    keys_c, counts_c = out[0], out[1]
-    vals_flat = out[2:]
-    values = tuple(
-        (
-            vals_flat[3 * i][:ng_eff],
-            vals_flat[3 * i + 1][:ng_eff],
-            vals_flat[3 * i + 2][:ng_eff],
-        )
-        for i in range(len(vexpr_nodes))
-    )
-    result = _HostGroupResult(
-        (keys_c[:ng_eff],), counts_c[:ng_eff], values, ng_eff
-    )
-    result.raw_int_key = bool(
-        isinstance(key_expr, Variable) and integral_static
-    )
-    return result
-
-
-class _HostGroupResult:
-    """GroupResult already pulled to host and compacted."""
-
-    def __init__(self, keys, counts, values, num_groups, dcounts=None):
-        self.keys = keys
-        self.counts = counts
-        self.values = values
-        self.num_groups = num_groups
-        # COUNT(DISTINCT e) per-group counts, keyed by spec key.
-        self.dcounts: dict = dcounts or {}
-        # Whether the producing path grouped on raw integer keys (dense
-        # fast path) — COUNT(DISTINCT) kernels must match it exactly.
-        self.raw_int_key: bool = False
-
-
-def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,
-                              keys_canon, where_canon, agg,
-                              raw_int_key: bool = False,
-                              param=None) -> np.ndarray:
-    """Per-group statistics needing values SORTED WITHIN each group —
-    COUNT(DISTINCT expr) and MEDIAN(expr) — from one sort by
-    (group keys…, value).  Distinct counts scatter-add value-boundary
-    flags per key segment; medians gather the middle element(s) of each
-    segment.  Segments emerge in the same ascending key order as every
-    other grouped path, so the output aligns with the main aggregate
-    table row-for-row."""
-    from ..ops.sort import float_sort_key
-
-    cols = table.columns
-    n_rows = jnp.int32(table.num_rows)
-    capacity = _next_pow2(max(int(num_groups), 16))
-
-    key = ("group_order_stat", agg.value, param, keys_canon,
-           expr.canonical(), where_canon, schema_signature(cols), capacity,
-           raw_int_key, udf_mod.registry_version())
-
-    def build():
-        from ..ops.sort import int_sort_key
-
-        if raw_int_key:
-            # Mirror the dense path: group on the raw integer column so
-            # ids beyond f32's 2^24 integer range stay distinct.
-            kvar = group_keys[0]
-            kname, kuname = kvar.name, kvar.unqualified
-
-            def raw_key(cols):
-                arr = cols.get(kname)
-                if arr is None:
-                    arr = cols.get(kuname)
-                return arr
-
-            key_fns = [raw_key]
-        else:
-            key_fns = [build_evaluator(k) for k in group_keys]
-        val_fn = build_evaluator(expr)
-        cond_fn = build_evaluator(query.where) if query.where is not None else None
-        u32_max = jnp.uint32(0xFFFFFFFF)
-
-        @jax.jit
-        def kernel(cols, num_rows):
-            valid = _valid_mask(cols, num_rows)
-            if cond_fn is not None:
-                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            if raw_int_key:
-                keys = tuple(_broadcast(f(cols), cols) for f in key_fns)
-                skeys = tuple(
-                    jnp.where(valid, int_sort_key(k), u32_max) for k in keys
-                )
-            else:
-                keys = tuple(
-                    _broadcast(_as_f32(f(cols)), cols) for f in key_fns
-                )
-                skeys = tuple(
-                    jnp.where(valid, float_sort_key(k), u32_max)
-                    for k in keys
-                )
-            vals = _broadcast(_as_f32(val_fn(cols)), cols)
-            sval = float_sort_key(vals)
-            nk = len(skeys)
-            sorted_ops = jax.lax.sort(
-                skeys + (sval, valid.astype(jnp.int32), vals),
-                num_keys=nk + 1,
-                is_stable=True,
-            )
-            skeys_s = sorted_ops[:nk]
-            sval_s = sorted_ops[nk]
-            valid_s = sorted_ops[nk + 1].astype(jnp.bool_)
-            sorted_vals_ref = (sorted_ops[nk + 2],)
-            from ..ops.aggregate import sorted_first_flags
-
-            key_first = sorted_first_flags(skeys_s)
-            val_first = jnp.logical_or(
-                key_first,
-                jnp.concatenate(
-                    [jnp.ones((1,), jnp.bool_), sval_s[1:] != sval_s[:-1]]
-                ),
-            )
-            key_first = jnp.logical_and(key_first, valid_s)
-            val_first = jnp.logical_and(val_first, valid_s)
-            seg = jnp.cumsum(key_first.astype(jnp.int32)) - 1
-            seg = jnp.where(valid_s, seg, capacity)
-            if agg is AggregationType.COUNT_DISTINCT:
-                return (
-                    jnp.zeros((capacity,), jnp.int32)
-                    .at[seg]
-                    .add(val_first.astype(jnp.int32), mode="drop")
-                ).astype(jnp.float32)
-            # MEDIAN: values are sorted within each segment; gather the
-            # middle element(s) via per-group start positions + counts.
-            n_pad = sval_s.shape[0]
-            pos = jnp.arange(n_pad, dtype=jnp.int32)
-            starts = (
-                jnp.zeros((capacity,), jnp.int32)
-                .at[jnp.where(key_first, seg, capacity)]
-                .max(pos, mode="drop")
-            )
-            counts = (
-                jnp.zeros((capacity,), jnp.int32)
-                .at[seg]
-                .add(1, mode="drop")
-            )
-            c = jnp.maximum(counts, 1)
-            # Linear interpolation at q·(c−1) — numpy's default scheme;
-            # MEDIAN is q = 0.5 (reduces to the mean of the two middle
-            # values for even counts).
-            q = 0.5 if agg is AggregationType.MEDIAN else float(param)
-            pos = q * (c - 1).astype(jnp.float32)
-            lo_off = jnp.floor(pos).astype(jnp.int32)
-            frac = pos - lo_off.astype(jnp.float32)
-            lo_idx = jnp.clip(starts + lo_off, 0, n_pad - 1)
-            hi_idx = jnp.clip(
-                starts + jnp.minimum(lo_off + 1, c - 1), 0, n_pad - 1
-            )
-            vals_sorted = sorted_vals_ref[0]
-            return (
-                vals_sorted[lo_idx] * (1.0 - frac)
-                + vals_sorted[hi_idx] * frac
-            )
-
-        return kernel
-
-    out = np.asarray(get_or_compile(key, build)(cols, n_rows))
-    return out[: int(num_groups)].astype(np.float32)
-
-
-def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
-                  where_canon, keys_canon, need=("sum", "min", "max")):
-    from ..ops.aggregate import group_scatter_stage, group_sort_stage
-
-    cols = table.columns
-    n_rows = jnp.int32(table.num_rows)
-
-    # Phase 1: ONE stable sort carrying keys + values, plus segment ids
-    # and the distinct count.  The sorted arrays stay on device; only the
-    # scalar count crosses to host to pick the capacity bucket — the
-    # count pass and the aggregate pass share the sort (previously each
-    # paid its own full O(N log² N) sort).
-    #
-    # A bare integer/string-code key column sorts on its RAW int bits
-    # (int_sort_key): casting to f32 first would collide ids beyond 2^24
-    # — exactly the high-cardinality ids that reach this path.
-    raw_int = False
-    if len(group_keys) == 1 and isinstance(group_keys[0], Variable):
-        kd = table.dtypes.get(group_keys[0].name) or table.dtypes.get(
-            group_keys[0].unqualified
-        )
-        raw_int = kd is not None and kd.value in ("int32", "int64", "string")
-
-    skey = ("group_sort", keys_canon, tuple(vexpr_canons), where_canon,
-            schema_signature(cols), raw_int, udf_mod.registry_version())
-
-    def build_sort():
-        from ..ops.sort import int_sort_key
-
-        key_fns = [build_evaluator(k) for k in group_keys]
-        raw_fn = _raw_or_f32_key_fn(group_keys[0], True) if raw_int else None
-        val_fns = [build_evaluator(v) for v in vexpr_nodes]
-        cond_fn = build_evaluator(query.where) if query.where is not None else None
-
-        @jax.jit
-        def kernel(cols, num_rows):
-            valid = _valid_mask(cols, num_rows)
-            if cond_fn is not None:
-                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
-            if raw_int:
-                raw = _broadcast(raw_fn(cols), cols)
-                keys = (raw.astype(jnp.float32),)
-                return group_sort_stage(
-                    keys, vals, valid, skeys=(int_sort_key(raw),)
-                )
-            keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
-            return group_sort_stage(keys, vals, valid)
-
-        return kernel
-
-    keys_s, vals_s, valid_s, seg, ng_dev = get_or_compile(skey, build_sort)(
-        cols, n_rows
-    )
-    if table.padded_rows <= 4096:
-        capacity = table.padded_rows
-    else:
-        ng = _cached_count(
-            table,
-            ("group_ng", keys_canon, where_canon, raw_int,
-             udf_mod.registry_version()),
-            lambda: ng_dev,
-        )
-        capacity = _next_pow2(max(ng, 16))
-
-    # Phase 2: scatter the pre-sorted segments into capacity-sized tables.
-    gkey = ("group_scatter", len(keys_canon), len(vexpr_canons),
-            table.padded_rows, capacity, need)
-
-    def build_scatter():
-        @jax.jit
-        def kernel(keys_s, vals_s, valid_s, seg, ng):
-            return group_scatter_stage(
-                tuple(keys_s), tuple(vals_s), valid_s, seg, ng, capacity,
-                need,
-            )
-
-        return kernel
-
-    result = jax.device_get(
-        get_or_compile(gkey, build_scatter)(
-            tuple(keys_s), tuple(vals_s), valid_s, seg, ng_dev
-        )
-    )
-
-    num_groups = int(result.num_groups)
-    keys = tuple(k[:num_groups] for k in result.keys)
-    counts = result.counts[:num_groups]
-    values = tuple(
-        (v.sums[:num_groups], v.mins[:num_groups], v.maxs[:num_groups])
-        for v in result.values
-    )
-    out = _HostGroupResult(keys, counts, values, num_groups)
-    # COUNT(DISTINCT)/MEDIAN kernels must group keys exactly as this
-    # path did — on raw int bits when the sort did.
-    out.raw_int_key = raw_int
-    return out
-
-
-def _finish_grouped(query, select_items, specs, spec_to_vidx,
-                    result: "_HostGroupResult", keys_canon) -> list[np.ndarray]:
-    """Host-side finishing on the ≤G-sized aggregate table: evaluate each
-    select item over (keys, aggregates), then HAVING, ORDER BY over
-    groups, DISTINCT.  One list entry per select item, row-aligned."""
-    num_groups = result.num_groups
-    counts = result.counts
-    key_arrays = [k for k in result.keys]
-    agg_values = {}
-    for spec in specs:
-        vidx = spec_to_vidx[spec.key]
-        if vidx == "cd":
-            agg_values[spec.key] = result.dcounts[spec.key]
-        else:
-            agg_values[spec.key] = _agg_value_from_result(
-                spec, counts, None if vidx is None else result.values[vidx]
-            )
-    key_canon_map = {c: key_arrays[i] for i, c in enumerate(keys_canon)}
-
-    mask = np.ones(num_groups, dtype=bool)
-    if query.having is not None:
-        hv = _group_level_eval(query.having, key_canon_map, agg_values)
-        hv = np.asarray(hv)
-        mask &= hv if hv.dtype == bool else hv != 0
-
-    order = None
-    if query.order_by is not None:
-        # Multi-term lexicographic sort; descending terms negate their
-        # key (stable within ties, matching Python's reverse=True).
-        keys = []
-        for t in query.order_by.terms:
-            v = _group_level_eval(t.expr, key_canon_map, agg_values)
-            v = np.broadcast_to(
-                np.asarray(v, dtype=np.float32), (num_groups,)
-            )[mask]
-            keys.append(v if t.ascending else -v)
-        order = np.lexsort(tuple(reversed(keys)))
-    # Default order is ascending by group key (groups emerge key-sorted).
-
-    outs = []
-    for item in select_items:
-        vals = _group_level_eval(item, key_canon_map, agg_values)
-        vals = np.broadcast_to(
-            np.asarray(vals, dtype=np.float32), (num_groups,)
-        )[mask]
-        if order is not None:
-            vals = vals[order]
-        if query.distinct:
-            vals = np.unique(np.asarray(vals, dtype=np.float32))
-            if query.order_by is not None and not query.order_by.ascending:
-                vals = vals[::-1]
-        outs.append(np.ascontiguousarray(vals, dtype=np.float32))
-    return outs
+# ---------------------------------------------------------------------------
+# Grouped aggregation lives in engine/group_exec.py (same subsystem,
+# split for reviewability); names re-exported here for back-compat.
+# ---------------------------------------------------------------------------
+
+from .group_exec import (  # noqa: E402
+    _AggSpec,
+    _HostGroupResult,
+    _agg_value_from_result,
+    _collect_agg_specs,
+    _distributed_group,
+    _finish_grouped,
+    _group_level_eval,
+    _grouped_partials,
+    _grouped_plan,
+    _grouped_value_order_stat,
+    _integral_key_check,
+    _midrange_group_run,
+    _raw_or_f32_key_fn,
+    _run_grouped,
+    _run_grouped_multi,
+    _sorted_group,
+    _try_dense_group,
+)
 
 
 def _run_projection_multi(
