@@ -18,6 +18,17 @@ if not os.environ.get("WARPDB_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+else:
+    # On-chip runs reuse remotely-compiled executables across
+    # invocations (the relay compile is 20-120 s per kernel otherwise).
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib
 

@@ -1228,6 +1228,21 @@ def test_midrange_group_limit_pushdown():
     )
     want = agg["sum"][agg["count"] > 1][:4]
     np.testing.assert_allclose(res, want, rtol=3e-5)
+    # ORDER BY the group key ascending restates the default order, so
+    # the pushdown still applies (and stays correct).
+    res = np.asarray(
+        db.query_sql(
+            "SELECT SUM(v) FROM t GROUP BY k ORDER BY k ASC LIMIT 6"
+        )
+    )
+    np.testing.assert_allclose(res, agg["sum"][:6], rtol=3e-5)
+    # DESC needs the LAST groups — pushdown must NOT truncate.
+    res = np.asarray(
+        db.query_sql(
+            "SELECT SUM(v) FROM t GROUP BY k ORDER BY k DESC LIMIT 6"
+        )
+    )
+    np.testing.assert_allclose(res, agg["sum"][::-1][:6], rtol=3e-5)
 
 
 def test_midrange_group_raw_int_keys_exact():

@@ -260,10 +260,20 @@ def _grouped_partials(
         # LIMIT pushdown is legal when groups emerge in the default
         # ascending-key order and nothing downstream re-filters/re-orders.
         limit_cap = None
+        # Groups emerge ascending by key, so the pushdown is also legal
+        # when ORDER BY names the (single) group key ascending — the
+        # default order restated.
+        order_is_default = query.order_by is None or (
+            len(query.order_by.terms) == 1
+            and query.order_by.ascending
+            and len(plan["group_keys"]) == 1
+            and query.order_by.expr.canonical()
+            == plan["group_keys"][0].canonical()
+        )
         if (
             query.limit is not None
             and query.having is None
-            and query.order_by is None
+            and order_is_default
             and not query.distinct
             and not plan["cd_specs"]
         ):
