@@ -1875,3 +1875,25 @@ def test_infinite_stats_bounds_fall_back_safely():
         "SELECT SUM(v) OVER (PARTITION BY g) FROM t"
     )
     assert "distinct" in db.explain("SELECT DISTINCT g FROM t")
+
+
+def test_nan_group_keys_form_one_group():
+    """All NaNs group together (canonical-NaN float_sort_key semantics)
+    and rank last in the default ascending group order, on both the
+    sorted and dense-window paths."""
+    k = np.array([1.0, np.nan, 2.0, np.nan, 1.0], np.float32)
+    v = np.array([10.0, 5.0, 20.0, 7.0, 30.0], np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = np.asarray(db.query_sql("SELECT SUM(v) FROM t GROUP BY k"))
+    np.testing.assert_allclose(out, [40.0, 20.0, 12.0])
+    cnt = np.asarray(db.query_sql("SELECT COUNT(v) FROM t GROUP BY k"))
+    np.testing.assert_allclose(cnt, [2.0, 1.0, 2.0])
+    # Window partitions group NaN keys together too (sort path — stats
+    # have null_count>0 so the dense gate stays off).
+    win = np.asarray(
+        db.query_sql("SELECT SUM(v) OVER (PARTITION BY k) FROM t")
+    )
+    np.testing.assert_allclose(win, [40.0, 12.0, 20.0, 12.0, 40.0])
+    # DISTINCT keeps one NaN.
+    d = np.asarray(db.query_sql("SELECT DISTINCT k FROM t"))
+    assert len(d) == 3 and np.isnan(d[2])
