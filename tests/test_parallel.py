@@ -764,3 +764,81 @@ def test_mesh_left_join_distributed(mesh):
     )
     want = p[k < 20].sum()
     np.testing.assert_allclose(got2, [want], rtol=1e-4)
+
+
+def test_streaming_sql_join_against_dims(tmp_path):
+    """Out-of-core star schema: streamed fact chunks JOIN in-memory
+    dimension tables, then aggregate; matches the in-memory engine."""
+    rng = np.random.default_rng(61)
+    n = 800
+    k = rng.integers(0, 12, n)
+    v = rng.uniform(0, 50, n).astype(np.float32)
+    path = tmp_path / "fact.csv"
+    with open(path, "w") as f:
+        f.write("k,v\n")
+        for a, b in zip(k, v):
+            f.write(f"{a},{b}\n")
+    dim = HostTable.from_dict(
+        {
+            "k": np.arange(12, dtype=np.float32),
+            "w": rng.uniform(0.5, 2.0, 12).astype(np.float32),
+        }
+    )
+    sql = ("SELECT k, SUM(v * dim.w) FROM t JOIN dim ON k = dim.k "
+           "GROUP BY k ORDER BY k ASC")
+    stream = WarpDB.query_streaming_sql(
+        str(path), sql, rows_per_chunk=97, dims={"dim": dim}
+    )
+    db = WarpDB(HostTable.from_dict({"k": k.astype(np.float32), "v": v}))
+    db.register_table("dim", dim)
+    mem = db.query_sql_table(sql)
+    for (sk, sv), (_, mv) in zip(stream.items(), mem.items()):
+        np.testing.assert_allclose(
+            np.asarray(sv, np.float32), np.asarray(mv, np.float32),
+            rtol=1e-4, err_msg=sk,
+        )
+    # Unregistered build table still rejected.
+    from warpdb_tpu.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="dims"):
+        WarpDB.query_streaming_sql(
+            str(path), "SELECT SUM(v) FROM t JOIN nope ON k = nope.k",
+            rows_per_chunk=97,
+        )
+
+
+def test_streaming_sql_join_string_dim(tmp_path):
+    rng = np.random.default_rng(62)
+    n = 300
+    cities = ["ams", "ber", "cdg"]
+    c = [cities[i] for i in rng.integers(0, 3, n)]
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    path = tmp_path / "fact2.csv"
+    with open(path, "w") as f:
+        f.write("city,v\n")
+        for a, b in zip(c, v):
+            f.write(f"{a},{b}\n")
+    from warpdb_tpu import DataType
+
+    dim = HostTable.from_dict(
+        {
+            "city": np.array(["ber", "ams", "cdg"], dtype=object),
+            "w": np.array([2.0, 3.0, 4.0], np.float32),
+        },
+        dtypes={"city": DataType.STRING},
+    )
+    out = WarpDB.query_streaming_sql(
+        str(path),
+        "SELECT SUM(v * geo.w) FROM t JOIN geo ON city = geo.city "
+        "GROUP BY city ORDER BY city ASC",
+        rows_per_chunk=41,
+        dims={"geo": dim},
+        schema=[DataType.STRING, DataType.FLOAT32],
+    )
+    wmap = {"ams": 3.0, "ber": 2.0, "cdg": 4.0}
+    want = [
+        float(sum(vv * wmap[cc] for cc, vv in zip(c, v) if cc == u))
+        for u in sorted(set(c))
+    ]
+    got = list(out.values())[0]
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -362,15 +362,24 @@ class WarpDB:
         sql: str,
         rows_per_chunk: Optional[int] = None,
         mesh=None,
+        dims: Optional[dict] = None,
+        schema: Optional[Sequence[DataType]] = None,
     ) -> dict:
         """Out-of-core SQL aggregation: per-chunk device aggregation with
         host-side partial merge — GROUP BY / global aggregates over CSVs
         far larger than device memory (the reference's streaming path
-        could only project rows, warpdb.cpp:544-590).  Returns
-        ``{column: list}`` like :meth:`query_sql_table`."""
+        could only project rows, warpdb.cpp:544-590).
+
+        ``dims`` maps table names to in-memory :class:`HostTable`
+        dimension tables; the streamed fact chunks JOIN against them
+        (out-of-core star schema).  Returns ``{column: list}`` like
+        :meth:`query_sql_table`."""
         from .parallel.streaming import run_streaming_sql
 
-        return run_streaming_sql(csv_path, sql, rows_per_chunk, mesh=mesh)
+        return run_streaming_sql(
+            csv_path, sql, rows_per_chunk, mesh=mesh, dims=dims,
+            schema=schema,
+        )
 
     # -- Arrow interchange (reference query_arrow, warpdb.cpp:500-505) -------
     def query_arrow(self, expr: str, shared_memory: bool = False):

@@ -106,6 +106,7 @@ def run_streaming_sql(
     rows_per_chunk: Optional[int] = None,
     mesh=None,
     schema=None,
+    dims: Optional[dict] = None,
 ) -> dict:
     """Out-of-core SQL aggregation: stream a CSV in chunks, aggregate each
     chunk on device into a per-group partial table (keys, counts,
@@ -117,8 +118,15 @@ def run_streaming_sql(
     merge exactly with state bounded by the distinct count — over
     datasets far larger than device memory: the out-of-core analogue of
     GROUP BY that the reference never had (its streaming path only ran
-    per-row projection, warpdb.cpp:544-590).  JOIN / window / MEDIAN /
-    raw row-order queries are rejected (they need global row state).
+    per-row projection, warpdb.cpp:544-590).  Window / MEDIAN /
+    PERCENTILE / raw row-order queries are rejected (they need global
+    row state); JOINs run against in-memory ``dims`` tables.
+
+    ``dims`` maps table names to in-memory ``HostTable`` dimension
+    tables: the streamed fact chunks JOIN against them (the canonical
+    out-of-core star-schema workload — each chunk takes the usual join
+    fast paths, typically the probe-preserving lookup).  Joins against
+    tables not present in ``dims`` are rejected.
 
     Returns ``{column_name: list}`` like ``query_sql_table``.
     """
@@ -149,8 +157,13 @@ def run_streaming_sql(
         rows_per_chunk = get_config().rows_per_chunk
 
     ast = parse_query(tokenize(sql))
-    if ast.joins:
-        raise UnsupportedError("Streaming SQL does not support JOIN")
+    dims = dims or {}
+    for j in ast.joins:
+        if j.table not in dims:
+            raise UnsupportedError(
+                "Streaming SQL joins require the build table in `dims` "
+                f"(got JOIN {j.table})"
+            )
     for item in [*ast.select_list, ast.having,
                  *(t.expr for t in (ast.order_by.terms if ast.order_by else ()))]:
         if item is None:
@@ -171,7 +184,23 @@ def run_streaming_sql(
                 )
 
     columns = set(table_column_names(csv_path))
-    validate_query(ast, columns, {ast.from_table})
+    catalog_dev: dict = {}
+    if ast.joins:
+        from ..storage.table import HostTable as _HT
+
+        for name, ht in dims.items():
+            dt_dim = (
+                shard_table(ht, mesh)
+                if mesh is not None and mesh.devices.size > 1
+                else DeviceTable.from_host(ht)
+            )
+            catalog_dev[name] = dt_dim
+            for col in dt_dim.dtypes:
+                columns.add(col)
+                columns.add(f"{name}.{col}")
+    validate_query(
+        ast, columns, {ast.from_table, *catalog_dev.keys()}
+    )
 
     query = _copy.copy(ast)
     if query.distinct:
@@ -215,16 +244,29 @@ def run_streaming_sql(
                 )
         if not str_col_names:
             break  # first chunk defines the schema; no strings anywhere
+    bind_dicts = dict(global_dicts)
+    for name, dt_dim in catalog_dev.items():
+        for col, vocab_d in dt_dim.dicts.items():
+            bind_dicts[f"{name}.{col}"] = vocab_d
+            bind_dicts.setdefault(col, vocab_d)
     if str_col_names:
         vocab = np.asarray(sorted(uniques))
         global_dicts = {name: vocab for name in str_col_names}
+        bind_dicts.update({name: vocab for name in str_col_names})
+    if bind_dicts:
         from types import SimpleNamespace
 
         from ..engine.executor import _bind_query_strings
 
         query = _bind_query_strings(
-            query, SimpleNamespace(dicts=global_dicts)
+            query, SimpleNamespace(dicts=bind_dicts)
         )
+
+    q_join = None
+    if query.joins:
+        q_join = query
+        query = _copy.copy(query)
+        query.joins = []
 
     select_items = [unalias(s) for s in query.select_list]
     plan = _grouped_plan(query, select_items)
@@ -280,6 +322,10 @@ def run_streaming_sql(
                 dicts_override=global_dicts or None,
             )
         chunk_mesh = mesh if mesh.devices.size > 1 else None
+        if q_join is not None:
+            from ..engine.join_exec import _materialize_joins
+
+            dt = _materialize_joins(q_join, dt, catalog_dev, mesh=chunk_mesh)
         part = _grouped_partials(query, dt, plan, mesh=chunk_mesh)
         ng = int(part.num_groups)
         ck = np.stack(
