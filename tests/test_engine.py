@@ -1897,3 +1897,100 @@ def test_nan_group_keys_form_one_group():
     # DISTINCT keeps one NaN.
     d = np.asarray(db.query_sql("SELECT DISTINCT k FROM t"))
     assert len(d) == 3 and np.isnan(d[2])
+
+
+# --- derived tables (FROM subqueries) -----------------------------------------
+
+
+def test_from_subquery_basic():
+    rng = np.random.default_rng(95)
+    q = rng.integers(0, 10, 4000).astype(np.float32)
+    p = rng.uniform(0, 100, 4000).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    out = np.asarray(
+        db.query_sql(
+            "SELECT s FROM (SELECT quantity AS k, SUM(price) AS s "
+            "FROM t GROUP BY quantity) AS agg "
+            "WHERE s > 15000 ORDER BY s DESC"
+        )
+    )
+    sums = {kk: p[q == kk].sum() for kk in np.unique(q)}
+    want = sorted([v for v in sums.values() if v > 15000], reverse=True)
+    np.testing.assert_allclose(out, want, rtol=1e-4)
+    # Aggregate over the derived table (aggregation of aggregates).
+    mx = float(
+        db.query_sql(
+            "SELECT MAX(s) FROM (SELECT SUM(price) AS s FROM t "
+            "GROUP BY quantity) AS agg"
+        )[0]
+    )
+    assert abs(mx - max(sums.values())) < 1e-1
+    # Multi-column outer select stays row-aligned.
+    t = db.query_sql_table(
+        "SELECT k, s FROM (SELECT quantity AS k, SUM(price) AS s FROM t "
+        "GROUP BY quantity) AS agg ORDER BY k ASC"
+    )
+    cols = list(t.values())
+    np.testing.assert_allclose(cols[0], sorted(sums))
+    np.testing.assert_allclose(
+        cols[1], [sums[kk] for kk in sorted(sums)], rtol=1e-4
+    )
+
+
+def test_from_subquery_nested_and_strings():
+    from warpdb_tpu import DataType
+
+    c = np.array(["b", "a", "b", "c", "a"], dtype=object)
+    v = np.array([1.0, 2.0, 3.0, 4.0, 5.0], np.float32)
+    db = WarpDB(
+        HostTable.from_dict(
+            {"cat": c, "v": v}, dtypes={"cat": DataType.STRING}
+        )
+    )
+    # String column passes through the derived table (re-encoded) and
+    # still binds literals in the outer WHERE.
+    out = db.query_sql_table(
+        "SELECT cat, total FROM (SELECT cat, SUM(v) AS total FROM t "
+        "GROUP BY cat) AS agg WHERE cat != 'c' ORDER BY cat ASC"
+    )
+    assert out["cat"] == ["a", "b"]
+    np.testing.assert_allclose(out["total"], [7.0, 4.0])
+    # Two levels of nesting.
+    out2 = np.asarray(
+        db.query_sql(
+            "SELECT MAX(total) FROM (SELECT cat, total FROM "
+            "(SELECT cat, SUM(v) AS total FROM t GROUP BY cat) AS inner1"
+            ") AS outer1"
+        )
+    )
+    np.testing.assert_allclose(out2, [7.0])
+    # Unknown outer column errors cleanly.
+    from warpdb_tpu.errors import ValidationError
+
+    with pytest.raises(ValidationError, match="Unknown column"):
+        db.query_sql(
+            "SELECT nope FROM (SELECT SUM(v) AS total FROM t) AS agg"
+        )
+    # EXPLAIN renders the derived-table line.
+    assert "derived table" in db.explain(
+        "SELECT total FROM (SELECT SUM(v) AS total FROM t GROUP BY cat) "
+        "AS agg ORDER BY total ASC"
+    )
+
+
+def test_from_subquery_memoised():
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(96)
+    q = rng.integers(0, 6, 2000).astype(np.float32)
+    p = rng.uniform(0, 10, 2000).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"quantity": q, "price": p}))
+    sql = ("SELECT s FROM (SELECT SUM(price) AS s FROM t "
+           "GROUP BY quantity) AS agg ORDER BY s ASC")
+    a = db.query_sql(sql)
+    b = db.query_sql(sql)
+    assert a == b
+    # Second run reuses the materialized derived table: every operator
+    # in the trace is a cache hit and no grouped kernel re-runs on the
+    # base table.
+    assert all(hit for _n, hit in last().operators)

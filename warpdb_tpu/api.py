@@ -240,10 +240,7 @@ class WarpDB:
         except (ParseError, TokenizeError) as e:
             raise ParseError(f"Failed to parse SQL: {e}") from None
 
-        cols = set(self._table.dtypes.keys())
-        table_names = {self._name, ast.from_table, *self._catalog.keys()}
-        table_names |= {j.table for j in ast.joins}
-        validate_query(ast, cols | self._join_columns(ast), table_names)
+        self._validate_sql(ast)
         scanned = self._bytes_scanned(
             *ast.select_list, ast.where, ast.having,
             *(t.expr for t in (ast.order_by.terms if ast.order_by else ())),
@@ -256,6 +253,28 @@ class WarpDB:
 
         first = expand_stars_query(ast, self._table, self._catalog)[0]
         return self._maybe_decode(first, result)
+
+    def _validate_sql(self, ast) -> None:
+        """Clause validation; derived tables validate the inner query
+        against the real schema and the outer against the subquery's
+        OUTPUT column names."""
+        cols = set(self._table.dtypes.keys())
+        sub = getattr(ast, "from_subquery", None)
+        if sub is not None:
+            self._validate_sql(sub)
+            from .engine.executor import result_column_name
+            from .frontend.ast import Star, unalias
+
+            if any(isinstance(unalias(x), Star) for x in sub.select_list):
+                derived = set(cols)
+            else:
+                derived = set()
+                for i, item in enumerate(sub.select_list):
+                    derived.add(result_column_name(item, i, derived))
+            cols = derived
+        table_names = {self._name, ast.from_table, *self._catalog.keys()}
+        table_names |= {j.table for j in ast.joins}
+        validate_query(ast, cols | self._join_columns(ast), table_names)
 
     def _join_columns(self, ast) -> set:
         out: set = set()
@@ -283,10 +302,7 @@ class WarpDB:
                 ast = parse_query(tokenize(query))
             except (ParseError, TokenizeError) as e:
                 raise ParseError(f"Failed to parse SQL: {e}") from None
-            cols = set(self._table.dtypes.keys())
-            table_names = {self._name, ast.from_table, *self._catalog.keys()}
-            table_names |= {j.table for j in ast.joins}
-            validate_query(ast, cols | self._join_columns(ast), table_names)
+            self._validate_sql(ast)
             plan = explain_query(
                 ast, self._table, self._catalog, mesh=self._mesh
             )
@@ -484,10 +500,7 @@ def _facade_query_sql_table(self, sql: str) -> dict:
         ast = parse_query(tokenize(sql))
     except (_PE, _TE) as e:
         raise ParseError(f"Failed to parse SQL: {e}") from None
-    cols = set(self._table.dtypes.keys())
-    table_names = {self._name, ast.from_table, *self._catalog.keys()}
-    table_names |= {j.table for j in ast.joins}
-    validate_query(ast, cols | self._join_columns(ast), table_names)
+    self._validate_sql(ast)
     from .engine.executor import expand_stars_query
 
     result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)

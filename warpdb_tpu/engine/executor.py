@@ -294,6 +294,74 @@ def run_expression(
 
 
 
+def _resolve_from_subquery(query, table, catalog, mesh):
+    """Materialise a derived table (``FROM (SELECT …) AS alias``): run
+    the inner query through the normal table pipeline, land its columns
+    as a fresh DeviceTable (stats computed, so every stats-gated fast
+    path stays live on the outer query), and return the rewritten
+    outer query.  Memoised per source-table instance (immutable inputs,
+    same rationale as the join cache)."""
+    from collections import OrderedDict
+
+    from .join_exec import _table_uid
+
+    sub = query.from_subquery
+    memo = getattr(table, "_subq_memo", None)
+    if memo is None:
+        memo = table._subq_memo = OrderedDict()
+
+    names: list = []
+    for i, item in enumerate(sub.select_list):
+        names.append(result_column_name(item, i, set(names)))
+    mkey = (
+        sub.canonical(), tuple(names),
+        None if mesh is None else int(mesh.devices.size),
+    )
+    derived = None
+    hit = memo.get(mkey)
+    if hit is not None:
+        memo.move_to_end(mkey)
+        derived = hit
+    if derived is None:
+        out = run_query_table(sub, table, catalog, mesh=mesh)
+        arrays: dict = {}
+        dtypes: dict = {}
+        for item, (name, vals) in zip(sub.select_list, out.items()):
+            node = unalias(item)
+            vocab = None
+            if isinstance(node, Variable) and table.dicts:
+                vocab = table.dicts.get(node.name)
+                if vocab is None:
+                    vocab = table.dicts.get(node.unqualified)
+            arr = np.asarray(vals, np.float32)
+            if vocab is not None:
+                # Bare string column passing through: decode and let the
+                # derived table re-encode (fresh vocabulary).
+                from ..storage.strings import decode_codes
+                from ..storage.table import DataType
+
+                arrays[name] = np.asarray(
+                    decode_codes(arr, vocab), dtype=object
+                )
+                dtypes[name] = DataType.STRING
+            else:
+                arrays[name] = arr
+        from ..storage.table import HostTable
+
+        derived = DeviceTable.from_host(
+            HostTable.from_dict(arrays, dtypes=dtypes or None)
+        )
+        memo[mkey] = derived
+        while len(memo) > 4:
+            memo.popitem(last=False)
+
+    import copy as _copy
+
+    q2 = _copy.copy(query)
+    q2.from_subquery = None
+    return q2, derived
+
+
 # ---------------------------------------------------------------------------
 # JOIN execution lives in engine/join_exec.py (same subsystem, split for
 # reviewability); names re-exported here for back-compat.
@@ -385,6 +453,9 @@ def run_query(
     from .optimizer import analyze_condition, fold_constants
 
     import copy as _copy
+
+    if getattr(query, "from_subquery", None) is not None:
+        query, table = _resolve_from_subquery(query, table, catalog, mesh)
 
     if any(isinstance(s, Alias) for s in query.select_list):
         query = _copy.copy(query)
@@ -1156,6 +1227,9 @@ def run_query_table(
 
     if query.distinct and len(query.select_list) > 1:
         raise UnsupportedError("DISTINCT with multiple select items")
+
+    if getattr(query, "from_subquery", None) is not None:
+        query, table = _resolve_from_subquery(query, table, catalog, mesh)
 
     expanded = expand_stars_query(query, table, catalog)
     if expanded is not query.select_list:

@@ -69,6 +69,14 @@ def explain_query(
     catalog = catalog or {}
     lines = [f"Plan for: {query.canonical()}"]
 
+    if getattr(query, "from_subquery", None) is not None:
+        lines.append(
+            f"  from: derived table '{query.from_table}' — the inner "
+            "SELECT materialises first (stats recomputed, so the outer "
+            "query keeps every stats-gated fast path; memoised per "
+            "source table)"
+        )
+
     current = table
     for join in query.joins:
         right = catalog.get(join.table, table)

@@ -352,6 +352,9 @@ class Query:
 
     select_list: list[Node] = field(default_factory=list)
     from_table: str = ""
+    # Derived table: ``FROM (SELECT …) AS alias`` — the inner query
+    # materialises first and ``from_table`` holds the alias.
+    from_subquery: Optional["Query"] = None
     joins: list[Join] = field(default_factory=list)
     where: Optional[Node] = None
     group_by: Optional[GroupBy] = None
@@ -367,7 +370,12 @@ class Query:
         if self.distinct:
             parts.append("DISTINCT")
         parts.append(", ".join(e.canonical() for e in self.select_list))
-        parts.append(f"FROM {self.from_table}")
+        if self.from_subquery is not None:
+            parts.append(
+                f"FROM ({self.from_subquery.canonical()}) AS {self.from_table}"
+            )
+        else:
+            parts.append(f"FROM {self.from_table}")
         for j in self.joins:
             prefix = "LEFT JOIN" if j.kind == "left" else "JOIN"
             parts.append(f"{prefix} {j.table} ON {j.condition.canonical()}")

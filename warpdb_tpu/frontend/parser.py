@@ -632,13 +632,52 @@ class _QueryParser:
                 self.pos += 1
 
         self.expect_kw("FROM")
-        if self.pos >= len(self.toks) or self.toks[self.pos].type is not TokenType.IDENTIFIER:
+        if self.at_op("("):
+            # Derived table: FROM ( SELECT ... ) [AS] alias
+            self.pos += 1
+            depth = 1
+            inner: list[Token] = []
+            while self.pos < len(self.toks):
+                tok = self.toks[self.pos]
+                if tok.type is TokenType.OPERATOR and tok.value == "(":
+                    depth += 1
+                elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                inner.append(tok)
+                self.pos += 1
+            if depth != 0:
+                line, col = self._loc()
+                raise ParseError(
+                    f"Expected ')' to close subquery at line {line} "
+                    f"column {col}"
+                )
+            self.pos += 1  # consume ')'
+            q.from_subquery = _QueryParser(
+                inner + [Token(TokenType.END, "")]
+            ).parse()
+            alias = "subquery"
+            if self.at_kw("AS"):
+                self.pos += 1
+            if (
+                self.pos < len(self.toks)
+                and self.toks[self.pos].type is TokenType.IDENTIFIER
+            ):
+                alias = self.toks[self.pos].value
+                self.pos += 1
+            q.from_table = alias
+        elif (
+            self.pos >= len(self.toks)
+            or self.toks[self.pos].type is not TokenType.IDENTIFIER
+        ):
             line, col = self._loc()
             raise ParseError(
                 f"Expected table name after FROM at line {line} column {col}"
             )
-        q.from_table = self.toks[self.pos].value
-        self.pos += 1
+        else:
+            q.from_table = self.toks[self.pos].value
+            self.pos += 1
 
         while (
             self.at_kw("JOIN") or self.at_kw("LEFT") or self.at_kw("INNER")
