@@ -23,7 +23,6 @@ reference is deterministic.
 from __future__ import annotations
 
 import threading
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -19,7 +19,7 @@ bucket, so each query shape compiles at most O(log N) times ever.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,15 +50,7 @@ from ..frontend.ast import (
 )
 from ..ops.aggregate import (
     count_distinct,
-    dense_group_aggregate,
-    is_integral,
-    midrange_group_aggregate,
     window_aggregate,
-)
-from ..ops.join import (
-    join_gather_indices,
-    join_match_counts,
-    join_match_counts_dense,
 )
 from ..ops.sort import sort_pairs, sort_values, top_k_values
 from ..storage.table import DeviceTable

@@ -15,9 +15,7 @@ from ..config import get_config
 from ..frontend.ast import (
     Aggregation,
     Query,
-    Star,
     StringLiteral,
-    Variable,
     WindowFunction,
     unalias,
     walk,

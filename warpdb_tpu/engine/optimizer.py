@@ -30,7 +30,6 @@ from ..frontend.ast import (
     FunctionCall,
     Node,
     Variable,
-    WindowFunction,
 )
 from ..storage.table import ColumnStats
 

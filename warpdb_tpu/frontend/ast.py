@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
-from typing import Callable, Iterator, Optional
+from typing import Iterator, Optional
 
 __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",

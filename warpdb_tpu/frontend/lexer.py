@@ -22,7 +22,7 @@ expression.cpp:22-120):
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..errors import TokenizeError
 

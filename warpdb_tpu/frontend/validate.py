@@ -10,7 +10,7 @@ name when the qualifier matches a known table name.
 
 from __future__ import annotations
 
-from typing import Collection, Iterable, Optional
+from typing import Collection, Optional
 
 from ..errors import ValidationError
 from .ast import Node, Query, Variable, walk

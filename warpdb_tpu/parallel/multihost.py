@@ -26,12 +26,11 @@ job is launched with a coordinator (one python process per host).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
-from ..storage.csv import read_header
-from ..storage.table import DataType, DeviceTable, HostTable, padded_length
+from ..storage.table import DeviceTable, HostTable, padded_length
 from .mesh import DATA_AXIS
 
 __all__ = [

@@ -31,7 +31,7 @@ from ..engine.compiler import (
 from ..engine import udf as udf_mod
 from ..frontend.ast import Node
 from ..ops.aggregate import group_aggregate
-from ..storage.table import DeviceTable, HostTable, padded_length
+from ..storage.table import DeviceTable, HostTable
 from .mesh import DATA_AXIS, data_mesh, row_sharding
 
 __all__ = [

@@ -186,8 +186,6 @@ def run_streaming_sql(
     columns = set(table_column_names(csv_path))
     catalog_dev: dict = {}
     if ast.joins:
-        from ..storage.table import HostTable as _HT
-
         for name, ht in dims.items():
             dt_dim = (
                 shard_table(ht, mesh)

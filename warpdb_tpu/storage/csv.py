@@ -21,7 +21,6 @@ reader, else NumPy.  All three produce identical HostTables.
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Iterator, Optional, Sequence
 

@@ -18,7 +18,6 @@ The reference's data-model spine (csv_loader.hpp:13-78) is a
 from __future__ import annotations
 
 import enum
-import math
 from dataclasses import dataclass, field
 from typing import Iterable, Optional, Sequence
 
