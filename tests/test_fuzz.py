@@ -337,3 +337,104 @@ def test_fuzz_left_join_vs_numpy(seed):
             assert np.isnan(gw)
         else:
             assert abs(gw - ww) < 1e-4
+
+
+# --- differential fuzz: fast paths vs forced slow paths -----------------------
+
+_DIFF_SHAPES = [
+    "group", "join_group", "left_join", "window", "distinct", "derived",
+]
+
+
+def _diff_query(rng):
+    """One random query over columns g (6 groups), k (join key), v."""
+    agg = rng.choice(["SUM", "AVG", "MIN", "MAX", "COUNT"])
+    agg2 = rng.choice(["SUM", "AVG", "MIN", "MAX", "COUNT"])
+    cond = f"WHERE v > {rng.uniform(0, 30):.2f}" if rng.uniform() < 0.6 else ""
+    lim = f" LIMIT {int(rng.integers(1, 6))}" if rng.uniform() < 0.3 else ""
+    shape = _DIFF_SHAPES[int(rng.integers(0, len(_DIFF_SHAPES)))]
+    if shape == "group":
+        hav = (
+            f" HAVING COUNT(v) > {int(rng.integers(0, 4))}"
+            if rng.uniform() < 0.3
+            else ""
+        )
+        return (
+            f"SELECT g, {agg}(v), {agg2}(v + g) FROM t {cond} "
+            f"GROUP BY g{hav} ORDER BY g ASC{lim}"
+        )
+    if shape == "join_group":
+        return (
+            f"SELECT g, {agg}(v * d.w) FROM t JOIN d ON k = d.k {cond} "
+            f"GROUP BY g ORDER BY g ASC{lim}"
+        )
+    if shape == "left_join":
+        return (
+            f"SELECT g, COUNT(v), {agg}(d.w) FROM t LEFT JOIN d ON k = d.k "
+            f"{cond} GROUP BY g ORDER BY g ASC{lim}"
+        )
+    if shape == "window":
+        low = agg if agg != "COUNT" else "SUM"
+        return f"SELECT {low}(v) OVER (PARTITION BY g) FROM t {cond}"
+    if shape == "distinct":
+        return f"SELECT DISTINCT g FROM t {cond} ORDER BY g ASC{lim}"
+    return (
+        f"SELECT {agg}(x) FROM (SELECT g, v * 2 AS x FROM t {cond}) "
+        f"GROUP BY g ORDER BY g ASC{lim}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_differential_fast_vs_slow_paths(seed):
+    """Every stats-gated fast path (dense/midrange/MXU GROUP BY, dense
+    phase-1 joins, eager join aggregation) must be result-equivalent to
+    the general machinery (sorted segmented aggregation, full sort-merge
+    join).  Each random query runs twice — fast paths enabled vs all
+    forced off — and the results must agree.  A 400-seed campaign of
+    this harness ran clean on 2026-08-17; these 8 seeds keep the
+    equivalence regress-visible in CI."""
+    import dataclasses
+
+    from warpdb_tpu.config import EngineConfig, get_config, set_config
+
+    rng = np.random.default_rng(900_000 + seed)
+    n = int(rng.integers(50, 3000))
+    nk = int(rng.integers(2, 60))
+    host = HostTable.from_dict({
+        "g": rng.integers(0, 6, n).astype(np.float32),
+        "k": rng.integers(0, nk + 3, n).astype(np.float32),
+        "v": rng.uniform(0.0, 50.0, n).astype(np.float32),
+    })
+    dup = int(rng.integers(1, 3))
+    dim = HostTable.from_dict({
+        "k": np.tile(np.arange(nk, dtype=np.float32), dup),
+        "w": rng.uniform(0.5, 2.0, nk * dup).astype(np.float32),
+    })
+    sql = _diff_query(rng)
+
+    base = get_config()
+    outs = []
+    try:
+        for slow in (False, True):
+            cfg = EngineConfig(**{
+                f.name: getattr(base, f.name)
+                for f in dataclasses.fields(EngineConfig)
+            })
+            cfg.join_cache_entries = 0  # keep the memo out of the diff
+            if slow:
+                cfg.dense_group_max_slots = 0
+                cfg.midrange_group_max_slots = 0
+                cfg.mxu_group_max_slots = 0
+                cfg.join_dense_build_max = 0
+                cfg.eager_join_aggregation = False
+            set_config(cfg)
+            db = WarpDB(host)
+            db.register_table("d", dim)
+            outs.append(np.asarray(db.query_sql(sql), np.float64))
+    finally:
+        set_config(base)
+    fast, slow = outs
+    assert fast.shape == slow.shape, sql
+    np.testing.assert_allclose(
+        fast, slow, rtol=2e-4, atol=1e-3, equal_nan=True, err_msg=sql
+    )
