@@ -1994,3 +1994,32 @@ def test_from_subquery_memoised():
     # in the trace is a cache hit and no grouped kernel re-runs on the
     # base table.
     assert all(hit for _n, hit in last().operators)
+
+
+def test_eager_join_aggregate_keeps_column_names():
+    """The eager-aggregation rewrite must be invisible in the result
+    schema: rewritten items keep their original display names, and the
+    per-table rewrite memo must not share entries between queries that
+    differ only by AS aliases (canonical() is alias-insensitive)."""
+    rng = np.random.default_rng(97)
+    n = 500
+    db = WarpDB(HostTable.from_dict({
+        "g": rng.integers(0, 5, n).astype(np.float32),
+        "k": rng.integers(0, 10, n).astype(np.float32),
+        "v": rng.uniform(0, 50, n).astype(np.float32),
+    }))
+    db.register_table("d", HostTable.from_dict({
+        "k": np.arange(10, dtype=np.float32),
+        "w": rng.uniform(0.5, 2, 10).astype(np.float32),
+    }))
+    base = "FROM t JOIN d ON k = d.k GROUP BY g ORDER BY g ASC"
+    out = db.query_sql_table(f"SELECT g, AVG(v * d.w) {base}")
+    assert list(out) == ["g", "AVG((v[idx] * d.w[idx]))"]
+    out = db.query_sql_table(f"SELECT g, SUM(v * d.w) {base}")
+    assert list(out) == ["g", "SUM((v[idx] * d.w[idx]))"]
+    # Same canonical plan, different alias: the memo must not leak the
+    # bare name (nor vice versa on the repeat of the bare form).
+    out = db.query_sql_table(f"SELECT g, SUM(v * d.w) AS s {base}")
+    assert list(out) == ["g", "s"]
+    out = db.query_sql_table(f"SELECT g, SUM(v * d.w) {base}")
+    assert list(out) == ["g", "SUM((v[idx] * d.w[idx]))"]

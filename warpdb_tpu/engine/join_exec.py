@@ -697,8 +697,15 @@ def _try_eager_join_aggregate(query, table, catalog, mesh):
         from collections import OrderedDict
 
         memo = table._eja_memo = OrderedDict()
+    # canonical() is alias-insensitive (kernel-cache semantics), but the
+    # memoised q2 carries output NAMES — two queries differing only by
+    # ``AS`` aliases must not share an entry (same rule as the subquery
+    # memo, executor._resolve_from_subquery).
+    sel_names = tuple(
+        s.name if isinstance(s, Alias) else None for s in query.select_list
+    )
     mkey = (
-        query.canonical(), _table_uid(right),
+        query.canonical(), sel_names, _table_uid(right),
         None if mesh is None else int(mesh.devices.size),
     )
     hit = memo.get(mkey)
@@ -826,8 +833,22 @@ def _try_eager_join_aggregate(query, table, catalog, mesh):
             raise _EjaBail  # bare build ref outside an aggregate
         return node
 
+    def rw_select(s):
+        # The rewrite must not change user-visible column names: a
+        # rewritten item keeps its ORIGINAL display name via an Alias
+        # (plan choice is invisible in the result schema — without this,
+        # ``AVG(v * d.w)`` came back named
+        # ``(SUM((v[idx] * __eja_sum_w[idx])) / SUM(__eja_cnt[idx]))``).
+        r = rw(s)
+        if isinstance(s, Alias) or r.canonical() == s.canonical():
+            return r
+        name = s.canonical()
+        if name.endswith("[idx]"):
+            name = name[: -len("[idx]")]
+        return Alias(r, name)
+
     try:
-        new_select = [rw(s) for s in query.select_list]
+        new_select = [rw_select(s) for s in query.select_list]
         new_having = rw(query.having)
         new_order = None
         if query.order_by is not None:
