@@ -883,3 +883,56 @@ def test_fuzz_mesh_vs_single_device(mesh, seed):
     np.testing.assert_allclose(
         outs[0], outs[1], rtol=2e-4, atol=1e-3, equal_nan=True, err_msg=sql
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_streaming_vs_in_memory(tmp_path, seed):
+    """Chunked out-of-core SQL (partial merge across chunks, dimension
+    joins against streamed facts) must agree with in-memory execution —
+    including result COLUMN NAMES, which a 100-seed offline campaign of
+    this harness showed the eager-join-aggregation rewrite could leak
+    (fixed; campaign clean on 2026-08-17)."""
+    from warpdb_tpu import WarpDB
+
+    rng = np.random.default_rng(555_000 + seed)
+    n = int(rng.integers(30, 1200))
+    nk = int(rng.integers(2, 40))
+    g = rng.integers(0, 5, n).astype(np.float32)
+    k = rng.integers(0, nk + 2, n).astype(np.float32)
+    v = rng.uniform(0.0, 50.0, n).astype(np.float32).round(3)
+    host = HostTable.from_dict({"g": g, "k": k, "v": v})
+    dim = HostTable.from_dict({
+        "k": np.arange(nk, dtype=np.float32),
+        "w": rng.uniform(0.5, 2.0, nk).astype(np.float32).round(3),
+    })
+    agg = ["SUM", "AVG", "MIN", "MAX", "COUNT"][int(rng.integers(0, 5))]
+    cond = f"WHERE v > {rng.uniform(0, 30):.2f}" if rng.uniform() < 0.6 else ""
+    shapes = [
+        f"SELECT g, {agg}(v) FROM t {cond} GROUP BY g ORDER BY g ASC",
+        f"SELECT g, COUNT(DISTINCT k) FROM t {cond} GROUP BY g ORDER BY g ASC",
+        f"SELECT g, {agg}(v * d.w) FROM t JOIN d ON k = d.k {cond} "
+        "GROUP BY g ORDER BY g ASC",
+        f"SELECT DISTINCT g FROM t {cond} ORDER BY g ASC",
+    ]
+    sql = shapes[int(rng.integers(0, len(shapes)))]
+    chunk = int(rng.integers(7, max(8, n // 2)))
+
+    path = tmp_path / "fact.csv"
+    with open(path, "w") as f:
+        f.write("g,k,v\n")
+        for i in range(n):
+            f.write(f"{g[i]:.1f},{k[i]:.1f},{v[i]:.3f}\n")
+
+    db = WarpDB(host)
+    db.register_table("d", dim)
+    want = db.query_sql_table(sql)
+    got = WarpDB.query_streaming_sql(
+        str(path), sql, rows_per_chunk=chunk,
+        dims={"d": dim} if "JOIN" in sql else None,
+    )
+    assert list(got) == list(want), sql
+    for c in want:
+        np.testing.assert_allclose(
+            np.asarray(got[c], np.float64), np.asarray(want[c], np.float64),
+            rtol=2e-4, atol=1e-3, equal_nan=True, err_msg=f"{sql} [{c}]",
+        )
