@@ -1543,6 +1543,136 @@ def test_left_join_string_keys_decode_empty():
     assert cols[1] == ["alpha", "beta", "", "alpha"]
 
 
+def test_right_join_appends_build_misses():
+    """RIGHT JOIN keeps unmatched BUILD rows, probe columns NaN, after
+    the inner rows (misses in build row order — deterministic)."""
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "k": np.array([1, 2, 2], np.float32),
+                "p": np.array([10, 20, 40], np.float32),
+            }
+        )
+    )
+    db.register_table(
+        "r",
+        HostTable.from_dict(
+            {
+                "k": np.array([2, 5, 7], np.float32),
+                "w": np.array([200, 500, 700], np.float32),
+            }
+        ),
+    )
+    t = db.query_sql_table("SELECT p, r.w FROM t RIGHT JOIN r ON k = r.k")
+    got = list(zip(*t.values()))
+    assert len(got) == 4
+    np.testing.assert_allclose(
+        got[0], (20.0, 200.0)
+    )
+    np.testing.assert_allclose(got[1], (40.0, 200.0))
+    assert np.isnan(got[2][0]) and got[2][1] == 500.0
+    assert np.isnan(got[3][0]) and got[3][1] == 700.0
+    # Aggregates see inner matches + build misses.
+    cnt = db.query_sql(
+        "SELECT COUNT(w) FROM t RIGHT JOIN r ON k = r.k"
+    )
+    assert cnt[0] == 4
+
+
+def test_full_join_keeps_both_sides():
+    """FULL OUTER JOIN = LEFT rows plus build-side misses; the build key
+    column carries the miss row's key value."""
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "k": np.array([1, 2, 2], np.float32),
+                "p": np.array([10, 20, 40], np.float32),
+            }
+        )
+    )
+    db.register_table(
+        "r",
+        HostTable.from_dict(
+            {
+                "k": np.array([2, 5], np.float32),
+                "w": np.array([200, 500], np.float32),
+            }
+        ),
+    )
+    t = db.query_sql_table(
+        "SELECT p, r.k, r.w FROM t FULL OUTER JOIN r ON k = r.k"
+    )
+    got = list(zip(*t.values()))
+    # probe-major LEFT rows, then the k=5 build miss appended.
+    assert len(got) == 4
+    assert got[0][0] == 10.0 and np.isnan(got[0][1]) and np.isnan(got[0][2])
+    assert got[1] == (20.0, 2.0, 200.0)
+    assert got[2] == (40.0, 2.0, 200.0)
+    assert np.isnan(got[3][0]) and got[3][1] == 5.0 and got[3][2] == 500.0
+
+
+def test_full_join_string_keys():
+    """FULL JOIN on string keys: probe-side string columns decode ""
+    on build-miss rows (code -1 = the engine's missing marker)."""
+    from warpdb_tpu import DataType
+
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "city": np.array(["a", "b"], dtype=object),
+                "price": np.array([1, 2], np.float32),
+            },
+            dtypes={"city": DataType.STRING},
+        )
+    )
+    db.register_table(
+        "geo",
+        HostTable.from_dict(
+            {
+                "city": np.array(["b", "zz"], dtype=object),
+                "name": np.array(["beta", "zulu"], dtype=object),
+            },
+            dtypes={"city": DataType.STRING, "name": DataType.STRING},
+        ),
+    )
+    t = db.query_sql_table(
+        "SELECT city, price, geo.name FROM t "
+        "FULL JOIN geo ON city = geo.city"
+    )
+    cols = list(t.values())
+    assert cols[0] == ["a", "b", ""]
+    assert cols[1][0] == 1.0 and cols[1][1] == 2.0 and np.isnan(cols[1][2])
+    assert cols[2] == ["", "beta", "zulu"]
+
+
+def test_right_join_matches_swapped_left_join():
+    """RIGHT JOIN row multiset == LEFT JOIN with the tables swapped."""
+    rng = np.random.default_rng(7)
+    ka = rng.integers(0, 20, 200).astype(np.float32)
+    va = rng.random(200).astype(np.float32)
+    kb = rng.integers(0, 20, 50).astype(np.float32)
+    vb = rng.random(50).astype(np.float32)
+
+    db1 = WarpDB(HostTable.from_dict({"k": ka, "va": va}))
+    db1.register_table("b", HostTable.from_dict({"k": kb, "vb": vb}))
+    right = db1.query_sql_table(
+        "SELECT va, b.vb FROM t RIGHT JOIN b ON k = b.k"
+    )
+
+    db2 = WarpDB(HostTable.from_dict({"k": kb, "vb": vb}))
+    db2.register_table("b", HostTable.from_dict({"k": ka, "va": va}))
+    left = db2.query_sql_table(
+        "SELECT b.va, vb FROM t LEFT JOIN b ON k = b.k"
+    )
+
+    def norm(cols):
+        a = np.stack([np.asarray(c, np.float64) for c in cols.values()])
+        a = np.where(np.isnan(a), 1e30, a)
+        return sorted(map(tuple, a.T))
+
+    assert norm(right) == norm(left)
+
+
 def test_inner_join_keyword_variants(db):
     a = db.query_sql(
         "SELECT price FROM test JOIN test ON quantity = quantity "

@@ -339,6 +339,53 @@ def test_fuzz_left_join_vs_numpy(seed):
             assert abs(gw - ww) < 1e-4
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_outer_joins_vs_numpy(seed):
+    """RIGHT/FULL OUTER row multisets vs a NumPy oracle (NaN = miss)."""
+    rng = np.random.default_rng(20_000 + seed)
+    nl, nr = int(rng.integers(50, 400)), int(rng.integers(10, 100))
+    lk = rng.integers(0, 30, nl).astype(np.float32)
+    rk = rng.integers(0, 40, nr).astype(np.float32)  # keys 30-39 always miss
+    lv = rng.uniform(0, 100, nl).astype(np.float32)
+    rv = rng.uniform(0, 100, nr).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": lk, "v": lv}))
+    db.register_table("r", HostTable.from_dict({"k": rk, "w": rv}))
+
+    inner = [
+        (float(lv[i]), float(rv[j]))
+        for i in range(nl)
+        for j in range(nr)
+        if lk[i] == rk[j]
+    ]
+    left_miss = [
+        (float(lv[i]), None)
+        for i in range(nl)
+        if not np.any(rk == lk[i])
+    ]
+    right_miss = [
+        (None, float(rv[j]))
+        for j in range(nr)
+        if not np.any(lk == rk[j])
+    ]
+
+    def norm(rows):
+        return sorted(
+            (-1e30 if a is None or np.isnan(a) else round(float(a), 3),
+             -1e30 if b is None or np.isnan(b) else round(float(b), 3))
+            for a, b in rows
+        )
+
+    for kind, want in (
+        ("RIGHT", inner + right_miss),
+        ("FULL", inner + left_miss + right_miss),
+    ):
+        out = db.query_sql_table(
+            f"SELECT v, r.w FROM t {kind} JOIN r ON k = r.k"
+        )
+        got = list(zip(out["v"], out["r.w"]))
+        assert norm(got) == norm(want), kind
+
+
 # --- differential fuzz: fast paths vs forced slow paths -----------------------
 
 _DIFF_SHAPES = [

@@ -104,11 +104,11 @@ def explain_query(
                 how = (
                     "sort-merge: match-count -> pow2 capacity -> gather"
                 )
-        jk = (
-            "left outer"
-            if getattr(join, "kind", "inner") == "left"
-            else "inner"
-        )
+        jk = {
+            "left": "left outer",
+            "right": "right outer",
+            "full": "full outer",
+        }.get(getattr(join, "kind", "inner"), "inner")
         lines.append(
             f"  join: {jk} equi-join with '{join.table}' on "
             f"{_fmt(join.condition)} "

@@ -231,6 +231,23 @@ def _materialize_join(
             _cached, _right_ref = hit
             return _cached
 
+    if kind in ("right", "full"):
+        # RIGHT = INNER plus build-side misses; FULL = LEFT plus
+        # build-side misses.  The base join reuses every existing path
+        # (memo, mesh route, lookup/dense fast paths); the tail appends
+        # the unmatched build rows detected by a swapped phase 1.
+        base_kind = "inner" if kind == "right" else "left"
+        base = _materialize_join(
+            left, right, right_name, cond, needed=needed, mesh=mesh,
+            kind=base_kind,
+        )
+        out = _append_build_misses(base, left, right, right_name, pairs)
+        if memo is not None:
+            memo[mkey] = (out, right)
+            while len(memo) > cache_cap:
+                memo.popitem(last=False)
+        return out
+
     if mesh is not None and int(mesh.devices.size) > 1:
         out = _materialize_join_distributed(
             left, right, right_name, pairs, needed, mesh, kind
@@ -651,6 +668,178 @@ def _materialize_join_local(
         new_cols, dtypes, total_emit, capacity, stats=stats, dicts=dicts
     )
 
+
+
+def _append_build_misses(
+    base: DeviceTable,
+    left: DeviceTable,
+    right: DeviceTable,
+    right_name: str,
+    pairs,
+) -> DeviceTable:
+    """RIGHT/FULL OUTER tail: append build rows with no probe match.
+
+    ``base`` is the already-materialised INNER (for RIGHT) or LEFT (for
+    FULL) join.  A swapped phase 1 (probe := build side) marks build
+    rows whose key tuple matches no valid probe row; those rows compact
+    to a pow2 bucket via one stable position sort and append after
+    ``base``'s valid prefix.  Probe-side columns fill the engine's
+    missing-value marker (NaN; int32 / string codes -1), mirroring the
+    LEFT-join fill.  The reference parsed no OUTER join variants at all
+    (expression.cpp:375-401, warpdb.hpp:22-23).
+
+    Matching semantics are the sort-key semantics of the inner join
+    (canonical NaN matches NaN); a build-side string key absent from
+    the probe vocabulary translates to code -1 and lands here."""
+    lkeys, rkeys, pair_canons = [], [], []
+    for left_var, right_var in _resolve_join_sides(
+        left, right, right_name, pairs
+    ):
+        lk, rk = _translated_right_key(left, right, left_var, right_var)
+        lkeys.append(_as_f32(lk))
+        rkeys.append(_as_f32(rk))
+        pair_canons.append((left_var.canonical(), right_var.canonical()))
+
+    akey = (
+        "join_anti_mask",
+        schema_signature(left.columns),
+        schema_signature(right.columns),
+        tuple(pair_canons),
+    )
+
+    def build_anti():
+        @jax.jit
+        def anti(lks, rks, n_left, n_right):
+            lmask = jnp.arange(lks[0].shape[0], dtype=jnp.int32) < n_left
+            rmask = jnp.arange(rks[0].shape[0], dtype=jnp.int32) < n_right
+            p1 = join_match_counts(tuple(rks), rmask, tuple(lks), lmask)
+            miss = jnp.logical_and(rmask, p1.counts == 0)
+            return miss, jnp.sum(miss.astype(jnp.int32))
+
+        return anti
+
+    miss, n_miss_dev = get_or_compile(akey, build_anti)(
+        tuple(lkeys), tuple(rkeys),
+        jnp.int32(left.num_rows), jnp.int32(right.num_rows),
+    )
+    n_miss = int(n_miss_dev)
+    if n_miss == 0:
+        return base
+
+    # Classify each output column: build-sourced names carry the miss
+    # row's value; everything else (probe-sourced) takes the fill.
+    spec = []
+    rneeded: list[str] = []
+    for name in base.columns:
+        src = None
+        if (
+            name.startswith(right_name + ".")
+            and name[len(right_name) + 1 :] in right.columns
+        ):
+            src = name[len(right_name) + 1 :]
+        elif name not in left.columns and name in right.columns:
+            src = name
+        spec.append((name, src))
+        if src is not None and src not in rneeded:
+            rneeded.append(src)
+
+    cap_miss = min(_next_pow2(n_miss), right.padded_rows)
+    rcols_in = {n: right.columns[n] for n in rneeded}
+    anti_cols: dict = {}
+    if rneeded:
+        ckey = (
+            "join_anti_compact",
+            schema_signature(rcols_in),
+            right.padded_rows,
+            cap_miss,
+        )
+
+        def build_compact():
+            names = list(rcols_in)
+
+            @jax.jit
+            def compact(miss_mask, rcols):
+                n_pad = miss_mask.shape[0]
+                idx = jnp.arange(n_pad, dtype=jnp.int32)
+                rank = jnp.where(miss_mask, 0, 1).astype(jnp.int32)
+                # Stable position sort carrying every needed column's
+                # bits: misses compact to the front in original row
+                # order (same protocol as the filtered projection).
+                ops = (rank, idx) + tuple(
+                    lax.bitcast_convert_type(rcols[n], jnp.uint32)
+                    for n in names
+                )
+                s = lax.sort(ops, num_keys=2, is_stable=True)
+                return {
+                    n: lax.bitcast_convert_type(
+                        s[2 + i][:cap_miss], rcols[n].dtype
+                    )
+                    for i, n in enumerate(names)
+                }
+
+            return compact
+
+        anti_cols = get_or_compile(ckey, build_compact)(miss, rcols_in)
+
+    n1 = base.num_rows
+    total = n1 + n_miss
+    capacity = max(_next_pow2(total), 1024)
+    okey = (
+        "join_outer_concat",
+        schema_signature(base.columns),
+        tuple(spec),
+        cap_miss,
+        capacity,
+    )
+
+    def build_concat():
+        @jax.jit
+        def concat(bcols, acols, n_base, n_extra):
+            r = jnp.arange(capacity, dtype=jnp.int32)
+            j = jnp.arange(cap_miss, dtype=jnp.int32)
+            pos = jnp.where(j < n_extra, n_base + j, capacity)
+            out = {}
+            for name, src in spec:
+                b = bcols[name]
+                take = min(b.shape[0], capacity)
+                v = b[:take]
+                if take < capacity:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((capacity - take,), v.dtype)]
+                    )
+                v = jnp.where(r < n_base, v, jnp.zeros((), v.dtype))
+                if src is not None:
+                    v = v.at[pos].set(acols[src], mode="drop")
+                else:
+                    fill = (
+                        jnp.int32(-1)
+                        if v.dtype == jnp.int32
+                        else jnp.float32(jnp.nan)
+                    )
+                    in_tail = jnp.logical_and(r >= n_base, r < n_base + n_extra)
+                    v = jnp.where(in_tail, fill, v)
+                out[name] = v
+            return out
+
+        return concat
+
+    new_cols = get_or_compile(okey, build_concat)(
+        dict(base.columns), anti_cols, jnp.int32(n1), jnp.int32(n_miss)
+    )
+
+    stats = {}
+    for name, src in spec:
+        st = base.stats.get(name)
+        if st is None:
+            continue
+        if src is None:
+            stats[name] = _left_fill_stats(st, name in base.dicts, n_miss)
+        else:
+            stats[name] = st
+    return DeviceTable(
+        new_cols, dict(base.dtypes), total, capacity,
+        stats=stats, dicts=dict(base.dicts),
+    )
 
 
 class _EjaBail(Exception):

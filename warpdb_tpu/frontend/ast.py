@@ -334,9 +334,10 @@ class OrderBy:
 class Join:
     table: str
     condition: Node
-    # "inner" (default) or "left": LEFT OUTER JOIN keeps unmatched probe
-    # rows with build-side columns filled NaN (codes -1 for strings) —
-    # the engine's missing-value marker (it has no NULL representation).
+    # "inner" (default), "left", "right", or "full".  OUTER variants
+    # keep unmatched rows with the other side's columns filled NaN
+    # (codes -1 for strings) — the engine's missing-value marker (it
+    # has no NULL representation).
     kind: str = "inner"
 
 
@@ -377,7 +378,11 @@ class Query:
         else:
             parts.append(f"FROM {self.from_table}")
         for j in self.joins:
-            prefix = "LEFT JOIN" if j.kind == "left" else "JOIN"
+            prefix = {
+                "left": "LEFT JOIN",
+                "right": "RIGHT JOIN",
+                "full": "FULL JOIN",
+            }.get(j.kind, "JOIN")
             parts.append(f"{prefix} {j.table} ON {j.condition.canonical()}")
         if self.where is not None:
             parts.append(f"WHERE {self.where.canonical()}")

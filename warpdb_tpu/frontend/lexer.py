@@ -60,8 +60,9 @@ KEYWORDS = frozenset(
         # standard SQL, so reserving them here is safe.
         "AS", "NOT", "IN", "BETWEEN", "LIKE",
         "CASE", "WHEN", "THEN", "ELSE", "END",
-        # LEFT/INNER/OUTER JOIN qualifiers (reserved in standard SQL).
-        "LEFT", "INNER", "OUTER",
+        # LEFT/RIGHT/FULL/INNER/OUTER JOIN qualifiers (reserved in
+        # standard SQL).
+        "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
     }
 )
 

@@ -332,8 +332,8 @@ def parse_expression_text(text: str) -> Node:
 # ---------------------------------------------------------------------------
 
 _CLAUSE_BOUNDARY_AFTER_JOIN = (
-    "WHERE", "GROUP", "ORDER", "HAVING", "JOIN", "LEFT", "INNER",
-    "LIMIT", "OFFSET",
+    "WHERE", "GROUP", "ORDER", "HAVING", "JOIN", "LEFT", "RIGHT", "FULL",
+    "INNER", "LIMIT", "OFFSET",
 )
 _CLAUSE_BOUNDARY_AFTER_WHERE = ("GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET")
 _CLAUSE_BOUNDARY_AFTER_HAVING = ("ORDER", "LIMIT", "OFFSET")
@@ -680,11 +680,15 @@ class _QueryParser:
             self.pos += 1
 
         while (
-            self.at_kw("JOIN") or self.at_kw("LEFT") or self.at_kw("INNER")
+            self.at_kw("JOIN")
+            or self.at_kw("LEFT")
+            or self.at_kw("RIGHT")
+            or self.at_kw("FULL")
+            or self.at_kw("INNER")
         ):
             kind = "inner"
-            if self.at_kw("LEFT"):
-                kind = "left"
+            if self.at_kw("LEFT") or self.at_kw("RIGHT") or self.at_kw("FULL"):
+                kind = self.toks[self.pos].value.lower()
                 self.pos += 1
                 if self.at_kw("OUTER"):
                     self.pos += 1

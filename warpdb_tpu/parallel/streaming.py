@@ -164,6 +164,14 @@ def run_streaming_sql(
                 "Streaming SQL joins require the build table in `dims` "
                 f"(got JOIN {j.table})"
             )
+        if getattr(j, "kind", "inner") in ("right", "full"):
+            # Per-chunk build-side misses would duplicate across chunks:
+            # whether a dimension row is unmatched is a whole-stream
+            # property.  INNER and LEFT are chunk-local (each probe row
+            # lives in exactly one chunk).
+            raise UnsupportedError(
+                "Streaming SQL supports INNER and LEFT joins only"
+            )
     for item in [*ast.select_list, ast.having,
                  *(t.expr for t in (ast.order_by.terms if ast.order_by else ()))]:
         if item is None:
