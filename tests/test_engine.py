@@ -7,7 +7,12 @@ import pytest
 
 import oracle
 from warpdb_tpu import WarpDB, DataType
-from warpdb_tpu.errors import ParseError, ValidationError, WarpDBError
+from warpdb_tpu.errors import (
+    ExecutionError,
+    ParseError,
+    ValidationError,
+    WarpDBError,
+)
 from warpdb_tpu.frontend import parse_expression_text, parse_query_text
 from warpdb_tpu.storage import HostTable
 
@@ -1671,6 +1676,106 @@ def test_right_join_matches_swapped_left_join():
         return sorted(map(tuple, a.T))
 
     assert norm(right) == norm(left)
+
+
+# --- uncorrelated subqueries --------------------------------------------------
+
+
+def test_scalar_subquery_in_where():
+    """WHERE p > (SELECT AVG(p) FROM t): resolved to a constant."""
+    p = np.array([1, 2, 3, 4, 5, 6], np.float32)
+    db = WarpDB(HostTable.from_dict({"p": p}))
+    got = db.query_sql("SELECT p FROM t WHERE p > (SELECT AVG(p) FROM t)")
+    np.testing.assert_allclose(got, [4, 5, 6])
+    # Scalar subquery over another registered table.
+    db.register_table(
+        "lim", HostTable.from_dict({"cut": np.array([4.5], np.float32)})
+    )
+    got = db.query_sql(
+        "SELECT p FROM t WHERE p > (SELECT cut FROM lim)"
+    )
+    np.testing.assert_allclose(got, [5, 6])
+    # In the select list, arithmetic with the outer rows.
+    got = db.query_sql(
+        "SELECT p - (SELECT MIN(p) FROM t) FROM t ORDER BY p ASC"
+    )
+    np.testing.assert_allclose(got, [0, 1, 2, 3, 4, 5])
+
+
+def test_scalar_subquery_multi_row_errors():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1, 2], np.float32)})
+    )
+    with pytest.raises(ExecutionError, match="2 rows"):
+        db.query_sql("SELECT p FROM t WHERE p > (SELECT p FROM t)")
+
+
+def test_in_subquery_numeric():
+    """k IN (SELECT …) over another table; NOT IN negates."""
+    k = np.array([1, 2, 3, 4, 5], np.float32)
+    v = np.array([10, 20, 30, 40, 50], np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    db.register_table(
+        "good",
+        HostTable.from_dict(
+            {
+                "k": np.array([2, 4, 9], np.float32),
+                "flag": np.array([1, 1, 0], np.float32),
+            }
+        ),
+    )
+    got = db.query_sql(
+        "SELECT v FROM t WHERE k IN (SELECT k FROM good WHERE flag > 0)"
+    )
+    np.testing.assert_allclose(got, [20, 40])
+    got = db.query_sql(
+        "SELECT v FROM t WHERE k NOT IN (SELECT k FROM good)"
+    )
+    np.testing.assert_allclose(got, [10, 30, 50])
+    # Empty subquery result: IN matches nothing, NOT IN matches all.
+    got = db.query_sql(
+        "SELECT v FROM t WHERE k IN (SELECT k FROM good WHERE flag > 5)"
+    )
+    assert len(got) == 0
+
+
+def test_in_subquery_strings():
+    from warpdb_tpu import DataType
+
+    c = np.array(["ams", "ber", "cdg", "lhr"], dtype=object)
+    p = np.array([1, 2, 3, 4], np.float32)
+    db = WarpDB(
+        HostTable.from_dict(
+            {"city": c, "price": p}, dtypes={"city": DataType.STRING}
+        )
+    )
+    db.register_table(
+        "eu",
+        HostTable.from_dict(
+            {
+                "city": np.array(["ams", "cdg", "muc"], dtype=object),
+            },
+            dtypes={"city": DataType.STRING},
+        ),
+    )
+    got = db.query_sql(
+        "SELECT price FROM t WHERE city IN (SELECT city FROM eu)"
+    )
+    np.testing.assert_allclose(got, [1, 3])
+
+
+def test_in_subquery_matches_in_list(db):
+    """IN (SELECT …) and a literal IN list produce identical results
+    (same canonical machinery after resolution)."""
+    a = db.query_sql("SELECT price FROM test WHERE quantity IN (3, 5)")
+    db.register_table(
+        "pick",
+        HostTable.from_dict({"q": np.array([3, 5], np.float32)}),
+    )
+    b = db.query_sql(
+        "SELECT price FROM test WHERE quantity IN (SELECT q FROM pick)"
+    )
+    assert a == b
 
 
 def test_inner_join_keyword_variants(db):

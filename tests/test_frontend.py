@@ -267,3 +267,37 @@ def test_rank_not_reserved():
     assert toks[0].type is TokenType.IDENTIFIER
     q = parse_query_text("SELECT rank FROM t WHERE rank > 3 ORDER BY rank ASC")
     assert q.select_list[0].canonical() == "rank[idx]"
+
+
+# --- expression subqueries (extension) ---------------------------------------
+
+
+def test_parse_expression_subqueries():
+    from warpdb_tpu.frontend import parse_query_text
+    from warpdb_tpu.frontend.ast import InSubquery, ScalarSubquery, BinaryOp
+
+    q = parse_query_text(
+        "SELECT p FROM t WHERE p > (SELECT AVG(p) FROM t) "
+        "AND k IN (SELECT k FROM d WHERE flag > 0)"
+    )
+    cond = q.where
+    assert isinstance(cond, BinaryOp) and cond.op == "&&"
+    assert isinstance(cond.left.right, ScalarSubquery)
+    assert isinstance(cond.right, InSubquery)
+    # Inner query parses fully (its own WHERE survives).
+    assert cond.right.query.where is not None
+    # Canonical embeds the inner statements (cache-key correctness).
+    assert "SELECT AVG(p[idx]) FROM t" in q.canonical()
+    assert "IN (SELECT k[idx] FROM d" in q.canonical()
+    # A parenthesised non-subquery expression still parses as grouping.
+    q2 = parse_query_text("SELECT (p + 1) * 2 FROM t")
+    assert q2.select_list[0].canonical() == "((p[idx] + 1.0f) * 2.0f)"
+
+
+def test_parse_not_in_subquery():
+    from warpdb_tpu.frontend import parse_query_text
+
+    q = parse_query_text("SELECT p FROM t WHERE k NOT IN (SELECT k FROM d)")
+    # NOT IN wraps the positive membership in == 0.
+    assert q.where.op == "=="
+    assert q.where.right.canonical() == "0.0f"

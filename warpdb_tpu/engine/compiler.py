@@ -37,8 +37,11 @@ from ..frontend.ast import (
     Constant,
     FunctionCall,
     InCodeSet,
+    InSubquery,
+    InValueSet,
     LikePattern,
     Node,
+    ScalarSubquery,
     Star,
     Variable,
     WindowFunction,
@@ -167,6 +170,35 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
             return jnp.take(lut, jnp.clip(codes, 0, lut.shape[0] - 1))
 
         return in_codes_fn
+    if isinstance(node, InValueSet):
+        import numpy as _np
+
+        inner = build_evaluator(node.expr)
+        vals_np = _np.asarray(node.values, _np.float32)
+        k = int(vals_np.shape[0])
+
+        def in_values_fn(cols):
+            x = _as_f32(inner(cols))
+            if k == 0:
+                return jnp.zeros(x.shape, jnp.bool_)
+            # Virtual (N, K) compare sweep in ≤1024-lane chunks — the
+            # tiny-table VPU trade (docs/DESIGN.md): per-row gathers or
+            # sorts lose badly to K broadcast-compare lanes at the set
+            # sizes an IN (SELECT …) produces.
+            hit = jnp.zeros(x.shape, jnp.bool_)
+            for s in range(0, k, 1024):
+                v = jnp.asarray(vals_np[s : s + 1024])
+                hit = jnp.logical_or(
+                    hit, jnp.any(x[:, None] == v[None, :], axis=1)
+                )
+            return hit
+
+        return in_values_fn
+    if isinstance(node, (ScalarSubquery, InSubquery)):
+        raise ExecutionError(
+            "Unresolved subquery reached the compiler — subqueries are "
+            "resolved by the executor before kernel compilation"
+        )
     if isinstance(node, LikePattern):
         raise ExecutionError(
             "LIKE requires a string column (binding against the table's "

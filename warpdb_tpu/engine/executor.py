@@ -37,10 +37,13 @@ from ..frontend.ast import (
     FunctionCall,
     GroupBy,
     InCodeSet,
+    InSubquery,
+    InValueSet,
     LikePattern,
     Node,
     OrderBy,
     Query,
+    ScalarSubquery,
     Star,
     StringLiteral,
     Variable,
@@ -354,6 +357,183 @@ def _resolve_from_subquery(query, table, catalog, mesh):
     return q2, derived
 
 
+_IN_SUBQUERY_MAX_VALUES = 65536
+_IN_SUBQUERY_MAX_STRINGS = 1024
+
+
+def _resolve_expr_subqueries(query, table, catalog, mesh):
+    """Resolve uncorrelated expression subqueries (extension; the
+    reference has no subqueries at all) before plan lowering:
+
+    * ``(SELECT …)`` scalar → :class:`Constant` (numeric) or
+      :class:`StringLiteral` (string; binds to codes downstream).
+      0 rows → NaN (the engine's missing-value marker).
+    * ``expr IN (SELECT …)`` numeric → :class:`InValueSet` (deduped,
+      NaN-free — IEEE ``==`` never matches NaN, matching the OR-chain
+      the literal IN list would build).
+    * ``expr IN (SELECT …)`` string → an OR-chain of StringLiteral
+      equalities, so ``bind_strings`` binds them against whatever table
+      (including a joined one) the expression lands on.
+
+    The resolved values participate in ``canonical()`` and therefore in
+    every kernel/plan cache key."""
+    clause_nodes = [
+        *query.select_list, query.where, query.having,
+        *(query.group_by.keys if query.group_by else ()),
+        *(
+            (t.expr for t in query.order_by.terms)
+            if query.order_by
+            else ()
+        ),
+    ]
+    if not any(
+        n is not None
+        and any(
+            isinstance(x, (ScalarSubquery, InSubquery)) for x in walk(n)
+        )
+        for n in clause_nodes
+    ):
+        return query
+
+    def exec_sub(q):
+        base = (catalog or {}).get(q.from_table, table)
+        out = run_query_table(q, base, catalog, mesh=mesh)
+        if len(out) != 1:
+            raise ValidationError(
+                "Subquery used as a value must select exactly one column"
+            )
+        ((_name, vals),) = out.items()
+        vals = np.asarray(vals)
+        node = unalias(q.select_list[0]) if q.select_list else None
+        if isinstance(node, Aggregation) and node.agg in (
+            AggregationType.MIN, AggregationType.MAX,
+        ):
+            node = node.expr
+        vocab = None
+        if isinstance(node, Variable) and q.from_subquery is None:
+            vocab = base.dicts.get(node.name)
+            if vocab is None:
+                vocab = base.dicts.get(node.unqualified)
+            if vocab is None and node.qualifier is not None:
+                t = (catalog or {}).get(node.qualifier)
+                if t is not None:
+                    vocab = t.dicts.get(node.unqualified)
+        if vocab is not None:
+            if vals.dtype.kind == "f" and not np.all(np.isfinite(vals)):
+                raise ExecutionError(
+                    "String subquery produced a non-finite sentinel "
+                    "(empty aggregate has no string form)"
+                )
+            from ..storage.strings import decode_codes
+
+            return decode_codes(vals, vocab), True
+        return vals, False
+
+    def scalar(node: ScalarSubquery):
+        vals, is_str = exec_sub(node.query)
+        if len(vals) > 1:
+            raise ExecutionError(
+                f"Scalar subquery returned {len(vals)} rows"
+            )
+        if is_str:
+            if len(vals) == 0:
+                raise ExecutionError(
+                    "Scalar string subquery returned no rows"
+                )
+            return StringLiteral(str(vals[0]))
+        if len(vals) == 0:
+            return Constant("nan")
+        return Constant(repr(float(np.float32(vals[0]))))
+
+    def in_set(node: InSubquery):
+        expr = rw(node.expr)
+        vals, is_str = exec_sub(node.query)
+        if is_str:
+            uniq = sorted(set(str(v) for v in vals))
+            if len(uniq) > _IN_SUBQUERY_MAX_STRINGS:
+                raise UnsupportedError(
+                    f"IN (SELECT …) with {len(uniq)} distinct strings "
+                    f"(max {_IN_SUBQUERY_MAX_STRINGS}) — use a JOIN"
+                )
+            if not uniq:
+                return Constant("0")  # empty set: matches nothing
+            out = None
+            for s in uniq:
+                eq = BinaryOp("==", expr, StringLiteral(s))
+                out = eq if out is None else BinaryOp("||", out, eq)
+            return out
+        arr = np.unique(np.asarray(vals, np.float32))
+        arr = arr[~np.isnan(arr)]
+        if arr.shape[0] > _IN_SUBQUERY_MAX_VALUES:
+            raise UnsupportedError(
+                f"IN (SELECT …) with {arr.shape[0]} distinct values "
+                f"(max {_IN_SUBQUERY_MAX_VALUES}) — use a JOIN"
+            )
+        return InValueSet(expr, tuple(float(v) for v in arr))
+
+    def rw(node):
+        if node is None:
+            return None
+        if isinstance(node, ScalarSubquery):
+            return scalar(node)
+        if isinstance(node, InSubquery):
+            return in_set(node)
+        if isinstance(node, Alias):
+            return Alias(rw(node.expr), node.name)
+        if isinstance(node, BinaryOp):
+            return BinaryOp(node.op, rw(node.left), rw(node.right))
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                tuple(rw(c) for c in node.conditions),
+                tuple(rw(v) for v in node.values),
+                rw(node.default),
+            )
+        if isinstance(node, FunctionCall):
+            return FunctionCall(node.name, tuple(rw(a) for a in node.args))
+        if isinstance(node, Aggregation):
+            return Aggregation(node.agg, rw(node.expr), node.param)
+        if isinstance(node, WindowFunction):
+            return WindowFunction(
+                node.agg,
+                rw(node.expr),
+                tuple(rw(p) for p in node.partition_by),
+                None
+                if node.order_by is None
+                else OrderBy(
+                    rw(node.order_by.expr), node.order_by.ascending
+                ),
+            )
+        if isinstance(node, (InValueSet, InCodeSet, LikePattern)):
+            return type(node)(
+                rw(node.expr),
+                *[
+                    getattr(node, f)
+                    for f in ("values", "codes", "pattern", "vocab_size")
+                    if hasattr(node, f)
+                ],
+            )
+        return node
+
+    import copy as _copy
+
+    q2 = _copy.copy(query)
+    q2.select_list = [rw(s) for s in query.select_list]
+    q2.where = rw(query.where)
+    q2.having = rw(query.having)
+    if query.group_by is not None:
+        q2.group_by = GroupBy(tuple(rw(k) for k in query.group_by.keys))
+    if query.order_by is not None:
+        q2.order_by = OrderBy(
+            rw(query.order_by.expr),
+            query.order_by.ascending,
+            tuple(
+                OrderBy(rw(t.expr), t.ascending)
+                for t in query.order_by.then
+            ),
+        )
+    return q2
+
+
 # ---------------------------------------------------------------------------
 # JOIN execution lives in engine/join_exec.py (same subsystem, split for
 # reviewability); names re-exported here for back-compat.
@@ -448,6 +628,7 @@ def run_query(
 
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
+    query = _resolve_expr_subqueries(query, table, catalog, mesh)
 
     if any(isinstance(s, Alias) for s in query.select_list):
         query = _copy.copy(query)
@@ -1222,6 +1403,7 @@ def run_query_table(
 
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
+    query = _resolve_expr_subqueries(query, table, catalog, mesh)
 
     expanded = expand_stars_query(query, table, catalog)
     if expanded is not query.select_list:

@@ -23,6 +23,7 @@ __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
     "StringLiteral", "LikePattern", "InCodeSet", "CaseWhen",
+    "ScalarSubquery", "InSubquery", "InValueSet",
     "OrderBy", "Join", "GroupBy", "Query",
     "walk", "column_refs", "unalias",
 ]
@@ -154,6 +155,56 @@ class InCodeSet(Node):
         return (
             f"({self.expr.canonical()} IN_CODES "
             f"{self.vocab_size}:{','.join(str(c) for c in self.codes)})"
+        )
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False, eq=False)
+class ScalarSubquery(Node):
+    """``(SELECT …)`` used as a value (extension; uncorrelated only).
+    The executor runs the inner query up front and substitutes a
+    :class:`Constant` (numeric) or :class:`StringLiteral` — the inner
+    query is therefore NOT part of ``children()``/``walk``: its columns
+    resolve against its own FROM relation, not the outer table."""
+
+    query: object  # frontend.ast.Query (kept loose: Query is mutable)
+
+    def canonical(self) -> str:
+        return f"({self.query.canonical()})"
+
+
+@dataclass(frozen=True, repr=False, eq=False)
+class InSubquery(Node):
+    """``expr IN (SELECT …)`` (extension; uncorrelated only).  Resolved
+    by the executor into :class:`InValueSet` (numeric) or
+    :class:`InCodeSet` (strings) before compilation."""
+
+    expr: Node
+    query: object
+
+    def canonical(self) -> str:
+        return f"({self.expr.canonical()} IN ({self.query.canonical()}))"
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False)
+class InValueSet(Node):
+    """Membership of a numeric expression in a static value set (the
+    bound form of ``IN (SELECT …)``).  The values are part of the
+    canonical string — anything that changes results must be in the
+    kernel cache key."""
+
+    expr: Node
+    values: tuple
+
+    def canonical(self) -> str:
+        return (
+            f"({self.expr.canonical()} IN_VALUES "
+            f"{','.join(repr(float(v)) for v in self.values)})"
         )
 
     def children(self) -> tuple[Node, ...]:

@@ -33,11 +33,13 @@ from .ast import (
     Constant,
     FunctionCall,
     GroupBy,
+    InSubquery,
     Join,
     LikePattern,
     Node,
     OrderBy,
     Query,
+    ScalarSubquery,
     Star,
     StringLiteral,
     Variable,
@@ -150,11 +152,37 @@ class _ExprParser:
             return self._predicate_tail(node)
         return None
 
+    def _at_select(self) -> bool:
+        tok = self.peek()
+        return tok.type is TokenType.KEYWORD and tok.value == "SELECT"
+
+    def _collect_subquery(self):
+        """Collect tokens up to the ')' matching an already-consumed '('
+        and parse them as a full SELECT (uncorrelated subquery)."""
+        depth = 1
+        inner: list[Token] = []
+        while self.pos < len(self.toks):
+            tok = self.toks[self.pos]
+            if tok.type is TokenType.OPERATOR and tok.value == "(":
+                depth += 1
+            elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            inner.append(tok)
+            self.pos += 1
+        if depth != 0:
+            raise ParseError("Expected ')' to close subquery")
+        self.pos += 1  # consume ')'
+        return _QueryParser(inner + [Token(TokenType.END, "")]).parse()
+
     def _predicate_tail(self, node: Node) -> Node:
         # IN / BETWEEN / LIKE (extensions) — pure grammar rewrites.
         if self.match_kw("IN"):
             if not self.match_op("("):
                 raise ParseError("Expected '(' after IN")
+            if self._at_select():
+                return InSubquery(node, self._collect_subquery())
             out: Optional[Node] = None
             while True:
                 item = self.logical_or()
@@ -284,6 +312,10 @@ class _ExprParser:
                 raise ParseError("Expected ')' after arguments")
             return Aggregation(_AGG_KEYWORDS[tok.value], inner)
         if self.match_op("("):
+            # Scalar subquery: (SELECT …) as a value (extension;
+            # uncorrelated — resolved to a constant before execution).
+            if self._at_select():
+                return ScalarSubquery(self._collect_subquery())
             # Superset of the reference (which only allowed additive
             # expressions inside parens, expression.cpp:228-231): full
             # boolean grouping parses here too.
