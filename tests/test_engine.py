@@ -1678,6 +1678,109 @@ def test_right_join_matches_swapped_left_join():
     assert norm(right) == norm(left)
 
 
+# --- UNION / UNION ALL --------------------------------------------------------
+
+
+def test_union_all_concatenates():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1, 2, 2], np.float32)})
+    )
+    db.register_table(
+        "u", HostTable.from_dict({"q": np.array([2, 9], np.float32)})
+    )
+    got = db.query_sql("SELECT p FROM t UNION ALL SELECT q FROM u")
+    assert got == [1.0, 2.0, 2.0, 2.0, 9.0]
+
+
+def test_union_dedups_combined():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1, 2, 2], np.float32)})
+    )
+    db.register_table(
+        "u", HostTable.from_dict({"q": np.array([2, 9], np.float32)})
+    )
+    got = db.query_sql("SELECT p FROM t UNION SELECT q FROM u")
+    assert got == [1.0, 2.0, 9.0]  # first occurrence wins
+    # Left-to-right: UNION dedups, then UNION ALL appends duplicates.
+    got = db.query_sql(
+        "SELECT p FROM t UNION SELECT q FROM u UNION ALL SELECT q FROM u"
+    )
+    assert got == [1.0, 2.0, 9.0, 2.0, 9.0]
+
+
+def test_union_trailing_order_limit_applies_to_whole():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "p": np.array([5, 1], np.float32),
+                "v": np.array([50, 10], np.float32),
+            }
+        )
+    )
+    db.register_table(
+        "u",
+        HostTable.from_dict(
+            {
+                "p": np.array([3.0], np.float32),
+                "v": np.array([30.0], np.float32),
+            }
+        ),
+    )
+    t = db.query_sql_table(
+        "SELECT p, v FROM t UNION ALL SELECT p, v FROM u "
+        "ORDER BY p DESC LIMIT 2"
+    )
+    assert list(t["p"]) == [5.0, 3.0]
+    assert list(t["v"]) == [50.0, 30.0]
+    # ORDER BY in a non-final branch is a parse error.
+    with pytest.raises(ParseError, match="final"):
+        db.query_sql(
+            "SELECT p FROM t ORDER BY p ASC UNION SELECT p FROM u"
+        )
+
+
+def test_union_string_columns_across_vocabs():
+    """UNION merges decoded strings — branch vocabularies differ."""
+    db = WarpDB(
+        HostTable.from_dict(
+            {"c": np.array(["b", "a"], dtype=object)},
+            dtypes={"c": DataType.STRING},
+        )
+    )
+    db.register_table(
+        "u",
+        HostTable.from_dict(
+            {"c": np.array(["a", "z"], dtype=object)},
+            dtypes={"c": DataType.STRING},
+        ),
+    )
+    got = db.query_sql("SELECT c FROM t UNION SELECT c FROM u")
+    assert got == ["b", "a", "z"]
+
+
+def test_union_aggregates_per_branch():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1, 2, 3], np.float32)})
+    )
+    got = db.query_sql(
+        "SELECT MIN(p) FROM t UNION ALL SELECT MAX(p) FROM t"
+    )
+    assert got == [1.0, 3.0]
+
+
+def test_union_column_count_mismatch_errors():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "p": np.array([1.0], np.float32),
+                "v": np.array([2.0], np.float32),
+            }
+        )
+    )
+    with pytest.raises(ValidationError, match="same number"):
+        db.query_sql_table("SELECT p, v FROM t UNION SELECT p FROM t")
+
+
 # --- uncorrelated subqueries --------------------------------------------------
 
 

@@ -198,13 +198,16 @@ class WarpDB:
             out_rows[0] = len(result)
         return result
 
-    def _maybe_decode(self, item, values: np.ndarray) -> list:
+    def _maybe_decode(self, item, values: np.ndarray, table=None) -> list:
         """Decode dictionary codes back to strings when the select item is
         a bare string column (extension: the reference cannot query string
-        columns at all, csv_loader.cpp:151-155)."""
+        columns at all, csv_loader.cpp:151-155).  ``table`` overrides the
+        source relation (UNION branches read their own FROM table)."""
         from .frontend.ast import Aggregation, AggregationType, Variable, unalias
         from .storage.strings import decode_codes
 
+        if table is None:
+            table = self._table
         node = unalias(item)
         # MIN/MAX of a string column: the lexicographic extreme's code.
         if isinstance(node, Aggregation) and node.agg in (
@@ -219,9 +222,9 @@ class WarpDB:
             ):
                 # Empty-aggregate sentinels (±inf) have no string form.
                 return vals_arr.tolist()
-            vocab = self._table.dicts.get(node.name)
+            vocab = table.dicts.get(node.name)
             if vocab is None:
-                vocab = self._table.dicts.get(node.unqualified)
+                vocab = table.dicts.get(node.unqualified)
             if vocab is None and node.qualifier is not None:
                 t = self._catalog.get(node.qualifier)
                 if t is not None:
@@ -241,6 +244,14 @@ class WarpDB:
             raise ParseError(f"Failed to parse SQL: {e}") from None
 
         self._validate_sql(ast)
+        if getattr(ast, "unions", None):
+            with timed_query(
+                sql, "sql", self._table.num_rows, 0
+            ) as out_rows:
+                out = self._union_table(ast)
+                first = next(iter(out.values()), [])
+                out_rows[0] = len(first)
+            return list(first)
         scanned = self._bytes_scanned(
             *ast.select_list, ast.where, ast.having,
             *(t.expr for t in (ast.order_by.terms if ast.order_by else ())),
@@ -254,14 +265,17 @@ class WarpDB:
         first = expand_stars_query(ast, self._table, self._catalog)[0]
         return self._maybe_decode(first, result)
 
-    def _validate_sql(self, ast) -> None:
+    def _validate_sql(self, ast, table=None) -> None:
         """Clause validation; derived tables validate the inner query
         against the real schema and the outer against the subquery's
-        OUTPUT column names."""
-        cols = set(self._table.dtypes.keys())
+        OUTPUT column names.  ``table`` overrides the FROM relation
+        (UNION branches validate against their own table)."""
+        if table is None:
+            table = self._table
+        cols = set(table.dtypes.keys())
         sub = getattr(ast, "from_subquery", None)
         if sub is not None:
-            self._validate_sql(sub)
+            self._validate_sql(sub, table)
             from .engine.executor import result_column_name
             from .frontend.ast import Star, unalias
 
@@ -275,6 +289,11 @@ class WarpDB:
         table_names = {self._name, ast.from_table, *self._catalog.keys()}
         table_names |= {j.table for j in ast.joins}
         validate_query(ast, cols | self._join_columns(ast), table_names)
+        for _all_flag, branch in getattr(ast, "unions", ()):
+            # Each UNION branch validates against its OWN FROM relation.
+            self._validate_sql(
+                branch, self._catalog.get(branch.from_table, table)
+            )
 
     def _join_columns(self, ast) -> set:
         out: set = set()
@@ -306,6 +325,12 @@ class WarpDB:
             plan = explain_query(
                 ast, self._table, self._catalog, mesh=self._mesh
             )
+            if getattr(ast, "unions", None):
+                plan += (
+                    f"\n  union: {len(ast.unions) + 1} branches "
+                    "(plan above is the first; host-side O(result) "
+                    "merge; UNION dedups, UNION ALL concatenates)"
+                )
             if analyze:
                 plan += "\n" + self._analyze(lambda: self.query_sql(query))
             return plan
@@ -501,6 +526,8 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     except (_PE, _TE) as e:
         raise ParseError(f"Failed to parse SQL: {e}") from None
     self._validate_sql(ast)
+    if getattr(ast, "unions", None):
+        return self._union_table(ast)
     from .engine.executor import expand_stars_query
 
     result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)
@@ -511,4 +538,110 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     }
 
 
+def _facade_union_table(self, ast) -> dict:
+    """Execute a ``UNION [ALL]`` chain (extension; the reference has no
+    set operations).  Each branch runs through the full engine against
+    its own FROM relation (different tables per branch are fine); the
+    decoded branch results merge HOST-side — the merge is O(result),
+    which is the transfer-cost contract every result path keeps.
+
+    Semantics: left-to-right evaluation; plain UNION dedups the
+    combined rows seen so far (first occurrence wins; NaNs compare
+    equal for dedup, as SQL treats NULL duplicates); UNION ALL
+    concatenates.  The final branch's ORDER BY/LIMIT/OFFSET apply to
+    the whole union; ORDER BY must reference output columns (NaNs sort
+    last ascending, matching the engine's total order)."""
+    import copy as _copy
+
+    from .engine.executor import expand_stars_query, run_query_table
+    from .errors import UnsupportedError, ValidationError
+
+    branches = [(False, ast)] + list(ast.unions)
+    parts: list[list[list]] = []
+    names: Optional[list] = None
+    order_by = limit = offset = None
+    for i, (_flag, q) in enumerate(branches):
+        qq = _copy.copy(q)
+        qq.unions = []
+        if i == len(branches) - 1:
+            order_by, limit, offset = qq.order_by, qq.limit, qq.offset
+            qq.order_by = None
+            qq.limit = None
+            qq.offset = None
+        table = self._catalog.get(qq.from_table, self._table)
+        res = run_query_table(qq, table, self._catalog, mesh=self._mesh)
+        items = expand_stars_query(qq, table, self._catalog)
+        cols = [
+            self._maybe_decode(item, vals, table=table)
+            for item, (_nm, vals) in zip(items, res.items())
+        ]
+        if names is None:
+            names = list(res.keys())
+        elif len(cols) != len(names):
+            raise ValidationError(
+                "UNION branches must select the same number of columns"
+            )
+        parts.append(cols)
+
+    def rows_of(cols):
+        if not cols:
+            return []
+        return list(zip(*cols))
+
+    def dedup_key(row):
+        return tuple(
+            "\0nan" if isinstance(v, float) and v != v else v for v in row
+        )
+
+    def dedup(rows):
+        seen = set()
+        out = []
+        for r in rows:
+            k = dedup_key(r)
+            if k not in seen:
+                seen.add(k)
+                out.append(r)
+        return out
+
+    acc = rows_of(parts[0])
+    for (all_flag, _q), cols in zip(branches[1:], parts[1:]):
+        acc = acc + rows_of(cols)
+        if not all_flag:
+            acc = dedup(acc)
+
+    if order_by is not None:
+        keys = []
+        for term in order_by.terms:
+            name = term.expr.canonical()
+            if name.endswith("[idx]"):
+                name = name[: -len("[idx]")]
+            if name not in names:
+                raise UnsupportedError(
+                    "UNION ORDER BY must reference an output column "
+                    f"(got {name})"
+                )
+            keys.append((names.index(name), term.ascending))
+
+        def sort_key(idx):
+            def k(row):
+                v = row[idx]
+                if isinstance(v, float) and v != v:
+                    return (1, 0.0)
+                return (0, v)
+
+            return k
+
+        for idx, asc in reversed(keys):
+            acc = sorted(acc, key=sort_key(idx), reverse=not asc)
+
+    if offset:
+        acc = acc[offset:]
+    if limit is not None:
+        acc = acc[:limit]
+    return {
+        nm: [row[i] for row in acc] for i, nm in enumerate(names)
+    }
+
+
 WarpDB.query_sql_table = _facade_query_sql_table
+WarpDB._union_table = _facade_union_table

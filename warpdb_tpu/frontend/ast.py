@@ -415,6 +415,11 @@ class Query:
     limit: Optional[int] = None
     offset: Optional[int] = None
     distinct: bool = False
+    # Set operations: [(all_flag, Query), …] evaluated left-to-right
+    # (``A UNION B UNION ALL C`` dedups after B, concatenates C).  Only
+    # the FINAL branch may carry ORDER BY/LIMIT/OFFSET — they apply to
+    # the whole union result (standard SQL placement).
+    unions: list = field(default_factory=list)
 
     def canonical(self) -> str:
         """Deterministic cache key for the whole statement."""
@@ -449,6 +454,9 @@ class Query:
             parts.append(f"LIMIT {self.limit}")
         if self.offset is not None:
             parts.append(f"OFFSET {self.offset}")
+        for all_flag, branch in self.unions:
+            parts.append("UNION ALL" if all_flag else "UNION")
+            parts.append(branch.canonical())
         return " ".join(parts)
 
 

@@ -63,6 +63,8 @@ KEYWORDS = frozenset(
         # LEFT/RIGHT/FULL/INNER/OUTER JOIN qualifiers (reserved in
         # standard SQL).
         "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
+        # Set operations (reserved in standard SQL).
+        "UNION", "ALL",
     }
 )
 

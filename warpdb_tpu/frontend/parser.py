@@ -819,8 +819,63 @@ class _QueryParser:
 
 
 def parse_query(tokens) -> Query:
-    """Parse a SELECT statement from a token list (or raw SQL text)."""
-    return _QueryParser(_tokens(tokens)).parse()
+    """Parse a SELECT statement (or raw SQL text), including top-level
+    ``UNION [ALL]`` chains (extension).  The token stream splits at
+    paren-depth-0 UNION boundaries; each segment parses as a full
+    SELECT.  ORDER BY/LIMIT/OFFSET are only legal on the final branch
+    (standard SQL: they apply to the whole union result)."""
+    toks = _tokens(tokens)
+    if toks and toks[-1].type is TokenType.END:
+        toks = toks[:-1]
+
+    segments: list[list[Token]] = []
+    all_flags: list[bool] = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.type is TokenType.OPERATOR and t.value == "(":
+            depth += 1
+        elif t.type is TokenType.OPERATOR and t.value == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.type is TokenType.KEYWORD
+            and t.value == "UNION"
+        ):
+            segments.append(toks[start:i])
+            j = i + 1
+            all_flag = False
+            if (
+                j < len(toks)
+                and toks[j].type is TokenType.KEYWORD
+                and toks[j].value == "ALL"
+            ):
+                all_flag = True
+                j += 1
+            all_flags.append(all_flag)
+            start = j
+            i = j
+            continue
+        i += 1
+    segments.append(toks[start:])
+
+    end = [Token(TokenType.END, "")]
+    q = _QueryParser(segments[0] + end).parse()
+    if len(segments) == 1:
+        return q
+    branches = [
+        _QueryParser(seg + end).parse() for seg in segments[1:]
+    ]
+    for b in [q, *branches[:-1]]:
+        if b.order_by is not None or b.limit is not None or b.offset is not None:
+            raise ParseError(
+                "ORDER BY/LIMIT/OFFSET in a UNION must follow the final "
+                "branch (they apply to the whole union result)"
+            )
+    q.unions = list(zip(all_flags, branches))
+    return q
 
 
 def parse_query_text(sql: str) -> Query:
