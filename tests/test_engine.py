@@ -1781,6 +1781,88 @@ def test_union_column_count_mismatch_errors():
         db.query_sql_table("SELECT p, v FROM t UNION SELECT p FROM t")
 
 
+def _setop_db():
+    db = WarpDB(
+        HostTable.from_dict(
+            {"p": np.array([1, 2, 2, 3, 3, 3], np.float32)}
+        )
+    )
+    db.register_table(
+        "u", HostTable.from_dict({"q": np.array([2, 3, 3, 9], np.float32)})
+    )
+    return db
+
+
+def test_except_distinct_and_all():
+    db = _setop_db()
+    got = db.query_sql("SELECT p FROM t EXCEPT SELECT q FROM u")
+    assert got == [1.0]
+    # Bag semantics: multiplicities subtract (2x2 - 1x2, 3x3 - 2x3).
+    got = db.query_sql("SELECT p FROM t EXCEPT ALL SELECT q FROM u")
+    assert got == [1.0, 2.0, 3.0]
+
+
+def test_intersect_distinct_and_all():
+    db = _setop_db()
+    got = db.query_sql("SELECT p FROM t INTERSECT SELECT q FROM u")
+    assert got == [2.0, 3.0]
+    # Bag semantics: min multiplicity (2: min(2,1)=1; 3: min(3,2)=2).
+    got = db.query_sql("SELECT p FROM t INTERSECT ALL SELECT q FROM u")
+    assert got == [2.0, 3.0, 3.0]
+
+
+def test_intersect_binds_tighter_than_union():
+    db = _setop_db()
+    # A UNION B INTERSECT C == A UNION (B INTERSECT C): the intersect
+    # folds into the branch on its left, not the union's result.
+    got = db.query_sql(
+        "SELECT p FROM t WHERE p < 2 "
+        "UNION SELECT p FROM t INTERSECT SELECT q FROM u"
+    )
+    assert got == [1.0, 2.0, 3.0]
+    # Left-to-right without precedence would give ((A ∪ B) ∩ C) = {2,3}.
+
+
+def test_except_chain_left_to_right():
+    db = _setop_db()
+    got = db.query_sql(
+        "SELECT p FROM t EXCEPT SELECT q FROM u WHERE q > 5 "
+        "EXCEPT SELECT q FROM u WHERE q < 3"
+    )
+    assert got == [1.0, 3.0]
+
+
+def test_setop_trailing_order_by_applies_to_whole():
+    db = _setop_db()
+    t = db.query_sql_table(
+        "SELECT p FROM t INTERSECT SELECT q FROM u ORDER BY p DESC"
+    )
+    assert list(t["p"]) == [3.0, 2.0]
+
+
+def test_setop_strings():
+    db = WarpDB(
+        HostTable.from_dict(
+            {"c": np.array(["a", "b", "c"], dtype=object)},
+            dtypes={"c": DataType.STRING},
+        )
+    )
+    db.register_table(
+        "u",
+        HostTable.from_dict(
+            {"c": np.array(["b", "z"], dtype=object)},
+            dtypes={"c": DataType.STRING},
+        ),
+    )
+    assert db.query_sql("SELECT c FROM t EXCEPT SELECT c FROM u") == [
+        "a",
+        "c",
+    ]
+    assert db.query_sql("SELECT c FROM t INTERSECT SELECT c FROM u") == [
+        "b"
+    ]
+
+
 # --- uncorrelated subqueries --------------------------------------------------
 
 

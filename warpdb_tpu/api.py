@@ -244,11 +244,11 @@ class WarpDB:
             raise ParseError(f"Failed to parse SQL: {e}") from None
 
         self._validate_sql(ast)
-        if getattr(ast, "unions", None):
+        if getattr(ast, "set_ops", None):
             with timed_query(
                 sql, "sql", self._table.num_rows, 0
             ) as out_rows:
-                out = self._union_table(ast)
+                out = self._setop_table(ast)
                 first = next(iter(out.values()), [])
                 out_rows[0] = len(first)
             return list(first)
@@ -289,8 +289,17 @@ class WarpDB:
         table_names = {self._name, ast.from_table, *self._catalog.keys()}
         table_names |= {j.table for j in ast.joins}
         validate_query(ast, cols | self._join_columns(ast), table_names)
-        for _all_flag, branch in getattr(ast, "unions", ()):
-            # Each UNION branch validates against its OWN FROM relation.
+        set_ops = getattr(ast, "set_ops", ())
+        for i, (_op, _all_flag, branch) in enumerate(set_ops):
+            # Each set-op branch validates against its OWN FROM relation.
+            # The final branch carries the whole chain's trailing
+            # ORDER BY/LIMIT/OFFSET — those reference OUTPUT columns and
+            # are checked at execution (`_setop_table`), not here.
+            if i == len(set_ops) - 1 and branch.order_by is not None:
+                import copy as _copy
+
+                branch = _copy.copy(branch)
+                branch.order_by = None
             self._validate_sql(
                 branch, self._catalog.get(branch.from_table, table)
             )
@@ -325,11 +334,12 @@ class WarpDB:
             plan = explain_query(
                 ast, self._table, self._catalog, mesh=self._mesh
             )
-            if getattr(ast, "unions", None):
+            if getattr(ast, "set_ops", None):
+                ops = " ".join(op for op, _a, _b in ast.set_ops)
                 plan += (
-                    f"\n  union: {len(ast.unions) + 1} branches "
-                    "(plan above is the first; host-side O(result) "
-                    "merge; UNION dedups, UNION ALL concatenates)"
+                    f"\n  set-ops: {len(ast.set_ops) + 1} branches "
+                    f"({ops}; plan above is the first; host-side "
+                    "O(result) merge; INTERSECT binds tighter)"
                 )
             if analyze:
                 plan += "\n" + self._analyze(lambda: self.query_sql(query))
@@ -526,8 +536,8 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     except (_PE, _TE) as e:
         raise ParseError(f"Failed to parse SQL: {e}") from None
     self._validate_sql(ast)
-    if getattr(ast, "unions", None):
-        return self._union_table(ast)
+    if getattr(ast, "set_ops", None):
+        return self._setop_table(ast)
     from .engine.executor import expand_stars_query
 
     result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)
@@ -538,31 +548,35 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     }
 
 
-def _facade_union_table(self, ast) -> dict:
-    """Execute a ``UNION [ALL]`` chain (extension; the reference has no
-    set operations).  Each branch runs through the full engine against
-    its own FROM relation (different tables per branch are fine); the
-    decoded branch results merge HOST-side — the merge is O(result),
-    which is the transfer-cost contract every result path keeps.
+def _facade_setop_table(self, ast) -> dict:
+    """Execute a ``UNION / EXCEPT / INTERSECT [ALL]`` chain (extension;
+    the reference has no set operations).  Each branch runs through the
+    full engine against its own FROM relation (different tables per
+    branch are fine); the decoded branch results merge HOST-side — the
+    merge is O(result), which is the transfer-cost contract every
+    result path keeps.
 
-    Semantics: left-to-right evaluation; plain UNION dedups the
-    combined rows seen so far (first occurrence wins; NaNs compare
-    equal for dedup, as SQL treats NULL duplicates); UNION ALL
-    concatenates.  The final branch's ORDER BY/LIMIT/OFFSET apply to
-    the whole union; ORDER BY must reference output columns (NaNs sort
-    last ascending, matching the engine's total order)."""
+    Semantics (standard SQL): INTERSECT binds tighter than
+    UNION/EXCEPT, which chain left-to-right.  Distinct variants dedup
+    (first occurrence wins; NaNs compare equal for dedup, as SQL treats
+    NULL duplicates); ALL variants use bag semantics (EXCEPT ALL
+    subtracts multiplicities, INTERSECT ALL keeps the minimum).  The
+    final branch's ORDER BY/LIMIT/OFFSET apply to the whole result;
+    ORDER BY must reference output columns (NaNs sort last ascending,
+    matching the engine's total order)."""
     import copy as _copy
+    from collections import Counter
 
     from .engine.executor import expand_stars_query, run_query_table
     from .errors import UnsupportedError, ValidationError
 
-    branches = [(False, ast)] + list(ast.unions)
+    branches = [("UNION", False, ast)] + list(ast.set_ops)
     parts: list[list[list]] = []
     names: Optional[list] = None
     order_by = limit = offset = None
-    for i, (_flag, q) in enumerate(branches):
+    for i, (_op, _flag, q) in enumerate(branches):
         qq = _copy.copy(q)
-        qq.unions = []
+        qq.set_ops = []
         if i == len(branches) - 1:
             order_by, limit, offset = qq.order_by, qq.limit, qq.offset
             qq.order_by = None
@@ -579,7 +593,8 @@ def _facade_union_table(self, ast) -> dict:
             names = list(res.keys())
         elif len(cols) != len(names):
             raise ValidationError(
-                "UNION branches must select the same number of columns"
+                "UNION/EXCEPT/INTERSECT branches must select the same "
+                "number of columns"
             )
         parts.append(cols)
 
@@ -603,11 +618,56 @@ def _facade_union_table(self, ast) -> dict:
                 out.append(r)
         return out
 
-    acc = rows_of(parts[0])
-    for (all_flag, _q), cols in zip(branches[1:], parts[1:]):
-        acc = acc + rows_of(cols)
-        if not all_flag:
-            acc = dedup(acc)
+    def except_rows(left, right, all_flag):
+        if all_flag:
+            budget = Counter(dedup_key(r) for r in right)
+            out = []
+            for r in left:
+                k = dedup_key(r)
+                if budget[k] > 0:
+                    budget[k] -= 1
+                else:
+                    out.append(r)
+            return out
+        drop = {dedup_key(r) for r in right}
+        return [r for r in dedup(left) if dedup_key(r) not in drop]
+
+    def intersect_rows(left, right, all_flag):
+        if all_flag:
+            budget = Counter(dedup_key(r) for r in right)
+            out = []
+            for r in left:
+                k = dedup_key(r)
+                if budget[k] > 0:
+                    budget[k] -= 1
+                    out.append(r)
+            return out
+        keep = {dedup_key(r) for r in right}
+        return [r for r in dedup(left) if dedup_key(r) in keep]
+
+    # INTERSECT binds tighter: fold each INTERSECT into the segment to
+    # its left, then chain the UNION/EXCEPT segments left-to-right.
+    segments: list[tuple[str, bool, list]] = []
+    for (op, all_flag, _q), cols in zip(branches, parts):
+        rows = rows_of(cols)
+        if op == "INTERSECT" and segments:
+            prev_op, prev_all, prev_rows = segments[-1]
+            segments[-1] = (
+                prev_op,
+                prev_all,
+                intersect_rows(prev_rows, rows, all_flag),
+            )
+        else:
+            segments.append((op, all_flag, rows))
+
+    acc = segments[0][2]
+    for op, all_flag, rows in segments[1:]:
+        if op == "EXCEPT":
+            acc = except_rows(acc, rows, all_flag)
+        else:
+            acc = acc + rows
+            if not all_flag:
+                acc = dedup(acc)
 
     if order_by is not None:
         keys = []
@@ -617,8 +677,8 @@ def _facade_union_table(self, ast) -> dict:
                 name = name[: -len("[idx]")]
             if name not in names:
                 raise UnsupportedError(
-                    "UNION ORDER BY must reference an output column "
-                    f"(got {name})"
+                    "Set-operation ORDER BY must reference an output "
+                    f"column (got {name})"
                 )
             keys.append((names.index(name), term.ascending))
 
@@ -644,4 +704,4 @@ def _facade_union_table(self, ast) -> dict:
 
 
 WarpDB.query_sql_table = _facade_query_sql_table
-WarpDB._union_table = _facade_union_table
+WarpDB._setop_table = _facade_setop_table

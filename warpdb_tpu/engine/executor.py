@@ -626,10 +626,10 @@ def run_query(
 
     import copy as _copy
 
-    if getattr(query, "unions", None):
+    if getattr(query, "set_ops", None):
         raise UnsupportedError(
-            "UNION executes at the facade: use WarpDB.query_sql / "
-            "query_sql_table"
+            "Set operations (UNION/EXCEPT/INTERSECT) execute at the "
+            "facade: use WarpDB.query_sql / query_sql_table"
         )
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
@@ -1405,10 +1405,10 @@ def run_query_table(
 
     if query.distinct and len(query.select_list) > 1:
         raise UnsupportedError("DISTINCT with multiple select items")
-    if getattr(query, "unions", None):
+    if getattr(query, "set_ops", None):
         raise UnsupportedError(
-            "UNION executes at the facade: use WarpDB.query_sql / "
-            "query_sql_table"
+            "Set operations (UNION/EXCEPT/INTERSECT) execute at the "
+            "facade: use WarpDB.query_sql / query_sql_table"
         )
 
     if getattr(query, "from_subquery", None) is not None:

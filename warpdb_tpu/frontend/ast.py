@@ -415,11 +415,13 @@ class Query:
     limit: Optional[int] = None
     offset: Optional[int] = None
     distinct: bool = False
-    # Set operations: [(all_flag, Query), …] evaluated left-to-right
-    # (``A UNION B UNION ALL C`` dedups after B, concatenates C).  Only
+    # Set operations: [(op, all_flag, Query), …] with op in
+    # {"UNION", "EXCEPT", "INTERSECT"}.  UNION/EXCEPT chain
+    # left-to-right; INTERSECT binds tighter (standard SQL precedence:
+    # ``A UNION B INTERSECT C`` is ``A UNION (B INTERSECT C)``).  Only
     # the FINAL branch may carry ORDER BY/LIMIT/OFFSET — they apply to
-    # the whole union result (standard SQL placement).
-    unions: list = field(default_factory=list)
+    # the whole combined result (standard SQL placement).
+    set_ops: list = field(default_factory=list)
 
     def canonical(self) -> str:
         """Deterministic cache key for the whole statement."""
@@ -454,8 +456,8 @@ class Query:
             parts.append(f"LIMIT {self.limit}")
         if self.offset is not None:
             parts.append(f"OFFSET {self.offset}")
-        for all_flag, branch in self.unions:
-            parts.append("UNION ALL" if all_flag else "UNION")
+        for op, all_flag, branch in self.set_ops:
+            parts.append(f"{op} ALL" if all_flag else op)
             parts.append(branch.canonical())
         return " ".join(parts)
 

@@ -64,7 +64,7 @@ KEYWORDS = frozenset(
         # standard SQL).
         "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
         # Set operations (reserved in standard SQL).
-        "UNION", "ALL",
+        "UNION", "EXCEPT", "INTERSECT", "ALL",
     }
 )
 

@@ -818,17 +818,24 @@ class _QueryParser:
         return q
 
 
+_SET_OPS = ("UNION", "EXCEPT", "INTERSECT")
+
+
 def parse_query(tokens) -> Query:
     """Parse a SELECT statement (or raw SQL text), including top-level
-    ``UNION [ALL]`` chains (extension).  The token stream splits at
-    paren-depth-0 UNION boundaries; each segment parses as a full
-    SELECT.  ORDER BY/LIMIT/OFFSET are only legal on the final branch
-    (standard SQL: they apply to the whole union result)."""
+    ``UNION / EXCEPT / INTERSECT [ALL]`` chains (extension).  The token
+    stream splits at paren-depth-0 set-operation boundaries; each
+    segment parses as a full SELECT.  The op list is kept flat in
+    source order — standard INTERSECT-binds-tighter precedence is
+    applied at evaluation (``api.py`` ``_setop_table``).  ORDER BY/
+    LIMIT/OFFSET are only legal on the final branch (standard SQL:
+    they apply to the whole combined result)."""
     toks = _tokens(tokens)
     if toks and toks[-1].type is TokenType.END:
         toks = toks[:-1]
 
     segments: list[list[Token]] = []
+    ops: list[str] = []
     all_flags: list[bool] = []
     depth = 0
     start = 0
@@ -842,9 +849,10 @@ def parse_query(tokens) -> Query:
         elif (
             depth == 0
             and t.type is TokenType.KEYWORD
-            and t.value == "UNION"
+            and t.value in _SET_OPS
         ):
             segments.append(toks[start:i])
+            ops.append(t.value)
             j = i + 1
             all_flag = False
             if (
@@ -871,10 +879,10 @@ def parse_query(tokens) -> Query:
     for b in [q, *branches[:-1]]:
         if b.order_by is not None or b.limit is not None or b.offset is not None:
             raise ParseError(
-                "ORDER BY/LIMIT/OFFSET in a UNION must follow the final "
-                "branch (they apply to the whole union result)"
+                "ORDER BY/LIMIT/OFFSET in a UNION/EXCEPT/INTERSECT must "
+                "follow the final branch (they apply to the whole result)"
             )
-    q.unions = list(zip(all_flags, branches))
+    q.set_ops = list(zip(ops, all_flags, branches))
     return q
 
 

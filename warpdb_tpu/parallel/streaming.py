@@ -157,8 +157,10 @@ def run_streaming_sql(
         rows_per_chunk = get_config().rows_per_chunk
 
     ast = parse_query(tokenize(sql))
-    if getattr(ast, "unions", None):
-        raise UnsupportedError("Streaming SQL does not support UNION")
+    if getattr(ast, "set_ops", None):
+        raise UnsupportedError(
+            "Streaming SQL does not support UNION/EXCEPT/INTERSECT"
+        )
     dims = dims or {}
     for j in ast.joins:
         if j.table not in dims:
