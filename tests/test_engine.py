@@ -1863,6 +1863,49 @@ def test_setop_strings():
     ]
 
 
+# --- FROM routing over registered tables --------------------------------------
+
+
+def test_from_registered_table_top_level():
+    db = WarpDB(HostTable.from_dict({"p": np.array([1, 2, 3], np.float32)}))
+    db.register_table(
+        "u", HostTable.from_dict({"q": np.array([7, 8, 9], np.float32)})
+    )
+    assert db.query_sql("SELECT q FROM u") == [7.0, 8.0, 9.0]
+    assert db.query_sql("SELECT SUM(q) FROM u WHERE q > 7") == [17.0]
+    t = db.query_sql_table("SELECT q, q + 1 FROM u ORDER BY q DESC LIMIT 2")
+    assert list(t["q"]) == [9.0, 8.0]
+    # The primary table still resolves by its own name (and any other).
+    assert db.query_sql("SELECT p FROM t") == [1.0, 2.0, 3.0]
+    plan = db.explain("SELECT q FROM u")
+    assert "3 rows" in plan
+
+
+def test_from_registered_table_strings_and_groups():
+    db = WarpDB(HostTable.from_dict({"p": np.array([1.0], np.float32)}))
+    db.register_table(
+        "u",
+        HostTable.from_dict(
+            {
+                "c": np.array(["x", "y", "x"], dtype=object),
+                "v": np.array([1, 2, 4], np.float32),
+            },
+            dtypes={"c": DataType.STRING, "v": DataType.FLOAT32},
+        ),
+    )
+    t = db.query_sql_table(
+        "SELECT c, SUM(v) FROM u GROUP BY c ORDER BY c ASC"
+    )
+    assert list(t["c"]) == ["x", "y"]
+    assert list(t["SUM(v[idx])"]) == [5.0, 2.0]
+    # Derived table over a registered table.
+    got = db.query_sql(
+        "SELECT s FROM (SELECT SUM(v) AS s FROM u GROUP BY c) AS d "
+        "ORDER BY s ASC"
+    )
+    assert got == [2.0, 5.0]
+
+
 # --- uncorrelated subqueries --------------------------------------------------
 
 

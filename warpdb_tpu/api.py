@@ -161,9 +161,11 @@ class WarpDB:
             validate_expression(cond_ast, cols, {self._name})
         return expr_ast, cond_ast
 
-    def _bytes_scanned(self, *asts) -> int:
+    def _bytes_scanned(self, *asts, table=None) -> int:
         from .frontend import column_refs
 
+        if table is None:
+            table = self._table
         names = set()
         for ast in asts:
             if ast is None:
@@ -173,7 +175,7 @@ class WarpDB:
                 names.add(ref.unqualified)
         return sum(
             arr.dtype.itemsize * arr.shape[0]
-            for name, arr in self._table.columns.items()
+            for name, arr in table.columns.items()
             if name in names
         )
 
@@ -197,6 +199,14 @@ class WarpDB:
             result = run_expression(self._table, expr_ast, cond_ast)
             out_rows[0] = len(result)
         return result
+
+    def _base_table(self, ast):
+        """The FROM relation: routes through the registered-table
+        catalog (primary table is the fallback).  A derived table's
+        ``from_table`` is its ALIAS — never a catalog lookup."""
+        if getattr(ast, "from_subquery", None) is not None:
+            return self._table
+        return self._catalog.get(ast.from_table, self._table)
 
     def _maybe_decode(self, item, values: np.ndarray, table=None) -> list:
         """Decode dictionary codes back to strings when the select item is
@@ -252,18 +262,23 @@ class WarpDB:
                 first = next(iter(out.values()), [])
                 out_rows[0] = len(first)
             return list(first)
+        # FROM routes through the registered-table catalog (the primary
+        # table is the fallback) — ``FROM <registered>`` queries that
+        # table directly, matching the set-op branch semantics.
+        base = self._base_table(ast)
         scanned = self._bytes_scanned(
             *ast.select_list, ast.where, ast.having,
             *(t.expr for t in (ast.order_by.terms if ast.order_by else ())),
             *(ast.group_by.keys if ast.group_by else ()),
+            table=base,
         )
-        with timed_query(sql, "sql", self._table.num_rows, scanned) as out_rows:
-            result = run_query(ast, self._table, self._catalog, mesh=self._mesh)
+        with timed_query(sql, "sql", base.num_rows, scanned) as out_rows:
+            result = run_query(ast, base, self._catalog, mesh=self._mesh)
             out_rows[0] = len(result)
         from .engine.executor import expand_stars_query
 
-        first = expand_stars_query(ast, self._table, self._catalog)[0]
-        return self._maybe_decode(first, result)
+        first = expand_stars_query(ast, base, self._catalog)[0]
+        return self._maybe_decode(first, result, table=base)
 
     def _validate_sql(self, ast, table=None) -> None:
         """Clause validation; derived tables validate the inner query
@@ -271,11 +286,13 @@ class WarpDB:
         OUTPUT column names.  ``table`` overrides the FROM relation
         (UNION branches validate against their own table)."""
         if table is None:
-            table = self._table
+            table = self._base_table(ast)
         cols = set(table.dtypes.keys())
         sub = getattr(ast, "from_subquery", None)
         if sub is not None:
-            self._validate_sql(sub, table)
+            # The inner query routes its own FROM (it may read any
+            # registered table, not just the outer's base relation).
+            self._validate_sql(sub)
             from .engine.executor import result_column_name
             from .frontend.ast import Star, unalias
 
@@ -300,9 +317,7 @@ class WarpDB:
 
                 branch = _copy.copy(branch)
                 branch.order_by = None
-            self._validate_sql(
-                branch, self._catalog.get(branch.from_table, table)
-            )
+            self._validate_sql(branch)
 
     def _join_columns(self, ast) -> set:
         out: set = set()
@@ -332,7 +347,7 @@ class WarpDB:
                 raise ParseError(f"Failed to parse SQL: {e}") from None
             self._validate_sql(ast)
             plan = explain_query(
-                ast, self._table, self._catalog, mesh=self._mesh
+                ast, self._base_table(ast), self._catalog, mesh=self._mesh
             )
             if getattr(ast, "set_ops", None):
                 ops = " ".join(op for op, _a, _b in ast.set_ops)
@@ -540,10 +555,11 @@ def _facade_query_sql_table(self, sql: str) -> dict:
         return self._setop_table(ast)
     from .engine.executor import expand_stars_query
 
-    result = run_query_table(ast, self._table, self._catalog, mesh=self._mesh)
-    select_items = expand_stars_query(ast, self._table, self._catalog)
+    base = self._base_table(ast)
+    result = run_query_table(ast, base, self._catalog, mesh=self._mesh)
+    select_items = expand_stars_query(ast, base, self._catalog)
     return {
-        name: self._maybe_decode(item, vals)
+        name: self._maybe_decode(item, vals, table=base)
         for item, (name, vals) in zip(select_items, result.items())
     }
 
@@ -582,7 +598,7 @@ def _facade_setop_table(self, ast) -> dict:
             qq.order_by = None
             qq.limit = None
             qq.offset = None
-        table = self._catalog.get(qq.from_table, self._table)
+        table = self._base_table(qq)
         res = run_query_table(qq, table, self._catalog, mesh=self._mesh)
         items = expand_stars_query(qq, table, self._catalog)
         cols = [

@@ -308,8 +308,9 @@ def _resolve_from_subquery(query, table, catalog, mesh):
     names: list = []
     for i, item in enumerate(sub.select_list):
         names.append(result_column_name(item, i, set(names)))
+    base = (catalog or {}).get(sub.from_table, table)
     mkey = (
-        sub.canonical(), tuple(names),
+        sub.canonical(), tuple(names), _table_uid(base),
         None if mesh is None else int(mesh.devices.size),
     )
     derived = None
@@ -318,16 +319,18 @@ def _resolve_from_subquery(query, table, catalog, mesh):
         memo.move_to_end(mkey)
         derived = hit
     if derived is None:
-        out = run_query_table(sub, table, catalog, mesh=mesh)
+        # The inner query routes its own FROM through the catalog (it
+        # may read a registered table, not just the outer's base).
+        out = run_query_table(sub, base, catalog, mesh=mesh)
         arrays: dict = {}
         dtypes: dict = {}
         for item, (name, vals) in zip(sub.select_list, out.items()):
             node = unalias(item)
             vocab = None
-            if isinstance(node, Variable) and table.dicts:
-                vocab = table.dicts.get(node.name)
+            if isinstance(node, Variable) and base.dicts:
+                vocab = base.dicts.get(node.name)
                 if vocab is None:
-                    vocab = table.dicts.get(node.unqualified)
+                    vocab = base.dicts.get(node.unqualified)
             arr = np.asarray(vals, np.float32)
             if vocab is not None:
                 # Bare string column passing through: decode and let the
