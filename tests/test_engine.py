@@ -1906,6 +1906,94 @@ def test_from_registered_table_strings_and_groups():
     assert got == [2.0, 5.0]
 
 
+# --- WITH (common table expressions) ------------------------------------------
+
+
+def test_cte_basic():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1, 2, 3, 4], np.float32)})
+    )
+    got = db.query_sql(
+        "WITH big AS (SELECT p FROM t WHERE p > 2) SELECT SUM(p) FROM big"
+    )
+    assert got == [7.0]
+
+
+def test_cte_chained_and_join():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "k": np.array([1, 2, 1, 2], np.float32),
+                "v": np.array([10, 20, 30, 40], np.float32),
+            }
+        )
+    )
+    t = db.query_sql_table(
+        "WITH sums AS (SELECT k, SUM(v) AS s FROM t GROUP BY k), "
+        "top AS (SELECT k, s FROM sums WHERE s > 45) "
+        "SELECT t.v, top.s FROM t JOIN top ON t.k = top.k"
+    )
+    assert list(t["t.v"]) == [20.0, 40.0]
+    assert list(t["top.s"]) == [60.0, 60.0]
+
+
+def test_cte_strings_reencode():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "c": np.array(["b", "a", "b"], dtype=object),
+                "v": np.array([1, 2, 4], np.float32),
+            },
+            dtypes={"c": DataType.STRING, "v": DataType.FLOAT32},
+        )
+    )
+    got = db.query_sql(
+        "WITH f AS (SELECT c, v FROM t WHERE v > 1) "
+        "SELECT c FROM f ORDER BY c ASC"
+    )
+    assert got == ["a", "b"]
+    got = db.query_sql(
+        "WITH f AS (SELECT c, v FROM t) "
+        "SELECT SUM(v) FROM f WHERE c = 'b'"
+    )
+    assert got == [5.0]
+
+
+def test_cte_with_set_op_body():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1, 2, 3], np.float32)})
+    )
+    got = db.query_sql(
+        "WITH u AS (SELECT p FROM t WHERE p < 2 "
+        "UNION ALL SELECT p FROM t WHERE p > 2) "
+        "SELECT SUM(p) FROM u"
+    )
+    assert got == [4.0]
+
+
+def test_cte_memo_reuses_materialization():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1, 2, 3], np.float32)})
+    )
+    sql = "WITH c AS (SELECT p + 1 AS q FROM t) SELECT SUM(q) FROM c"
+    assert db.query_sql(sql) == [9.0]
+    memo = db._cte_memo
+    assert len(memo) == 1
+    first = next(iter(memo.values()))
+    assert db.query_sql(sql) == [9.0]
+    assert next(iter(memo.values())) is first  # same DeviceTable reused
+
+
+def test_cte_unknown_column_errors():
+    db = WarpDB(
+        HostTable.from_dict({"p": np.array([1.0], np.float32)})
+    )
+    with pytest.raises(ValidationError, match="Unknown column"):
+        db.query_sql("WITH c AS (SELECT nope FROM t) SELECT p FROM t")
+    with pytest.raises(ParseError, match="AS"):
+        db.query_sql("WITH c (SELECT p FROM t) SELECT p FROM t")
+
+
 # --- uncorrelated subqueries --------------------------------------------------
 
 

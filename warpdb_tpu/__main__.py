@@ -60,7 +60,7 @@ def main(argv=None) -> int:
         profile_ctx.__enter__()
 
     t1 = time.perf_counter()
-    is_sql = args.query.strip().upper().startswith("SELECT")
+    is_sql = args.query.strip().upper().startswith(("SELECT", "WITH"))
     if is_sql:
         result = db.query_sql(args.query)
     elif args.sharded:

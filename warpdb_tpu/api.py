@@ -200,13 +200,69 @@ class WarpDB:
             out_rows[0] = len(result)
         return result
 
-    def _base_table(self, ast):
+    def _base_table(self, ast, catalog=None):
         """The FROM relation: routes through the registered-table
         catalog (primary table is the fallback).  A derived table's
         ``from_table`` is its ALIAS — never a catalog lookup."""
         if getattr(ast, "from_subquery", None) is not None:
             return self._table
-        return self._catalog.get(ast.from_table, self._table)
+        if catalog is None:
+            catalog = self._catalog
+        return catalog.get(ast.from_table, self._table)
+
+    def _resolve_ctes(self, ast, catalog=None) -> dict:
+        """Materialise a statement's ``WITH`` CTEs (extension; the
+        reference has no CTEs) into an extended per-statement catalog.
+        Each CTE validates and runs against the catalog built so far
+        (later CTEs and the main query see earlier ones as ordinary
+        table names; a CTE body may carry its own nested WITH).
+        Memoised per (canonical, source-uid) on this facade — CTE
+        inputs are immutable DeviceTables, the same rationale as the
+        join and derived-table caches."""
+        if catalog is None:
+            catalog = self._catalog
+        ctes = getattr(ast, "ctes", ())
+        if not ctes:
+            return catalog
+        import copy as _copy
+        from collections import OrderedDict
+
+        from .engine.executor import materialize_query_table, query_dep_key
+
+        memo = getattr(self, "_cte_memo", None)
+        if memo is None:
+            memo = self._cte_memo = OrderedDict()
+        catalog = dict(catalog)
+        for name, q in ctes:
+            inner = self._resolve_ctes(q, catalog)  # nested WITH
+            if getattr(q, "ctes", None):
+                q = _copy.copy(q)
+                q.ctes = []
+            self._validate_sql(q, catalog=inner)
+            base = self._base_table(q, inner)
+            from .engine.executor import result_column_name
+
+            names: list = []
+            for i, item in enumerate(q.select_list):
+                names.append(result_column_name(item, i, set(names)))
+            # Output names are part of the key — canonical() drops
+            # aliases, and the materialised schema is alias-derived.
+            mkey = (name, tuple(names)) + query_dep_key(
+                q, base, inner, self._mesh
+            )
+            hit = memo.get(mkey)
+            if hit is None:
+                if getattr(q, "set_ops", None):
+                    hit = self._setop_device_table(q, inner)
+                else:
+                    hit = materialize_query_table(q, base, inner, self._mesh)
+                memo[mkey] = hit
+                while len(memo) > 8:
+                    memo.popitem(last=False)
+            else:
+                memo.move_to_end(mkey)
+            catalog[name] = hit
+        return catalog
 
     def _maybe_decode(self, item, values: np.ndarray, table=None) -> list:
         """Decode dictionary codes back to strings when the select item is
@@ -253,46 +309,55 @@ class WarpDB:
         except (ParseError, TokenizeError) as e:
             raise ParseError(f"Failed to parse SQL: {e}") from None
 
-        self._validate_sql(ast)
+        catalog = self._resolve_ctes(ast)
+        self._validate_sql(ast, catalog=catalog)
         if getattr(ast, "set_ops", None):
             with timed_query(
                 sql, "sql", self._table.num_rows, 0
             ) as out_rows:
-                out = self._setop_table(ast)
+                out = self._setop_table(ast, catalog)
                 first = next(iter(out.values()), [])
                 out_rows[0] = len(first)
             return list(first)
         # FROM routes through the registered-table catalog (the primary
         # table is the fallback) — ``FROM <registered>`` queries that
         # table directly, matching the set-op branch semantics.
-        base = self._base_table(ast)
+        base = self._base_table(ast, catalog)
         scanned = self._bytes_scanned(
             *ast.select_list, ast.where, ast.having,
             *(t.expr for t in (ast.order_by.terms if ast.order_by else ())),
             *(ast.group_by.keys if ast.group_by else ()),
             table=base,
         )
+        if getattr(ast, "ctes", None):
+            import copy as _copy
+
+            ast = _copy.copy(ast)
+            ast.ctes = []  # resolved into ``catalog`` above
         with timed_query(sql, "sql", base.num_rows, scanned) as out_rows:
-            result = run_query(ast, base, self._catalog, mesh=self._mesh)
+            result = run_query(ast, base, catalog, mesh=self._mesh)
             out_rows[0] = len(result)
         from .engine.executor import expand_stars_query
 
-        first = expand_stars_query(ast, base, self._catalog)[0]
+        first = expand_stars_query(ast, base, catalog)[0]
         return self._maybe_decode(first, result, table=base)
 
-    def _validate_sql(self, ast, table=None) -> None:
+    def _validate_sql(self, ast, table=None, catalog=None) -> None:
         """Clause validation; derived tables validate the inner query
         against the real schema and the outer against the subquery's
         OUTPUT column names.  ``table`` overrides the FROM relation
-        (UNION branches validate against their own table)."""
+        (UNION branches validate against their own table); ``catalog``
+        is the per-statement catalog (CTEs extend it)."""
+        if catalog is None:
+            catalog = self._catalog
         if table is None:
-            table = self._base_table(ast)
+            table = self._base_table(ast, catalog)
         cols = set(table.dtypes.keys())
         sub = getattr(ast, "from_subquery", None)
         if sub is not None:
             # The inner query routes its own FROM (it may read any
             # registered table, not just the outer's base relation).
-            self._validate_sql(sub)
+            self._validate_sql(sub, catalog=catalog)
             from .engine.executor import result_column_name
             from .frontend.ast import Star, unalias
 
@@ -303,9 +368,11 @@ class WarpDB:
                 for i, item in enumerate(sub.select_list):
                     derived.add(result_column_name(item, i, derived))
             cols = derived
-        table_names = {self._name, ast.from_table, *self._catalog.keys()}
+        table_names = {self._name, ast.from_table, *catalog.keys()}
         table_names |= {j.table for j in ast.joins}
-        validate_query(ast, cols | self._join_columns(ast), table_names)
+        validate_query(
+            ast, cols | self._join_columns(ast, catalog), table_names
+        )
         set_ops = getattr(ast, "set_ops", ())
         for i, (_op, _all_flag, branch) in enumerate(set_ops):
             # Each set-op branch validates against its OWN FROM relation.
@@ -317,12 +384,14 @@ class WarpDB:
 
                 branch = _copy.copy(branch)
                 branch.order_by = None
-            self._validate_sql(branch)
+            self._validate_sql(branch, catalog=catalog)
 
-    def _join_columns(self, ast) -> set:
+    def _join_columns(self, ast, catalog=None) -> set:
+        if catalog is None:
+            catalog = self._catalog
         out: set = set()
         for j in ast.joins:
-            t = self._catalog.get(j.table)
+            t = catalog.get(j.table)
             if t is not None:
                 out |= set(t.dtypes.keys())
                 out |= {f"{j.table}.{c}" for c in t.dtypes.keys()}
@@ -340,15 +409,22 @@ class WarpDB:
         with compile-cache hit/miss per dispatch (EXPLAIN ANALYZE)."""
         from .engine.explain import explain_expression, explain_query
 
-        if query.strip().upper().startswith("SELECT"):
+        if query.strip().upper().startswith(("SELECT", "WITH")):
             try:
                 ast = parse_query(tokenize(query))
             except (ParseError, TokenizeError) as e:
                 raise ParseError(f"Failed to parse SQL: {e}") from None
-            self._validate_sql(ast)
+            catalog = self._resolve_ctes(ast)
+            self._validate_sql(ast, catalog=catalog)
             plan = explain_query(
-                ast, self._base_table(ast), self._catalog, mesh=self._mesh
+                ast, self._base_table(ast, catalog), catalog, mesh=self._mesh
             )
+            if getattr(ast, "ctes", None):
+                names = ", ".join(n for n, _q in ast.ctes)
+                plan += (
+                    f"\n  ctes: {names} (materialised once per "
+                    "statement; memoised on immutable inputs)"
+                )
             if getattr(ast, "set_ops", None):
                 ops = " ".join(op for op, _a, _b in ast.set_ops)
                 plan += (
@@ -550,21 +626,27 @@ def _facade_query_sql_table(self, sql: str) -> dict:
         ast = parse_query(tokenize(sql))
     except (_PE, _TE) as e:
         raise ParseError(f"Failed to parse SQL: {e}") from None
-    self._validate_sql(ast)
+    catalog = self._resolve_ctes(ast)
+    self._validate_sql(ast, catalog=catalog)
     if getattr(ast, "set_ops", None):
-        return self._setop_table(ast)
+        return self._setop_table(ast, catalog)
     from .engine.executor import expand_stars_query
 
-    base = self._base_table(ast)
-    result = run_query_table(ast, base, self._catalog, mesh=self._mesh)
-    select_items = expand_stars_query(ast, base, self._catalog)
+    base = self._base_table(ast, catalog)
+    if getattr(ast, "ctes", None):
+        import copy as _copy
+
+        ast = _copy.copy(ast)
+        ast.ctes = []  # resolved into ``catalog`` above
+    result = run_query_table(ast, base, catalog, mesh=self._mesh)
+    select_items = expand_stars_query(ast, base, catalog)
     return {
         name: self._maybe_decode(item, vals, table=base)
         for item, (name, vals) in zip(select_items, result.items())
     }
 
 
-def _facade_setop_table(self, ast) -> dict:
+def _facade_setop_table(self, ast, catalog=None) -> dict:
     """Execute a ``UNION / EXCEPT / INTERSECT [ALL]`` chain (extension;
     the reference has no set operations).  Each branch runs through the
     full engine against its own FROM relation (different tables per
@@ -586,6 +668,8 @@ def _facade_setop_table(self, ast) -> dict:
     from .engine.executor import expand_stars_query, run_query_table
     from .errors import UnsupportedError, ValidationError
 
+    if catalog is None:
+        catalog = self._catalog
     branches = [("UNION", False, ast)] + list(ast.set_ops)
     parts: list[list[list]] = []
     names: Optional[list] = None
@@ -593,14 +677,15 @@ def _facade_setop_table(self, ast) -> dict:
     for i, (_op, _flag, q) in enumerate(branches):
         qq = _copy.copy(q)
         qq.set_ops = []
+        qq.ctes = []  # resolved into ``catalog`` by the caller
         if i == len(branches) - 1:
             order_by, limit, offset = qq.order_by, qq.limit, qq.offset
             qq.order_by = None
             qq.limit = None
             qq.offset = None
-        table = self._base_table(qq)
-        res = run_query_table(qq, table, self._catalog, mesh=self._mesh)
-        items = expand_stars_query(qq, table, self._catalog)
+        table = self._base_table(qq, catalog)
+        res = run_query_table(qq, table, catalog, mesh=self._mesh)
+        items = expand_stars_query(qq, table, catalog)
         cols = [
             self._maybe_decode(item, vals, table=table)
             for item, (_nm, vals) in zip(items, res.items())
@@ -719,5 +804,25 @@ def _facade_setop_table(self, ast) -> dict:
     }
 
 
+def _facade_setop_device_table(self, ast, catalog=None) -> DeviceTable:
+    """Land a set-operation chain's result as a DeviceTable (CTE bodies
+    may be UNION/EXCEPT/INTERSECT chains).  String columns re-encode
+    with a fresh vocabulary; stats are computed so downstream
+    stats-gated fast paths stay live."""
+    out = self._setop_table(ast, catalog)
+    arrays: dict = {}
+    dtypes: dict = {}
+    for name, vals in out.items():
+        if any(isinstance(v, str) for v in vals):
+            arrays[name] = np.asarray(list(vals), dtype=object)
+            dtypes[name] = DataType.STRING
+        else:
+            arrays[name] = np.asarray(list(vals), np.float32)
+    return DeviceTable.from_host(
+        HostTable.from_dict(arrays, dtypes=dtypes or None)
+    )
+
+
 WarpDB.query_sql_table = _facade_query_sql_table
 WarpDB._setop_table = _facade_setop_table
+WarpDB._setop_device_table = _facade_setop_device_table

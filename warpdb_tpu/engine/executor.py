@@ -289,6 +289,71 @@ def run_expression(
 
 
 
+def query_dep_key(q, base, catalog, mesh):
+    """Memo-key tail capturing everything that can change a
+    materialised query result: the plan canonical, the base and every
+    join-table instance (tables are immutable; identity IS content),
+    the UDF registry version, and the mesh width (CLAUDE.md invariant:
+    anything result-changing must be in the memo key)."""
+    from . import udf as udf_mod
+    from .join_exec import _table_uid
+
+    join_uids = tuple(
+        (j.table, _table_uid((catalog or {}).get(j.table, base)))
+        for j in q.joins
+    )
+    branch_uids = tuple(
+        (b.from_table,
+         _table_uid((catalog or {}).get(b.from_table, base)))
+        + tuple(
+            (j.table, _table_uid((catalog or {}).get(j.table, base)))
+            for j in b.joins
+        )
+        for _op, _all, b in getattr(q, "set_ops", ())
+    )
+    return (
+        q.canonical(), _table_uid(base), join_uids, branch_uids,
+        udf_mod.registry_version(),
+        None if mesh is None else int(mesh.devices.size),
+    )
+
+
+def materialize_query_table(sub, base, catalog, mesh) -> "DeviceTable":
+    """Run ``sub`` against ``base`` and land the result as a fresh
+    DeviceTable (stats computed, so every stats-gated fast path stays
+    live downstream).  Bare string columns decode and re-encode with a
+    fresh vocabulary.  Shared by derived tables and CTEs."""
+    out = run_query_table(sub, base, catalog, mesh=mesh)
+    items = expand_stars_query(sub, base, catalog)
+    arrays: dict = {}
+    dtypes: dict = {}
+    for item, (name, vals) in zip(items, out.items()):
+        node = unalias(item)
+        vocab = None
+        if isinstance(node, Variable) and base.dicts:
+            vocab = base.dicts.get(node.name)
+            if vocab is None:
+                vocab = base.dicts.get(node.unqualified)
+        arr = np.asarray(vals, np.float32)
+        if vocab is not None:
+            # Bare string column passing through: decode and let the
+            # derived table re-encode (fresh vocabulary).
+            from ..storage.strings import decode_codes
+            from ..storage.table import DataType
+
+            arrays[name] = np.asarray(
+                decode_codes(arr, vocab), dtype=object
+            )
+            dtypes[name] = DataType.STRING
+        else:
+            arrays[name] = arr
+    from ..storage.table import HostTable
+
+    return DeviceTable.from_host(
+        HostTable.from_dict(arrays, dtypes=dtypes or None)
+    )
+
+
 def _resolve_from_subquery(query, table, catalog, mesh):
     """Materialise a derived table (``FROM (SELECT …) AS alias``): run
     the inner query through the normal table pipeline, land its columns
@@ -309,46 +374,14 @@ def _resolve_from_subquery(query, table, catalog, mesh):
     for i, item in enumerate(sub.select_list):
         names.append(result_column_name(item, i, set(names)))
     base = (catalog or {}).get(sub.from_table, table)
-    mkey = (
-        sub.canonical(), tuple(names), _table_uid(base),
-        None if mesh is None else int(mesh.devices.size),
-    )
+    mkey = (tuple(names),) + query_dep_key(sub, base, catalog, mesh)
     derived = None
     hit = memo.get(mkey)
     if hit is not None:
         memo.move_to_end(mkey)
         derived = hit
     if derived is None:
-        # The inner query routes its own FROM through the catalog (it
-        # may read a registered table, not just the outer's base).
-        out = run_query_table(sub, base, catalog, mesh=mesh)
-        arrays: dict = {}
-        dtypes: dict = {}
-        for item, (name, vals) in zip(sub.select_list, out.items()):
-            node = unalias(item)
-            vocab = None
-            if isinstance(node, Variable) and base.dicts:
-                vocab = base.dicts.get(node.name)
-                if vocab is None:
-                    vocab = base.dicts.get(node.unqualified)
-            arr = np.asarray(vals, np.float32)
-            if vocab is not None:
-                # Bare string column passing through: decode and let the
-                # derived table re-encode (fresh vocabulary).
-                from ..storage.strings import decode_codes
-                from ..storage.table import DataType
-
-                arrays[name] = np.asarray(
-                    decode_codes(arr, vocab), dtype=object
-                )
-                dtypes[name] = DataType.STRING
-            else:
-                arrays[name] = arr
-        from ..storage.table import HostTable
-
-        derived = DeviceTable.from_host(
-            HostTable.from_dict(arrays, dtypes=dtypes or None)
-        )
+        derived = materialize_query_table(sub, base, catalog, mesh)
         memo[mkey] = derived
         while len(memo) > 4:
             memo.popitem(last=False)
@@ -633,6 +666,11 @@ def run_query(
         raise UnsupportedError(
             "Set operations (UNION/EXCEPT/INTERSECT) execute at the "
             "facade: use WarpDB.query_sql / query_sql_table"
+        )
+    if getattr(query, "ctes", None):
+        raise UnsupportedError(
+            "WITH (CTEs) resolve at the facade: use WarpDB.query_sql / "
+            "query_sql_table"
         )
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
@@ -1412,6 +1450,11 @@ def run_query_table(
         raise UnsupportedError(
             "Set operations (UNION/EXCEPT/INTERSECT) execute at the "
             "facade: use WarpDB.query_sql / query_sql_table"
+        )
+    if getattr(query, "ctes", None):
+        raise UnsupportedError(
+            "WITH (CTEs) resolve at the facade: use WarpDB.query_sql / "
+            "query_sql_table"
         )
 
     if getattr(query, "from_subquery", None) is not None:

@@ -415,6 +415,11 @@ class Query:
     limit: Optional[int] = None
     offset: Optional[int] = None
     distinct: bool = False
+    # Common table expressions: [(name, Query), …] from a ``WITH``
+    # prefix.  Each CTE materialises once per statement (in order —
+    # later CTEs may reference earlier ones) and is visible to the main
+    # query and every set-op branch as an ordinary table name.
+    ctes: list = field(default_factory=list)
     # Set operations: [(op, all_flag, Query), …] with op in
     # {"UNION", "EXCEPT", "INTERSECT"}.  UNION/EXCEPT chain
     # left-to-right; INTERSECT binds tighter (standard SQL precedence:
@@ -425,7 +430,15 @@ class Query:
 
     def canonical(self) -> str:
         """Deterministic cache key for the whole statement."""
-        parts = ["SELECT"]
+        parts = []
+        if self.ctes:
+            parts.append(
+                "WITH "
+                + ", ".join(
+                    f"{name} AS ({q.canonical()})" for name, q in self.ctes
+                )
+            )
+        parts.append("SELECT")
         if self.distinct:
             parts.append("DISTINCT")
         parts.append(", ".join(e.canonical() for e in self.select_list))

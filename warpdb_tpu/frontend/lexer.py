@@ -65,6 +65,8 @@ KEYWORDS = frozenset(
         "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
         # Set operations (reserved in standard SQL).
         "UNION", "EXCEPT", "INTERSECT", "ALL",
+        # Common table expressions.
+        "WITH",
     }
 )
 

@@ -821,6 +821,55 @@ class _QueryParser:
 _SET_OPS = ("UNION", "EXCEPT", "INTERSECT")
 
 
+def _parse_with_prefix(toks):
+    """Consume ``WITH name AS ( query ) [, name2 AS ( query2 )]*`` from
+    the front of a token list; returns (remaining tokens, ctes list).
+    CTE bodies parse recursively through :func:`parse_query` (they may
+    themselves contain set operations or nested WITHs)."""
+    pos = 1  # past WITH
+    ctes: list = []
+    while True:
+        if pos >= len(toks) or toks[pos].type is not TokenType.IDENTIFIER:
+            raise ParseError("Expected CTE name after WITH")
+        name = toks[pos].value
+        pos += 1
+        if not (
+            pos < len(toks)
+            and toks[pos].type is TokenType.KEYWORD
+            and toks[pos].value == "AS"
+        ):
+            raise ParseError(f"Expected AS after WITH {name}")
+        pos += 1
+        if not (
+            pos < len(toks)
+            and toks[pos].type is TokenType.OPERATOR
+            and toks[pos].value == "("
+        ):
+            raise ParseError(f"Expected '(' after WITH {name} AS")
+        depth = 1
+        pos += 1
+        body_start = pos
+        while pos < len(toks) and depth > 0:
+            t = toks[pos]
+            if t.type is TokenType.OPERATOR and t.value == "(":
+                depth += 1
+            elif t.type is TokenType.OPERATOR and t.value == ")":
+                depth -= 1
+            pos += 1
+        if depth != 0:
+            raise ParseError(f"Expected ')' closing WITH {name} AS (")
+        ctes.append((name, parse_query(toks[body_start : pos - 1])))
+        if (
+            pos < len(toks)
+            and toks[pos].type is TokenType.OPERATOR
+            and toks[pos].value == ","
+        ):
+            pos += 1
+            continue
+        break
+    return toks[pos:], ctes
+
+
 def parse_query(tokens) -> Query:
     """Parse a SELECT statement (or raw SQL text), including top-level
     ``UNION / EXCEPT / INTERSECT [ALL]`` chains (extension).  The token
@@ -833,6 +882,10 @@ def parse_query(tokens) -> Query:
     toks = _tokens(tokens)
     if toks and toks[-1].type is TokenType.END:
         toks = toks[:-1]
+
+    ctes: list = []
+    if toks and toks[0].type is TokenType.KEYWORD and toks[0].value == "WITH":
+        toks, ctes = _parse_with_prefix(toks)
 
     segments: list[list[Token]] = []
     ops: list[str] = []
@@ -871,6 +924,7 @@ def parse_query(tokens) -> Query:
 
     end = [Token(TokenType.END, "")]
     q = _QueryParser(segments[0] + end).parse()
+    q.ctes = ctes
     if len(segments) == 1:
         return q
     branches = [
