@@ -2574,3 +2574,146 @@ def test_eager_join_aggregate_keeps_column_names():
     assert list(out) == ["g", "s"]
     out = db.query_sql_table(f"SELECT g, SUM(v * d.w) {base}")
     assert list(out) == ["g", "SUM((v[idx] * d.w[idx]))"]
+
+
+# --- scalar-expression extensions: unary minus, %, NULL handling, CAST,
+# --- variance family ---------------------------------------------------------
+
+
+def test_unary_minus_and_modulo(db):
+    p = np.array([10.5, 20.0, 15.25, 30.0])
+    np.testing.assert_allclose(db.query_sql("SELECT -price FROM test"), -p)
+    np.testing.assert_allclose(
+        db.query_sql("SELECT price % 7 FROM test"), np.fmod(p, 7), rtol=1e-6
+    )
+    # Unary minus composes with precedence: -2 * -3 = 6.
+    np.testing.assert_allclose(
+        db.query_sql("SELECT 1 + -2 * -3 FROM test LIMIT 1"), [7.0]
+    )
+    # fmod keeps the dividend's sign (C semantics, not Python floor-mod).
+    np.testing.assert_allclose(
+        db.query_sql("SELECT (0 - price) % 7 FROM test"),
+        np.fmod(-p, 7),
+        rtol=1e-6,
+    )
+
+
+def test_is_null_and_null_literal():
+    t = HostTable.from_dict({
+        "v": np.array([1.0, np.nan, 3.0, np.nan], np.float32),
+        "k": np.array([0.0, 1.0, 2.0, 3.0], np.float32),
+    })
+    db = WarpDB(t)
+    assert db.query_sql("SELECT k FROM t WHERE v IS NULL") == [1.0, 3.0]
+    assert db.query_sql("SELECT k FROM t WHERE v IS NOT NULL") == [0.0, 2.0]
+    # Bare NULL literal evaluates to NaN (the engine's missing marker).
+    out = db.query_sql("SELECT CASE WHEN v IS NULL THEN NULL ELSE v END FROM t")
+    assert out[0] == 1.0 and np.isnan(out[1]) and out[2] == 3.0
+
+
+def test_coalesce_nullif_greatest_least():
+    t = HostTable.from_dict({
+        "a": np.array([1.0, np.nan, np.nan], np.float32),
+        "b": np.array([10.0, 20.0, np.nan], np.float32),
+    })
+    db = WarpDB(t)
+    out = db.query_sql("SELECT COALESCE(a, b, 0) FROM t")
+    np.testing.assert_allclose(out, [1.0, 20.0, 0.0])
+    out = db.query_sql("SELECT NULLIF(b, 20) FROM t")
+    assert out[0] == 10.0 and np.isnan(out[1]) and np.isnan(out[2])
+    out = db.query_sql("SELECT GREATEST(a, b, 5) FROM t")
+    np.testing.assert_allclose(out[:2], [10.0, np.nan])
+    out = db.query_sql("SELECT LEAST(b, 15) FROM t")
+    np.testing.assert_allclose(out[:2], [10.0, 15.0])
+
+
+def test_cast(db):
+    np.testing.assert_allclose(
+        db.query_sql("SELECT CAST(price AS INT) FROM test"),
+        [10.0, 20.0, 15.0, 30.0],
+    )
+    np.testing.assert_allclose(
+        db.query_sql("SELECT CAST(price AS FLOAT) FROM test"),
+        [10.5, 20.0, 15.25, 30.0],
+    )
+    np.testing.assert_allclose(
+        db.query_sql("SELECT CAST(price AS BOOLEAN) FROM test"),
+        [1.0, 1.0, 1.0, 1.0],
+    )
+    # Truncation is toward zero (C semantics).
+    np.testing.assert_allclose(
+        db.query_sql("SELECT CAST(0 - price AS INT) FROM test"),
+        [-10.0, -20.0, -15.0, -30.0],
+    )
+    with pytest.raises(ParseError, match="Unsupported CAST type"):
+        db.query_sql("SELECT CAST(price AS BLOB) FROM test")
+
+
+def test_variance_stddev_global(db):
+    p = np.array([10.5, 20.0, 15.25, 30.0])
+    np.testing.assert_allclose(
+        db.query_sql("SELECT VARIANCE(price) FROM test"),
+        [np.var(p, ddof=1)], rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        db.query_sql("SELECT VAR_POP(price) FROM test"),
+        [np.var(p)], rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        db.query_sql("SELECT STDDEV(price) FROM test"),
+        [np.std(p, ddof=1)], rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        db.query_sql("SELECT STDDEV_POP(price) FROM test"),
+        [np.std(p)], rtol=1e-4,
+    )
+    # WHERE applies before the aggregate.
+    np.testing.assert_allclose(
+        db.query_sql("SELECT VARIANCE(price) FROM test WHERE price > 12"),
+        [np.var(p[p > 12], ddof=1)], rtol=1e-4,
+    )
+    # Sample variance of zero rows is NaN (SQL NULL).
+    assert np.isnan(
+        db.query_sql("SELECT STDDEV(price) FROM test WHERE price > 100")[0]
+    )
+
+
+def test_variance_grouped_matches_numpy():
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 7, 3000).astype(np.float32)
+    v = rng.uniform(0, 100, 3000).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT k, VAR_POP(v) AS vp, STDDEV(v) AS sd FROM t "
+        "GROUP BY k ORDER BY k ASC"
+    )
+    keys = np.asarray(out["k"])
+    for i, key in enumerate(keys):
+        grp = v[k == key]
+        np.testing.assert_allclose(out["vp"][i], np.var(grp), rtol=2e-3)
+        np.testing.assert_allclose(
+            out["sd"][i], np.std(grp, ddof=1), rtol=2e-3
+        )
+
+
+def test_global_agg_expression(db):
+    p = np.array([10.5, 20.0, 15.25, 30.0])
+    np.testing.assert_allclose(
+        db.query_sql("SELECT SUM(price) / COUNT(price) FROM test"),
+        [p.mean()], rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        db.query_sql("SELECT MAX(price) - MIN(price) FROM test"),
+        [p.max() - p.min()], rtol=1e-6,
+    )
+    # Function over aggregates, and a parameterised one in the mix.
+    np.testing.assert_allclose(
+        db.query_sql("SELECT sqrt(SUM(price * price)) FROM test"),
+        [np.sqrt((p * p).sum())], rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        db.query_sql(
+            "SELECT MAX(price) - PERCENTILE(price, 0.5) FROM test"
+        ),
+        [p.max() - np.percentile(p, 50)], rtol=1e-5,
+    )

@@ -124,6 +124,8 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
             "-": jnp.subtract,
             "*": jnp.multiply,
             "/": jnp.divide,
+            # SQL % is C fmod (sign of the dividend), not Python mod.
+            "%": jnp.fmod,
         }.get(op)
         if arith is None:
             raise ValidationError(f"Unsupported operator: {op}")

@@ -701,8 +701,10 @@ def run_query(
     if query.where is not None:
         query_where = fold_constants(query.where)
         verdict = analyze_condition(query_where, current.stats)
-        is_global_agg = query.group_by is None and isinstance(
-            query.select_list[0], Aggregation
+        is_global_agg = query.group_by is None and not isinstance(
+            query.select_list[0], WindowFunction
+        ) and any(
+            isinstance(n, Aggregation) for n in walk(query.select_list[0])
         )
         if verdict is False and not is_global_agg:
             return np.zeros(0, dtype=np.float32)  # filter eliminates all rows
@@ -884,6 +886,9 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     if isinstance(select, Aggregation):
         # Global aggregate without GROUP BY: one group, whole table.
         return _run_global_agg(query, table)
+    if any(isinstance(n, Aggregation) for n in walk(select)):
+        # Expression over aggregates (SUM(x)/COUNT(x), VARIANCE, …).
+        return _run_global_agg_expr(query, table)
 
     order = query.order_by
     order_terms = order.terms if order is not None else ()
@@ -1130,6 +1135,34 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
     return values.astype(np.float32)
 
 
+def _global_agg_value(agg, param, vals, valid):
+    """One global aggregate, evaluated inside an already-traced kernel
+    (``vals`` padded f32, ``valid`` the row mask).  Shared by the
+    single-aggregate and expression-over-aggregates global paths."""
+    cnt = jnp.sum(valid.astype(jnp.float32))
+    if agg is AggregationType.COUNT_DISTINCT:
+        return count_distinct((vals,), valid).astype(jnp.float32)
+    if agg in (AggregationType.MEDIAN, AggregationType.PERCENTILE):
+        v = sort_values(vals, valid, ascending=True)
+        c = jnp.maximum(cnt.astype(jnp.int32), 1)
+        q = 0.5 if agg is AggregationType.MEDIAN else float(param)
+        pos = q * (c - 1).astype(jnp.float32)
+        lo_off = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - lo_off.astype(jnp.float32)
+        lo = v[jnp.clip(lo_off, 0, v.shape[0] - 1)]
+        hi = v[jnp.clip(jnp.minimum(lo_off + 1, c - 1), 0, v.shape[0] - 1)]
+        return lo * (1.0 - frac) + hi * frac
+    if agg is AggregationType.COUNT:
+        return cnt
+    if agg is AggregationType.SUM:
+        return jnp.sum(jnp.where(valid, vals, 0.0))
+    if agg is AggregationType.AVG:
+        return jnp.sum(jnp.where(valid, vals, 0.0)) / jnp.maximum(cnt, 1.0)
+    if agg is AggregationType.MIN:
+        return jnp.min(jnp.where(valid, vals, jnp.inf))
+    return jnp.max(jnp.where(valid, vals, -jnp.inf))
+
+
 def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
     """SELECT AGG(expr) with no GROUP BY → single scalar."""
     select = query.select_list[0]
@@ -1143,6 +1176,7 @@ def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
         val_fn = build_evaluator(select.expr)
         cond_fn = build_evaluator(where) if where is not None else None
         agg = select.agg
+        param = select.param
 
         @jax.jit
         def kernel(cols, num_rows):
@@ -1150,45 +1184,56 @@ def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = _broadcast(_as_f32(val_fn(cols)), cols)
-            cnt = jnp.sum(valid.astype(jnp.float32))
-            if agg is AggregationType.COUNT_DISTINCT:
-                return count_distinct((vals,), valid).astype(jnp.float32)
-            if agg in (
-                AggregationType.MEDIAN, AggregationType.PERCENTILE
-            ):
-                from ..ops.sort import sort_values
-
-                v = sort_values(vals, valid, ascending=True)
-                c = jnp.maximum(cnt.astype(jnp.int32), 1)
-                q = (
-                    0.5
-                    if agg is AggregationType.MEDIAN
-                    else float(select.param)
-                )
-                pos = q * (c - 1).astype(jnp.float32)
-                lo_off = jnp.floor(pos).astype(jnp.int32)
-                frac = pos - lo_off.astype(jnp.float32)
-                lo = v[jnp.clip(lo_off, 0, v.shape[0] - 1)]
-                hi = v[
-                    jnp.clip(
-                        jnp.minimum(lo_off + 1, c - 1), 0, v.shape[0] - 1
-                    )
-                ]
-                return lo * (1.0 - frac) + hi * frac
-            if agg is AggregationType.COUNT:
-                return cnt
-            if agg is AggregationType.SUM:
-                return jnp.sum(jnp.where(valid, vals, 0.0))
-            if agg is AggregationType.AVG:
-                return jnp.sum(jnp.where(valid, vals, 0.0)) / jnp.maximum(cnt, 1.0)
-            if agg is AggregationType.MIN:
-                return jnp.min(jnp.where(valid, vals, jnp.inf))
-            return jnp.max(jnp.where(valid, vals, -jnp.inf))
+            return _global_agg_value(agg, param, vals, valid)
 
         return kernel
 
     out = get_or_compile(key, build)(cols, jnp.int32(table.num_rows))
     return np.asarray([float(out)], dtype=np.float32)
+
+
+def _run_global_agg_expr(query: Query, table: DeviceTable) -> np.ndarray:
+    """SELECT <expression over aggregates> with no GROUP BY (extension —
+    e.g. ``SUM(x)/COUNT(x)`` or the VARIANCE/STDDEV rewrites): every
+    distinct aggregate evaluates in ONE fused scan, then the surrounding
+    arithmetic finishes host-side on the scalars (same group-level
+    evaluator HAVING uses)."""
+    from .group_exec import _collect_agg_specs, _group_level_eval
+
+    select = query.select_list[0]
+    specs = _collect_agg_specs([select])
+    cols = table.columns
+    where = query.where
+    key = ("global_agg_expr", select.canonical(),
+           where.canonical() if where else "",
+           schema_signature(cols), udf_mod.registry_version())
+
+    def build():
+        val_fns = [build_evaluator(s.expr) for s in specs]
+        cond_fn = build_evaluator(where) if where is not None else None
+        agg_params = [(s.agg, s.param) for s in specs]
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            outs = []
+            for (agg, param), fn in zip(agg_params, val_fns):
+                vals = _broadcast(_as_f32(fn(cols)), cols)
+                outs.append(_global_agg_value(agg, param, vals, valid))
+            return tuple(outs)
+
+        return kernel
+
+    outs = jax.device_get(
+        get_or_compile(key, build)(cols, jnp.int32(table.num_rows))
+    )
+    agg_values = {
+        s.key: np.float32(o) for s, o in zip(specs, outs)
+    }
+    val = _group_level_eval(select, {}, agg_values)
+    return np.asarray([val], dtype=np.float32).reshape(1)
 
 
 def _run_window(query: Query, table: DeviceTable) -> np.ndarray:

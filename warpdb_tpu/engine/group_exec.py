@@ -107,7 +107,13 @@ def _group_level_eval(
         if op == "*":
             return l * r
         if op == "/":
-            return l / r
+            # 0/0 → NaN is defined behavior (e.g. sample VARIANCE of a
+            # single row); don't warn for it.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return l / r
+        if op == "%":
+            with np.errstate(invalid="ignore"):
+                return np.fmod(l, r)
         if op == "&&":
             return np.logical_and(l != 0, r != 0)
         if op == "||":

@@ -108,6 +108,10 @@ def expr_range(node: Node, stats: dict) -> Optional[_Interval]:
                 return None  # denominator may cross zero
             quots = (a / c, a / d, b / c, b / d)
             return (min(quots), max(quots))
+        if node.op not in (
+            ">", "<", ">=", "<=", "==", "=", "!=", "&&", "||",
+        ):
+            return None  # e.g. % — not interval-analysed
         # Comparisons/logicals produce {0, 1}.
         verdict = _compare_verdict(node, stats)
         if verdict is True:

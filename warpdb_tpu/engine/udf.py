@@ -44,6 +44,28 @@ def _builtin_math() -> dict:
     the same name shadow them)."""
     import jax.numpy as jnp
 
+    def _coalesce(*args):
+        if not args:
+            raise ValidationError("COALESCE requires at least one argument")
+        out = args[-1]
+        for a in reversed(args[:-1]):
+            out = jnp.where(jnp.isnan(a), out, a)
+        return out
+
+    def _nullif(a, b):
+        return jnp.where(a == b, jnp.float32(float("nan")), a)
+
+    def _fold(fn):
+        def folded(*args):
+            if not args:
+                raise ValidationError("Function requires at least one argument")
+            out = args[0]
+            for a in args[1:]:
+                out = fn(out, a)
+            return out
+
+        return folded
+
     return {
         "abs": jnp.abs,
         "sqrt": jnp.sqrt,
@@ -55,6 +77,19 @@ def _builtin_math() -> dict:
         "pow": jnp.power,
         "minimum": jnp.minimum,
         "maximum": jnp.maximum,
+        # NULL handling (NaN is the engine's missing-value marker).
+        "isnan": jnp.isnan,
+        "nullval": lambda: jnp.float32(float("nan")),
+        "coalesce": _coalesce,
+        "nullif": _nullif,
+        # CAST(x AS INT) lowers here (truncation toward zero, C-style).
+        "trunc": jnp.trunc,
+        "sign": jnp.sign,
+        "fmod": jnp.fmod,
+        "mod": jnp.fmod,
+        # Variadic SQL spellings of min/max.
+        "greatest": _fold(jnp.maximum),
+        "least": _fold(jnp.minimum),
     }
 
 

@@ -67,10 +67,12 @@ KEYWORDS = frozenset(
         "UNION", "EXCEPT", "INTERSECT", "ALL",
         # Common table expressions.
         "WITH",
+        # NULL predicate / literal (reserved in standard SQL).
+        "IS", "NULL",
     }
 )
 
-_SINGLE_OPS = set("+-*/()<>,.")
+_SINGLE_OPS = set("+-*/%()<>,.")
 
 
 @dataclass(frozen=True)

@@ -73,6 +73,28 @@ _RANK_KEYWORDS = {
 
 _COMPARISON_OPS = (">", "<", ">=", "<=", "==", "!=", "=")
 
+_VARIANCE_FNS = frozenset(
+    {"VARIANCE", "VAR_SAMP", "VAR_POP", "STDDEV", "STDDEV_SAMP", "STDDEV_POP"}
+)
+
+
+def _variance_rewrite(name: str, inner: Node) -> Node:
+    """Lower VARIANCE/STDDEV to arithmetic over SUM/SUM-of-squares/COUNT
+    aggregates: var = (Σx² − (Σx)²/n) / (n − ddof).  Sample forms
+    (ddof=1) yield NaN for n=1 (0/0), matching SQL's NULL; population
+    forms yield 0."""
+    cnt = Aggregation(AggregationType.COUNT, inner)
+    s = Aggregation(AggregationType.SUM, inner)
+    ss = Aggregation(AggregationType.SUM, BinaryOp("*", inner, inner))
+    num = BinaryOp("-", ss, BinaryOp("/", BinaryOp("*", s, s), cnt))
+    denom = cnt if name.endswith("_POP") else BinaryOp("-", cnt, Constant("1"))
+    var = BinaryOp("/", num, denom)
+    if name.startswith("STDDEV"):
+        # Clamp tiny negative rounding residue before the sqrt; NaN
+        # (n=1 sample form) propagates through maximum.
+        return FunctionCall("sqrt", (FunctionCall("maximum", (var, Constant("0"))),))
+    return var
+
 
 class _ExprParser:
     def __init__(self, tokens: list[Token]):
@@ -124,6 +146,16 @@ class _ExprParser:
 
     def comparison(self) -> Node:
         node = self.additive()
+        # expr IS [NOT] NULL (extension): NaN is the engine's missing-value
+        # marker, so the predicate lowers to an isnan test.
+        if self.match_kw("IS"):
+            negate = self.match_kw("NOT") is not None
+            if not self.match_kw("NULL"):
+                raise ParseError("Expected NULL after IS")
+            test = FunctionCall("isnan", (node,))
+            if negate:
+                return BinaryOp("==", test, Constant("0"))
+            return test
         # Negated predicate forms: a NOT IN (...), a NOT BETWEEN x AND y,
         # a NOT LIKE 'p' — the standard SQL spellings.
         if (
@@ -220,13 +252,27 @@ class _ExprParser:
     def term(self) -> Node:
         node = self.factor()
         while True:
-            op = self.match_op("*", "/")
+            op = self.match_op("*", "/", "%")
             if op is None:
                 return node
             node = BinaryOp(op, node, self.factor())
 
     def factor(self) -> Node:
         tok = self.peek()
+        # Unary minus/plus (extension over the reference grammar, which
+        # has neither): -x lowers to (0 - x) so every downstream pass
+        # sees only binary arithmetic.
+        if tok.type is TokenType.OPERATOR and tok.value == "-":
+            self.advance()
+            return BinaryOp("-", Constant("0"), self.factor())
+        if tok.type is TokenType.OPERATOR and tok.value == "+":
+            self.advance()
+            return self.factor()
+        if tok.type is TokenType.KEYWORD and tok.value == "NULL":
+            # Bare NULL literal (extension): the engine's missing value
+            # is NaN; nullval() is a registered builtin returning it.
+            self.advance()
+            return FunctionCall("nullval", ())
         if tok.type is TokenType.KEYWORD and tok.value == "CASE":
             self.advance()
             conds: list[Node] = []
@@ -252,6 +298,45 @@ class _ExprParser:
             return StringLiteral(tok.value)
         if tok.type is TokenType.IDENTIFIER:
             self.advance()
+            # CAST(expr AS type) — contextual (a column named "cast"
+            # still works).  The pipeline is all-f32 (reference parity),
+            # so integer casts lower to trunc() and float casts are
+            # identity; BOOLEAN lowers to (expr != 0).
+            if tok.value.upper() == "CAST" and self.match_op("("):
+                inner = self.logical_or()
+                if not self.match_kw("AS"):
+                    raise ParseError("Expected AS in CAST")
+                ttok = self.peek()
+                if ttok.type not in (
+                    TokenType.IDENTIFIER, TokenType.KEYWORD,
+                ):
+                    raise ParseError("Expected a type name in CAST")
+                self.advance()
+                tname = ttok.value.upper()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                if tname in (
+                    "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+                ):
+                    return FunctionCall("trunc", (inner,))
+                if tname in (
+                    "FLOAT", "REAL", "DOUBLE", "DECIMAL", "NUMERIC",
+                ):
+                    return inner
+                if tname in ("BOOLEAN", "BOOL"):
+                    return BinaryOp("!=", inner, Constant("0"))
+                raise ParseError(f"Unsupported CAST type: {tname}")
+            # STDDEV / VARIANCE family — contextual aggregates rewritten
+            # into agg arithmetic over the existing mergeable partials
+            # (SUM, SUM of squares, COUNT): no new plan machinery, and
+            # they distribute/stream wherever those partials do.  f32
+            # throughout (reference's all-f32 pipeline), so extreme
+            # mean-to-spread ratios lose precision to cancellation.
+            if tok.value.upper() in _VARIANCE_FNS and self.match_op("("):
+                inner = self.logical_or()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return _variance_rewrite(tok.value.upper(), inner)
             # MEDIAN(expr) — contextual aggregate (not a reserved word;
             # a bare column named "median" still parses as a Variable).
             if tok.value.upper() == "MEDIAN" and self.match_op("("):
