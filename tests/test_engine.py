@@ -2717,3 +2717,62 @@ def test_global_agg_expression(db):
         ),
         [p.max() - np.percentile(p, 50)], rtol=1e-5,
     )
+
+
+def test_exists_subquery():
+    db = WarpDB(HostTable.from_dict({
+        "price": np.array([10.5, 20.0, 15.25, 30.0], np.float32),
+        "quantity": np.array([3.0, 4.0, 2.0, 5.0], np.float32),
+    }))
+    db.register_table(
+        "other", HostTable.from_dict({"x": np.array([1.0, 2.0], np.float32)})
+    )
+    assert db.query_sql(
+        "SELECT price FROM t WHERE EXISTS (SELECT x FROM other WHERE x > 1)"
+    ) == [10.5, 20.0, 15.25, 30.0]
+    assert db.query_sql(
+        "SELECT price FROM t WHERE EXISTS (SELECT x FROM other WHERE x > 5)"
+    ) == []
+    assert db.query_sql(
+        "SELECT price FROM t "
+        "WHERE NOT EXISTS (SELECT x FROM other WHERE x > 5)"
+    ) == [10.5, 20.0, 15.25, 30.0]
+    # Composes with other predicates and with CASE.
+    assert db.query_sql(
+        "SELECT price FROM t WHERE "
+        "EXISTS (SELECT x FROM other) AND price > 16"
+    ) == [20.0, 30.0]
+    assert db.query_sql(
+        "SELECT CASE WHEN EXISTS (SELECT x FROM other WHERE x > 5) "
+        "THEN 1 ELSE 2 END FROM t LIMIT 1"
+    ) == [2.0]
+    # EXISTS over a grouped/HAVING subquery.
+    assert db.query_sql(
+        "SELECT price FROM t WHERE EXISTS ("
+        "SELECT SUM(x) FROM other GROUP BY x HAVING SUM(x) > 1)"
+    ) == [10.5, 20.0, 15.25, 30.0]
+    # A column named exists and an exists() UDF keep working.
+    db2 = WarpDB(HostTable.from_dict({"exists": np.array([1.0, 0.0], np.float32)}))
+    assert db2.query_sql("SELECT exists FROM t WHERE exists > 0") == [1.0]
+
+
+def test_qualified_star():
+    db = WarpDB(HostTable.from_dict({
+        "k": np.array([0.0, 1.0, 2.0], np.float32),
+        "v": np.array([5.0, 6.0, 7.0], np.float32),
+    }))
+    db.register_table("d", HostTable.from_dict({
+        "k": np.array([0.0, 1.0, 2.0], np.float32),
+        "w": np.array([9.0, 8.0, 7.0], np.float32),
+    }))
+    out = db.query_sql_table("SELECT t.* FROM t")
+    assert list(out) == ["k", "v"]
+    # Qualified star over a join expands only that table's columns,
+    # mirroring the joined-table namespace (clashing names qualify).
+    out = db.query_sql_table("SELECT d.*, t.v FROM t JOIN d ON k = d.k")
+    assert list(out) == ["d.k", "w", "t.v"]
+    assert out["w"] == [9.0, 8.0, 7.0]
+    out = db.query_sql_table("SELECT t.*, d.w FROM t JOIN d ON k = d.k")
+    assert list(out) == ["k", "v", "d.w"]
+    with pytest.raises(ValidationError, match="Unknown table: nope"):
+        db.query_sql("SELECT nope.* FROM t")

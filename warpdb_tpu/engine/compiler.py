@@ -41,6 +41,7 @@ from ..frontend.ast import (
     InValueSet,
     LikePattern,
     Node,
+    ExistsSubquery,
     ScalarSubquery,
     Star,
     Variable,
@@ -196,7 +197,7 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
             return hit
 
         return in_values_fn
-    if isinstance(node, (ScalarSubquery, InSubquery)):
+    if isinstance(node, (ScalarSubquery, InSubquery, ExistsSubquery)):
         raise ExecutionError(
             "Unresolved subquery reached the compiler — subqueries are "
             "resolved by the executor before kernel compilation"

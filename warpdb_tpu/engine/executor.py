@@ -34,6 +34,7 @@ from ..frontend.ast import (
     BinaryOp,
     CaseWhen,
     Constant,
+    ExistsSubquery,
     FunctionCall,
     GroupBy,
     InCodeSet,
@@ -425,7 +426,8 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
     if not any(
         n is not None
         and any(
-            isinstance(x, (ScalarSubquery, InSubquery)) for x in walk(n)
+            isinstance(x, (ScalarSubquery, InSubquery, ExistsSubquery))
+            for x in walk(n)
         )
         for n in clause_nodes
     ):
@@ -507,6 +509,15 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
             )
         return InValueSet(expr, tuple(float(v) for v in arr))
 
+    def exists(node: ExistsSubquery):
+        q = _copy.copy(node.query)  # _copy binds before rw() runs below
+        if q.limit is None or q.limit > 1:
+            q.limit = 1  # existence needs at most one surviving row
+        base = (catalog or {}).get(q.from_table, table)
+        out = run_query_table(q, base, catalog, mesh=mesh)
+        n = len(next(iter(out.values()), ()))
+        return Constant("1" if n > 0 else "0")
+
     def rw(node):
         if node is None:
             return None
@@ -514,6 +525,8 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
             return scalar(node)
         if isinstance(node, InSubquery):
             return in_set(node)
+        if isinstance(node, ExistsSubquery):
+            return exists(node)
         if isinstance(node, Alias):
             return Alias(rw(node.expr), node.name)
         if isinstance(node, BinaryOp):
@@ -595,15 +608,20 @@ from .join_exec import (  # noqa: E402
 # ---------------------------------------------------------------------------
 
 
-def _expand_stars(select_list, table: DeviceTable) -> list:
-    """Expand bare ``*`` select items to every (unqualified-addressable)
-    column of ``table``.  Returns the original list object when no
-    expansion is needed."""
+def _expand_stars(select_list, table: DeviceTable, from_name=None) -> list:
+    """Expand ``*`` / ``t.*`` select items to every
+    (unqualified-addressable) column of ``table``.  A qualified star
+    must name the FROM relation (``from_name``); join-aware qualified
+    expansion lives in :func:`expand_stars_query`.  Returns the original
+    list object when no expansion is needed."""
     if not any(isinstance(unalias(s), Star) for s in select_list):
         return select_list
     out: list = []
     for s in select_list:
-        if isinstance(unalias(s), Star):
+        node = unalias(s)
+        if isinstance(node, Star):
+            if node.table is not None and node.table != from_name:
+                raise ValidationError(f"Unknown table: {node.table}")
             out.extend(Variable(n) for n in table.dtypes if "." not in n)
         else:
             out.append(s)
@@ -617,24 +635,36 @@ def expand_stars_query(query: Query, table: DeviceTable, catalog=None) -> list:
     if not any(isinstance(unalias(s), Star) for s in query.select_list):
         return query.select_list
     if not query.joins:
-        return _expand_stars(query.select_list, table)
+        return _expand_stars(query.select_list, table, query.from_table)
     catalog = catalog or {}
-    names = [n for n in table.dtypes if "." not in n]
-    seen = set(names)
+    base_names = [n for n in table.dtypes if "." not in n]
+    seen = set(base_names)
+    join_names: dict = {}
     for join in query.joins:
         right = catalog.get(join.table, table)
+        lst = join_names.setdefault(join.table, [])
         for n in right.dtypes:
             if "." in n:
                 continue
             if n in seen:
-                names.append(f"{join.table}.{n}")
+                lst.append(f"{join.table}.{n}")
             else:
-                names.append(n)
+                lst.append(n)
                 seen.add(n)
     out: list = []
     for s in query.select_list:
-        if isinstance(unalias(s), Star):
-            out.extend(Variable(n) for n in names)
+        node = unalias(s)
+        if isinstance(node, Star):
+            if node.table is None:
+                out.extend(Variable(n) for n in base_names)
+                for lst in join_names.values():
+                    out.extend(Variable(n) for n in lst)
+            elif node.table == query.from_table:
+                out.extend(Variable(n) for n in base_names)
+            elif node.table in join_names:
+                out.extend(Variable(n) for n in join_names[node.table])
+            else:
+                raise ValidationError(f"Unknown table: {node.table}")
         else:
             out.append(s)
     return out

@@ -115,7 +115,12 @@ def explain_query(
             f"[{how}; build side {right.num_rows} rows]"
         )
 
-    select_items = [unalias(s) for s in _expand_stars(query.select_list, current)]
+    select_items = [
+        unalias(s)
+        for s in _expand_stars(
+            query.select_list, current, query.from_table
+        )
+    ]
 
     verdict = None
     if query.where is not None:

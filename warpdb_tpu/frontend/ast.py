@@ -23,7 +23,7 @@ __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
     "StringLiteral", "LikePattern", "InCodeSet", "CaseWhen",
-    "ScalarSubquery", "InSubquery", "InValueSet",
+    "ScalarSubquery", "InSubquery", "InValueSet", "ExistsSubquery",
     "OrderBy", "Join", "GroupBy", "Query",
     "walk", "column_refs", "unalias",
 ]
@@ -191,6 +191,20 @@ class InSubquery(Node):
         return (self.expr,)
 
 
+@dataclass(frozen=True, repr=False, eq=False)
+class ExistsSubquery(Node):
+    """``EXISTS (SELECT …)`` (extension; uncorrelated only).  Resolved
+    by the executor to Constant 1/0 — true iff the subquery returns at
+    least one row (its column list is irrelevant, per standard SQL).
+    Like :class:`ScalarSubquery`, the inner query is NOT part of
+    ``children()``: its columns resolve against its own FROM."""
+
+    query: object
+
+    def canonical(self) -> str:
+        return f"EXISTS ({self.query.canonical()})"
+
+
 @dataclass(frozen=True, repr=False)
 class InValueSet(Node):
     """Membership of a numeric expression in a static value set (the
@@ -239,12 +253,16 @@ class CaseWhen(Node):
 
 @dataclass(frozen=True, repr=False)
 class Star(Node):
-    """The ``*`` in ``COUNT(*)``.  Evaluates row-wise as 1.0 (every row in
-    this engine is non-null); only meaningful inside COUNT.  Extension over
-    the reference grammar, which has no ``*`` select/aggregate form."""
+    """The ``*`` in ``COUNT(*)`` / ``SELECT *`` and the qualified
+    ``SELECT t.*`` (``table`` holds the qualifier).  As an aggregate
+    argument it evaluates row-wise as 1.0 (every row in this engine is
+    non-null).  Extension over the reference grammar, which has no ``*``
+    select/aggregate form."""
+
+    table: Optional[str] = None
 
     def canonical(self) -> str:
-        return "*"
+        return f"{self.table}.*" if self.table else "*"
 
 
 @dataclass(frozen=True, repr=False)

@@ -31,6 +31,7 @@ from .ast import (
     BinaryOp,
     CaseWhen,
     Constant,
+    ExistsSubquery,
     FunctionCall,
     GroupBy,
     InSubquery,
@@ -298,6 +299,19 @@ class _ExprParser:
             return StringLiteral(tok.value)
         if tok.type is TokenType.IDENTIFIER:
             self.advance()
+            # EXISTS (SELECT …) — contextual (requires the literal
+            # "(SELECT" to follow, so exists(...) stays available as a
+            # UDF name and a bare "exists" column keeps working).
+            if (
+                tok.value.upper() == "EXISTS"
+                and self.peek().type is TokenType.OPERATOR
+                and self.peek().value == "("
+                and self.pos + 1 < len(self.toks)
+                and self.toks[self.pos + 1].type is TokenType.KEYWORD
+                and self.toks[self.pos + 1].value == "SELECT"
+            ):
+                self.advance()  # consume '('
+                return ExistsSubquery(self._collect_subquery())
             # CAST(expr AS type) — contextual (a column named "cast"
             # still works).  The pipeline is all-f32 (reference parity),
             # so integer casts lower to trunc() and float casts are
@@ -530,6 +544,26 @@ class _QueryParser:
             and body[0].value == "*"
         ):
             return Star()
+        # Qualified star `t.*` (extension).  The lexer folds a trailing
+        # dot into the identifier (`t.`); with whitespace it arrives as
+        # three tokens (`t`, `.`, `*`).
+        if (
+            len(body) == 2
+            and body[0].type is TokenType.IDENTIFIER
+            and body[0].value.endswith(".")
+            and body[1].type is TokenType.OPERATOR
+            and body[1].value == "*"
+        ):
+            return Star(body[0].value[:-1])
+        if (
+            len(body) == 3
+            and body[0].type is TokenType.IDENTIFIER
+            and body[1].type is TokenType.OPERATOR
+            and body[1].value == "."
+            and body[2].type is TokenType.OPERATOR
+            and body[2].value == "*"
+        ):
+            return Star(body[0].value)
         # Top-level AS alias: split, parse the prefix, wrap.
         depth = 0
         for k, tok in enumerate(body):
