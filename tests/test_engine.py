@@ -2776,3 +2776,110 @@ def test_qualified_star():
     assert list(out) == ["k", "v", "d.w"]
     with pytest.raises(ValidationError, match="Unknown table: nope"):
         db.query_sql("SELECT nope.* FROM t")
+
+
+# --- table aliases and self-joins -------------------------------------------
+
+
+def test_from_alias():
+    db = WarpDB(HostTable.from_dict({
+        "price": np.array([10.5, 20.0, 15.25, 30.0], np.float32),
+        "quantity": np.array([3.0, 4.0, 2.0, 5.0], np.float32),
+    }))
+    assert db.query_sql("SELECT s.price FROM t AS s WHERE s.price > 15") == [
+        20.0, 15.25, 30.0,
+    ]
+    # Bare alias (no AS) and mixing alias-qualified with unqualified.
+    assert db.query_sql("SELECT s.price FROM t s WHERE price > 15") == [
+        20.0, 15.25, 30.0,
+    ]
+    out = db.query_sql_table("SELECT s.* FROM t s LIMIT 2")
+    assert list(out) == ["price", "quantity"]
+
+
+def test_join_alias():
+    db = WarpDB(HostTable.from_dict({
+        "price": np.array([10.5, 20.0, 15.25, 30.0], np.float32),
+        "quantity": np.array([3.0, 4.0, 2.0, 5.0], np.float32),
+    }))
+    db.register_table("d", HostTable.from_dict({
+        "k": np.array([2.0, 3.0, 4.0, 5.0], np.float32),
+        "w": np.array([0.5, 1.0, 1.5, 2.0], np.float32),
+    }))
+    out = db.query_sql_table(
+        "SELECT price, x.w FROM t JOIN d AS x ON quantity = x.k "
+        "ORDER BY price ASC"
+    )
+    assert out["x.w"] == [1.0, 0.5, 1.5, 2.0]
+
+
+def test_self_join_duplicate_keys_matches_oracle():
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 6, 40).astype(np.float32)
+    v = rng.uniform(0, 10, 40).astype(np.float32).round(2)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT a.v, b.v FROM t a JOIN t b ON a.k = b.k"
+    )
+    got = sorted(zip(out["a.v"], out["b.v"]))
+    want = sorted(
+        (float(v[i]), float(v[j]))
+        for i in range(40)
+        for j in range(40)
+        if k[i] == k[j]
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_self_join_strings_and_left_alias():
+    db = WarpDB(HostTable.from_dict(
+        {
+            "name": np.array(["a", "b", "c", "b"], object),
+            "x": np.array([1.0, 2.0, 3.0, 4.0], np.float32),
+        },
+        dtypes={"name": DataType.STRING, "x": DataType.FLOAT32},
+    ))
+    out = db.query_sql_table(
+        "SELECT p.x, q.x FROM t p JOIN t q ON p.name = q.name"
+    )
+    assert sorted(zip(out["p.x"], out["q.x"])) == [
+        (1.0, 1.0), (2.0, 2.0), (2.0, 4.0),
+        (3.0, 3.0), (4.0, 2.0), (4.0, 4.0),
+    ]
+    db2 = WarpDB(HostTable.from_dict({"k": np.array([1.0, 2.0, 3.0], np.float32)}))
+    db2.register_table("r", HostTable.from_dict({
+        "k": np.array([2.0, 3.0], np.float32),
+        "w": np.array([20.0, 30.0], np.float32),
+    }))
+    out = db2.query_sql_table(
+        "SELECT t.k, s.w FROM t LEFT JOIN r AS s ON k = s.k ORDER BY t.k ASC"
+    )
+    assert out["t.k"] == [1.0, 2.0, 3.0]
+    assert np.isnan(out["s.w"][0]) and out["s.w"][1:] == [20.0, 30.0]
+
+
+def test_alias_grouped_self_join():
+    db = WarpDB(HostTable.from_dict({
+        "price": np.array([10.5, 20.0, 15.25, 30.0], np.float32),
+        "quantity": np.array([3.0, 4.0, 2.0, 5.0], np.float32),
+    }))
+    out = db.query_sql_table(
+        "SELECT a.quantity, COUNT(*) FROM t a JOIN t b "
+        "ON a.quantity = b.quantity GROUP BY a.quantity "
+        "ORDER BY a.quantity ASC"
+    )
+    assert out["a.quantity"] == [2.0, 3.0, 4.0, 5.0]
+    assert out["COUNT(*)"] == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_alias_in_cte_body():
+    rng = np.random.default_rng(6)
+    k = rng.integers(0, 4, 30).astype(np.float32)
+    v = rng.uniform(0, 10, 30).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql(
+        "WITH big AS (SELECT k, v FROM t WHERE v > 5) "
+        "SELECT a.v FROM big a JOIN big b ON a.k = b.k LIMIT 3"
+    )
+    assert len(out) == 3

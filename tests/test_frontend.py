@@ -122,8 +122,23 @@ def test_unbalanced_parentheses():
 
 
 def test_unexpected_token_query():
+    # `FROM test EXTRA` now parses (EXTRA is a table alias, standard
+    # SQL); a second trailing identifier is still an error.
     with pytest.raises(ParseError, match="Unexpected token"):
-        parse_query(tokenize("SELECT price FROM test EXTRA"))
+        parse_query(tokenize("SELECT price FROM test EXTRA EXTRA2"))
+
+
+def test_from_alias_parses():
+    q = parse_query(tokenize("SELECT s.price FROM test AS s"))
+    assert q.from_table == "s" and q.from_source == "test"
+    q = parse_query(tokenize("SELECT s.price FROM test s"))
+    assert q.from_table == "s" and q.from_source == "test"
+    q = parse_query(tokenize(
+        "SELECT a.x FROM t a JOIN u AS b ON a.x = b.x"
+    ))
+    assert q.joins[0].table == "b" and q.joins[0].source == "u"
+    assert "FROM t AS a" in q.canonical()
+    assert "JOIN u AS b" in q.canonical()
 
 
 def test_parse_query_error_line_column():

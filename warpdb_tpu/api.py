@@ -208,7 +208,8 @@ class WarpDB:
             return self._table
         if catalog is None:
             catalog = self._catalog
-        return catalog.get(ast.from_table, self._table)
+        name = getattr(ast, "from_source", None) or ast.from_table
+        return catalog.get(name, self._table)
 
     def _resolve_ctes(self, ast, catalog=None) -> dict:
         """Materialise a statement's ``WITH`` CTEs (extension; the
@@ -391,7 +392,9 @@ class WarpDB:
             catalog = self._catalog
         out: set = set()
         for j in ast.joins:
-            t = catalog.get(j.table)
+            t = catalog.get(j.source or j.table)
+            if t is None and j.source is not None:
+                t = catalog.get(j.table)
             if t is not None:
                 out |= set(t.dtypes.keys())
                 out |= {f"{j.table}.{c}" for c in t.dtypes.keys()}

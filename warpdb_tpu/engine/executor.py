@@ -300,14 +300,14 @@ def query_dep_key(q, base, catalog, mesh):
     from .join_exec import _table_uid
 
     join_uids = tuple(
-        (j.table, _table_uid((catalog or {}).get(j.table, base)))
+        (j.table, _table_uid((catalog or {}).get(j.source or j.table, base)))
         for j in q.joins
     )
     branch_uids = tuple(
-        (b.from_table,
-         _table_uid((catalog or {}).get(b.from_table, base)))
+        (b.from_table, _table_uid(_from_relation(b, catalog, base)))
         + tuple(
-            (j.table, _table_uid((catalog or {}).get(j.table, base)))
+            (j.table,
+             _table_uid((catalog or {}).get(j.source or j.table, base)))
             for j in b.joins
         )
         for _op, _all, b in getattr(q, "set_ops", ())
@@ -355,6 +355,30 @@ def materialize_query_table(sub, base, catalog, mesh) -> "DeviceTable":
     )
 
 
+def _from_relation(q, catalog, default):
+    """Resolve a query's FROM relation through the catalog, honouring a
+    FROM alias (``FROM sales AS s`` looks up "sales", not "s")."""
+    name = getattr(q, "from_source", None) or q.from_table
+    return (catalog or {}).get(name, default)
+
+
+def _resolve_alias_catalog(query, table, catalog):
+    """Extend the catalog with this statement's relation aliases bound to
+    their resolved table instances (``FROM x AS a`` / ``JOIN y AS b``) —
+    downstream (join materialisation, star expansion, qualified refs,
+    distribution) then works purely in alias names.  Self-joins fall out
+    naturally: two aliases may name the same immutable table."""
+    if query.from_source is None and not any(j.source for j in query.joins):
+        return catalog
+    catalog = dict(catalog or {})
+    if query.from_source is not None:
+        catalog[query.from_table] = table  # alias shadows any real name
+    for j in query.joins:
+        if j.source:
+            catalog[j.table] = catalog.get(j.source, table)
+    return catalog
+
+
 def _resolve_from_subquery(query, table, catalog, mesh):
     """Materialise a derived table (``FROM (SELECT …) AS alias``): run
     the inner query through the normal table pipeline, land its columns
@@ -374,7 +398,7 @@ def _resolve_from_subquery(query, table, catalog, mesh):
     names: list = []
     for i, item in enumerate(sub.select_list):
         names.append(result_column_name(item, i, set(names)))
-    base = (catalog or {}).get(sub.from_table, table)
+    base = _from_relation(sub, catalog, table)
     mkey = (tuple(names),) + query_dep_key(sub, base, catalog, mesh)
     derived = None
     hit = memo.get(mkey)
@@ -434,7 +458,7 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
         return query
 
     def exec_sub(q):
-        base = (catalog or {}).get(q.from_table, table)
+        base = _from_relation(q, catalog, table)
         out = run_query_table(q, base, catalog, mesh=mesh)
         if len(out) != 1:
             raise ValidationError(
@@ -513,7 +537,7 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
         q = _copy.copy(node.query)  # _copy binds before rw() runs below
         if q.limit is None or q.limit > 1:
             q.limit = 1  # existence needs at most one surviving row
-        base = (catalog or {}).get(q.from_table, table)
+        base = _from_relation(q, catalog, table)
         out = run_query_table(q, base, catalog, mesh=mesh)
         n = len(next(iter(out.values()), ()))
         return Constant("1" if n > 0 else "0")
@@ -704,6 +728,7 @@ def run_query(
         )
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
+    catalog = _resolve_alias_catalog(query, table, catalog)
     query = _resolve_expr_subqueries(query, table, catalog, mesh)
 
     if any(isinstance(s, Alias) for s in query.select_list):
@@ -1534,6 +1559,7 @@ def run_query_table(
 
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
+    catalog = _resolve_alias_catalog(query, table, catalog)
     query = _resolve_expr_subqueries(query, table, catalog, mesh)
 
     expanded = expand_stars_query(query, table, catalog)

@@ -408,6 +408,10 @@ class Join:
     # (codes -1 for strings) — the engine's missing-value marker (it
     # has no NULL representation).
     kind: str = "inner"
+    # When the join relation is aliased (``JOIN sales AS s``), ``table``
+    # holds the alias (all qualified refs resolve against it) and
+    # ``source`` the real catalog name; None when unaliased.
+    source: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -425,6 +429,9 @@ class Query:
     # Derived table: ``FROM (SELECT …) AS alias`` — the inner query
     # materialises first and ``from_table`` holds the alias.
     from_subquery: Optional["Query"] = None
+    # Aliased FROM (``FROM sales AS s`` / ``FROM sales s``):
+    # ``from_table`` holds the alias, ``from_source`` the real name.
+    from_source: Optional[str] = None
     joins: list[Join] = field(default_factory=list)
     where: Optional[Node] = None
     group_by: Optional[GroupBy] = None
@@ -464,6 +471,8 @@ class Query:
             parts.append(
                 f"FROM ({self.from_subquery.canonical()}) AS {self.from_table}"
             )
+        elif self.from_source is not None:
+            parts.append(f"FROM {self.from_source} AS {self.from_table}")
         else:
             parts.append(f"FROM {self.from_table}")
         for j in self.joins:
@@ -472,7 +481,8 @@ class Query:
                 "right": "RIGHT JOIN",
                 "full": "FULL JOIN",
             }.get(j.kind, "JOIN")
-            parts.append(f"{prefix} {j.table} ON {j.condition.canonical()}")
+            rel = f"{j.source} AS {j.table}" if j.source else j.table
+            parts.append(f"{prefix} {rel} ON {j.condition.canonical()}")
         if self.where is not None:
             parts.append(f"WHERE {self.where.canonical()}")
         if self.group_by is not None:

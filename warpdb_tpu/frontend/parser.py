@@ -531,6 +531,33 @@ class _QueryParser:
         out = self.toks[start : self.pos]
         return out + [Token(TokenType.END, "")]
 
+    def _maybe_alias(self) -> Optional[str]:
+        """Consume an optional relation alias after a table name:
+        ``AS name`` or a bare identifier (standard SQL — every clause
+        opener is a keyword, so a bare IDENTIFIER here can only be an
+        alias)."""
+        if self.at_kw("AS"):
+            self.pos += 1
+            if (
+                self.pos >= len(self.toks)
+                or self.toks[self.pos].type is not TokenType.IDENTIFIER
+            ):
+                line, col = self._loc()
+                raise ParseError(
+                    f"Expected alias after AS at line {line} column {col}"
+                )
+            alias = self.toks[self.pos].value
+            self.pos += 1
+            return alias
+        if (
+            self.pos < len(self.toks)
+            and self.toks[self.pos].type is TokenType.IDENTIFIER
+        ):
+            alias = self.toks[self.pos].value
+            self.pos += 1
+            return alias
+        return None
+
     # -- select items -------------------------------------------------------
     def parse_select_item(self, item: list[Token]) -> Node:
         """Parse one select item; handles AGG(expr), AGG(expr) OVER (...)
@@ -829,6 +856,10 @@ class _QueryParser:
         else:
             q.from_table = self.toks[self.pos].value
             self.pos += 1
+            alias = self._maybe_alias()
+            if alias is not None:
+                q.from_source = q.from_table
+                q.from_table = alias
 
         while (
             self.at_kw("JOIN")
@@ -856,9 +887,14 @@ class _QueryParser:
                 )
             table = self.toks[self.pos].value
             self.pos += 1
+            source = None
+            alias = self._maybe_alias()
+            if alias is not None:
+                source = table
+                table = alias
             self.expect_kw("ON")
             cond = parse_expression(self.slice_until(*_CLAUSE_BOUNDARY_AFTER_JOIN))
-            q.joins.append(Join(table, cond, kind))
+            q.joins.append(Join(table, cond, kind, source))
 
         if self.at_kw("WHERE"):
             self.pos += 1

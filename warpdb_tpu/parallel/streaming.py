@@ -163,10 +163,10 @@ def run_streaming_sql(
         )
     dims = dims or {}
     for j in ast.joins:
-        if j.table not in dims:
+        if (j.source or j.table) not in dims:
             raise UnsupportedError(
                 "Streaming SQL joins require the build table in `dims` "
-                f"(got JOIN {j.table})"
+                f"(got JOIN {j.source or j.table})"
             )
         if getattr(j, "kind", "inner") in ("right", "full"):
             # Per-chunk build-side misses would duplicate across chunks:
@@ -209,7 +209,10 @@ def run_streaming_sql(
                 columns.add(col)
                 columns.add(f"{name}.{col}")
     validate_query(
-        ast, columns, {ast.from_table, *catalog_dev.keys()}
+        ast,
+        columns,
+        {ast.from_table, *catalog_dev.keys(),
+         *(j.table for j in ast.joins)},
     )
 
     query = _copy.copy(ast)
