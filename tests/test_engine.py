@@ -2883,3 +2883,77 @@ def test_alias_in_cte_body():
         "SELECT a.v FROM big a JOIN big b ON a.k = b.k LIMIT 3"
     )
     assert len(out) == 3
+
+
+# --- FIRST_VALUE / LAST_VALUE / NTILE window functions ----------------------
+
+
+def _window_oracle_tables():
+    rng = np.random.default_rng(7)
+    n = 500
+    k = rng.integers(0, 5, n).astype(np.float32)
+    o = rng.uniform(0, 100, n).astype(np.float32)
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    return n, k, o, v
+
+
+def test_first_last_value_window():
+    n, k, o, v = _window_oracle_tables()
+    db = WarpDB(HostTable.from_dict({"k": k, "o": o, "v": v}))
+
+    def oracle(last):
+        out = np.zeros(n, np.float32)
+        for key in np.unique(k):
+            m = np.where(k == key)[0]
+            order = m[np.argsort(o[m], kind="stable")]
+            out[m] = v[order[-1 if last else 0]]
+        return out
+
+    got = np.array(db.query_sql(
+        "SELECT FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o) FROM t"
+    ))
+    np.testing.assert_allclose(got, oracle(False), rtol=1e-6)
+    got = np.array(db.query_sql(
+        "SELECT LAST_VALUE(v) OVER (PARTITION BY k ORDER BY o) FROM t"
+    ))
+    np.testing.assert_allclose(got, oracle(True), rtol=1e-6)
+    # DESC order flips which row is first.
+    got = np.array(db.query_sql(
+        "SELECT FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o DESC) FROM t"
+    ))
+    np.testing.assert_allclose(got, oracle(True), rtol=1e-6)
+
+
+def test_ntile_window():
+    n, k, o, v = _window_oracle_tables()
+    db = WarpDB(HostTable.from_dict({"k": k, "o": o, "v": v}))
+
+    def oracle(nb):
+        out = np.zeros(n, np.float32)
+        for key in np.unique(k):
+            m = np.where(k == key)[0]
+            order = m[np.argsort(o[m], kind="stable")]
+            cnt = len(order)
+            small, rem = cnt // nb, cnt % nb
+            for r, i in enumerate(order):
+                if r < rem * (small + 1):
+                    out[i] = r // (small + 1) + 1
+                else:
+                    out[i] = rem + (r - rem * (small + 1)) // max(small, 1) + 1
+        return out
+
+    for nb in (2, 3, 7, 600):  # 600 > partition size: one row per bucket
+        got = np.array(db.query_sql(
+            f"SELECT NTILE({nb}) OVER (PARTITION BY k ORDER BY o) FROM t"
+        ))
+        np.testing.assert_allclose(got, oracle(nb))
+    # Filtered, unpartitioned NTILE only numbers the surviving rows.
+    got = np.array(db.query_sql(
+        "SELECT NTILE(4) OVER (ORDER BY o) FROM t WHERE v > 5"
+    ))
+    assert len(got) == int((v > 5).sum())
+    assert set(np.unique(got)) == {1.0, 2.0, 3.0, 4.0}
+    with pytest.raises(ParseError, match="positive integer"):
+        db.query_sql("SELECT NTILE(0) OVER (ORDER BY o) FROM t")
+    with pytest.raises(ParseError, match="positive integer"):
+        db.query_sql("SELECT NTILE(o) OVER (ORDER BY o) FROM t")

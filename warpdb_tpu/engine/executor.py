@@ -1382,10 +1382,25 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
         raise UnsupportedError(
             "LAG/LEAD require an ORDER BY inside OVER (...)"
         )
+    edge_last = select.agg is AggregationType.LAST_VALUE
+    is_edge = edge_last or select.agg is AggregationType.FIRST_VALUE
+    ntile_n = 0
+    if select.agg is AggregationType.NTILE:
+        if not isinstance(select.expr, Constant):
+            raise UnsupportedError(
+                "NTILE requires a constant bucket count"
+            )
+        ntile_n = int(select.expr.value)
+        if select.order_by is None:
+            raise UnsupportedError(
+                "NTILE requires an ORDER BY inside OVER (...)"
+            )
 
     def build():
         from ..ops.aggregate import (
             dense_window_aggregate,
+            window_edge_value,
+            window_ntile,
             window_rank,
             window_running,
             window_shift,
@@ -1477,6 +1492,21 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             if shift_dir:
                 win = window_shift(
                     part, okeys, vals, valid, shift_dir, ascending=ord_asc
+                )
+            elif is_edge:
+                n_pad = vals.shape[0]
+                ok = (
+                    okeys
+                    if okeys is not None
+                    else jnp.arange(n_pad, dtype=jnp.float32)
+                )
+                win = window_edge_value(
+                    part, ok, vals, valid, last=edge_last,
+                    ascending=ord_asc if okeys is not None else True,
+                )
+            elif ntile_n:
+                win = window_ntile(
+                    part, okeys, valid, ntile_n, ascending=ord_asc
                 )
             elif ranking:
                 # ROW_NUMBER/RANK; without ORDER BY, row order decides.

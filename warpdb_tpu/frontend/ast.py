@@ -302,6 +302,16 @@ class AggregationType(enum.Enum):
     # value within the partition; NaN where absent.
     LAG = "lag"
     LEAD = "lead"
+    # Window-only partition-edge values.  FIRST_VALUE follows the
+    # standard default frame (first row of the partition in order-key
+    # order); LAST_VALUE deliberately uses the whole-partition frame
+    # (UNBOUNDED FOLLOWING) — the standard's default current-row frame
+    # makes it a no-op, which no user ever wants.
+    FIRST_VALUE = "first_value"
+    LAST_VALUE = "last_value"
+    # NTILE(n): bucket number 1..n, partition rows split as evenly as
+    # possible with earlier buckets taking the remainder (standard).
+    NTILE = "ntile"
     # COUNT(DISTINCT expr) — extension.
     COUNT_DISTINCT = "count_distinct"
     # MEDIAN(expr) — extension (interpolated: mean of the two middle

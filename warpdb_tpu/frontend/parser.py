@@ -72,6 +72,15 @@ _RANK_KEYWORDS = {
     "DENSE_RANK": AggregationType.DENSE_RANK,
 }
 
+# Window functions taking one expression argument before OVER (...).
+_ARG_WINDOW_FNS = {
+    "LAG": AggregationType.LAG,
+    "LEAD": AggregationType.LEAD,
+    "FIRST_VALUE": AggregationType.FIRST_VALUE,
+    "LAST_VALUE": AggregationType.LAST_VALUE,
+    "NTILE": AggregationType.NTILE,
+}
+
 _COMPARISON_OPS = (">", "<", ">=", "<=", "==", "!=", "=")
 
 _VARIANCE_FNS = frozenset(
@@ -634,13 +643,13 @@ class _QueryParser:
             return self._parse_window(
                 _RANK_KEYWORDS[body[0].value.upper()], Constant("1"), body[3:]
             )
-        # LAG(expr) / LEAD(expr) OVER (...) — contextual identifiers (a
-        # bare `lag` column keeps working), expression argument, OVER
-        # mandatory.
+        # LAG/LEAD/FIRST_VALUE/LAST_VALUE/NTILE (expr) OVER (...) —
+        # contextual identifiers (a bare `lag` column keeps working),
+        # expression argument, OVER mandatory.
         if (
             len(body) >= 4
             and body[0].type is TokenType.IDENTIFIER
-            and body[0].value.upper() in ("LAG", "LEAD")
+            and body[0].value.upper() in _ARG_WINDOW_FNS
             and body[1].type is TokenType.OPERATOR
             and body[1].value == "("
         ):
@@ -662,11 +671,15 @@ class _QueryParser:
                 inner_expr = parse_expression(
                     body[2:close] + [Token(TokenType.END, "")]
                 )
-                agg = (
-                    AggregationType.LAG
-                    if body[0].value.upper() == "LAG"
-                    else AggregationType.LEAD
-                )
+                agg = _ARG_WINDOW_FNS[body[0].value.upper()]
+                if agg is AggregationType.NTILE and not (
+                    isinstance(inner_expr, Constant)
+                    and float(inner_expr.value) >= 1
+                    and float(inner_expr.value) == int(inner_expr.value)
+                ):
+                    raise ParseError(
+                        "NTILE requires a positive integer bucket count"
+                    )
                 return self._parse_window(agg, inner_expr, body[close + 1 :])
         if body and body[0].type is TokenType.KEYWORD and body[0].value in _AGG_KEYWORDS:
             kw = body[0].value

@@ -768,6 +768,129 @@ def window_shift(
     return jnp.where(valid, out, 0.0)
 
 
+def window_edge_value(
+    part_keys,
+    order_keys: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    last: bool = False,
+    ascending: bool = True,
+) -> jax.Array:
+    """``FIRST_VALUE(expr)`` / ``LAST_VALUE(expr)``
+    ``OVER (PARTITION BY … ORDER BY …)``: the expression's value at the
+    partition's first (or last) row in order-key order, broadcast to
+    every partition row.  LAST_VALUE deliberately uses the
+    whole-partition frame (see AggregationType docs).
+
+    One sort by (validity, partition keys…, order key, position), then a
+    log₂(n) segmented copy-scan broadcasts the segment-head value —
+    gather-free (per-row gathers cost ~0.2 s per 2²⁵ rows on this
+    hardware; the scan passes stream at HBM speed)."""
+    part_keys = _as_key_tuple(part_keys)
+    n = values.shape[0]
+    valid = mask
+    # Validity leads the sort so padded/filtered rows can never
+    # interleave a NaN-keyed partition (NaN keys map to the same u32 as
+    # the invalid sentinel).
+    vkey = (~valid).astype(jnp.uint32)
+    pkeys = tuple(float_sort_key(k) for k in part_keys)
+    nk = len(pkeys)
+    okey = float_sort_key(order_keys)
+    if not ascending:
+        okey = ~okey
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    if last:
+        # Whole-partition LAST ≡ FIRST under fully reversed order:
+        # invert the order key and the tie-breaking position.
+        okey = ~okey
+        tie = ~pos
+    else:
+        tie = pos
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = lax.sort(
+        (vkey,) + pkeys + (okey, tie, values, idx, valid.astype(jnp.int32)),
+        num_keys=nk + 3,
+        is_stable=False,  # the position tie-break is already total
+    )
+    pkeys_s = sorted_ops[: nk + 1]  # validity + partition keys
+    val_s, idx_s = sorted_ops[nk + 3], sorted_ops[nk + 4]
+    valid_s = sorted_ops[nk + 5].astype(jnp.bool_)
+    first = _partition_boundaries(pkeys_s, valid_s)
+    edge = segmented_inclusive_scan(
+        val_s, first, lambda cur, prev: prev, jnp.float32(0.0)
+    )
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(edge)
+    return jnp.where(valid, out, 0.0)
+
+
+def window_ntile(
+    part_keys,
+    order_keys: jax.Array,
+    mask: jax.Array,
+    n_buckets: int,
+    ascending: bool = True,
+) -> jax.Array:
+    """``NTILE(n) OVER (PARTITION BY … ORDER BY …)``: bucket 1..n per
+    partition row, sizes as even as possible with earlier buckets taking
+    the remainder (standard SQL).
+
+    One sort, a cummax row-number, and a backward segmented copy-scan
+    for the partition size — no gathers, no scatter beyond the final
+    inverse-permutation write-back shared by every window op."""
+    part_keys = _as_key_tuple(part_keys)
+    n = order_keys.shape[0]
+    valid = mask
+    vkey = (~valid).astype(jnp.uint32)
+    pkeys = tuple(float_sort_key(k) for k in part_keys)
+    nk = len(pkeys)
+    okey = float_sort_key(order_keys)
+    if not ascending:
+        okey = ~okey
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = lax.sort(
+        (vkey,) + pkeys + (okey, idx, valid.astype(jnp.int32)),
+        num_keys=nk + 2,
+        is_stable=True,
+    )
+    pkeys_s = sorted_ops[: nk + 1]
+    idx_s = sorted_ops[nk + 2]
+    valid_s = sorted_ops[nk + 3].astype(jnp.bool_)
+    first = _partition_boundaries(pkeys_s, valid_s)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    part_start = lax.cummax(jnp.where(first, pos, 0))
+    r0 = pos - part_start  # 0-based row number within the partition
+    # Partition size = r0 at the segment's last row + 1, broadcast back
+    # via a copy-scan over the reversed arrays (reversed seg-last ≡
+    # seg-first).
+    # A row ends its segment when the next row starts a new partition OR
+    # flips validity (`first` is masked to valid rows, so the final
+    # valid partition's end needs the explicit validity transition).
+    last_row = jnp.concatenate([
+        jnp.logical_or(first[1:], valid_s[1:] != valid_s[:-1]),
+        jnp.ones((1,), jnp.bool_),
+    ])
+    cnt = jnp.flip(
+        segmented_inclusive_scan(
+            jnp.flip(r0), jnp.flip(last_row),
+            lambda cur, prev: prev, jnp.int32(0),
+        )
+    ) + 1
+    nb = jnp.int32(n_buckets)
+    small = cnt // nb
+    rem = cnt - small * nb
+    big = small + 1
+    cut = rem * big  # rows 0..cut-1 live in the (small+1)-sized buckets
+    bucket = jnp.where(
+        r0 < cut,
+        r0 // jnp.maximum(big, 1),
+        rem + (r0 - cut) // jnp.maximum(small, 1),
+    ) + 1
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(
+        bucket.astype(jnp.float32)
+    )
+    return jnp.where(valid, out, 0.0)
+
+
 def window_running(
     part_keys,
     order_keys: jax.Array,
