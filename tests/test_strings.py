@@ -350,3 +350,109 @@ def test_streaming_expression_rejects_strings(tmp_path):
     path.write_text('{"cat": "zebra", "v": 1.0}\n{"cat": "apple", "v": 2.0}\n')
     with pytest.raises(WarpDBError, match="string columns"):
         WarpDB.query_streaming_csv(str(path), "cat", rows_per_chunk=1)
+
+
+# --- string scalar functions (vocabulary-transform CodeMaps) ----------------
+
+
+@pytest.fixture(scope="module")
+def fdb():
+    db = WarpDB(HostTable.from_dict(
+        {
+            "name": np.array(["Apple", "banana", "Cherry", "apple "], object),
+            "x": np.array([1.0, 2.0, 3.0, 4.0], np.float32),
+        },
+        dtypes={"name": DataType.STRING, "x": DataType.FLOAT32},
+    ))
+    return db
+
+
+def test_string_funcs_select(fdb):
+    assert fdb.query_sql("SELECT UPPER(name) FROM t") == [
+        "APPLE", "BANANA", "CHERRY", "APPLE ",
+    ]
+    assert fdb.query_sql("SELECT LOWER(name) FROM t") == [
+        "apple", "banana", "cherry", "apple ",
+    ]
+    assert fdb.query_sql("SELECT LENGTH(name) FROM t") == [5.0, 6.0, 6.0, 6.0]
+    assert fdb.query_sql("SELECT TRIM(name) FROM t") == [
+        "Apple", "banana", "Cherry", "apple",
+    ]
+    assert fdb.query_sql("SELECT SUBSTR(name, 1, 3) FROM t") == [
+        "App", "ban", "Che", "app",
+    ]
+    assert fdb.query_sql("SELECT REPLACE(name, 'a', '_') FROM t") == [
+        "Apple", "b_n_n_", "Cherry", "_pple ",
+    ]
+    assert fdb.query_sql("SELECT CONCAT(name, '!') FROM t") == [
+        "Apple!", "banana!", "Cherry!", "apple !",
+    ]
+    assert fdb.query_sql("SELECT REVERSE(name) FROM t") == [
+        "elppA", "ananab", "yrrehC", " elppa",
+    ]
+    # Nested functions compose inside-out.
+    assert fdb.query_sql("SELECT SUBSTR(UPPER(name), 2, 2) FROM t") == [
+        "PP", "AN", "HE", "PP",
+    ]
+
+
+def test_string_funcs_predicates(fdb):
+    assert fdb.query_sql(
+        "SELECT x FROM t WHERE UPPER(name) = 'APPLE'"
+    ) == [1.0]
+    assert fdb.query_sql(
+        "SELECT x FROM t WHERE LOWER(TRIM(name)) = 'apple'"
+    ) == [1.0, 4.0]
+    assert fdb.query_sql(
+        "SELECT x FROM t WHERE UPPER(name) LIKE 'A%'"
+    ) == [1.0, 4.0]
+    assert fdb.query_sql(
+        "SELECT x FROM t WHERE LOWER(name) IN ('apple', 'cherry')"
+    ) == [1.0, 3.0]
+    assert fdb.query_sql(
+        "SELECT x FROM t WHERE LENGTH(name) > 5"
+    ) == [2.0, 3.0, 4.0]
+    assert fdb.query_sql(
+        "SELECT x FROM t WHERE CONCAT(name, '!') = 'banana!'"
+    ) == [2.0]
+
+
+def test_string_funcs_relational(fdb):
+    # Transformed codes stay order-correct (fresh sorted vocabulary).
+    assert fdb.query_sql(
+        "SELECT UPPER(name) FROM t ORDER BY UPPER(name) ASC"
+    ) == ["APPLE", "APPLE ", "BANANA", "CHERRY"]
+    assert fdb.query_sql("SELECT MIN(UPPER(name)) FROM t") == ["APPLE"]
+    assert fdb.query_sql(
+        "SELECT DISTINCT LOWER(TRIM(name)) FROM t"
+    ) == ["apple", "banana", "cherry"]
+    out = fdb.query_sql_table(
+        "SELECT LOWER(TRIM(name)) AS n, COUNT(*) AS c FROM t "
+        "GROUP BY LOWER(TRIM(name)) ORDER BY LOWER(TRIM(name)) ASC"
+    )
+    assert out["n"] == ["apple", "banana", "cherry"]
+    assert out["c"] == [2.0, 1.0, 1.0]
+
+
+def test_string_funcs_outer_join_miss(fdb):
+    fdb.register_table("r", HostTable.from_dict(
+        {
+            "name": np.array(["Apple", "zzz"], object),
+            "w": np.array([10.0, 20.0], np.float32),
+        },
+        dtypes={"name": DataType.STRING, "w": DataType.FLOAT32},
+    ))
+    out = fdb.query_sql_table(
+        "SELECT t.name, UPPER(r.name) FROM t LEFT JOIN r "
+        "ON name = r.name ORDER BY x ASC"
+    )
+    assert out["UPPER(r.name[idx])"] == ["APPLE", "", "", ""]
+
+
+def test_string_funcs_errors(fdb):
+    from warpdb_tpu.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="two string columns"):
+        fdb.query_sql("SELECT CONCAT(name, name) FROM t")
+    with pytest.raises(ValidationError, match="literal"):
+        fdb.query_sql("SELECT SUBSTR(name, x, 2) FROM t")

@@ -282,6 +282,29 @@ class WarpDB:
             AggregationType.MAX,
         ):
             node = node.expr
+        from .frontend.ast import CodeMap, FunctionCall
+
+        if isinstance(node, FunctionCall):
+            # String scalar function (UPPER/SUBSTR/CONCAT/…): rebind to
+            # recover its output vocabulary (the transform is
+            # deterministic per (function, args, source vocabulary)) and
+            # decode the result codes through it.
+            from .engine.executor import bind_strings
+            from .errors import WarpDBError
+            from .storage.strfuncs import is_string_func
+
+            if is_string_func(node.name):
+                try:
+                    cm = bind_strings(node, table)
+                except WarpDBError:
+                    cm = None
+                if isinstance(cm, CodeMap) and cm.out_vocab is not None:
+                    vals_arr = np.asarray(values, np.float64)
+                    if not np.all(np.isfinite(vals_arr)):
+                        vals_arr = np.where(
+                            np.isfinite(vals_arr), vals_arr, -1.0
+                        )
+                    return decode_codes(vals_arr, cm.out_vocab)
         if isinstance(node, Variable):
             vals_arr = np.asarray(values)
             if vals_arr.dtype.kind == "f" and not np.all(

@@ -40,6 +40,7 @@ from ..frontend.ast import (
     InSubquery,
     InValueSet,
     LikePattern,
+    CodeMap,
     Node,
     ExistsSubquery,
     ScalarSubquery,
@@ -173,6 +174,25 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
             return jnp.take(lut, jnp.clip(codes, 0, lut.shape[0] - 1))
 
         return in_codes_fn
+    if isinstance(node, CodeMap):
+        import numpy as _np
+
+        inner = build_evaluator(node.expr)
+        n_entries = len(node.values)
+        lut = jnp.asarray(_np.asarray(node.values, _np.float32))
+        # Missing codes (outer-join misses: -1 / NaN) stay missing:
+        # -1 for code-valued results (decodes as ""), NaN for numeric.
+        miss = jnp.float32(-1.0 if node.out_vocab is not None else _np.nan)
+
+        def codemap_fn(cols):
+            c = _as_f32(inner(cols))
+            if n_entries == 0:
+                return jnp.full(c.shape, miss)
+            ci = jnp.clip(c.astype(jnp.int32), 0, n_entries - 1)
+            out = jnp.take(lut, ci)
+            return jnp.where(c >= 0, out, miss)
+
+        return codemap_fn
     if isinstance(node, InValueSet):
         import numpy as _np
 

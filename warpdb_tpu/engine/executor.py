@@ -33,6 +33,7 @@ from ..frontend.ast import (
     Alias,
     BinaryOp,
     CaseWhen,
+    CodeMap,
     Constant,
     ExistsSubquery,
     FunctionCall,
@@ -115,6 +116,8 @@ def _vocab_of(node: Node, table: DeviceTable):
         if v is None:
             v = table.dicts.get(node.unqualified)
         return v
+    if isinstance(node, CodeMap):
+        return node.out_vocab
     return None
 
 
@@ -144,17 +147,23 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                     f"got '{node.op}'"
                 )
             lit, other = (l, r) if isinstance(l, StringLiteral) else (r, l)
-            vocab = _vocab_of(other, table)
+            # Bind the other side first: a string FUNCTION over a coded
+            # column only exposes its output vocabulary once lowered to
+            # a CodeMap (UPPER(name) = 'APPLE' binds against UPPER's
+            # transformed vocabulary).
+            other_b = bind_strings(other, table)
+            vocab = _vocab_of(other_b, table)
             if vocab is None:
                 raise ValidationError(
                     f"String literal {lit.canonical()} compared to "
                     "a non-string expression"
                 )
             const = Constant(repr(literal_code(vocab, lit.text)))
-            new_l = const if l is lit else bind_strings(l, table)
-            new_r = const if r is lit else bind_strings(r, table)
+            new_l = const if l is lit else other_b
+            new_r = const if r is lit else other_b
             return BinaryOp(node.op, new_l, new_r)
         if node.op in _CMP_OPS:
+            l, r = bind_strings(l, table), bind_strings(r, table)
             lv, rv = _vocab_of(l, table), _vocab_of(r, table)
             if lv is not None and rv is not None and lv is not rv:
                 # Same-table string columns share one vocabulary (codes
@@ -176,7 +185,8 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
     if isinstance(node, LikePattern):
         import re
 
-        vocab = _vocab_of(node.expr, table)
+        like_expr = bind_strings(node.expr, table)
+        vocab = _vocab_of(like_expr, table)
         if vocab is None:
             raise ValidationError(
                 "LIKE requires a string column on its left side"
@@ -194,7 +204,7 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
         codes = tuple(
             int(i) for i, s in enumerate(vocab) if rx.fullmatch(str(s))
         )
-        return InCodeSet(node.expr, codes, len(vocab))
+        return InCodeSet(like_expr, codes, len(vocab))
     if isinstance(node, CaseWhen):
         return CaseWhen(
             tuple(bind_strings(c, table) for c in node.conditions),
@@ -202,6 +212,19 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             bind_strings(node.default, table),
         )
     if isinstance(node, FunctionCall):
+        from ..storage.strfuncs import bind_string_func, is_string_func
+
+        if is_string_func(node.name):
+            # String-function literal args (CONCAT(name, '!'), REPLACE
+            # patterns) stay literals — they are consumed host-side by
+            # the vocabulary transform, never compared to codes.
+            args = tuple(
+                a if isinstance(a, StringLiteral) else bind_strings(a, table)
+                for a in node.args
+            )
+            cm = bind_string_func(FunctionCall(node.name, args), table)
+            if cm is not None:
+                return cm
         return FunctionCall(
             node.name, tuple(bind_strings(a, table) for a in node.args)
         )

@@ -25,6 +25,7 @@ from typing import Optional
 
 from ..frontend.ast import (
     Aggregation,
+    CodeMap,
     BinaryOp,
     Constant,
     FunctionCall,
@@ -90,6 +91,19 @@ def expr_range(node: Node, stats: dict) -> Optional[_Interval]:
             # (always-false) them.
             return None
         return (float(st.min), float(st.max))
+    if isinstance(node, CodeMap):
+        # The LUT's own extent, valid only when stats prove the source
+        # codes land inside it (no outer-join miss sentinels).
+        inner = expr_range(node.expr, stats)
+        if inner is None or not node.values:
+            return None
+        lo, hi = inner
+        if lo < 0 or hi > len(node.values) - 1:
+            return None
+        vals = [float(v) for v in node.values]
+        if not all(math.isfinite(v) for v in vals):
+            return None
+        return (min(vals), max(vals))
     if isinstance(node, BinaryOp):
         lr = expr_range(node.left, stats)
         rr = expr_range(node.right, stats)

@@ -24,6 +24,7 @@ __all__ = [
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
     "StringLiteral", "LikePattern", "InCodeSet", "CaseWhen",
     "ScalarSubquery", "InSubquery", "InValueSet", "ExistsSubquery",
+    "CodeMap",
     "OrderBy", "Join", "GroupBy", "Query",
     "walk", "column_refs", "unalias",
 ]
@@ -186,6 +187,31 @@ class InSubquery(Node):
 
     def canonical(self) -> str:
         return f"({self.expr.canonical()} IN ({self.query.canonical()}))"
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False, eq=False)
+class CodeMap(Node):
+    """A per-code lookup over a dictionary-coded expression — the bound
+    form of a string scalar function (``UPPER(name)``, ``LENGTH(name)``,
+    …).  The function was applied host-side to the (small) vocabulary at
+    plan lowering; on device only a tiny-table gather of ``values``
+    remains.  ``out_vocab`` is the sorted result vocabulary for
+    string-valued functions (``values`` are codes into it) or None for
+    numeric-valued ones (``values`` are the numbers).  ``tag`` uniquely
+    fingerprints (function, literal args, source vocabulary) and is part
+    of the canonical string — the kernel-cache key must change whenever
+    the mapping changes."""
+
+    expr: Node
+    values: tuple  # float32 LUT indexed by source code
+    tag: str
+    out_vocab: object = None  # np.ndarray of strings, or None
+
+    def canonical(self) -> str:
+        return f"CODEMAP[{self.tag}]({self.expr.canonical()})"
 
     def children(self) -> tuple[Node, ...]:
         return (self.expr,)

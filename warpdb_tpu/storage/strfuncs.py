@@ -1,0 +1,153 @@
+"""String scalar functions over dictionary-coded columns.
+
+A string function never touches row data on device: at plan lowering
+the engine applies it host-side to the column's (small, sorted)
+VOCABULARY once, then ships only a per-code lookup table — O(V) host
+work plus a tiny-table gather per row (docs/DESIGN.md: small-source
+takes are single-digit ms at 2^25 rows).  The reference could not run
+any string expression at all (string columns never reach the device,
+csv_loader.cpp:151-155).
+
+String-valued results re-encode against a fresh sorted vocabulary, so
+codes stay order-correct: ORDER BY / MIN / MAX / comparisons on
+``UPPER(name)`` are exact, and nested functions compose
+(``SUBSTR(UPPER(name), 1, 2)`` binds inside-out).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+
+from ..errors import UnsupportedError, ValidationError
+from ..frontend.ast import (
+    CodeMap,
+    Constant,
+    FunctionCall,
+    Node,
+    StringLiteral,
+    Variable,
+)
+
+__all__ = ["is_string_func", "bind_string_func", "STRING_FUNCS"]
+
+
+def _substr(s: str, start: float, length: Optional[float] = None) -> str:
+    # SQL SUBSTR is 1-based; a zero/negative start clamps to 1
+    # (SQLite/Postgres-compatible enough for the supported surface).
+    b = max(int(start) - 1, 0)
+    if length is None:
+        return s[b:]
+    n = max(int(length), 0)
+    return s[b : b + n]
+
+
+# name -> (result kind "str" | "num", impl(entry, *literal_args))
+STRING_FUNCS = {
+    "upper": ("str", lambda s: s.upper()),
+    "lower": ("str", lambda s: s.lower()),
+    "trim": ("str", lambda s: s.strip()),
+    "ltrim": ("str", lambda s: s.lstrip()),
+    "rtrim": ("str", lambda s: s.rstrip()),
+    "reverse": ("str", lambda s: s[::-1]),
+    "substr": ("str", _substr),
+    "substring": ("str", _substr),
+    "replace": ("str", lambda s, a, b: s.replace(a, b)),
+    "concat": ("str", None),  # variadic; special-cased below
+    "length": ("num", lambda s: float(len(s))),
+    "char_length": ("num", lambda s: float(len(s))),
+}
+
+
+def is_string_func(name: str) -> bool:
+    return name.lower() in STRING_FUNCS
+
+
+def _vocab_of_arg(node: Node, table) -> Optional[np.ndarray]:
+    if isinstance(node, CodeMap):
+        return node.out_vocab
+    if isinstance(node, Variable) and table is not None:
+        v = table.dicts.get(node.name)
+        if v is None:
+            v = table.dicts.get(node.unqualified)
+        return v
+    return None
+
+
+def _vocab_tag(vocab: np.ndarray) -> str:
+    h = hashlib.sha1()
+    h.update(np.int64(len(vocab)).tobytes())
+    for s in vocab:
+        h.update(str(s).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:12]
+
+
+def bind_string_func(fc: FunctionCall, table) -> Optional[CodeMap]:
+    """Lower a string-function call whose argument is a dictionary-coded
+    expression into a :class:`CodeMap`.  Returns None when no argument
+    carries a vocabulary (the call then resolves as an ordinary UDF).
+    Arguments must already be string-bound (nested functions compose
+    inside-out)."""
+    name = fc.name.lower()
+    kind, impl = STRING_FUNCS[name]
+
+    vocab = None
+    vocab_pos = -1
+    for i, a in enumerate(fc.args):
+        v = _vocab_of_arg(a, table)
+        if v is not None:
+            if vocab is not None:
+                raise UnsupportedError(
+                    f"{fc.name} over two string columns is not supported "
+                    "(apply it per column, or JOIN)"
+                )
+            vocab, vocab_pos = v, i
+    if vocab is None:
+        return None
+
+    lit_args: list = []
+    for i, a in enumerate(fc.args):
+        if i == vocab_pos:
+            continue
+        if isinstance(a, StringLiteral):
+            lit_args.append((i, a.text))
+        elif isinstance(a, Constant):
+            lit_args.append((i, a.value))
+        else:
+            raise ValidationError(
+                f"{fc.name}: non-column arguments must be literals"
+            )
+
+    entries = [str(s) for s in vocab]
+    if name == "concat":
+        parts = {i: str(t) for i, t in lit_args}
+
+        def apply(entry: str) -> str:
+            return "".join(
+                entry if i == vocab_pos else parts[i]
+                for i in range(len(fc.args))
+            )
+
+        transformed = [apply(e) for e in entries]
+    else:
+        args_only = [t for _i, t in lit_args]
+        try:
+            transformed = [impl(e, *args_only) for e in entries]
+        except TypeError:
+            raise ValidationError(
+                f"Wrong number of arguments for {fc.name}"
+            ) from None
+
+    arg_sig = ",".join(repr(t) for _i, t in lit_args)
+    if kind == "num":
+        values = tuple(np.float32(x) for x in transformed)
+        tag = f"{name}({arg_sig})@{_vocab_tag(vocab)}"
+        return CodeMap(fc.args[vocab_pos], values, tag, None)
+    out_vocab = np.unique(np.asarray(transformed))
+    codes = np.searchsorted(out_vocab, np.asarray(transformed))
+    values = tuple(np.float32(c) for c in codes)
+    tag = f"{name}({arg_sig})@{_vocab_tag(vocab)}"
+    return CodeMap(fc.args[vocab_pos], values, tag, out_vocab)
