@@ -44,7 +44,11 @@ def eval_expr(node, table: dict, n: int) -> np.ndarray:
         if op == "*":
             return (l * r).astype(np.float32)
         if op == "/":
-            return (l / r).astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return (l / r).astype(np.float32)
+        if op == "%":
+            with np.errstate(invalid="ignore"):
+                return np.fmod(l, r).astype(np.float32)
         if op == "&&":
             return ((l != 0) & (r != 0)).astype(np.float32)
         if op == "||":
@@ -70,14 +74,28 @@ def eval_expr(node, table: dict, n: int) -> np.ndarray:
             a = eval_expr(node.args[0], table, n)
             b = eval_expr(node.args[1], table, n)
             return (a * b).astype(np.float32)
+        def _coalesce(*args):
+            out = args[-1]
+            for a in reversed(args[:-1]):
+                out = np.where(np.isnan(a), out, a)
+            return out
+
         builtins = {
             "abs": np.abs, "sqrt": np.sqrt, "log": np.log, "exp": np.exp,
             "round": np.round, "floor": np.floor, "ceil": np.ceil,
             "pow": np.power, "minimum": np.minimum, "maximum": np.maximum,
+            "isnan": lambda x: np.isnan(x),
+            "trunc": np.trunc, "sign": np.sign, "fmod": np.fmod,
+            "nullval": lambda: np.float32(np.nan),
+            "coalesce": _coalesce,
+            "nullif": lambda a, b: np.where(a == b, np.float32(np.nan), a),
+            "greatest": lambda *a: np.maximum.reduce(list(a)),
+            "least": lambda *a: np.minimum.reduce(list(a)),
         }
-        if node.name in builtins:
+        fn = builtins.get(node.name) or builtins.get(node.name.lower())
+        if fn is not None:
             args = [eval_expr(a, table, n) for a in node.args]
-            return builtins[node.name](*args).astype(np.float32)
+            return np.asarray(fn(*args)).astype(np.float32)
         raise NotImplementedError(node.name)
     raise NotImplementedError(type(node).__name__)
 

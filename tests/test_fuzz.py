@@ -20,7 +20,6 @@ def _rand_arith(rng, depth: int) -> str:
     if depth <= 0 or rng.uniform() < 0.3:
         if rng.uniform() < 0.5:
             return rng.choice(COLS)
-        # Non-negative literals only (the grammar has no unary minus).
         return f"{rng.uniform(0.1, 20):.3f}"
     r = rng.uniform()
     if r < 0.1:
@@ -30,8 +29,25 @@ def _rand_arith(rng, depth: int) -> str:
         b = _rand_arith(rng, depth - 1)
         return f"CASE WHEN {c} THEN {a} ELSE {b} END"
     if r < 0.2:
-        fn = rng.choice(["abs", "sqrt", "floor", "ceil"])
+        fn = rng.choice(["abs", "sqrt", "floor", "ceil", "trunc", "sign"])
         return f"{fn}({_rand_arith(rng, depth - 1)})"
+    if r < 0.26:
+        # Unary minus (extension).
+        return f"(-{_rand_arith(rng, depth - 1)})"
+    if r < 0.32:
+        # NULL round-trip: NULLIF makes NaNs, COALESCE removes them.
+        a = _rand_arith(rng, depth - 1)
+        b = _rand_arith(rng, 0)
+        return f"COALESCE(NULLIF({a}, {b}), {_rand_arith(rng, 0)})"
+    if r < 0.38:
+        fn = rng.choice(["greatest", "least"])
+        return (
+            f"{fn}({_rand_arith(rng, depth - 1)}, "
+            f"{_rand_arith(rng, depth - 1)})"
+        )
+    if r < 0.44:
+        # Modulo against a literal (C fmod semantics both sides).
+        return f"({rng.choice(COLS)} % {rng.uniform(2.0, 10.0):.3f})"
     a = _rand_arith(rng, depth - 1)
     b = _rand_arith(rng, depth - 1)
     op = rng.choice(_ARITH)
