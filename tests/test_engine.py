@@ -10,6 +10,7 @@ from warpdb_tpu import WarpDB, DataType
 from warpdb_tpu.errors import (
     ExecutionError,
     ParseError,
+    UnsupportedError,
     ValidationError,
     WarpDBError,
 )
@@ -468,6 +469,175 @@ def test_window_running_avg_count():
     assert got == pytest.approx([1.0, 2.0, 3.0])
     got2 = db.query_sql("SELECT AVG(v) OVER (PARTITION BY p ORDER BY v ASC) FROM t")
     assert got2 == pytest.approx([10.0, 15.0, 20.0])
+
+
+def _frame_oracle(k, v, t, prec, foll, agg, where=None, descending=False):
+    """Naive per-partition ROWS-frame oracle (row-at-a-time numpy)."""
+    n = len(k)
+    sel = np.ones(n, bool) if where is None else where
+    idxs = np.nonzero(sel)[0]
+    kk, vv, tt = k[idxs], v[idxs], t[idxs]
+    res = np.zeros(len(idxs), np.float32)
+    for part in np.unique(kk):
+        pidx = np.nonzero(kk == part)[0]
+        key = -tt[pidx] if descending else tt[pidx]
+        order = pidx[np.argsort(key, kind="stable")]
+        for r, i in enumerate(order):
+            lo = 0 if prec is None else max(0, r - prec)
+            hi = len(order) - 1 if foll is None else min(
+                len(order) - 1, r + foll
+            )
+            w = vv[order[lo:hi + 1]]
+            res[i] = {
+                "sum": np.sum, "min": np.min, "max": np.max,
+                "avg": np.mean, "count": len,
+            }[agg](w)
+    return res
+
+
+def test_window_rows_frames():
+    """ROWS BETWEEN frames: every agg, every bound shape, vs a naive
+    oracle.  The engine computes these as differences of segmented
+    cumsums (SUM/COUNT/AVG) or sparse-table doubling (MIN/MAX) — see
+    ops/aggregate.window_frame."""
+    rng = np.random.default_rng(17)
+    n = 300
+    k = rng.integers(0, 6, n).astype(np.float32)
+    v = rng.normal(10, 3, n).astype(np.float32)
+    t = rng.permutation(n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v, "t": t}))
+
+    cases = [
+        ("SUM", "BETWEEN 3 PRECEDING AND CURRENT ROW", 3, 0),
+        ("AVG", "BETWEEN 2 PRECEDING AND 2 FOLLOWING", 2, 2),
+        ("MIN", "BETWEEN 5 PRECEDING AND 1 FOLLOWING", 5, 1),
+        ("MAX", "BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING", None, 2),
+        ("COUNT", "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", 0, None),
+        ("SUM", "BETWEEN CURRENT ROW AND CURRENT ROW", 0, 0),
+        ("MIN", "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+         None, None),
+    ]
+    for agg, frame, prec, foll in cases:
+        sql = (
+            f"SELECT {agg}(v) OVER (PARTITION BY k ORDER BY t "
+            f"ROWS {frame}) FROM t"
+        )
+        got = np.asarray(db.query_sql(sql), dtype=np.float32)
+        want = _frame_oracle(k, v, t, prec, foll, agg.lower())
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=sql)
+
+    # Shorthand ROWS <n> PRECEDING ≡ BETWEEN <n> PRECEDING AND CURRENT ROW
+    got = np.asarray(db.query_sql(
+        "SELECT MAX(v) OVER (PARTITION BY k ORDER BY t ROWS 7 PRECEDING)"
+        " FROM t"
+    ), dtype=np.float32)
+    np.testing.assert_allclose(
+        got, _frame_oracle(k, v, t, 7, 0, "max"), rtol=1e-4, atol=1e-4
+    )
+
+    # No partition: one global frame sequence.
+    got = np.asarray(db.query_sql(
+        "SELECT AVG(v) OVER (ORDER BY t ROWS BETWEEN 4 PRECEDING AND"
+        " CURRENT ROW) FROM t"
+    ), dtype=np.float32)
+    want = _frame_oracle(np.zeros(n, np.float32), v, t, 4, 0, "avg")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # WHERE: filtered rows occupy no frame positions; O(matches) result.
+    where = v > 9
+    got = np.asarray(db.query_sql(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN"
+        " 2 PRECEDING AND 1 FOLLOWING) FROM t WHERE v > 9"
+    ), dtype=np.float32)
+    want = _frame_oracle(k, v, t, 2, 1, "sum", where=where)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # DESC ordering reverses the frame direction.
+    got = np.asarray(db.query_sql(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY t DESC ROWS BETWEEN"
+        " 3 PRECEDING AND CURRENT ROW) FROM t"
+    ), dtype=np.float32)
+    want = _frame_oracle(k, v, t, 3, 0, "sum", descending=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fuzz_window_rows_frames():
+    """Randomised frame bounds × aggs × filters vs the naive oracle."""
+    for seed in range(8):
+        rng = np.random.default_rng(9100 + seed)
+        n = int(rng.integers(50, 400))
+        k = rng.integers(0, int(rng.integers(1, 8)), n).astype(np.float32)
+        v = rng.normal(0, 50, n).astype(np.float32)
+        t = rng.permutation(n).astype(np.float32)
+        db = WarpDB(HostTable.from_dict({"k": k, "v": v, "t": t}))
+        agg = str(rng.choice(["SUM", "AVG", "COUNT", "MIN", "MAX"]))
+        prec = (
+            None if rng.uniform() < 0.2 else int(rng.integers(0, 12))
+        )
+        foll = (
+            None if rng.uniform() < 0.2 else int(rng.integers(0, 12))
+        )
+        lo = "UNBOUNDED PRECEDING" if prec is None else (
+            "CURRENT ROW" if prec == 0 else f"{prec} PRECEDING"
+        )
+        hi = "UNBOUNDED FOLLOWING" if foll is None else (
+            "CURRENT ROW" if foll == 0 else f"{foll} FOLLOWING"
+        )
+        where = rng.uniform() < 0.4
+        sql = (
+            f"SELECT {agg}(v) OVER (PARTITION BY k ORDER BY t "
+            f"ROWS BETWEEN {lo} AND {hi}) FROM t"
+        )
+        mask = None
+        if where:
+            sql += " WHERE v > 0"
+            mask = v > 0
+        got = np.asarray(db.query_sql(sql), dtype=np.float32)
+        want = _frame_oracle(k, v, t, prec, foll, agg.lower(), where=mask)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-3, atol=1e-3, err_msg=f"seed {seed}: {sql}"
+        )
+
+
+def test_window_rows_frame_errors_and_contextual_names():
+    db = WarpDB(HostTable.from_dict({
+        "k": np.array([1.0, 1.0, 2.0], np.float32),
+        "v": np.array([1.0, 2.0, 3.0], np.float32),
+        "rows": np.array([3.0, 1.0, 2.0], np.float32),
+    }))
+    # Frame requires ORDER BY.
+    with pytest.raises(UnsupportedError):
+        db.query_sql(
+            "SELECT SUM(v) OVER (PARTITION BY k ROWS 2 PRECEDING) FROM t"
+        )
+    # Frames only make sense for SUM/AVG/COUNT/MIN/MAX.
+    with pytest.raises(UnsupportedError):
+        db.query_sql(
+            "SELECT RANK() OVER (ORDER BY v ROWS 2 PRECEDING) FROM t"
+        )
+    # Frame must include the current row.
+    with pytest.raises(ParseError):
+        db.query_sql(
+            "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN 1 FOLLOWING"
+            " AND 2 FOLLOWING) FROM t"
+        )
+    with pytest.raises(ParseError):
+        db.query_sql(
+            "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND 1 PRECEDING) FROM t"
+        )
+    # ROWS is contextual, not reserved: a column named "rows" works as
+    # an order key, a partition key, and alongside a frame.
+    got = db.query_sql(
+        "SELECT SUM(v) OVER (ORDER BY rows ROWS 1 PRECEDING) FROM t"
+    )
+    # order by rows: v=2 (rows=1), v=3 (rows=2), v=1 (rows=3)
+    # frames of width 2: [2]=2, [2,3]=5, [3,1]=4 → row order v:1,2,3
+    assert got == pytest.approx([4.0, 2.0, 5.0])
+    got = db.query_sql("SELECT SUM(rows) FROM t")
+    assert got == pytest.approx([6.0])
 
 
 # --- determinism (SURVEY §5: the reference's atomicAdd compaction was

@@ -241,6 +241,7 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                 bind_strings(node.order_by.expr, table),
                 node.order_by.ascending,
             ),
+            node.frame,
         )
     return node
 
@@ -598,6 +599,7 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
                 else OrderBy(
                     rw(node.order_by.expr), node.order_by.ascending
                 ),
+                node.frame,
             )
         if isinstance(node, (InValueSet, InCodeSet, LikePattern)):
             return type(node)(
@@ -1418,11 +1420,22 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             raise UnsupportedError(
                 "NTILE requires an ORDER BY inside OVER (...)"
             )
+    if select.frame is not None:
+        if select.order_by is None:
+            raise UnsupportedError(
+                "A ROWS frame requires an ORDER BY inside OVER (...)"
+            )
+        if select.agg.value not in ("sum", "avg", "count", "min", "max"):
+            raise UnsupportedError(
+                f"ROWS frames support SUM/AVG/COUNT/MIN/MAX, "
+                f"not {select.agg.name}"
+            )
 
     def build():
         from ..ops.aggregate import (
             dense_window_aggregate,
             window_edge_value,
+            window_frame,
             window_ntile,
             window_rank,
             window_running,
@@ -1542,6 +1555,12 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 win = window_rank(
                     part, ok, valid, agg_name,
                     ascending=ord_asc if okeys is not None else True,
+                )
+            elif select.frame is not None:
+                # Explicit ROWS frame (moving aggregates).
+                win = window_frame(
+                    part, okeys, vals, valid, agg_name,
+                    select.frame[0], select.frame[1], ascending=ord_asc,
                 )
             elif okeys is not None:
                 # Running aggregate over the window's ORDER BY — what the

@@ -386,6 +386,11 @@ class WindowFunction(Node):
     expr: Node
     partition_by: tuple[Node, ...] = ()
     order_by: Optional["OrderBy"] = None
+    #: ROWS frame ``(preceding, following)`` — row counts relative to the
+    #: current row, ``None`` meaning UNBOUNDED on that side.  ``None`` as
+    #: a whole means no explicit frame (default running/whole-partition
+    #: semantics).  Normalised at parse time: ``CURRENT ROW`` → 0.
+    frame: Optional[tuple[Optional[int], Optional[int]]] = None
 
     def canonical(self) -> str:
         parts = [f"{self.agg.name}({self.expr.canonical()}) OVER ("]
@@ -395,6 +400,24 @@ class WindowFunction(Node):
             )
         if self.order_by is not None:
             parts.append(" ORDER BY " + self.order_by.canonical())
+        if self.frame is not None:
+            # Frame bounds change results, so they MUST appear in the
+            # canonical form (it doubles as the kernel-cache key).
+            prec, foll = self.frame
+
+            def _bound(v, side):
+                if v is None:
+                    return f"UNBOUNDED {side}"
+                if v == 0:
+                    return "CURRENT ROW"
+                return f"{v} {side}"
+
+            parts.append(
+                " ROWS BETWEEN "
+                + _bound(prec, "PRECEDING")
+                + " AND "
+                + _bound(foll, "FOLLOWING")
+            )
         parts.append(")")
         return "".join(parts)
 

@@ -479,6 +479,99 @@ _CLAUSE_BOUNDARY_AFTER_WHERE = ("GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET")
 _CLAUSE_BOUNDARY_AFTER_HAVING = ("ORDER", "LIMIT", "OFFSET")
 
 
+def _at_ident(p: "_QueryParser", word: str) -> bool:
+    """True when the next token is the identifier ``word`` (case-insensitive).
+    Used for contextual (non-reserved) words like ROWS/UNBOUNDED/PRECEDING."""
+    return (
+        p.pos < len(p.toks)
+        and p.toks[p.pos].type is TokenType.IDENTIFIER
+        and p.toks[p.pos].value.upper() == word
+    )
+
+
+def _parse_rows_frame(p: "_QueryParser") -> tuple:
+    """Parse a ROWS frame (the leading ``ROWS`` already consumed):
+    ``BETWEEN <bound> AND <bound>`` or the shorthand ``<bound>`` (meaning
+    BETWEEN <bound> AND CURRENT ROW).  Bounds: ``UNBOUNDED PRECEDING``,
+    ``<n> PRECEDING``, ``CURRENT ROW``, ``<n> FOLLOWING``,
+    ``UNBOUNDED FOLLOWING``.  Returns ``(preceding, following)`` relative
+    row counts with ``None`` = unbounded; start/end are normalised so the
+    frame always contains the current row (start ≤ 0 ≤ end) — the engine
+    rejects frames excluding it."""
+
+    def bound() -> tuple:
+        """Returns (kind, n): kind ∈ {'prec','foll','cur'}, n = count|None."""
+        if _at_ident(p, "UNBOUNDED"):
+            p.pos += 1
+            if _at_ident(p, "PRECEDING"):
+                p.pos += 1
+                return ("prec", None)
+            if _at_ident(p, "FOLLOWING"):
+                p.pos += 1
+                return ("foll", None)
+            line, col = p._loc()
+            raise ParseError(
+                f"Expected PRECEDING or FOLLOWING after UNBOUNDED "
+                f"at line {line} column {col}"
+            )
+        if _at_ident(p, "CURRENT"):
+            p.pos += 1
+            if not _at_ident(p, "ROW"):
+                line, col = p._loc()
+                raise ParseError(
+                    f"Expected ROW after CURRENT at line {line} column {col}"
+                )
+            p.pos += 1
+            return ("cur", 0)
+        if (
+            p.pos < len(p.toks)
+            and p.toks[p.pos].type is TokenType.NUMBER
+        ):
+            n = int(float(p.toks[p.pos].value))
+            if n < 0:
+                line, col = p._loc()
+                raise ParseError(
+                    f"Frame bound must be non-negative at line {line} "
+                    f"column {col}"
+                )
+            p.pos += 1
+            if _at_ident(p, "PRECEDING"):
+                p.pos += 1
+                return ("prec", n)
+            if _at_ident(p, "FOLLOWING"):
+                p.pos += 1
+                return ("foll", n)
+            line, col = p._loc()
+            raise ParseError(
+                f"Expected PRECEDING or FOLLOWING in frame bound "
+                f"at line {line} column {col}"
+            )
+        line, col = p._loc()
+        raise ParseError(
+            f"Expected frame bound at line {line} column {col}"
+        )
+
+    if p.at_kw("BETWEEN"):
+        p.pos += 1
+        start = bound()
+        p.expect_kw("AND")
+        end = bound()
+    else:
+        start = bound()
+        end = ("cur", 0)
+
+    # Normalise to (preceding, following); the frame must contain the
+    # current row (start on/before it, end on/after it).
+    if start[0] == "foll" or end[0] == "prec":
+        raise ParseError(
+            "ROWS frames must include the current row "
+            "(start ≤ CURRENT ROW ≤ end)"
+        )
+    preceding = start[1] if start[0] == "prec" else 0
+    following = end[1] if end[0] == "foll" else 0
+    return (preceding, following)
+
+
 class _QueryParser:
     def __init__(self, tokens: list[Token]):
         # Strip the trailing End token; clause slicing re-appends it.
@@ -760,6 +853,7 @@ class _QueryParser:
         p.expect_kw("OVER")
         partition: tuple[Node, ...] = ()
         order: Optional[OrderBy] = None
+        frame: Optional[tuple[Optional[int], Optional[int]]] = None
         if p.at_op("("):
             p.pos += 1
             if p.at_kw("PARTITION"):
@@ -780,6 +874,10 @@ class _QueryParser:
                         if depth == 0 and (
                             (tok.type is TokenType.OPERATOR and tok.value == ",")
                             or (tok.type is TokenType.KEYWORD and tok.value == "ORDER")
+                            # Contextual ROWS starts a frame — but only
+                            # once the key has content, so a column
+                            # actually named "rows" still parses.
+                            or (key_toks and _at_ident(p, "ROWS"))
                         ):
                             break
                         key_toks.append(tok)
@@ -795,7 +893,11 @@ class _QueryParser:
                 p.expect_kw("BY")
                 ord_toks = []
                 while p.pos < len(p.toks) and not (
-                    p.at_kw("ASC", "DESC") or p.at_op(")")
+                    p.at_kw("ASC", "DESC")
+                    or p.at_op(")")
+                    # Contextual: a column named "rows" may BE the order
+                    # key, so only a non-leading ROWS opens the frame.
+                    or (ord_toks and _at_ident(p, "ROWS"))
                 ):
                     ord_toks.append(p.toks[p.pos])
                     p.pos += 1
@@ -806,7 +908,15 @@ class _QueryParser:
                 order = OrderBy(
                     parse_expression(ord_toks + [Token(TokenType.END, "")]), asc
                 )
-        return WindowFunction(agg, expr, partition, order)
+            if _at_ident(p, "ROWS"):
+                # ROWS frame.  ROWS/UNBOUNDED/PRECEDING/FOLLOWING/CURRENT/
+                # ROW are recognised contextually (NOT reserved keywords),
+                # so columns with those names keep working everywhere
+                # else.  The reference never parses past OVER at all
+                # (expression.cpp:296-329).
+                p.pos += 1
+                frame = _parse_rows_frame(p)
+        return WindowFunction(agg, expr, partition, order, frame)
 
     # -- the statement -------------------------------------------------------
     def parse(self) -> Query:

@@ -963,3 +963,172 @@ def window_running(
 
     out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
     return jnp.where(valid, out, 0.0)
+
+
+def _shift_fwd(x: jax.Array, s: int, fill) -> jax.Array:
+    """``x`` shifted forward by ``s`` positions (result[i] = x[i-s]),
+    front-filled with ``fill``.  Static ``s`` — compiles to one pad+slice."""
+    if s == 0:
+        return x
+    return jnp.concatenate(
+        [jnp.full((s,), fill, x.dtype), x[:-s]]
+    )
+
+
+def _segment_offsets(first: jax.Array) -> jax.Array:
+    """0-based distance of each row from its segment start."""
+    n = first.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    return pos - lax.cummax(jnp.where(first, pos, 0))
+
+
+def _trailing_sum(S: jax.Array, off: jax.Array, w) -> jax.Array:
+    """Sum over the ``w`` trailing rows (current row included), clamped at
+    the segment start.  ``S`` is the segmented inclusive cumsum; the
+    clamped window sum is ``S[i] − S[i−w]`` with the subtrahend dropped
+    when the window start precedes the segment start.  ``w=None`` means
+    unbounded (the running sum itself)."""
+    if w is None:
+        return S
+    return S - jnp.where(off >= w, _shift_fwd(S, w, 0.0), 0.0)
+
+
+def _trailing_comb(v, first, off, w, op, ident):
+    """``op``-combine over the ``w`` trailing rows (current included),
+    clamped at the segment start.  ``op`` must be idempotent (min/max):
+    the sparse-table doubling builds windows of 2^k rows, then covers a
+    general ``w`` with two overlapping power-of-two windows — overlap is
+    harmless only for idempotent ops.  O(log w) shift+select passes.
+    ``w=None`` → unbounded (segmented running scan)."""
+    if w is None:
+        return segmented_inclusive_scan(v, first, op, ident)
+    f = v
+    m = 1
+    while m * 2 <= w:
+        # f covers min(2^k, off+1) trailing rows; doubling: combine with
+        # the window ending m rows earlier (guard keeps it in-segment;
+        # that earlier window is itself clamped at the segment start).
+        f = jnp.where(off >= m, op(f, _shift_fwd(f, m, ident)), f)
+        m *= 2
+    if m < w:
+        f = jnp.where(off >= (w - m), op(f, _shift_fwd(f, w - m, ident)), f)
+    return f
+
+
+def _strict_leading(trail_w: jax.Array, off: jax.Array, ident) -> jax.Array:
+    """Given a trailing-window combine of width ``w`` (current row
+    included), produce the combine over the ``w`` rows STRICTLY BEFORE
+    the current row: the width-``w`` window ending one row earlier."""
+    return jnp.where(off >= 1, _shift_fwd(trail_w, 1, ident), ident)
+
+
+def window_frame(
+    part_keys,
+    order_keys: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    agg: str,
+    preceding,
+    following,
+    ascending: bool = True,
+) -> jax.Array:
+    """Framed window aggregate ``AGG(v) OVER (PARTITION BY p ORDER BY o
+    ROWS BETWEEN <preceding> PRECEDING AND <following> FOLLOWING)`` —
+    ``preceding``/``following`` are static row counts (``None`` =
+    UNBOUNDED on that side).  The reference never parses past OVER
+    (expression.cpp:296-329).
+
+    TPU shape: one stable sort by (partition…, order), then the frame
+    decomposes into [i−prec, i] ∪ (i, i+foll]:
+
+    * the PRECEDING half is a trailing window in sorted order — a
+      difference of segmented cumsums for SUM/COUNT/AVG, sparse-table
+      doubling (O(log w) shifted selects) for MIN/MAX;
+    * the FOLLOWING half is the same trailing machinery on the REVERSED
+      sorted sequence, shifted one row to exclude the current row.
+
+    Everything is shifts, selects and scans over static shapes — no
+    gathers, no scatters beyond the final inverse-permutation
+    scatter-back.  Rows removed by WHERE sort to the back of the array
+    and never occupy frame positions (except inside NaN-keyed
+    partitions, which share their sort key — same pinned semantics as
+    :func:`window_running`)."""
+    if agg not in ("sum", "count", "avg", "min", "max"):
+        raise ValueError(f"Framed window aggregate '{agg}' not supported")
+    part_keys = _as_key_tuple(part_keys)
+    n = values.shape[0]
+    valid = mask
+    pkeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+    )
+    nk = len(pkeys)
+    okey = float_sort_key(order_keys)
+    if not ascending:
+        okey = ~okey
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    sorted_ops = lax.sort(
+        pkeys + (okey, values, idx, valid.astype(jnp.int32)),
+        num_keys=nk + 1,
+        is_stable=True,
+    )
+    pkeys_s = sorted_ops[:nk]
+    val_s, idx_s = sorted_ops[nk + 1], sorted_ops[nk + 2]
+    valid_s = sorted_ops[nk + 3].astype(jnp.bool_)
+    first = _partition_boundaries(pkeys_s, valid_s)
+    off = _segment_offsets(first)
+
+    # Reversed-sequence views for the FOLLOWING half.  A segment start
+    # in reversed order is a segment END in sorted order: row j ends a
+    # segment iff j == n−1 or first[j+1].
+    first_r = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), first[::-1][:-1]]
+    )
+    off_r = _segment_offsets(first_r)
+
+    def framed(v, op, ident, use_sum):
+        """Combine over the clamped frame [i−prec, i+foll] of ``v``."""
+        if use_sum:
+            S = segmented_inclusive_scan(v, first, op, ident)
+            a = _trailing_sum(
+                S, off, None if preceding is None else preceding + 1
+            )
+        else:
+            a = _trailing_comb(
+                v, first, off,
+                None if preceding is None else preceding + 1, op, ident,
+            )
+        if following == 0:
+            return a
+        vr = v[::-1]
+        if use_sum:
+            Sr = segmented_inclusive_scan(vr, first_r, op, ident)
+            tr = _trailing_sum(Sr, off_r, following)
+        else:
+            tr = _trailing_comb(vr, first_r, off_r, following, op, ident)
+        b = _strict_leading(tr, off_r, ident)[::-1]
+        return op(a, b) if not use_sum else a + b
+
+    if agg == "min":
+        out_s = framed(
+            jnp.where(valid_s, val_s, jnp.inf), jnp.minimum, jnp.inf, False
+        )
+    elif agg == "max":
+        out_s = framed(
+            jnp.where(valid_s, val_s, -jnp.inf), jnp.maximum, -jnp.inf, False
+        )
+    else:
+        add = lambda a, b: a + b
+        v = jnp.where(valid_s, val_s, 0.0)
+        ones = valid_s.astype(jnp.float32)
+        if agg == "sum":
+            out_s = framed(v, add, 0.0, True)
+        elif agg == "count":
+            out_s = framed(ones, add, 0.0, True)
+        else:  # avg over the VALID rows in the frame
+            s = framed(v, add, 0.0, True)
+            c = framed(ones, add, 0.0, True)
+            out_s = s / jnp.maximum(c, 1.0)
+
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
+    return jnp.where(valid, out, 0.0)
