@@ -134,6 +134,69 @@ def test_distinct_order_desc(db):
     assert res == sorted(res, reverse=True)
 
 
+def test_distinct_multi_column(random_db):
+    # SELECT DISTINCT a, b rewrites to GROUP BY a, b (device-side dedup);
+    # rows come back lexicographically ascending.
+    db, table = random_db
+    res = db.query_sql_table(
+        "SELECT DISTINCT quantity, quantity / 4 FROM t WHERE price > 50"
+    )
+    cols = list(res.values())
+    got = sorted(zip(*[np.asarray(c, np.float32) for c in cols]))
+    q = table["quantity"][table["price"] > 50]
+    exp = sorted({(float(x), float(np.float32(x) / np.float32(4))) for x in q})
+    assert got == pytest.approx(exp)
+    # Lexicographic ascending default order.
+    assert got == list(zip(*[np.asarray(c, np.float32) for c in cols]))
+
+
+def test_distinct_multi_column_order_limit(random_db):
+    db, _ = random_db
+    res = db.query_sql_table(
+        "SELECT DISTINCT quantity, quantity * 2 FROM t "
+        "ORDER BY quantity DESC LIMIT 3"
+    )
+    q = np.asarray(list(res.values())[0], np.float32)
+    assert q.tolist() == [19.0, 18.0, 17.0]
+
+
+def test_distinct_duplicate_select_items(db):
+    # Duplicate expressions collapse to one group key but both columns ship.
+    res = db.query_sql_table("SELECT DISTINCT quantity, quantity FROM test")
+    cols = list(res.values())
+    assert len(cols) == 2
+    assert np.asarray(cols[0]).tolist() == np.asarray(cols[1]).tolist()
+    assert np.asarray(cols[0]).tolist() == [2.0, 3.0, 4.0, 5.0]
+
+
+def test_distinct_over_grouped_aggregate(random_db):
+    # DISTINCT over aggregate outputs dedups the finished O(groups) rows.
+    db, table = random_db
+    got = np.asarray(
+        db.query_sql("SELECT DISTINCT COUNT(price) FROM t GROUP BY quantity"),
+        np.float32,
+    )
+    counts = {
+        float(np.sum(table["quantity"] == g))
+        for g in np.unique(table["quantity"])
+    }
+    assert sorted(got.tolist()) == sorted(counts)
+    assert got.tolist() == sorted(got.tolist())  # ascending default
+
+
+def test_distinct_grouped_multi_item_ordered(random_db):
+    db, table = random_db
+    res = db.query_sql_table(
+        "SELECT DISTINCT quantity, COUNT(*) FROM t GROUP BY quantity "
+        "ORDER BY quantity DESC LIMIT 5"
+    )
+    q = np.asarray(list(res.values())[0], np.float32)
+    c = np.asarray(list(res.values())[1], np.float32)
+    assert q.tolist() == [19.0, 18.0, 17.0, 16.0, 15.0]
+    exp = [float(np.sum(table["quantity"] == g)) for g in q]
+    assert c.tolist() == exp
+
+
 # --- extended_types_test.cpp -----------------------------------------------------
 
 

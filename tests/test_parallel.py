@@ -556,6 +556,23 @@ def test_streaming_sql_distinct(tmp_path):
     )[:4]
 
 
+def test_streaming_sql_distinct_multi_column(tmp_path):
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 9, 400).astype(np.float32)
+    b = rng.integers(0, 6, 400).astype(np.float32)
+    path = tmp_path / "d2.csv"
+    with open(path, "w") as f:
+        f.write("a,b\n")
+        for x, y in zip(a, b):
+            f.write(f"{x},{y}\n")
+    out = WarpDB.query_streaming_sql(
+        str(path), "SELECT DISTINCT a, b FROM t", rows_per_chunk=37
+    )
+    got = sorted(zip(list(out.values())[0], list(out.values())[1]))
+    exp = sorted({(float(x), float(y)) for x, y in zip(a, b)})
+    assert got == exp
+
+
 def test_streaming_sql_matches_inmemory_on_multichunk(tmp_path):
     """Chunked streaming result == in-memory engine on the same data."""
     rng = np.random.default_rng(23)

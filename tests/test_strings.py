@@ -76,6 +76,22 @@ def test_distinct_string(sdb):
     assert got == ["books", "games", "toys"]
 
 
+def test_distinct_multi_column_string(sdb):
+    # Multi-column DISTINCT with a string key: GROUP BY rewrite carries
+    # the code column; decode happens at the API boundary.
+    res = sdb.query_sql_table(
+        "SELECT DISTINCT category, quantity FROM sales"
+    )
+    got = sorted(zip(list(res.values())[0], list(res.values())[1]))
+    assert got == [
+        ("books", 1.0),
+        ("books", 4.0),
+        ("games", 5.0),
+        ("toys", 2.0),
+        ("toys", 3.0),
+    ]
+
+
 def test_order_by_string(sdb):
     got = sdb.query_sql(
         "SELECT price FROM sales ORDER BY category ASC LIMIT 2"

@@ -795,6 +795,12 @@ def run_query(
 
     if query.group_by is not None:
         values = _run_grouped(query, current, mesh=mesh)
+        if query.distinct:
+            # DISTINCT over grouped output (SELECT DISTINCT SUM(x) …
+            # GROUP BY k): dedup the O(groups) result host-side.
+            values = _dedup_rows(
+                [values], ordered=query.order_by is not None
+            )[0]
     else:
         values = _run_projection(query, current, mesh=mesh)
 
@@ -1600,6 +1606,40 @@ def result_column_name(item, i: int, taken) -> str:
     return name
 
 
+def _dedup_rows(arrays: list, ordered: bool) -> list:
+    """Host-side row dedup over aligned result columns.
+
+    O(result) — every path that reaches here already reduced to
+    O(groups) rows (or the user asked for DISTINCT over per-row window
+    output, where one lexsort is the floor).  With ``ordered`` the first
+    occurrence wins (the input arrived in ORDER BY order); otherwise
+    rows emerge lexicographically ascending — the reference's DISTINCT
+    convention (host sort+unique, warpdb.cpp:463-468).  NaNs compare
+    equal (one NULL row survives), matching the grouped pipeline's
+    NaN-key semantics."""
+    if not arrays or len(arrays[0]) == 0:
+        return list(arrays)
+    cols = [np.asarray(a) for a in arrays]
+    n = len(cols[0])
+    order = np.lexsort(tuple(reversed(cols)))
+    newgrp = np.zeros(n, dtype=bool)
+    newgrp[0] = True
+    for c in cols:
+        s = c[order]
+        a, b = s[1:], s[:-1]
+        eq = a == b
+        if c.dtype.kind == "f":
+            eq |= np.isnan(a) & np.isnan(b)
+        newgrp[1:] |= ~eq
+    if ordered:
+        starts = np.flatnonzero(newgrp)
+        firsts = np.minimum.reduceat(order, starts)
+        idx = np.sort(firsts)
+    else:
+        idx = order[newgrp]
+    return [c[idx] for c in cols]
+
+
 def run_query_table(
     query: Query,
     table: DeviceTable,
@@ -1612,12 +1652,12 @@ def run_query_table(
 
     Rows stay aligned across columns: each item runs through the same
     WHERE/ORDER machinery (stable sorts over identical masks/keys).
-    DISTINCT is single-column by construction and rejected here.
+    Multi-column DISTINCT rewrites to GROUP BY over the select list
+    (device-side dedup); DISTINCT over aggregate/window outputs dedups
+    the finished result rows host-side.
     """
     import copy as _copy
 
-    if query.distinct and len(query.select_list) > 1:
-        raise UnsupportedError("DISTINCT with multiple select items")
     if getattr(query, "set_ops", None):
         raise UnsupportedError(
             "Set operations (UNION/EXCEPT/INTERSECT) execute at the "
@@ -1652,6 +1692,45 @@ def run_query_table(
         q2 = _copy.copy(query)
         q2.joins = ()
         return run_query_table(q2, joined, catalog, mesh=mesh)
+
+    if query.distinct and (
+        len(query.select_list) > 1 or query.group_by is not None
+    ):
+        items = [unalias(s) for s in query.select_list]
+        has_agg = query.group_by is not None or any(
+            isinstance(n, (Aggregation, WindowFunction))
+            for it in items
+            for n in walk(it)
+        )
+        if not has_agg:
+            # SELECT DISTINCT a, b, … ≡ SELECT a, b, … GROUP BY a, b, …
+            # — the grouped pipeline dedups on device (sort-free
+            # dense/MXU ladder when stats allow) and ships O(distinct).
+            keys, seen_canon = [], set()
+            for it in items:
+                c = it.canonical()
+                if c not in seen_canon:
+                    seen_canon.add(c)
+                    keys.append(it)
+            query = _copy.copy(query)
+            query.distinct = False
+            query.group_by = GroupBy(keys=tuple(keys))
+        else:
+            # DISTINCT over aggregate/window outputs: run the query,
+            # then dedup the finished rows host-side (grouped results
+            # are O(groups); ordered results keep first occurrence).
+            q2 = _copy.copy(query)
+            q2.distinct = False
+            q2.limit = None
+            q2.offset = None
+            out = run_query_table(q2, table, catalog, mesh=mesh)
+            names = list(out.keys())
+            deduped = _dedup_rows(
+                [out[k] for k in names], ordered=query.order_by is not None
+            )
+            off = query.offset or 0
+            end = None if query.limit is None else off + query.limit
+            return {k: v[off:end] for k, v in zip(names, deduped)}
 
     out_name = result_column_name
 

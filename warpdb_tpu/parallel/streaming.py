@@ -217,18 +217,25 @@ def run_streaming_sql(
 
     query = _copy.copy(ast)
     if query.distinct:
-        # SELECT DISTINCT expr ≡ GROUP BY expr selecting the key: the
-        # per-chunk group keys are exactly the chunk's distinct values
-        # and the u32-keyed merge below unions them exactly.
-        if len(query.select_list) != 1:
-            raise UnsupportedError("DISTINCT with multiple select items")
-        sel = unalias(query.select_list[0])
-        if any(isinstance(n, Aggregation) for n in walk(sel)):
+        # SELECT DISTINCT e1, e2, … ≡ GROUP BY e1, e2, … selecting the
+        # keys: the per-chunk group keys are exactly the chunk's
+        # distinct tuples and the u32-keyed merge below unions them
+        # exactly (lexicographic over all key columns).
+        sels = [unalias(s) for s in query.select_list]
+        if any(
+            isinstance(n, Aggregation) for s in sels for n in walk(s)
+        ):
             raise UnsupportedError(
                 "Streaming SQL does not support DISTINCT over aggregates"
             )
+        keys, seen_canon = [], set()
+        for s in sels:
+            c = s.canonical()
+            if c not in seen_canon:
+                seen_canon.add(c)
+                keys.append(s)
         query.distinct = False
-        query.group_by = GroupBy((sel,))
+        query.group_by = GroupBy(tuple(keys))
     if query.group_by is None:
         # Global aggregates = one synthetic constant group.
         if not all(
