@@ -664,6 +664,166 @@ def test_fuzz_window_rows_frames():
         )
 
 
+def _range_oracle(k, v, t, prec, foll, agg, where=None, descending=False):
+    """Naive per-partition RANGE-frame oracle: row j is in row i's frame
+    iff its order key lies within [o_i − prec, o_i + foll] (value
+    distance; peers always included)."""
+    n = len(k)
+    sel = np.ones(n, bool) if where is None else where
+    idxs = np.nonzero(sel)[0]
+    kk, vv, tt = k[idxs], v[idxs], t[idxs]
+    res = np.zeros(len(idxs), np.float32)
+    fns = {"sum": np.sum, "min": np.min, "max": np.max, "avg": np.mean,
+           "count": len}
+    for part in np.unique(kk):
+        pidx = np.nonzero(kk == part)[0]
+        for i in pidx:
+            o = tt[i]
+            if descending:
+                lo = -np.inf if foll is None else o - foll
+                hi = np.inf if prec is None else o + prec
+            else:
+                lo = -np.inf if prec is None else o - prec
+                hi = np.inf if foll is None else o + foll
+            m = (tt[pidx] >= lo) & (tt[pidx] <= hi)
+            w = vv[pidx[m]]
+            res[i] = fns[agg](w)
+    return res
+
+
+def test_window_range_frames():
+    """RANGE BETWEEN frames (order-key-value distances, peers included):
+    every agg, every bound shape, vs a naive oracle.  The engine ranks
+    per-row value bounds with one merged 3n sort and differences running
+    sums (SUM/COUNT/AVG) or answers rank intervals from a sparse table
+    (MIN/MAX) — see ops/aggregate.window_range_frame."""
+    rng = np.random.default_rng(31)
+    n = 300
+    k = rng.integers(0, 5, n).astype(np.float32)
+    v = rng.normal(10, 3, n).astype(np.float32)
+    t = (rng.random(n) * 50).round(1).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v, "t": t}))
+
+    cases = [
+        ("SUM", "BETWEEN 3 PRECEDING AND CURRENT ROW", 3.0, 0.0),
+        ("AVG", "BETWEEN 2.5 PRECEDING AND 2.5 FOLLOWING", 2.5, 2.5),
+        ("MIN", "BETWEEN 5 PRECEDING AND 1 FOLLOWING", 5.0, 1.0),
+        ("MAX", "BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING", None, 2.0),
+        ("COUNT", "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", 0.0, None),
+        ("SUM", "BETWEEN CURRENT ROW AND CURRENT ROW", 0.0, 0.0),
+    ]
+    for agg, frame, prec, foll in cases:
+        sql = (
+            f"SELECT {agg}(v) OVER (PARTITION BY k ORDER BY t "
+            f"RANGE {frame}) FROM t"
+        )
+        got = np.asarray(db.query_sql(sql), dtype=np.float32)
+        want = _range_oracle(k, v, t, prec, foll, agg.lower())
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3,
+                                   err_msg=sql)
+
+    # DESC reverses which offset extends toward smaller values.
+    got = np.asarray(db.query_sql(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY t DESC "
+        "RANGE 3 PRECEDING) FROM t"
+    ), dtype=np.float32)
+    want = _range_oracle(k, v, t, 3.0, 0.0, "sum", descending=True)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    # WHERE: filtered rows occupy no frame positions.
+    got = np.asarray(db.query_sql(
+        "SELECT AVG(v) OVER (PARTITION BY k ORDER BY t "
+        "RANGE BETWEEN 4 PRECEDING AND 4 FOLLOWING) FROM t WHERE v > 9"
+    ), dtype=np.float32)
+    want = _range_oracle(k, v, t, 4.0, 4.0, "avg", where=v > 9)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    # Peers: tied order keys are always inside each other's frame —
+    # CURRENT ROW..CURRENT ROW counts the whole tie group.
+    t2 = np.repeat(np.arange(30), 10).astype(np.float32)[:n]
+    db2 = WarpDB(HostTable.from_dict({"v": v, "t": t2}))
+    got = np.asarray(db2.query_sql(
+        "SELECT COUNT(v) OVER (ORDER BY t RANGE BETWEEN CURRENT ROW "
+        "AND CURRENT ROW) FROM t"
+    ), dtype=np.float32)
+    want = _range_oracle(np.zeros(n, np.float32), v, t2, 0.0, 0.0, "count")
+    np.testing.assert_allclose(got, want)
+
+    # NaN order keys form one peer group (engine's pinned NaN grouping).
+    t3 = t.copy()
+    t3[:40] = np.nan
+    db3 = WarpDB(HostTable.from_dict({"v": v, "t": t3}))
+    got = np.asarray(db3.query_sql(
+        "SELECT COUNT(v) OVER (ORDER BY t RANGE 1 PRECEDING) FROM t"
+    ), dtype=np.float32)
+    nan_rows = np.isnan(t3)
+    assert np.all(got[nan_rows] == 40.0)
+    fin = ~nan_rows
+    want_fin = _range_oracle(
+        np.zeros(fin.sum(), np.float32), v[fin], t3[fin], 1.0, 0.0, "count"
+    )
+    np.testing.assert_allclose(got[fin], want_fin)
+
+
+def test_fuzz_window_range_frames():
+    """Randomised RANGE bounds × aggs × filters vs the naive oracle."""
+    for seed in range(8):
+        rng = np.random.default_rng(9400 + seed)
+        n = int(rng.integers(50, 400))
+        k = rng.integers(0, int(rng.integers(1, 8)), n).astype(np.float32)
+        v = rng.normal(0, 50, n).astype(np.float32)
+        t = (rng.random(n) * 40).round(1).astype(np.float32)
+        db = WarpDB(HostTable.from_dict({"k": k, "v": v, "t": t}))
+        agg = str(rng.choice(["SUM", "AVG", "COUNT", "MIN", "MAX"]))
+        prec = (
+            None if rng.uniform() < 0.2
+            else float(rng.integers(0, 24)) / 2.0
+        )
+        foll = (
+            None if rng.uniform() < 0.2
+            else float(rng.integers(0, 24)) / 2.0
+        )
+        lo = "UNBOUNDED PRECEDING" if prec is None else (
+            "CURRENT ROW" if prec == 0 else f"{prec} PRECEDING"
+        )
+        hi = "UNBOUNDED FOLLOWING" if foll is None else (
+            "CURRENT ROW" if foll == 0 else f"{foll} FOLLOWING"
+        )
+        desc = rng.uniform() < 0.3
+        sql = (
+            f"SELECT {agg}(v) OVER (PARTITION BY k ORDER BY t "
+            f"{'DESC ' if desc else ''}RANGE BETWEEN {lo} AND {hi}) FROM t"
+        )
+        mask = None
+        if rng.uniform() < 0.4:
+            sql += " WHERE v > 0"
+            mask = v > 0
+        got = np.asarray(db.query_sql(sql), dtype=np.float32)
+        want = _range_oracle(k, v, t, prec, foll, agg.lower(), where=mask,
+                             descending=desc)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-3, atol=1e-3, err_msg=f"seed {seed}: {sql}"
+        )
+
+
+def test_window_range_frame_errors():
+    db = WarpDB(HostTable.from_dict({
+        "v": np.array([1.0, 2.0, 3.0], np.float32),
+        "t": np.array([3.0, 1.0, 2.0], np.float32),
+    }))
+    with pytest.raises(UnsupportedError):
+        db.query_sql("SELECT SUM(v) OVER (RANGE 2 PRECEDING) FROM t")
+    with pytest.raises(ParseError):
+        db.query_sql(
+            "SELECT SUM(v) OVER (ORDER BY t RANGE BETWEEN 1 FOLLOWING"
+            " AND 2 FOLLOWING) FROM t"
+        )
+    with pytest.raises(UnsupportedError):
+        db.query_sql(
+            "SELECT RANK() OVER (ORDER BY t RANGE 2 PRECEDING) FROM t"
+        )
+
+
 def test_window_rows_frame_errors_and_contextual_names():
     db = WarpDB(HostTable.from_dict({
         "k": np.array([1.0, 1.0, 2.0], np.float32),

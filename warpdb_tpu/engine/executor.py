@@ -242,6 +242,7 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                 node.order_by.ascending,
             ),
             node.frame,
+            node.frame_type,
         )
     return node
 
@@ -600,6 +601,7 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
                     rw(node.order_by.expr), node.order_by.ascending
                 ),
                 node.frame,
+                node.frame_type,
             )
         if isinstance(node, (InValueSet, InCodeSet, LikePattern)):
             return type(node)(
@@ -1427,13 +1429,14 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 "NTILE requires an ORDER BY inside OVER (...)"
             )
     if select.frame is not None:
+        fword = "RANGE" if select.frame_type == "range" else "ROWS"
         if select.order_by is None:
             raise UnsupportedError(
-                "A ROWS frame requires an ORDER BY inside OVER (...)"
+                f"A {fword} frame requires an ORDER BY inside OVER (...)"
             )
         if select.agg.value not in ("sum", "avg", "count", "min", "max"):
             raise UnsupportedError(
-                f"ROWS frames support SUM/AVG/COUNT/MIN/MAX, "
+                f"{fword} frames support SUM/AVG/COUNT/MIN/MAX, "
                 f"not {select.agg.name}"
             )
 
@@ -1443,6 +1446,7 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             window_edge_value,
             window_frame,
             window_ntile,
+            window_range_frame,
             window_rank,
             window_running,
             window_shift,
@@ -1563,8 +1567,13 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                     ascending=ord_asc if okeys is not None else True,
                 )
             elif select.frame is not None:
-                # Explicit ROWS frame (moving aggregates).
-                win = window_frame(
+                # Explicit ROWS/RANGE frame (moving aggregates).
+                framer = (
+                    window_range_frame
+                    if select.frame_type == "range"
+                    else window_frame
+                )
+                win = framer(
                     part, okeys, vals, valid, agg_name,
                     select.frame[0], select.frame[1], ascending=ord_asc,
                 )

@@ -390,7 +390,13 @@ class WindowFunction(Node):
     #: current row, ``None`` meaning UNBOUNDED on that side.  ``None`` as
     #: a whole means no explicit frame (default running/whole-partition
     #: semantics).  Normalised at parse time: ``CURRENT ROW`` → 0.
-    frame: Optional[tuple[Optional[int], Optional[int]]] = None
+    #: With ``frame_type == "range"`` the bounds are ORDER-BY-VALUE
+    #: offsets (floats): the frame holds every partition row whose order
+    #: key lies within [o − preceding, o + following] — peers (ties on
+    #: the order key) are always in.
+    frame: Optional[tuple[Optional[float], Optional[float]]] = None
+    #: "rows" | "range" — meaningless unless ``frame`` is set.
+    frame_type: str = "rows"
 
     def canonical(self) -> str:
         parts = [f"{self.agg.name}({self.expr.canonical()}) OVER ("]
@@ -410,10 +416,11 @@ class WindowFunction(Node):
                     return f"UNBOUNDED {side}"
                 if v == 0:
                     return "CURRENT ROW"
-                return f"{v} {side}"
+                return f"{v:g} {side}"
 
             parts.append(
-                " ROWS BETWEEN "
+                (" ROWS BETWEEN " if self.frame_type == "rows"
+                 else " RANGE BETWEEN ")
                 + _bound(prec, "PRECEDING")
                 + " AND "
                 + _bound(foll, "FOLLOWING")

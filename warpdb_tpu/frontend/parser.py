@@ -489,15 +489,16 @@ def _at_ident(p: "_QueryParser", word: str) -> bool:
     )
 
 
-def _parse_rows_frame(p: "_QueryParser") -> tuple:
-    """Parse a ROWS frame (the leading ``ROWS`` already consumed):
-    ``BETWEEN <bound> AND <bound>`` or the shorthand ``<bound>`` (meaning
-    BETWEEN <bound> AND CURRENT ROW).  Bounds: ``UNBOUNDED PRECEDING``,
-    ``<n> PRECEDING``, ``CURRENT ROW``, ``<n> FOLLOWING``,
-    ``UNBOUNDED FOLLOWING``.  Returns ``(preceding, following)`` relative
-    row counts with ``None`` = unbounded; start/end are normalised so the
-    frame always contains the current row (start ≤ 0 ≤ end) — the engine
-    rejects frames excluding it."""
+def _parse_rows_frame(p: "_QueryParser", range_frame: bool = False) -> tuple:
+    """Parse a ROWS or RANGE frame (the leading ``ROWS``/``RANGE``
+    already consumed): ``BETWEEN <bound> AND <bound>`` or the shorthand
+    ``<bound>`` (meaning BETWEEN <bound> AND CURRENT ROW).  Bounds:
+    ``UNBOUNDED PRECEDING``, ``<n> PRECEDING``, ``CURRENT ROW``,
+    ``<n> FOLLOWING``, ``UNBOUNDED FOLLOWING``.  Returns
+    ``(preceding, following)`` with ``None`` = unbounded — relative row
+    counts (ints) for ROWS, order-key-value offsets (floats) for RANGE;
+    start/end are normalised so the frame always contains the current
+    row (start ≤ 0 ≤ end) — the engine rejects frames excluding it."""
 
     def bound() -> tuple:
         """Returns (kind, n): kind ∈ {'prec','foll','cur'}, n = count|None."""
@@ -527,7 +528,9 @@ def _parse_rows_frame(p: "_QueryParser") -> tuple:
             p.pos < len(p.toks)
             and p.toks[p.pos].type is TokenType.NUMBER
         ):
-            n = int(float(p.toks[p.pos].value))
+            n = float(p.toks[p.pos].value)
+            if not range_frame:
+                n = int(n)
             if n < 0:
                 line, col = p._loc()
                 raise ParseError(
@@ -564,11 +567,13 @@ def _parse_rows_frame(p: "_QueryParser") -> tuple:
     # current row (start on/before it, end on/after it).
     if start[0] == "foll" or end[0] == "prec":
         raise ParseError(
-            "ROWS frames must include the current row "
+            ("RANGE" if range_frame else "ROWS")
+            + " frames must include the current row "
             "(start ≤ CURRENT ROW ≤ end)"
         )
-    preceding = start[1] if start[0] == "prec" else 0
-    following = end[1] if end[0] == "foll" else 0
+    zero = 0.0 if range_frame else 0
+    preceding = start[1] if start[0] == "prec" else zero
+    following = end[1] if end[0] == "foll" else zero
     return (preceding, following)
 
 
@@ -874,10 +879,11 @@ class _QueryParser:
                         if depth == 0 and (
                             (tok.type is TokenType.OPERATOR and tok.value == ",")
                             or (tok.type is TokenType.KEYWORD and tok.value == "ORDER")
-                            # Contextual ROWS starts a frame — but only
-                            # once the key has content, so a column
-                            # actually named "rows" still parses.
-                            or (key_toks and _at_ident(p, "ROWS"))
+                            # Contextual ROWS/RANGE starts a frame —
+                            # but only once the key has content, so a
+                            # column actually named "rows" still parses.
+                            or (key_toks and (_at_ident(p, "ROWS")
+                                              or _at_ident(p, "RANGE")))
                         ):
                             break
                         key_toks.append(tok)
@@ -897,7 +903,8 @@ class _QueryParser:
                     or p.at_op(")")
                     # Contextual: a column named "rows" may BE the order
                     # key, so only a non-leading ROWS opens the frame.
-                    or (ord_toks and _at_ident(p, "ROWS"))
+                    or (ord_toks and (_at_ident(p, "ROWS")
+                                      or _at_ident(p, "RANGE")))
                 ):
                     ord_toks.append(p.toks[p.pos])
                     p.pos += 1
@@ -908,15 +915,18 @@ class _QueryParser:
                 order = OrderBy(
                     parse_expression(ord_toks + [Token(TokenType.END, "")]), asc
                 )
-            if _at_ident(p, "ROWS"):
-                # ROWS frame.  ROWS/UNBOUNDED/PRECEDING/FOLLOWING/CURRENT/
-                # ROW are recognised contextually (NOT reserved keywords),
-                # so columns with those names keep working everywhere
-                # else.  The reference never parses past OVER at all
-                # (expression.cpp:296-329).
+            frame_type = "rows"
+            if _at_ident(p, "ROWS") or _at_ident(p, "RANGE"):
+                # ROWS/RANGE frame.  ROWS/RANGE/UNBOUNDED/PRECEDING/
+                # FOLLOWING/CURRENT/ROW are recognised contextually (NOT
+                # reserved keywords), so columns with those names keep
+                # working everywhere else.  The reference never parses
+                # past OVER at all (expression.cpp:296-329).
+                is_range = _at_ident(p, "RANGE")
+                frame_type = "range" if is_range else "rows"
                 p.pos += 1
-                frame = _parse_rows_frame(p)
-        return WindowFunction(agg, expr, partition, order, frame)
+                frame = _parse_rows_frame(p, range_frame=is_range)
+        return WindowFunction(agg, expr, partition, order, frame, frame_type)
 
     # -- the statement -------------------------------------------------------
     def parse(self) -> Query:

@@ -1132,3 +1132,169 @@ def window_frame(
 
     out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
     return jnp.where(valid, out, 0.0)
+
+
+def window_range_frame(
+    part_keys,
+    order_keys: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    agg: str,
+    preceding,
+    following,
+    ascending: bool = True,
+) -> jax.Array:
+    """Framed window aggregate ``AGG(v) OVER (PARTITION BY p ORDER BY o
+    RANGE BETWEEN <preceding> PRECEDING AND <following> FOLLOWING)`` —
+    the bounds are ORDER-KEY-VALUE offsets (floats; ``None`` =
+    UNBOUNDED): row i's frame holds every partition row j with
+    ``o_j ∈ [o_i − preceding, o_i + following]`` (peers — ties on the
+    order key — are always inside).  The reference never parses past
+    OVER (expression.cpp:296-329).
+
+    TPU shape: the frame ends are RANKS of per-row value bounds in the
+    partition-sorted order-key sequence, computed with ONE merged 3n
+    sort (data ∪ lo-bounds ∪ hi-bounds) — the join's merged-rank
+    pattern (ops/join.py:114-152; ``searchsorted`` is banned on TPU).
+    A lo bound ties BEFORE equal data keys and a hi bound AFTER, so the
+    exclusive running reduction at each bound's merged position is
+    exactly the frame-boundary prefix:
+
+    * SUM/COUNT/AVG carry running sums IN the merged order and subtract
+      the two prefixes — fully gather-free (counts accumulate in int32,
+      exact where f32 would round past 2²⁴);
+    * MIN/MAX build a sparse table (doubling, O(n log n) HBM) over the
+      partition-sorted values and answer each row's [lo, hi) with one
+      batched 2-row gather.
+
+    NaN order keys form one peer group at the partition's end (NaN ±
+    offset is NaN, which ``float_sort_key`` canonicalises), so NaN rows
+    aggregate over exactly their NaN peers.  Rows removed by WHERE sort
+    behind the partition sentinel and never occupy frame positions."""
+    if agg not in ("sum", "count", "avg", "min", "max"):
+        raise ValueError(f"Framed window aggregate '{agg}' not supported")
+    part_keys = _as_key_tuple(part_keys)
+    n = values.shape[0]
+    valid = mask
+    pkeys = tuple(
+        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+    )
+    nk = len(pkeys)
+    o = order_keys.astype(jnp.float32)
+    okey = float_sort_key(o)
+    # Value-space frame ends.  The data sorts ascending by value
+    # regardless of the ORDER BY direction — DESC only swaps which
+    # offset extends toward smaller values.
+    below = preceding if ascending else following
+    above = following if ascending else preceding
+    lo_key = (
+        jnp.zeros_like(okey)
+        if below is None
+        else float_sort_key(o - jnp.float32(below))
+    )
+    hi_key = (
+        jnp.full_like(okey, _U32_MAX)
+        if above is None
+        else float_sort_key(o + jnp.float32(above))
+    )
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    zeros_f = jnp.zeros((n,), jnp.float32)
+    zeros_i = jnp.zeros((n,), jnp.int32)
+
+    def cat(a, b, c):
+        return jnp.concatenate([a, b, c])
+
+    keys_m = tuple(cat(pk, pk, pk) for pk in pkeys)
+    okey_m = cat(okey, lo_key, hi_key)
+    # Tie rank: lo bound (0) < data (1) < hi bound (2) at equal keys.
+    tie = cat(jnp.full((n,), 1, jnp.int32), zeros_i,
+              jnp.full((n,), 2, jnp.int32))
+    # Un-merge order: lo bounds to [0, n), hi bounds to [n, 2n).
+    um = cat(idx + 2 * n, idx, idx + n)
+
+    use_sum = agg in ("sum", "avg")
+    use_cnt = agg in ("count", "avg")
+    streams: list = []
+    if use_sum:
+        v = jnp.where(valid, values.astype(jnp.float32), 0.0)
+        streams.append(cat(v, zeros_f, zeros_f))
+    if use_cnt:
+        streams.append(cat(valid.astype(jnp.int32), zeros_i, zeros_i))
+
+    ops = lax.sort(
+        keys_m + (okey_m, tie, um) + tuple(streams),
+        num_keys=nk + 2,
+        is_stable=True,
+    )
+    tie_s, um_s = ops[nk + 1], ops[nk + 2]
+
+    if agg in ("min", "max"):
+        # Frame ends as positions in the data-only sorted sequence:
+        # exclusive running count of data rows at each bound's slot.
+        is_data = (tie_s == 1).astype(jnp.int32)
+        pos = jnp.cumsum(is_data) - is_data
+        srt = lax.sort((um_s, pos), num_keys=1, is_stable=True)[1]
+        lo_u, hi_u = srt[:n], srt[n:2 * n]
+        return _range_minmax(pkeys, okey, values, valid, lo_u, hi_u, agg, n)
+
+    prefixes = []
+    for k, s in enumerate(streams):
+        s_s = ops[nk + 3 + k]
+        prefixes.append(jnp.cumsum(s_s) - s_s)  # exclusive running sum
+    srt = lax.sort((um_s, *prefixes), num_keys=1, is_stable=True)
+    if agg == "sum":
+        p = srt[1]
+        out = p[n:2 * n] - p[:n]
+    elif agg == "count":
+        p = srt[1]
+        out = (p[n:2 * n] - p[:n]).astype(jnp.float32)
+    else:  # avg
+        pv, pc = srt[1], srt[2]
+        s_diff = pv[n:2 * n] - pv[:n]
+        c_diff = (pc[n:2 * n] - pc[:n]).astype(jnp.float32)
+        out = s_diff / jnp.maximum(c_diff, 1.0)
+    return jnp.where(valid, out, 0.0)
+
+
+def _range_minmax(pkeys, okey, values, valid, lo, hi, agg, n):
+    """MIN/MAX over per-row rank intervals [lo, hi) of the
+    partition-sorted value sequence: sparse-table doubling + one batched
+    2-row gather (the ranks are arbitrary, so static shifts cannot reach
+    them; the table costs O(n log n) HBM — acceptable at bench scale,
+    revisit with a block decomposition if it ever dominates)."""
+    op = jnp.minimum if agg == "min" else jnp.maximum
+    ident = jnp.float32(jnp.inf if agg == "min" else -jnp.inf)
+    vfill = jnp.where(valid, values.astype(jnp.float32), ident)
+    sorted_ops = lax.sort(
+        pkeys + (okey, vfill), num_keys=len(pkeys) + 1, is_stable=True
+    )
+    val_s = sorted_ops[len(pkeys) + 1]
+
+    levels = [val_s]
+    shift = 1
+    while shift < n:
+        prev = levels[-1]
+        shifted = jnp.concatenate(
+            [prev[shift:], jnp.full((shift,), ident, jnp.float32)]
+        )
+        levels.append(op(prev, shifted))
+        shift *= 2
+    table = jnp.stack(levels)  # (K, n); level k covers [i, i + 2^k)
+
+    length = jnp.maximum(hi - lo, 1)
+    lf = length.astype(jnp.float32)
+    e = (lax.bitcast_convert_type(lf, jnp.int32) >> 23) - 127
+    pow2 = jnp.left_shift(jnp.int32(1), e)
+    too_big = pow2 > length  # f32 rounding crossed a power of two
+    e = jnp.where(too_big, e - 1, e)
+    pow2 = jnp.where(too_big, pow2 >> 1, pow2)
+
+    flat = table.reshape(-1)
+    idx_a = e * n + lo
+    idx_b = e * n + (hi - pow2)
+    both = jnp.stack([idx_a, idx_b]).reshape(-1)
+    bs = min(1024, both.shape[0])
+    g = jnp.take(flat, both.reshape(-1, bs)).reshape(2, n)
+    out = op(g[0], g[1])
+    return jnp.where(valid, out, 0.0)
