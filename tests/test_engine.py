@@ -1158,6 +1158,130 @@ def test_row_number_and_rank_windows():
         db.query_sql("SELECT ROW_NUMBER() FROM t")
 
 
+def test_percent_rank_cume_dist_windows():
+    t = {
+        "p": np.array([1, 1, 2, 2, 1, 1], np.float32),
+        "v": np.array([30, 10, 20, 20, 10, 40], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    # Partition p=1 sorted: 10,10,30,40 — ranks 1,1,3,4 over count 4.
+    assert db.query_sql(
+        "SELECT PERCENT_RANK() OVER (PARTITION BY p ORDER BY v) FROM t"
+    ) == pytest.approx([2 / 3, 0.0, 0.0, 0.0, 0.0, 1.0])
+    # CUME_DIST counts peers: p=2 has two tied rows -> 2/2 each.
+    assert db.query_sql(
+        "SELECT CUME_DIST() OVER (PARTITION BY p ORDER BY v) FROM t"
+    ) == pytest.approx([3 / 4, 2 / 4, 1.0, 1.0, 2 / 4, 1.0])
+    # Single-row partitions: PERCENT_RANK pins to 0, CUME_DIST to 1.
+    db1 = WarpDB(HostTable.from_dict({
+        "p": np.array([1, 2, 3], np.float32),
+        "v": np.array([5, 7, 6], np.float32),
+    }))
+    assert db1.query_sql(
+        "SELECT PERCENT_RANK() OVER (PARTITION BY p ORDER BY v) FROM t"
+    ) == [0.0, 0.0, 0.0]
+    assert db1.query_sql(
+        "SELECT CUME_DIST() OVER (PARTITION BY p ORDER BY v) FROM t"
+    ) == [1.0, 1.0, 1.0]
+
+
+def test_nth_value_and_lag_lead_offsets():
+    t = {
+        "p": np.array([1, 1, 1, 1, 2, 2], np.float32),
+        "v": np.array([30, 10, 20, 40, 7, 5], np.float32),
+    }
+    db = WarpDB(HostTable.from_dict(t))
+    # p=1 sorted: 10,20,30,40 -> 2nd value 20 everywhere; p=2 has only
+    # 2 rows, 2nd value 7.
+    assert db.query_sql(
+        "SELECT NTH_VALUE(v, 2) OVER (PARTITION BY p ORDER BY v) FROM t"
+    ) == [20.0, 20.0, 20.0, 20.0, 7.0, 7.0]
+    # n beyond the partition size -> NaN (the missing-value marker).
+    got = db.query_sql(
+        "SELECT NTH_VALUE(v, 3) OVER (PARTITION BY p ORDER BY v) FROM t"
+    )
+    assert got[:4] == [30.0] * 4 and np.isnan(got[4:]).all()
+    # NTH_VALUE(v, 1) == FIRST_VALUE(v).
+    assert db.query_sql(
+        "SELECT NTH_VALUE(v, 1) OVER (PARTITION BY p ORDER BY v DESC) FROM t"
+    ) == db.query_sql(
+        "SELECT FIRST_VALUE(v) OVER (PARTITION BY p ORDER BY v DESC) FROM t"
+    )
+    # LAG/LEAD with explicit offsets (default stays 1).
+    assert db.query_sql(
+        "SELECT LAG(v, 2) OVER (PARTITION BY p ORDER BY v) FROM t"
+    )[:4] == pytest.approx(
+        [10.0, np.nan, np.nan, 20.0], nan_ok=True
+    )
+    assert db.query_sql(
+        "SELECT LEAD(v, 3) OVER (PARTITION BY p ORDER BY v) FROM t"
+    )[:4] == pytest.approx(
+        [np.nan, 40.0, np.nan, np.nan], nan_ok=True
+    )
+    from warpdb_tpu.errors import ParseError
+
+    with pytest.raises(ParseError, match="NTH_VALUE requires a row number"):
+        db.query_sql("SELECT NTH_VALUE(v) OVER (ORDER BY v) FROM t")
+    with pytest.raises(ParseError, match="positive integer"):
+        db.query_sql("SELECT LAG(v, 0) OVER (ORDER BY v) FROM t")
+    with pytest.raises(ParseError, match="positive integer"):
+        db.query_sql("SELECT NTH_VALUE(v, 1.5) OVER (ORDER BY v) FROM t")
+
+
+def test_fuzz_relative_rank_and_nth_value():
+    """PERCENT_RANK/CUME_DIST/NTH_VALUE/LAG-k vs a naive oracle over
+    random tables with tied keys, WHERE filters and DESC order."""
+    rng = np.random.default_rng(97)
+    for trial in range(6):
+        n = int(rng.integers(30, 120))
+        k = rng.integers(0, 4, n).astype(np.float32)
+        v = (rng.random(n) * 10).round(0).astype(np.float32)  # many ties
+        db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+        where = rng.random() < 0.5
+        desc = rng.random() < 0.5
+        sel = v > 3.0 if where else np.ones(n, bool)
+        sql_tail = (
+            f"OVER (PARTITION BY k ORDER BY v {'DESC' if desc else 'ASC'})"
+            f" FROM t{' WHERE v > 3' if where else ''}"
+        )
+        pr = np.array(db.query_sql(f"SELECT PERCENT_RANK() {sql_tail}"))
+        cd = np.array(db.query_sql(f"SELECT CUME_DIST() {sql_tail}"))
+        nv = np.array(db.query_sql(f"SELECT NTH_VALUE(v, 4) {sql_tail}"))
+        lg = np.array(db.query_sql(f"SELECT LAG(v, 3) {sql_tail}"))
+        idxs = np.nonzero(sel)[0]
+        kk, vv = k[idxs], v[idxs]
+        opr = np.zeros(len(idxs)); ocd = np.zeros(len(idxs))
+        onv = np.full(len(idxs), np.nan); olg = np.full(len(idxs), np.nan)
+        sgn = -1.0 if desc else 1.0
+        for p in np.unique(kk):
+            pix = np.nonzero(kk == p)[0]
+            pv = vv[pix]
+            c = len(pix)
+            order = pix[np.argsort(sgn * pv, kind="stable")]
+            for j, i in enumerate(order):
+                rank = 1 + int(np.sum(sgn * pv < sgn * vv[i]))
+                opr[i] = (rank - 1) / max(c - 1, 1)
+                ocd[i] = np.sum(sgn * pv <= sgn * vv[i]) / c
+                if c >= 4:
+                    onv[i] = vv[order[3]]
+                if j >= 3:
+                    olg[i] = vv[order[j - 3]]
+        assert np.allclose(pr, opr, atol=1e-6), (trial, "percent_rank")
+        assert np.allclose(cd, ocd, atol=1e-6), (trial, "cume_dist")
+        assert np.allclose(nv, onv, atol=1e-6, equal_nan=True), (
+            trial, "nth_value",
+        )
+        # LAG ties: any peer ordering is valid when order keys tie, so
+        # compare only rows whose 3-back neighbour is uniquely keyed —
+        # cheap proxy: skip rows where the oracle's lag value ties with
+        # another candidate at the same distance.  Row-identical here
+        # because both engine and oracle break ties by original row
+        # order (stable sorts), so compare exactly.
+        assert np.allclose(lg, olg, atol=1e-6, equal_nan=True), (
+            trial, "lag3",
+        )
+
+
 def test_window_with_outer_order_by():
     t = {
         "p": np.array([1, 1, 2, 2], np.float32),
@@ -1852,6 +1976,74 @@ def test_join_memo_reuses_materialized_join():
 # --- LEFT OUTER JOIN ----------------------------------------------------------
 
 
+def test_cross_join():
+    """CROSS JOIN: cartesian product via a constant-key equi-join
+    (dense phase 1 for small build sides, sort-merge beyond)."""
+    db = WarpDB(HostTable.from_dict({"a": np.array([1, 2, 3], np.float32)}))
+    db.register_table(
+        "u", HostTable.from_dict({"b": np.array([10, 20], np.float32)})
+    )
+    t = db.query_sql_table("SELECT a, b FROM t CROSS JOIN u ORDER BY a, b")
+    assert t["a"] == [1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+    assert t["b"] == [10.0, 20.0, 10.0, 20.0, 10.0, 20.0]
+    # Aggregates over the product: sum(a*b) = sum(a) * sum(b).
+    assert db.query_sql("SELECT SUM(a * b) FROM t CROSS JOIN u") == [180.0]
+    # Aliases + WHERE over the product.
+    got = db.query_sql_table(
+        "SELECT a, b FROM t AS x CROSS JOIN u y WHERE a > 1 ORDER BY a, b"
+    )
+    assert got["a"] == [2.0, 2.0, 3.0, 3.0]
+    # Chained after an equi-join.
+    db.register_table(
+        "dim",
+        HostTable.from_dict({
+            "a": np.array([1, 2, 3], np.float32),
+            "r": np.array([2, 4, 8], np.float32),
+        }),
+    )
+    got2 = db.query_sql(
+        "SELECT SUM(r * b) FROM t JOIN dim ON a = dim.a CROSS JOIN u"
+    )
+    assert got2 == [(2 + 4 + 8) * 30.0]
+    from warpdb_tpu.errors import ParseError
+
+    with pytest.raises(ParseError, match="CROSS JOIN takes no ON"):
+        db.query_sql("SELECT a FROM t CROSS JOIN u ON a = b")
+    # A relation aliased `cross` still parses everywhere else.
+    assert db.query_sql("SELECT cross.a FROM t AS cross WHERE cross.a > 2") \
+        == [3.0]
+
+
+def test_cross_join_large_build_matches_oracle():
+    """A build side past the dense-sweep cap exercises the sort-merge
+    expansion with all-equal keys."""
+    rng = np.random.default_rng(5)
+    n, m = 97, 300  # m > join_dense_build_max on the default config
+    a = rng.normal(0, 1, n).astype(np.float32)
+    b = rng.normal(0, 1, m).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"a": a}))
+    db.register_table("u", HostTable.from_dict({"b": b}))
+    got = db.query_sql_table(
+        "SELECT COUNT(a) AS c, SUM(a + b) AS s FROM t CROSS JOIN u"
+    )
+    assert got["c"] == [n * m]
+    want = float(m * a.astype(np.float64).sum() + n * b.astype(np.float64).sum())
+    assert got["s"][0] == pytest.approx(want, rel=1e-4)
+
+
+def test_cross_join_streaming(tmp_path):
+    """Streaming SQL CROSS JOIN against an in-memory dimension (each
+    probe chunk multiplies chunk-locally — no cross-chunk state)."""
+    path = tmp_path / "facts.csv"
+    path.write_text("a\n" + "\n".join(str(i) for i in range(17)) + "\n")
+    dims = {"u": HostTable.from_dict({"b": np.array([1, 2, 4], np.float32)})}
+    got = WarpDB.query_streaming_sql(
+        str(path), "SELECT SUM(a * b) AS s FROM t CROSS JOIN u",
+        rows_per_chunk=5, dims=dims,
+    )
+    assert got["s"] == [sum(range(17)) * 7.0]
+
+
 def test_left_join_lookup_fills_nan():
     """LEFT JOIN against a unique-key dimension table: unmatched probe
     rows survive with build columns NaN (probe-preserving path)."""
@@ -2385,6 +2577,177 @@ def test_cte_unknown_column_errors():
         db.query_sql("WITH c AS (SELECT nope FROM t) SELECT p FROM t")
     with pytest.raises(ParseError, match="AS"):
         db.query_sql("WITH c (SELECT p FROM t) SELECT p FROM t")
+
+
+# --- correlated subqueries ----------------------------------------------------
+
+
+def _corr_db():
+    cust = HostTable.from_dict({
+        "cid": np.array([1, 2, 3, 4], np.float32),
+        "region": np.array([10, 20, 10, 30], np.float32),
+    })
+    orders = HostTable.from_dict({
+        "ocid": np.array([1, 1, 2, 2, 2, 4], np.float32),
+        "amt": np.array([5, 7, 3, 9, 2, 8], np.float32),
+    })
+    db = WarpDB(cust)
+    db.register_table("orders", orders)
+    return db
+
+
+def test_correlated_exists():
+    """[NOT] EXISTS with an equality correlation decorrelates into a
+    LEFT lookup join against a COUNT-grouped derived table."""
+    db = _corr_db()
+    assert db.query_sql(
+        "SELECT cid FROM t WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE ocid = cid)"
+    ) == [1.0, 2.0, 4.0]
+    assert db.query_sql(
+        "SELECT cid FROM t WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE ocid = cid)"
+    ) == [3.0]
+    # Residual inner predicates filter the derived build side.
+    assert db.query_sql(
+        "SELECT cid FROM t WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE ocid = cid AND amt > 7)"
+    ) == [2.0, 4.0]
+
+
+def test_correlated_scalar_aggregates():
+    db = _corr_db()
+    got = db.query_sql_table(
+        "SELECT cid, (SELECT SUM(amt) FROM orders WHERE ocid = cid) AS s "
+        "FROM t"
+    )
+    np.testing.assert_allclose(
+        got["s"], [12.0, 14.0, np.nan, 8.0], equal_nan=True
+    )
+    # COUNT over an empty match set is 0, not NULL (standard).
+    got = db.query_sql_table(
+        "SELECT cid, (SELECT COUNT(amt) FROM orders WHERE ocid = cid) AS c "
+        "FROM t"
+    )
+    assert got["c"] == [2.0, 3.0, 0.0, 1.0]
+    # Scalar subquery inside a comparison.
+    assert db.query_sql(
+        "SELECT cid FROM t WHERE "
+        "(SELECT MAX(amt) FROM orders WHERE ocid = cid) > 7"
+    ) == [2.0, 4.0]
+
+
+def test_correlated_in():
+    db = _corr_db()
+    # Membership against the outer row's own match set.
+    assert db.query_sql(
+        "SELECT cid FROM t WHERE region IN "
+        "(SELECT amt FROM orders WHERE ocid = cid)"
+    ) == []
+    db2 = WarpDB(HostTable.from_dict({
+        "k": np.array([1, 2, 3], np.float32),
+        "v": np.array([7, 8, 9], np.float32),
+    }))
+    db2.register_table("u", HostTable.from_dict({
+        "uk": np.array([1, 1, 3], np.float32),
+        "uv": np.array([7, 5, 2], np.float32),
+    }))
+    assert db2.query_sql(
+        "SELECT k FROM t WHERE v IN (SELECT uv FROM u WHERE uk = k)"
+    ) == [1.0]
+    assert db2.query_sql(
+        "SELECT k FROM t WHERE v NOT IN (SELECT uv FROM u WHERE uk = k)"
+    ) == [2.0, 3.0]
+
+
+def test_correlated_self_join_aliases():
+    """The classic above-department-average query: self-correlation
+    through relation aliases, string correlation keys."""
+    emp = HostTable.from_dict({
+        "name": np.array(["a", "b", "c", "d"], object),
+        "dept": np.array(["x", "y", "x", "y"], object),
+        "sal": np.array([10.0, 20.0, 30.0, 15.0], np.float32),
+    })
+    db = WarpDB(emp)
+    db.register_table("emp", emp)
+    got = db.query_sql_table(
+        "SELECT name FROM emp e WHERE sal > "
+        "(SELECT AVG(sal) FROM emp i WHERE i.dept = e.dept)"
+    )
+    assert got["name"] == ["b", "c"]
+    # Correlated scalar in the SELECT list, broadcast per outer row.
+    got = db.query_sql_table(
+        "SELECT name, (SELECT MAX(sal) FROM emp i WHERE i.dept = e.dept) "
+        "AS mx FROM emp e"
+    )
+    assert got["mx"] == [30.0, 20.0, 30.0, 20.0]
+    # Grouped outer query over a correlated WHERE.
+    got = db.query_sql_table(
+        "SELECT dept, COUNT(name) AS n FROM emp e WHERE EXISTS "
+        "(SELECT 1 FROM emp i WHERE i.dept = e.dept AND i.sal > 25) "
+        "GROUP BY dept"
+    )
+    assert got["dept"] == ["x"] and got["n"] == [2.0]
+    # SELECT * must not leak decorrelation plumbing columns.
+    got = db.query_sql_table(
+        "SELECT * FROM emp e WHERE EXISTS "
+        "(SELECT 1 FROM emp i WHERE i.dept = e.dept AND i.sal > 25)"
+    )
+    assert set(got.keys()) == {"name", "dept", "sal"}
+
+
+def test_correlated_unsupported_forms():
+    db = _corr_db()
+    from warpdb_tpu.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="column equalities"):
+        db.query_sql(
+            "SELECT cid FROM t WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE amt > cid)"
+        )
+    with pytest.raises(UnsupportedError, match="GROUP BY"):
+        db.query_sql(
+            "SELECT cid FROM t WHERE EXISTS "
+            "(SELECT SUM(amt) FROM orders WHERE ocid = cid GROUP BY amt)"
+        )
+    with pytest.raises(UnsupportedError, match="single aggregate"):
+        db.query_sql(
+            "SELECT cid, (SELECT amt FROM orders WHERE ocid = cid) FROM t"
+        )
+
+
+def test_fuzz_correlated_vs_oracle():
+    """Correlated EXISTS / scalar aggregates vs a NumPy nested-loop
+    oracle over random fact/dim tables (duplicate keys, misses,
+    residual predicates)."""
+    rng = np.random.default_rng(41)
+    for trial in range(5):
+        n, m = int(rng.integers(20, 60)), int(rng.integers(10, 50))
+        k = rng.integers(0, 12, n).astype(np.float32)
+        val = rng.normal(0, 10, n).round(1).astype(np.float32)
+        uk = rng.integers(0, 12, m).astype(np.float32)
+        uv = rng.normal(0, 10, m).round(1).astype(np.float32)
+        db = WarpDB(HostTable.from_dict({"k": k, "val": val}))
+        db.register_table(
+            "u", HostTable.from_dict({"uk": uk, "uv": uv})
+        )
+        got = np.array(db.query_sql(
+            "SELECT val FROM t WHERE EXISTS "
+            "(SELECT 1 FROM u WHERE uk = k AND uv > 0)"
+        ), np.float32)
+        want = val[np.array([np.any((uk == kk) & (uv > 0)) for kk in k])]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+        got2 = np.array(db.query_sql_table(
+            "SELECT (SELECT SUM(uv) FROM u WHERE uk = k) AS s FROM t"
+        )["s"], np.float32)
+        want2 = np.array([
+            uv[uk == kk].sum() if np.any(uk == kk) else np.nan
+            for kk in k
+        ], np.float32)
+        np.testing.assert_allclose(
+            got2, want2, rtol=1e-4, equal_nan=True
+        )
 
 
 # --- uncorrelated subqueries --------------------------------------------------

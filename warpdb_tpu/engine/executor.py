@@ -41,6 +41,7 @@ from ..frontend.ast import (
     InCodeSet,
     InSubquery,
     InValueSet,
+    Join,
     LikePattern,
     Node,
     OrderBy,
@@ -243,6 +244,7 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             ),
             node.frame,
             node.frame_type,
+            node.param,
         )
     return node
 
@@ -602,6 +604,7 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
                 ),
                 node.frame,
                 node.frame_type,
+                node.param,
             )
         if isinstance(node, (InValueSet, InCodeSet, LikePattern)):
             return type(node)(
@@ -632,6 +635,363 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
             ),
         )
     return q2
+
+
+_CORR_PREFIX = "__corr"
+
+
+def _and_conjuncts(node) -> list:
+    """Flatten a top-level AND chain into its conjuncts."""
+    if isinstance(node, BinaryOp) and node.op == "&&":
+        return _and_conjuncts(node.left) + _and_conjuncts(node.right)
+    return [node]
+
+
+def _and_chain(nodes: list):
+    out = None
+    for n in nodes:
+        out = n if out is None else BinaryOp("&&", out, n)
+    return out
+
+
+def _decorrelate_subqueries(query, table, catalog, mesh):
+    """Rewrite single-level CORRELATED expression subqueries into LEFT
+    JOINs against grouped derived tables — classic decorrelation,
+    TPU-shaped: the derived side groups on the correlation keys, so the
+    added join has unique build keys and takes the probe-preserving
+    lookup path (one grouped build + one column lookup instead of a
+    per-outer-row rescan; rescanning would be O(N·M) and unbatchable).
+
+    Supported forms (extension — the reference has no subqueries at
+    all, expression.hpp:99-143):
+
+    * ``[NOT] EXISTS (SELECT … FROM u WHERE u.k = t.k [AND …])`` —
+      derived ``SELECT k, COUNT(*) AS __hit … GROUP BY k``; EXISTS
+      becomes ``__hit IS NOT NULL`` after the LEFT join.
+    * scalar ``(SELECT AGG(x) FROM u WHERE u.k = t.k [AND …])`` —
+      derived ``SELECT k, AGG(x) AS __v … GROUP BY k``; COUNT-family
+      aggregates coalesce to 0 on empty match sets (standard), the
+      rest read NaN (the engine's missing-value marker).
+    * ``e [NOT] IN (SELECT x FROM u WHERE u.k = t.k [AND …])`` — the
+      inner item joins the correlation keys (e and x must be bare
+      columns); membership is an extra-key EXISTS.
+
+    Correlation predicates must be top-level AND-ed column equalities
+    between the inner relation and the outer row; NaN keys never match
+    (IEEE ``==``), consistent with the engine's join semantics.  Inner
+    GROUP BY/HAVING/set-ops stay unsupported in the correlated case.
+    """
+    clause_nodes = [
+        *query.select_list, query.where, query.having,
+        *(query.group_by.keys if query.group_by else ()),
+        *(
+            (t.expr for t in query.order_by.terms)
+            if query.order_by
+            else ()
+        ),
+    ]
+    sub_nodes: list = []
+    seen_ids = set()
+    for n in clause_nodes:
+        if n is None:
+            continue
+        for x in walk(n):
+            if isinstance(
+                x, (ScalarSubquery, InSubquery, ExistsSubquery)
+            ) and id(x) not in seen_ids:
+                seen_ids.add(id(x))
+                sub_nodes.append(x)
+    if not sub_nodes:
+        return query, catalog
+
+    catalog = catalog or {}
+    # Outer namespace: the FROM relation's columns plus every joined
+    # relation's (qualified and free names), mirroring the joined-table
+    # namespace the outer query executes in.
+    outer_rels = {query.from_table} | {j.table for j in query.joins}
+    outer_cols = set()
+    for n in table.dtypes:
+        outer_cols.add(n)
+        outer_cols.add(n.rsplit(".", 1)[-1])
+    for j in query.joins:
+        right = catalog.get(j.table, table)
+        for n in right.dtypes:
+            outer_cols.add(n.rsplit(".", 1)[-1])
+            outer_cols.add(f"{j.table}.{n.rsplit('.', 1)[-1]}")
+
+    def _inner_namespace(sub: Query):
+        """(relation names, addressable column names) of the subquery's
+        own scope.  An unknown FROM name falls back to the outer table
+        (reference behaviour), making every unqualified name inner."""
+        rels = {sub.from_table} | {j.table for j in sub.joins}
+        if sub.from_source:
+            rels.add(sub.from_source)
+        cols = set()
+        base = catalog.get(sub.from_source or sub.from_table, table)
+        for n in base.dtypes:
+            cols.add(n)
+            cols.add(n.rsplit(".", 1)[-1])
+            cols.add(f"{sub.from_table}.{n.rsplit('.', 1)[-1]}")
+        for j in sub.joins:
+            jt = catalog.get(j.source or j.table)
+            if jt is not None:
+                for n in jt.dtypes:
+                    cols.add(n.rsplit(".", 1)[-1])
+                    cols.add(f"{j.table}.{n.rsplit('.', 1)[-1]}")
+        return rels, cols
+
+    def _is_outer(v: Variable, inner_rels, inner_cols) -> bool:
+        if v.qualifier is not None:
+            if v.qualifier in inner_rels:
+                return False
+            return v.qualifier in outer_rels
+        if v.name in inner_cols:
+            return False  # inner scope shadows outer (standard)
+        return v.name in outer_cols
+
+    def _outer_refs_in(node, inner_rels, inner_cols) -> list:
+        if node is None:
+            return []
+        return [
+            v
+            for v in walk(node)
+            if isinstance(v, Variable)
+            and _is_outer(v, inner_rels, inner_cols)
+        ]
+
+    replacements: dict = {}
+    new_joins: list = []
+    derived_tables: dict = {}
+
+    def _decorrelate_one(node) -> None:
+        sub = node.query
+        inner_rels, inner_cols = _inner_namespace(sub)
+        non_where = [
+            *sub.select_list, sub.having,
+            *(sub.group_by.keys if sub.group_by else ()),
+            *(
+                (t.expr for t in sub.order_by.terms)
+                if sub.order_by
+                else ()
+            ),
+        ]
+        where_refs = _outer_refs_in(sub.where, inner_rels, inner_cols)
+        other_refs = [
+            r
+            for n in non_where
+            for r in _outer_refs_in(n, inner_rels, inner_cols)
+        ]
+        if not where_refs and not other_refs:
+            return  # uncorrelated: the constant-folding resolver owns it
+        if other_refs:
+            raise UnsupportedError(
+                "Correlated subqueries may reference outer columns only "
+                "in WHERE equality predicates (got outer reference "
+                f"{other_refs[0].name} elsewhere)"
+            )
+        if sub.group_by is not None or sub.having is not None or getattr(
+            sub, "set_ops", None
+        ) or getattr(sub, "ctes", None):
+            raise UnsupportedError(
+                "Correlated subqueries do not support their own "
+                "GROUP BY/HAVING/set operations"
+            )
+
+        pairs: list = []  # (inner Variable, outer Variable)
+        residual: list = []
+        for c in _and_conjuncts(sub.where):
+            refs = _outer_refs_in(c, inner_rels, inner_cols)
+            if not refs:
+                residual.append(c)
+                continue
+            ok = (
+                isinstance(c, BinaryOp)
+                and c.op in ("=", "==")
+                and isinstance(c.left, Variable)
+                and isinstance(c.right, Variable)
+            )
+            if ok:
+                lo = _is_outer(c.left, inner_rels, inner_cols)
+                ro = _is_outer(c.right, inner_rels, inner_cols)
+                ok = lo != ro
+            if not ok:
+                raise UnsupportedError(
+                    "Correlated subquery predicates must be column "
+                    f"equalities (inner.col = outer.col); got: "
+                    f"{c.canonical()}"
+                )
+            inner_v, outer_v = (
+                (c.right, c.left) if lo else (c.left, c.right)
+            )
+            pairs.append((inner_v, outer_v))
+
+        name = f"{_CORR_PREFIX}{len(new_joins)}"
+        if isinstance(node, InSubquery):
+            if not isinstance(unalias(node.expr), Variable):
+                raise UnsupportedError(
+                    "Correlated IN requires a bare column on the left "
+                    "of IN"
+                )
+            if len(sub.select_list) != 1 or not isinstance(
+                unalias(sub.select_list[0]), Variable
+            ):
+                raise UnsupportedError(
+                    "Correlated IN (SELECT …) must select a single bare "
+                    "column"
+                )
+            pairs.append(
+                (unalias(sub.select_list[0]), unalias(node.expr))
+            )
+
+        import copy as _copy
+
+        dq = _copy.copy(sub)
+        dq.where = _and_chain(residual)
+        dq.select_list = [
+            Alias(iv, f"__k{j}") for j, (iv, _ov) in enumerate(pairs)
+        ]
+        dq.group_by = GroupBy(tuple(iv for iv, _ov in pairs))
+        dq.order_by = None
+        dq.limit = None
+        dq.offset = None
+        dq.distinct = False
+        if isinstance(node, ScalarSubquery):
+            if len(sub.select_list) != 1:
+                raise ValidationError(
+                    "Subquery used as a value must select exactly one "
+                    "column"
+                )
+            agg = unalias(sub.select_list[0])
+            if not isinstance(agg, Aggregation):
+                raise UnsupportedError(
+                    "Correlated scalar subqueries must select a single "
+                    "aggregate (e.g. (SELECT MAX(x) FROM …)); bare "
+                    "columns are ambiguous per outer row"
+                )
+            dq.select_list.append(Alias(agg, "__v"))
+            out_col = Variable(f"{name}.__v")
+            if agg.agg in (
+                AggregationType.COUNT, AggregationType.COUNT_DISTINCT
+            ):
+                # COUNT over an empty match set is 0, not NULL.
+                replacement: Node = FunctionCall(
+                    "coalesce", (out_col, Constant("0"))
+                )
+            else:
+                replacement = out_col
+        else:
+            dq.select_list.append(
+                Alias(Aggregation(AggregationType.COUNT, Star()), "__hit")
+            )
+            # [NOT] EXISTS / IN → hit IS NOT NULL after the LEFT join
+            # (outer NOT wrappers compose around the boolean).
+            replacement = BinaryOp(
+                "==",
+                FunctionCall("isnan", (Variable(f"{name}.__hit"),)),
+                Constant("0"),
+            )
+
+        base = _from_relation(dq, catalog, table)
+        # Memoised per source-table instance like FROM (SELECT …) —
+        # repeated statements skip the derived-side grouping entirely.
+        from collections import OrderedDict
+
+        memo = getattr(base, "_subq_memo", None)
+        if memo is None:
+            memo = base._subq_memo = OrderedDict()
+        mkey = ("decorr",) + query_dep_key(dq, base, catalog, mesh)
+        derived = memo.get(mkey)
+        if derived is not None:
+            memo.move_to_end(mkey)
+        else:
+            derived = materialize_query_table(dq, base, catalog, mesh)
+            memo[mkey] = derived
+            while len(memo) > 4:
+                memo.popitem(last=False)
+
+        cond = _and_chain(
+            [
+                BinaryOp("=", ov, Variable(f"{name}.__k{j}"))
+                for j, (_iv, ov) in enumerate(pairs)
+            ]
+        )
+        derived_tables[name] = derived
+        new_joins.append(Join(name, cond, "left", None))
+        replacements[id(node)] = replacement
+
+    for node in sub_nodes:
+        _decorrelate_one(node)
+    if not replacements:
+        return query, catalog
+
+    def rw(node):
+        if node is None:
+            return None
+        rep = replacements.get(id(node))
+        if rep is not None:
+            return rep
+        if isinstance(node, Alias):
+            return Alias(rw(node.expr), node.name)
+        if isinstance(node, BinaryOp):
+            return BinaryOp(node.op, rw(node.left), rw(node.right))
+        if isinstance(node, CaseWhen):
+            return CaseWhen(
+                tuple(rw(c) for c in node.conditions),
+                tuple(rw(v) for v in node.values),
+                rw(node.default),
+            )
+        if isinstance(node, FunctionCall):
+            return FunctionCall(node.name, tuple(rw(a) for a in node.args))
+        if isinstance(node, Aggregation):
+            return Aggregation(node.agg, rw(node.expr), node.param)
+        if isinstance(node, WindowFunction):
+            return WindowFunction(
+                node.agg,
+                rw(node.expr),
+                tuple(rw(p) for p in node.partition_by),
+                None
+                if node.order_by is None
+                else OrderBy(
+                    rw(node.order_by.expr), node.order_by.ascending
+                ),
+                node.frame,
+                node.frame_type,
+                node.param,
+            )
+        if isinstance(node, (InValueSet, InCodeSet, LikePattern)):
+            return type(node)(
+                rw(node.expr),
+                *[
+                    getattr(node, f)
+                    for f in ("values", "codes", "pattern", "vocab_size")
+                    if hasattr(node, f)
+                ],
+            )
+        if isinstance(node, InSubquery):
+            return InSubquery(rw(node.expr), node.query)
+        return node
+
+    import copy as _copy
+
+    q2 = _copy.copy(query)
+    q2.select_list = [rw(s) for s in query.select_list]
+    q2.where = rw(query.where)
+    q2.having = rw(query.having)
+    if query.group_by is not None:
+        q2.group_by = GroupBy(tuple(rw(k) for k in query.group_by.keys))
+    if query.order_by is not None:
+        q2.order_by = OrderBy(
+            rw(query.order_by.expr),
+            query.order_by.ascending,
+            tuple(
+                OrderBy(rw(t.expr), t.ascending)
+                for t in query.order_by.then
+            ),
+        )
+    q2.joins = list(query.joins) + new_joins
+    catalog = dict(catalog)
+    catalog.update(derived_tables)
+    return q2, catalog
 
 
 # ---------------------------------------------------------------------------
@@ -692,6 +1052,10 @@ def expand_stars_query(query: Query, table: DeviceTable, catalog=None) -> list:
     seen = set(base_names)
     join_names: dict = {}
     for join in query.joins:
+        if join.table.startswith(_CORR_PREFIX):
+            # Decorrelation joins are plumbing, not user relations —
+            # ``SELECT *`` must not expose their __k/__hit/__v columns.
+            continue
         right = catalog.get(join.table, table)
         lst = join_names.setdefault(join.table, [])
         for n in right.dtypes:
@@ -756,6 +1120,7 @@ def run_query(
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
     catalog = _resolve_alias_catalog(query, table, catalog)
+    query, catalog = _decorrelate_subqueries(query, table, catalog, mesh)
     query = _resolve_expr_subqueries(query, table, catalog, mesh)
 
     if any(isinstance(s, Alias) for s in query.select_list):
@@ -1411,12 +1776,21 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
         AggregationType.LAG: 1,
         AggregationType.LEAD: -1,
     }.get(select.agg, 0)
-    if shift_dir and select.order_by is None:
-        raise UnsupportedError(
-            "LAG/LEAD require an ORDER BY inside OVER (...)"
-        )
+    if shift_dir:
+        if select.order_by is None:
+            raise UnsupportedError(
+                "LAG/LEAD require an ORDER BY inside OVER (...)"
+            )
+        shift_dir *= int(select.param or 1)
     edge_last = select.agg is AggregationType.LAST_VALUE
     is_edge = edge_last or select.agg is AggregationType.FIRST_VALUE
+    nth_n = 0
+    if select.agg is AggregationType.NTH_VALUE:
+        nth_n = int(select.param or 1)
+        if select.order_by is None:
+            raise UnsupportedError(
+                "NTH_VALUE requires an ORDER BY inside OVER (...)"
+            )
     ntile_n = 0
     if select.agg is AggregationType.NTILE:
         if not isinstance(select.expr, Constant):
@@ -1445,9 +1819,11 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             dense_window_aggregate,
             window_edge_value,
             window_frame,
+            window_nth_value,
             window_ntile,
             window_range_frame,
             window_rank,
+            window_relative_rank,
             window_running,
             window_shift,
         )
@@ -1456,6 +1832,10 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
             AggregationType.ROW_NUMBER,
             AggregationType.RANK,
             AggregationType.DENSE_RANK,
+        )
+        rel_rank = select.agg in (
+            AggregationType.PERCENT_RANK,
+            AggregationType.CUME_DIST,
         )
         val_fn = build_evaluator(select.expr)
         part_fns = [build_evaluator(p) for p in part_exprs]
@@ -1550,9 +1930,26 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                     part, ok, vals, valid, last=edge_last,
                     ascending=ord_asc if okeys is not None else True,
                 )
+            elif nth_n:
+                win = window_nth_value(
+                    part, okeys, vals, valid, nth_n, ascending=ord_asc
+                )
             elif ntile_n:
                 win = window_ntile(
                     part, okeys, valid, ntile_n, ascending=ord_asc
+                )
+            elif rel_rank:
+                # PERCENT_RANK/CUME_DIST; without ORDER BY, row order
+                # decides (consistent with the RANK family below).
+                n_pad = vals.shape[0]
+                ok = (
+                    okeys
+                    if okeys is not None
+                    else jnp.arange(n_pad, dtype=jnp.float32)
+                )
+                win = window_relative_rank(
+                    part, ok, valid, agg_name,
+                    ascending=ord_asc if okeys is not None else True,
                 )
             elif ranking:
                 # ROW_NUMBER/RANK; without ORDER BY, row order decides.
@@ -1681,6 +2078,7 @@ def run_query_table(
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
     catalog = _resolve_alias_catalog(query, table, catalog)
+    query, catalog = _decorrelate_subqueries(query, table, catalog, mesh)
     query = _resolve_expr_subqueries(query, table, catalog, mesh)
 
     expanded = expand_stars_query(query, table, catalog)

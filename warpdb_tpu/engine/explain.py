@@ -91,7 +91,7 @@ def explain_query(
             except Exception:
                 n_pairs = 0
             small = (
-                n_pairs == 1
+                (n_pairs == 1 or join.condition is None)
                 and right.num_rows <= cfg.join_dense_build_max
             )
             if small:
@@ -108,12 +108,20 @@ def explain_query(
             "left": "left outer",
             "right": "right outer",
             "full": "full outer",
+            "cross": "cross",
         }.get(getattr(join, "kind", "inner"), "inner")
-        lines.append(
-            f"  join: {jk} equi-join with '{join.table}' on "
-            f"{_fmt(join.condition)} "
-            f"[{how}; build side {right.num_rows} rows]"
-        )
+        if join.condition is None:
+            lines.append(
+                f"  join: cross join with '{join.table}' "
+                f"(cartesian product via a constant-key equi-join) "
+                f"[{how}; build side {right.num_rows} rows]"
+            )
+        else:
+            lines.append(
+                f"  join: {jk} equi-join with '{join.table}' on "
+                f"{_fmt(join.condition)} "
+                f"[{how}; build side {right.num_rows} rows]"
+            )
 
     select_items = [
         unalias(s)

@@ -208,7 +208,11 @@ def _materialize_join(
     — repeated star-schema queries skip the join entirely."""
     from ..config import get_config
 
-    pairs = _equality_pairs(cond)
+    # CROSS JOIN (cond None): the cartesian product IS an equi-join on
+    # a constant key — every probe row matches every build row — so the
+    # whole machinery below (dense phase 1, expansion, projection
+    # pushdown, memo) is reused with one synthetic all-zero key pair.
+    pairs = [] if kind == "cross" else _equality_pairs(cond)
 
     cache_cap = get_config().join_cache_entries
     memo = None
@@ -220,7 +224,8 @@ def _materialize_join(
 
             memo = left._join_memo = OrderedDict()
         mkey = (
-            _table_uid(right), right_name, cond.canonical(), kind,
+            _table_uid(right), right_name,
+            "<cross>" if cond is None else cond.canonical(), kind,
             None if needed is None else frozenset(needed),
             None if mesh is None else int(mesh.devices.size),
         )
@@ -248,7 +253,9 @@ def _materialize_join(
                 memo.popitem(last=False)
         return out
 
-    if mesh is not None and int(mesh.devices.size) > 1:
+    if mesh is not None and int(mesh.devices.size) > 1 and pairs:
+        # (CROSS joins stay single-program: hash-partitioning a
+        # constant key would land every row on one device anyway.)
         out = _materialize_join_distributed(
             left, right, right_name, pairs, needed, mesh, kind
         )
@@ -321,6 +328,12 @@ def _materialize_join_local(
         lkeys.append(_as_f32(lkey_raw))
         rkeys.append(_as_f32(rkey_raw))
         pair_canons.append((left_var.canonical(), right_var.canonical()))
+    if not pairs:
+        # CROSS JOIN: one synthetic all-zero key — every valid probe
+        # row matches every valid build row.
+        lkeys.append(jnp.zeros((left.padded_rows,), jnp.float32))
+        rkeys.append(jnp.zeros((right.padded_rows,), jnp.float32))
+        pair_canons.append(("<cross>", "<cross>"))
 
     # Dimension-table fast path: a single-key join against a small build
     # side replaces the two full-width probe∪build sorts with a virtual
@@ -330,7 +343,7 @@ def _materialize_join_local(
     from ..config import get_config
 
     dense_k = 0
-    if len(pairs) == 1:
+    if len(pairs) <= 1:  # single key (CROSS uses the synthetic key)
         k_cap = max(_next_pow2(max(right.num_rows, 1)), 8)
         if k_cap <= get_config().join_dense_build_max:
             dense_k = k_cap
@@ -1144,6 +1157,8 @@ def _materialize_joins(
     for i, join in enumerate(query.joins):
         needed = set(base_needed)
         for later in query.joins[i + 1 :]:
+            if later.condition is None:  # CROSS JOIN
+                continue
             for n in walk(later.condition):
                 if isinstance(n, Variable):
                     needed.add(n.name)

@@ -338,6 +338,15 @@ class AggregationType(enum.Enum):
     # NTILE(n): bucket number 1..n, partition rows split as evenly as
     # possible with earlier buckets taking the remainder (standard).
     NTILE = "ntile"
+    # Window-only relative ranks: PERCENT_RANK = (rank−1)/(count−1)
+    # (0 for a single-row partition); CUME_DIST = rows with order key
+    # ≤ current / partition count (peers included).
+    PERCENT_RANK = "percent_rank"
+    CUME_DIST = "cume_dist"
+    # NTH_VALUE(expr, n): the expression's value at the partition's n-th
+    # row in order-key order (whole-partition frame, matching
+    # FIRST_VALUE/LAST_VALUE above); NaN when the partition has < n rows.
+    NTH_VALUE = "nth_value"
     # COUNT(DISTINCT expr) — extension.
     COUNT_DISTINCT = "count_distinct"
     # MEDIAN(expr) — extension (interpolated: mean of the two middle
@@ -397,9 +406,15 @@ class WindowFunction(Node):
     frame: Optional[tuple[Optional[float], Optional[float]]] = None
     #: "rows" | "range" — meaningless unless ``frame`` is set.
     frame_type: str = "rows"
+    #: Integer parameter: NTH_VALUE's n, LAG/LEAD's offset (None = 1).
+    #: Changes results, so it joins ``canonical()`` (the cache key).
+    param: Optional[int] = None
 
     def canonical(self) -> str:
-        parts = [f"{self.agg.name}({self.expr.canonical()}) OVER ("]
+        arg = self.expr.canonical()
+        if self.param is not None:
+            arg += f", {self.param}"
+        parts = [f"{self.agg.name}({arg}) OVER ("]
         if self.partition_by:
             parts.append(
                 "PARTITION BY " + ", ".join(p.canonical() for p in self.partition_by)
@@ -468,11 +483,12 @@ class OrderBy:
 @dataclass(frozen=True)
 class Join:
     table: str
-    condition: Node
-    # "inner" (default), "left", "right", or "full".  OUTER variants
-    # keep unmatched rows with the other side's columns filled NaN
-    # (codes -1 for strings) — the engine's missing-value marker (it
-    # has no NULL representation).
+    # ``None`` only for CROSS JOIN (no ON clause).
+    condition: Optional[Node]
+    # "inner" (default), "left", "right", "full", or "cross".  OUTER
+    # variants keep unmatched rows with the other side's columns filled
+    # NaN (codes -1 for strings) — the engine's missing-value marker (it
+    # has no NULL representation).  CROSS is the full cartesian product.
     kind: str = "inner"
     # When the join relation is aliased (``JOIN sales AS s``), ``table``
     # holds the alias (all qualified refs resolve against it) and
@@ -546,9 +562,13 @@ class Query:
                 "left": "LEFT JOIN",
                 "right": "RIGHT JOIN",
                 "full": "FULL JOIN",
+                "cross": "CROSS JOIN",
             }.get(j.kind, "JOIN")
             rel = f"{j.source} AS {j.table}" if j.source else j.table
-            parts.append(f"{prefix} {rel} ON {j.condition.canonical()}")
+            if j.condition is None:
+                parts.append(f"{prefix} {rel}")
+            else:
+                parts.append(f"{prefix} {rel} ON {j.condition.canonical()}")
         if self.where is not None:
             parts.append(f"WHERE {self.where.canonical()}")
         if self.group_by is not None:

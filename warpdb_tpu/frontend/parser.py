@@ -70,6 +70,8 @@ _RANK_KEYWORDS = {
     "ROW_NUMBER": AggregationType.ROW_NUMBER,
     "RANK": AggregationType.RANK,
     "DENSE_RANK": AggregationType.DENSE_RANK,
+    "PERCENT_RANK": AggregationType.PERCENT_RANK,
+    "CUME_DIST": AggregationType.CUME_DIST,
 }
 
 # Window functions taking one expression argument before OVER (...).
@@ -79,7 +81,19 @@ _ARG_WINDOW_FNS = {
     "FIRST_VALUE": AggregationType.FIRST_VALUE,
     "LAST_VALUE": AggregationType.LAST_VALUE,
     "NTILE": AggregationType.NTILE,
+    "NTH_VALUE": AggregationType.NTH_VALUE,
 }
+
+# Of those, the ones accepting an integer second argument:
+# LAG/LEAD(expr [, offset]) — optional, default 1;
+# NTH_VALUE(expr, n) — mandatory.
+_INT_PARAM_WINDOW_FNS = frozenset(
+    {
+        AggregationType.LAG,
+        AggregationType.LEAD,
+        AggregationType.NTH_VALUE,
+    }
+)
 
 _COMPARISON_OPS = (">", "<", ">=", "<=", "==", "!=", "=")
 
@@ -634,6 +648,12 @@ class _QueryParser:
                     break
                 if stop_on_comma and tok.type is TokenType.OPERATOR and tok.value == ",":
                     break
+                # Contextual ``CROSS JOIN`` opens a join clause wherever
+                # the JOIN keyword itself would stop the slice (a column
+                # named `cross` can never directly precede JOIN in a
+                # valid expression).
+                if "JOIN" in stop_kws and self._at_cross_join():
+                    break
             self.pos += 1
         out = self.toks[start : self.pos]
         return out + [Token(TokenType.END, "")]
@@ -660,10 +680,27 @@ class _QueryParser:
             self.pos < len(self.toks)
             and self.toks[self.pos].type is TokenType.IDENTIFIER
         ):
+            # Contextual CROSS: in ``t CROSS JOIN u`` the identifier is
+            # the join prefix, not an alias for t (a relation named or
+            # aliased `cross` keeps working everywhere else).
+            if self._at_cross_join():
+                return None
             alias = self.toks[self.pos].value
             self.pos += 1
             return alias
         return None
+
+    def _at_cross_join(self) -> bool:
+        """True at the contextual ``CROSS JOIN`` prefix (CROSS is not a
+        reserved keyword — the reference's 23-keyword set is preserved)."""
+        return (
+            self.pos < len(self.toks)
+            and self.toks[self.pos].type is TokenType.IDENTIFIER
+            and self.toks[self.pos].value.upper() == "CROSS"
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1].type is TokenType.KEYWORD
+            and self.toks[self.pos + 1].value == "JOIN"
+        )
 
     # -- select items -------------------------------------------------------
     def parse_select_item(self, item: list[Token]) -> Node:
@@ -766,10 +803,51 @@ class _QueryParser:
                 and body[close + 1].type is TokenType.KEYWORD
                 and body[close + 1].value == "OVER"
             ):
-                inner_expr = parse_expression(
-                    body[2:close] + [Token(TokenType.END, "")]
-                )
                 agg = _ARG_WINDOW_FNS[body[0].value.upper()]
+                arg_toks = body[2:close]
+                param: Optional[int] = None
+                if agg in _INT_PARAM_WINDOW_FNS:
+                    # Split off an integer second argument at the
+                    # top-level comma: LAG/LEAD(expr [, offset]),
+                    # NTH_VALUE(expr, n).
+                    depth_c = 0
+                    comma = -1
+                    for k, tok in enumerate(arg_toks):
+                        if tok.type is TokenType.OPERATOR and tok.value == "(":
+                            depth_c += 1
+                        elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                            depth_c -= 1
+                        elif (
+                            depth_c == 0
+                            and tok.type is TokenType.OPERATOR
+                            and tok.value == ","
+                        ):
+                            comma = k
+                            break
+                    name = body[0].value.upper()
+                    if comma >= 0:
+                        ptoks = arg_toks[comma + 1 :]
+                        arg_toks = arg_toks[:comma]
+                        if not (
+                            len(ptoks) == 1
+                            and ptoks[0].type is TokenType.NUMBER
+                            and float(ptoks[0].value) >= 1
+                            and float(ptoks[0].value)
+                            == int(float(ptoks[0].value))
+                        ):
+                            raise ParseError(
+                                f"{name} takes a positive integer "
+                                f"second argument"
+                            )
+                        param = int(float(ptoks[0].value))
+                    elif agg is AggregationType.NTH_VALUE:
+                        raise ParseError(
+                            "NTH_VALUE requires a row number: "
+                            "NTH_VALUE(expr, n)"
+                        )
+                inner_expr = parse_expression(
+                    arg_toks + [Token(TokenType.END, "")]
+                )
                 if agg is AggregationType.NTILE and not (
                     isinstance(inner_expr, Constant)
                     and float(inner_expr.value) >= 1
@@ -778,7 +856,9 @@ class _QueryParser:
                     raise ParseError(
                         "NTILE requires a positive integer bucket count"
                     )
-                return self._parse_window(agg, inner_expr, body[close + 1 :])
+                return self._parse_window(
+                    agg, inner_expr, body[close + 1 :], param=param
+                )
         if body and body[0].type is TokenType.KEYWORD and body[0].value in _AGG_KEYWORDS:
             kw = body[0].value
             over_idx = len(body)
@@ -847,7 +927,11 @@ class _QueryParser:
         return parse_expression(item)
 
     def _parse_window(
-        self, agg: AggregationType, expr: Node, tail: list[Token]
+        self,
+        agg: AggregationType,
+        expr: Node,
+        tail: list[Token],
+        param: Optional[int] = None,
     ) -> WindowFunction:
         """Parse ``OVER ( [PARTITION BY k,…] [ORDER BY e [ASC|DESC]] )``.
 
@@ -926,7 +1010,9 @@ class _QueryParser:
                 frame_type = "range" if is_range else "rows"
                 p.pos += 1
                 frame = _parse_rows_frame(p, range_frame=is_range)
-        return WindowFunction(agg, expr, partition, order, frame, frame_type)
+        return WindowFunction(
+            agg, expr, partition, order, frame, frame_type, param
+        )
 
     # -- the statement -------------------------------------------------------
     def parse(self) -> Query:
@@ -1000,9 +1086,13 @@ class _QueryParser:
             or self.at_kw("RIGHT")
             or self.at_kw("FULL")
             or self.at_kw("INNER")
+            or self._at_cross_join()
         ):
             kind = "inner"
-            if self.at_kw("LEFT") or self.at_kw("RIGHT") or self.at_kw("FULL"):
+            if self._at_cross_join():
+                kind = "cross"
+                self.pos += 1
+            elif self.at_kw("LEFT") or self.at_kw("RIGHT") or self.at_kw("FULL"):
                 kind = self.toks[self.pos].value.lower()
                 self.pos += 1
                 if self.at_kw("OUTER"):
@@ -1025,8 +1115,15 @@ class _QueryParser:
             if alias is not None:
                 source = table
                 table = alias
-            self.expect_kw("ON")
-            cond = parse_expression(self.slice_until(*_CLAUSE_BOUNDARY_AFTER_JOIN))
+            if kind == "cross":
+                if self.at_kw("ON"):
+                    raise ParseError("CROSS JOIN takes no ON condition")
+                cond = None
+            else:
+                self.expect_kw("ON")
+                cond = parse_expression(
+                    self.slice_until(*_CLAUSE_BOUNDARY_AFTER_JOIN)
+                )
             q.joins.append(Join(table, cond, kind, source))
 
         if self.at_kw("WHERE"):

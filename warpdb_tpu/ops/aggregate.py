@@ -713,8 +713,8 @@ def window_shift(
     offset: int,
     ascending: bool = True,
 ) -> jax.Array:
-    """``LAG(expr)`` (offset=+1) / ``LEAD(expr)`` (offset=-1)
-    ``OVER (PARTITION BY … ORDER BY …)``: the neighbouring row's value
+    """``LAG(expr, k)`` (offset=+k) / ``LEAD(expr, k)`` (offset=-k)
+    ``OVER (PARTITION BY … ORDER BY …)``: the value k rows back/ahead
     within the partition, NaN where no such row exists (the engine's
     missing-value marker).
 
@@ -744,21 +744,22 @@ def window_shift(
     pid = jnp.cumsum(first.astype(jnp.int32))
 
     nan = jnp.float32(jnp.nan)
-    if offset > 0:  # LAG: previous sorted row
-        shifted = jnp.concatenate([jnp.full((1,), nan), val_s[:-1]])
+    k = min(abs(int(offset)), n)  # static shift distance
+    if offset > 0:  # LAG: k-th previous sorted row
+        shifted = jnp.concatenate([jnp.full((k,), nan), val_s[: n - k]])
         same = jnp.concatenate(
-            [jnp.zeros((1,), jnp.bool_), pid[1:] == pid[:-1]]
+            [jnp.zeros((k,), jnp.bool_), pid[k:] == pid[: n - k]]
         )
         shifted_valid = jnp.concatenate(
-            [jnp.zeros((1,), jnp.bool_), valid_s[:-1]]
+            [jnp.zeros((k,), jnp.bool_), valid_s[: n - k]]
         )
-    else:  # LEAD: next sorted row
-        shifted = jnp.concatenate([val_s[1:], jnp.full((1,), nan)])
+    else:  # LEAD: k-th next sorted row
+        shifted = jnp.concatenate([val_s[k:], jnp.full((k,), nan)])
         same = jnp.concatenate(
-            [pid[1:] == pid[:-1], jnp.zeros((1,), jnp.bool_)]
+            [pid[k:] == pid[: n - k], jnp.zeros((k,), jnp.bool_)]
         )
         shifted_valid = jnp.concatenate(
-            [valid_s[1:], jnp.zeros((1,), jnp.bool_)]
+            [valid_s[k:], jnp.zeros((k,), jnp.bool_)]
         )
     ok = jnp.logical_and(
         valid_s, jnp.logical_and(same, shifted_valid)
@@ -888,6 +889,170 @@ def window_ntile(
     out = jnp.zeros((n,), jnp.float32).at[idx_s].set(
         bucket.astype(jnp.float32)
     )
+    return jnp.where(valid, out, 0.0)
+
+
+def window_relative_rank(
+    part_keys,
+    order_keys: jax.Array,
+    mask: jax.Array,
+    kind: str,
+    ascending: bool = True,
+) -> jax.Array:
+    """``PERCENT_RANK()`` / ``CUME_DIST()``
+    ``OVER (PARTITION BY … ORDER BY …)`` (standard):
+
+    * PERCENT_RANK = (rank − 1) / (partition count − 1), 0 for a
+      single-row partition;
+    * CUME_DIST = (number of partition rows with order key ≤ current,
+      peers included) / partition count.
+
+    One sort by (validity, partition keys…, order key), then cummax
+    scans for the tied-run start (rank) and two backward segmented
+    copy-scans broadcasting the partition size and the peer-run end —
+    the same gather-free machinery as NTILE/RANK."""
+    if kind not in ("percent_rank", "cume_dist"):
+        raise ValueError(f"Unknown relative-rank window function: {kind}")
+    part_keys = _as_key_tuple(part_keys)
+    n = order_keys.shape[0]
+    valid = mask
+    vkey = (~valid).astype(jnp.uint32)
+    pkeys = tuple(float_sort_key(k) for k in part_keys)
+    nk = len(pkeys)
+    okey = float_sort_key(order_keys)
+    if not ascending:
+        okey = ~okey
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = lax.sort(
+        (vkey,) + pkeys + (okey, idx, valid.astype(jnp.int32)),
+        num_keys=nk + 2,
+        is_stable=True,
+    )
+    pkeys_s = sorted_ops[: nk + 1]  # validity + partition keys
+    okey_s, idx_s = sorted_ops[nk + 1], sorted_ops[nk + 2]
+    valid_s = sorted_ops[nk + 3].astype(jnp.bool_)
+    first = _partition_boundaries(pkeys_s, valid_s)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    part_start = lax.cummax(jnp.where(first, pos, 0))
+    r0 = pos - part_start
+    # Partition size: r0 at the segment's last row + 1, broadcast back
+    # via a reversed copy-scan (see window_ntile for the validity-
+    # transition subtlety in `last_row`).
+    last_row = jnp.concatenate([
+        jnp.logical_or(first[1:], valid_s[1:] != valid_s[:-1]),
+        jnp.ones((1,), jnp.bool_),
+    ])
+    cnt = jnp.flip(
+        segmented_inclusive_scan(
+            jnp.flip(r0), jnp.flip(last_row),
+            lambda cur, prev: prev, jnp.int32(0),
+        )
+    ) + 1
+    okey_first = jnp.logical_or(
+        first,
+        jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), okey_s[1:] != okey_s[:-1]]
+        ),
+    )
+    if kind == "percent_rank":
+        # Rank = row number at the first row of the tied run (cummax of
+        # run-start positions, nondecreasing across partitions).
+        run_start = lax.cummax(jnp.where(okey_first, pos, 0))
+        rank = run_start - part_start + 1
+        out_s = (rank - 1).astype(jnp.float32) / jnp.maximum(
+            cnt - 1, 1
+        ).astype(jnp.float32)
+    else:  # cume_dist
+        # Peer-run end position broadcast back over the run (validity
+        # transitions close a run even when keys happen to match).
+        run_last = jnp.logical_or(
+            jnp.concatenate([okey_first[1:], jnp.ones((1,), jnp.bool_)]),
+            last_row,
+        )
+        run_end = jnp.flip(
+            segmented_inclusive_scan(
+                jnp.flip(pos), jnp.flip(run_last),
+                lambda cur, prev: prev, jnp.int32(0),
+            )
+        )
+        out_s = (run_end - part_start + 1).astype(
+            jnp.float32
+        ) / cnt.astype(jnp.float32)
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
+    return jnp.where(valid, out, 0.0)
+
+
+def window_nth_value(
+    part_keys,
+    order_keys: jax.Array,
+    values: jax.Array,
+    mask: jax.Array,
+    nth: int,
+    ascending: bool = True,
+) -> jax.Array:
+    """``NTH_VALUE(expr, n) OVER (PARTITION BY … ORDER BY …)``: the
+    expression's value at the partition's n-th row in order-key order,
+    broadcast to every partition row (whole-partition frame, matching
+    FIRST_VALUE/LAST_VALUE — see AggregationType docs); NaN where the
+    partition holds fewer than n rows.
+
+    One sort, then the n-th row's value reaches every partition row
+    with two segmented scans: a forward sum-scan of the value masked to
+    the n-th row (a partition has exactly one such row, so the running
+    sum IS the value), and a reversed copy-scan broadcasting the
+    segment-end total back over the whole partition — gather-free."""
+    part_keys = _as_key_tuple(part_keys)
+    n = values.shape[0]
+    valid = mask
+    vkey = (~valid).astype(jnp.uint32)
+    pkeys = tuple(float_sort_key(k) for k in part_keys)
+    nk = len(pkeys)
+    okey = float_sort_key(order_keys)
+    if not ascending:
+        okey = ~okey
+    pos_u = jnp.arange(n, dtype=jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = lax.sort(
+        (vkey,) + pkeys + (okey, pos_u, values, idx,
+                           valid.astype(jnp.int32)),
+        num_keys=nk + 3,
+        is_stable=False,  # the position tie-break is already total
+    )
+    pkeys_s = sorted_ops[: nk + 1]
+    val_s, idx_s = sorted_ops[nk + 3], sorted_ops[nk + 4]
+    valid_s = sorted_ops[nk + 5].astype(jnp.bool_)
+    first = _partition_boundaries(pkeys_s, valid_s)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    part_start = lax.cummax(jnp.where(first, pos, 0))
+    r0 = pos - part_start
+    hit = jnp.logical_and(valid_s, r0 == jnp.int32(nth - 1))
+    seq = jnp.where(hit, val_s, 0.0)
+    # Whole-partition sum of the single-row mask == the n-th value
+    # (counted separately so a genuine 0.0 survives).
+    run_val = segmented_inclusive_scan(
+        seq, first, lambda cur, prev: cur + prev, jnp.float32(0.0)
+    )
+    run_hit = segmented_inclusive_scan(
+        hit.astype(jnp.int32), first,
+        lambda cur, prev: cur + prev, jnp.int32(0),
+    )
+    last_row = jnp.concatenate([
+        jnp.logical_or(first[1:], valid_s[1:] != valid_s[:-1]),
+        jnp.ones((1,), jnp.bool_),
+    ])
+
+    def back(v, ident):
+        return jnp.flip(
+            segmented_inclusive_scan(
+                jnp.flip(v), jnp.flip(last_row),
+                lambda cur, prev: prev, ident,
+            )
+        )
+
+    nth_all = back(run_val, jnp.float32(0.0))
+    present = back(run_hit, jnp.int32(0)) > 0
+    out_s = jnp.where(present, nth_all, jnp.float32(jnp.nan))
+    out = jnp.zeros((n,), jnp.float32).at[idx_s].set(out_s)
     return jnp.where(valid, out, 0.0)
 
 
