@@ -127,6 +127,36 @@ def test_having_count_empty(db):
     assert res == []
 
 
+def test_order_by_select_alias(db):
+    # Standard output-column resolution: ORDER BY may name a select
+    # alias (extension; the reference never connects the two).
+    res = db.query_sql_table(
+        "SELECT quantity, SUM(price) AS total FROM test "
+        "GROUP BY quantity ORDER BY total DESC"
+    )
+    totals = list(res.values())[1]
+    assert list(totals) == sorted(totals, reverse=True)
+
+
+def test_order_by_alias_plain_projection(db):
+    res = db.query_sql_table(
+        "SELECT price * quantity AS revenue FROM test ORDER BY revenue"
+    )
+    rev = list(res.values())[0]
+    assert list(rev) == sorted(rev)
+
+
+def test_order_by_alias_shadows_column(db):
+    # Alias wins over the input column of the same name (PostgreSQL
+    # output-column rule).
+    res = db.query_sql_table(
+        "SELECT quantity, price AS quantity_2, quantity AS price "
+        "FROM test ORDER BY price"
+    )
+    q = list(res.values())[0]
+    assert list(q) == sorted(q)
+
+
 def test_distinct_order_desc(db):
     res = db.query_sql("SELECT DISTINCT quantity FROM test ORDER BY quantity DESC")
     assert len(res) == 4

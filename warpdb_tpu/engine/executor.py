@@ -51,6 +51,7 @@ from ..frontend.ast import (
     StringLiteral,
     Variable,
     WindowFunction,
+    transform,
     unalias,
     walk,
 )
@@ -1117,6 +1118,14 @@ def run_query(
             "WITH (CTEs) resolve at the facade: use WarpDB.query_sql / "
             "query_sql_table"
         )
+    if query.group_by is not None and query.group_by.sets is not None:
+        # GROUPING SETS produce multi-typed rows; the table API owns
+        # them — return the first column (reference single-vector
+        # contract, warpdb.cpp:447-459).
+        out = run_query_table(query, table, catalog, mesh=mesh)
+        first = next(iter(out.values()), None)
+        return np.zeros(0, np.float32) if first is None else first
+    query = resolve_order_aliases(query)
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
     catalog = _resolve_alias_catalog(query, table, catalog)
@@ -2046,6 +2055,280 @@ def _dedup_rows(arrays: list, ordered: bool) -> list:
     return [c[idx] for c in cols]
 
 
+def _is_string_key(expr: Node, table: DeviceTable, catalog) -> bool:
+    """True when a grouping-key expression is a bare reference to a
+    dictionary-encoded (string) column of the FROM relation or any
+    catalog table — decides the NULL fill ("" vs NaN) for rolled-up
+    keys."""
+    expr = unalias(expr)
+    if not isinstance(expr, Variable):
+        return False
+    cands = {expr.name, expr.unqualified}
+    tables = [table]
+    for t in (catalog or {}).values():
+        if isinstance(t, DeviceTable):
+            tables.append(t)
+    for t in tables:
+        for c in cands:
+            if c in t.dicts:
+                return True
+    return False
+
+
+def _is_row_free(expr: Node) -> bool:
+    """True when an expression references no columns, aggregates, or
+    windows — its value is a per-query constant (possibly NaN via
+    nullval())."""
+    for n in walk(expr):
+        if isinstance(n, (Variable, Aggregation, WindowFunction, Star)):
+            return False
+    return True
+
+
+def _eval_scalar(expr: Node) -> float:
+    """Evaluate a row-free expression to its scalar value through the
+    same evaluator the compiler jits (so NaN propagation, builtins, and
+    CASE behave identically on the fill and exec paths)."""
+    from .compiler import build_evaluator
+
+    return float(np.asarray(jax.device_get(build_evaluator(expr)({}))))
+
+
+def _run_grouping_sets(
+    query: Query, table: DeviceTable, catalog, mesh
+) -> dict:
+    """GROUP BY GROUPING SETS / ROLLUP / CUBE (extension — the reference
+    grammar has plain GROUP BY only, expression.hpp:132-143).
+
+    One grouped pass per set through the ordinary grouped pipeline —
+    each reuses the dense/MXU/sort ladder, the plan cache, the join
+    memos, and the mesh paths — then the O(groups) per-set results
+    concatenate host-side.  Standard semantics in the engine's
+    missing-value representation: a rolled-up key reads NaN (numeric)
+    or "" (string) in its set's rows, and rolled-up references OUTSIDE
+    aggregates lower to nullval() so NULL propagates through arithmetic;
+    references inside aggregates keep the real column (SUM(b) for a set
+    excluding b aggregates actual b values).  GROUPING(key) lowers to a
+    per-set 0/1 constant (usable in SELECT, HAVING, and — via the
+    select list — ORDER BY)."""
+    import copy as _copy
+
+    gb = query.group_by
+    keys = list(gb.keys)
+    key_canon = [k.canonical() for k in keys]
+    if query.distinct:
+        raise UnsupportedError(
+            "DISTINCT with GROUPING SETS is not supported"
+        )
+    for it in query.select_list:
+        for n in walk(it):
+            if isinstance(n, WindowFunction):
+                raise UnsupportedError(
+                    "Window functions with GROUPING SETS are not "
+                    "supported"
+                )
+
+    names: list[str] = []
+    for i, item in enumerate(query.select_list):
+        names.append(result_column_name(item, i, names))
+    n_items = len(query.select_list)
+    combined: list[list] = [[] for _ in range(n_items)]
+    is_str_fill = [
+        _is_string_key(it, table, catalog) for it in query.select_list
+    ]
+
+    for s in gb.sets:
+        in_set = {key_canon[i] for i in s}
+        rolled = {c for c in key_canon if c not in in_set}
+
+        def subst(node, in_set=in_set, rolled=rolled):
+            if (
+                isinstance(node, FunctionCall)
+                and node.name.upper() == "GROUPING"
+                and len(node.args) == 1
+            ):
+                c = node.args[0].canonical()
+                if c in in_set:
+                    return Constant("0")
+                if c in rolled:
+                    return Constant("1")
+                raise ValidationError(
+                    "GROUPING() argument must be a GROUP BY key"
+                )
+            if node.canonical() in rolled:
+                return FunctionCall("nullval", ())
+            return node
+
+        exec_items: list[Node] = []
+        exec_pos: list[int] = []
+        fills: dict[int, object] = {}
+        for pos, item in enumerate(query.select_list):
+            new = transform(unalias(item), subst, prune=(Aggregation,))
+            if (
+                isinstance(new, FunctionCall)
+                and new.name == "nullval"
+                and not new.args
+            ):
+                # String keys travel as dictionary codes until the API
+                # boundary decodes them: code -1 IS the missing marker
+                # (decodes to ""); numeric NULL is NaN.
+                fills[pos] = -1.0 if is_str_fill[pos] else float("nan")
+            elif isinstance(new, Constant):
+                fills[pos] = new.value
+            elif _is_row_free(new):
+                # Rolled-up keys inside arithmetic (``quantity + 1`` in
+                # the grand-total set) leave a variable-free expression;
+                # evaluate it host-side to its per-set constant — mixing
+                # a per-row item into an aggregate-only set query would
+                # produce ragged columns.  NaN propagates (NULL
+                # semantics); COALESCE-style rescues evaluate correctly.
+                fills[pos] = _eval_scalar(new)
+            else:
+                exec_items.append(new)
+                exec_pos.append(pos)
+
+        having = (
+            transform(query.having, subst, prune=(Aggregation,))
+            if query.having is not None
+            else None
+        )
+        q2 = _copy.copy(query)
+        q2.order_by = None
+        q2.limit = None
+        q2.offset = None
+        q2.group_by = GroupBy(tuple(keys[i] for i in s)) if s else None
+        q2.having = having if s else None
+        items = list(exec_items)
+        having_pos = None
+        having_const = None
+        if not s and having is not None:
+            # Global-aggregate set: HAVING has no grouped pipeline to run
+            # in — evaluate it as an extra aggregate item and filter the
+            # single row host-side (NULL/NaN verdicts drop it, standard).
+            if _is_row_free(having):
+                having_const = _eval_scalar(having)
+            else:
+                having_pos = len(items)
+                items.append(having)
+        if not items:
+            items.append(Aggregation(AggregationType.COUNT, Star()))
+        q2.select_list = items
+        out = run_query_table(q2, table, catalog, mesh=mesh)
+        vals = list(out.values())
+        n = len(vals[0]) if vals else 0
+        if having_pos is not None and n:
+            hv = float(vals[having_pos][0])
+            if not (hv == hv and hv != 0.0):  # NaN or false → drop row
+                n = 0
+        if having_const is not None:
+            hv = float(having_const)
+            if not (hv == hv and hv != 0.0):
+                n = 0
+        for j, pos in enumerate(exec_pos):
+            v = vals[j][:n] if having_pos is not None else vals[j]
+            combined[pos].extend(
+                v.tolist() if hasattr(v, "tolist") else list(v)
+            )
+        for pos, fv in fills.items():
+            combined[pos].extend([fv] * n)
+
+    # ORDER BY / LIMIT / OFFSET over the combined rows, host-side
+    # (O(total groups), not O(rows)).  NaN fills follow the engine's
+    # total order (NaN sorts as the largest value: last ASC, first
+    # DESC); "" sorts as an ordinary empty string.
+    order = None
+    if query.order_by is not None and combined and combined[0] is not None:
+        m = len(combined[0]) if n_items else 0
+        sort_keys: list[np.ndarray] = []
+        for t in query.order_by.terms:
+            e = unalias(t.expr)
+            target = None
+            if isinstance(e, Variable):
+                for i, item in enumerate(query.select_list):
+                    if isinstance(item, Alias) and item.name == e.name:
+                        target = i
+                        break
+            if target is None:
+                c = e.canonical()
+                for i, item in enumerate(query.select_list):
+                    if unalias(item).canonical() == c:
+                        target = i
+                        break
+            if target is None:
+                raise UnsupportedError(
+                    "ORDER BY with GROUPING SETS must reference "
+                    "select-list items"
+                )
+            col = combined[target]
+            # ``sort_keys`` collects in significance order (term-major;
+            # within a numeric term the NaN flag outranks the value);
+            # np.lexsort takes its LAST key as primary, so it gets the
+            # reversed list.
+            if any(isinstance(x, str) for x in col):
+                arr = np.array(
+                    ["" if isinstance(x, float) else x for x in col]
+                )
+                codes = np.unique(arr, return_inverse=True)[1]
+                sort_keys.append(codes if t.ascending else -codes)
+            else:
+                arr = np.asarray(col, dtype=np.float64)
+                nan = np.isnan(arr)
+                filled = np.where(nan, 0.0, arr)
+                if t.ascending:
+                    sort_keys.append(nan)  # NaN last
+                    sort_keys.append(filled)
+                else:
+                    sort_keys.append(~nan)  # NaN first
+                    sort_keys.append(-filled)
+        if sort_keys:
+            order = np.lexsort(sort_keys[::-1])
+    out: dict = {}
+    off = query.offset or 0
+    end = None if query.limit is None else off + query.limit
+    for name, col in zip(names, combined):
+        if order is not None:
+            col = [col[i] for i in order]
+        out[name] = col[off:end]
+    return out
+
+
+def resolve_order_aliases(query: Query) -> Query:
+    """Rewrite ORDER BY terms naming a select-list alias into the aliased
+    expression (standard output-column resolution: the alias wins over an
+    input column of the same name, as in PostgreSQL).  Extension — the
+    reference never connects ORDER BY to aliases (expression.hpp:145-151).
+    Returns ``query`` unchanged (identity — plan-cache keys survive) when
+    no term references an alias."""
+    if query.order_by is None:
+        return query
+    alias_map = {
+        item.name: unalias(item)
+        for item in query.select_list
+        if isinstance(item, Alias)
+    }
+    if not alias_map:
+        return query
+    import copy as _copy
+
+    new_terms = []
+    changed = False
+    for t in query.order_by.terms:
+        e = t.expr
+        if isinstance(e, Variable) and e.qualifier is None and e.name in alias_map:
+            new_terms.append((alias_map[e.name], t.ascending))
+            changed = True
+        else:
+            new_terms.append((t.expr, t.ascending))
+    if not changed:
+        return query
+    query = _copy.copy(query)
+    head, *rest = new_terms
+    query.order_by = OrderBy(
+        head[0], head[1], tuple(OrderBy(e, a) for e, a in rest)
+    )
+    return query
+
+
 def run_query_table(
     query: Query,
     table: DeviceTable,
@@ -2063,6 +2346,8 @@ def run_query_table(
     the finished result rows host-side.
     """
     import copy as _copy
+
+    query = resolve_order_aliases(query)
 
     if getattr(query, "set_ops", None):
         raise UnsupportedError(
@@ -2085,6 +2370,9 @@ def run_query_table(
     if expanded is not query.select_list:
         query = _copy.copy(query)
         query.select_list = expanded
+
+    if query.group_by is not None and query.group_by.sets is not None:
+        return _run_grouping_sets(query, table, catalog, mesh)
 
     if query.joins:
         if query.group_by is not None:

@@ -499,6 +499,13 @@ class Join:
 @dataclass(frozen=True)
 class GroupBy:
     keys: tuple[Node, ...]
+    # Grouping sets (ROLLUP / CUBE / GROUPING SETS — extension; the
+    # reference grammar has GROUP BY only, expression.hpp:132-143):
+    # each element is a tuple of indices into ``keys`` naming the keys
+    # grouped in that set.  ``None`` means plain GROUP BY (one implicit
+    # set over every key).  Duplicate sets are kept (standard: they
+    # produce duplicate result rows).
+    sets: Optional[tuple[tuple[int, ...], ...]] = None
 
 
 @dataclass
@@ -572,9 +579,21 @@ class Query:
         if self.where is not None:
             parts.append(f"WHERE {self.where.canonical()}")
         if self.group_by is not None:
-            parts.append(
-                "GROUP BY " + ", ".join(k.canonical() for k in self.group_by.keys)
-            )
+            if self.group_by.sets is not None:
+                # The sets ARE the semantics (and so the cache key);
+                # rendering the normalised GROUPING SETS form makes
+                # ROLLUP(a, b) and its expansion share compiled plans.
+                ks = self.group_by.keys
+                rendered = ", ".join(
+                    "(" + ", ".join(ks[i].canonical() for i in s) + ")"
+                    for s in self.group_by.sets
+                )
+                parts.append(f"GROUP BY GROUPING SETS ({rendered})")
+            else:
+                parts.append(
+                    "GROUP BY "
+                    + ", ".join(k.canonical() for k in self.group_by.keys)
+                )
         if self.having is not None:
             parts.append(f"HAVING {self.having.canonical()}")
         if self.order_by is not None:
@@ -604,3 +623,36 @@ def walk(node: Node) -> Iterator[Node]:
 def column_refs(node: Node) -> list[Variable]:
     """All column references in an expression, in source order."""
     return [n for n in walk(node) if isinstance(n, Variable)]
+
+
+def transform(node: Node, fn, *, prune: tuple = ()) -> Node:
+    """Top-down rewrite: apply ``fn`` to each node; when it returns a
+    replacement, graft it and stop descending into that subtree.  Node
+    types in ``prune`` are kept verbatim without visiting their
+    children (e.g. ``Aggregation`` when a rewrite must only touch
+    row-level context).  Untouched subtrees are returned by identity,
+    so plan-cache keys survive no-op transforms."""
+    import dataclasses
+
+    new = fn(node)
+    if new is not node:
+        return new
+    if prune and isinstance(node, prune):
+        return node
+    if not dataclasses.is_dataclass(node):
+        return node
+    changes = {}
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, Node):
+            nv = transform(v, fn, prune=prune)
+            if nv is not v:
+                changes[f.name] = nv
+        elif isinstance(v, tuple) and any(isinstance(x, Node) for x in v):
+            nv = tuple(
+                transform(x, fn, prune=prune) if isinstance(x, Node) else x
+                for x in v
+            )
+            if any(a is not b for a, b in zip(nv, v)):
+                changes[f.name] = nv
+    return dataclasses.replace(node, **changes) if changes else node

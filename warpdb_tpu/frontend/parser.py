@@ -633,6 +633,186 @@ class _QueryParser:
             )
         self.pos += 1
 
+    def _at_ident(self, *names: str) -> bool:
+        """Contextual (non-reserved) keyword test — ROLLUP/CUBE/GROUPING
+        tokenize as identifiers, so they stay usable as column names."""
+        return (
+            self.pos < len(self.toks)
+            and self.toks[self.pos].type is TokenType.IDENTIFIER
+            and self.toks[self.pos].value.upper() in names
+        )
+
+    def _peek_tok(self, off: int) -> Optional[Token]:
+        i = self.pos + off
+        return self.toks[i] if i < len(self.toks) else None
+
+    def _slice_balanced(self) -> list[Token]:
+        """Tokens until a top-level ',' or ')' (parenthesised lists)."""
+        start = self.pos
+        depth = 0
+        while self.pos < len(self.toks):
+            tok = self.toks[self.pos]
+            if tok.type is TokenType.OPERATOR and tok.value == "(":
+                depth += 1
+            elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                tok.type is TokenType.OPERATOR
+                and tok.value == ","
+                and depth == 0
+            ):
+                break
+            self.pos += 1
+        return self.toks[start : self.pos] + [Token(TokenType.END, "")]
+
+    def _paren_key_list(self) -> list[Node]:
+        """Parse ``( [expr [, expr]*] )`` into key expressions."""
+        line, col = self._loc()
+        if not self.at_op("("):
+            raise ParseError(f"Expected '(' at line {line} column {col}")
+        self.pos += 1
+        items: list[Node] = []
+        if self.at_op(")"):
+            self.pos += 1
+            return items
+        while True:
+            items.append(parse_expression(self._slice_balanced()))
+            if self.at_op(","):
+                self.pos += 1
+                continue
+            line, col = self._loc()
+            if not self.at_op(")"):
+                raise ParseError(
+                    f"Expected ')' at line {line} column {col}"
+                )
+            self.pos += 1
+            return items
+
+    def _parse_group_by(self) -> GroupBy:
+        """GROUP BY element list.  Elements are plain key expressions or
+        the multi-set constructs ROLLUP(...) / CUBE(...) /
+        GROUPING SETS ((...), ...) — extension; the reference grammar has
+        plain GROUP BY only (expression.hpp:132-143).  Mixed elements
+        follow the standard: the statement's grouping sets are the
+        cross-product concatenation of each element's alternatives."""
+        elements: list[list[list[Node]]] = []  # element → alternatives → keys
+        plain = True
+        while self.pos < len(self.toks):
+            nxt = self._peek_tok(1)
+            at_call = (
+                nxt is not None
+                and nxt.type is TokenType.OPERATOR
+                and nxt.value == "("
+            )
+            if self._at_ident("ROLLUP") and at_call:
+                self.pos += 1
+                ks = self._paren_key_list()
+                if not ks:
+                    raise ParseError("ROLLUP requires at least one key")
+                elements.append([ks[:i] for i in range(len(ks), -1, -1)])
+                plain = False
+            elif self._at_ident("CUBE") and at_call:
+                self.pos += 1
+                ks = self._paren_key_list()
+                if not ks:
+                    raise ParseError("CUBE requires at least one key")
+                if len(ks) > 8:
+                    raise ParseError(
+                        "CUBE supports at most 8 keys (2^n grouping sets)"
+                    )
+                n = len(ks)
+                elements.append(
+                    [
+                        [k for j, k in enumerate(ks) if mask >> (n - 1 - j) & 1]
+                        for mask in range((1 << n) - 1, -1, -1)
+                    ]
+                )
+                plain = False
+            elif self._at_ident("GROUPING") and (
+                nxt is not None
+                and nxt.type is TokenType.IDENTIFIER
+                and nxt.value.upper() == "SETS"
+            ):
+                self.pos += 2
+                line, col = self._loc()
+                if not self.at_op("("):
+                    raise ParseError(
+                        f"Expected '(' at line {line} column {col}"
+                    )
+                self.pos += 1
+                alts: list[list[Node]] = []
+                while True:
+                    if self.at_op("("):
+                        alts.append(self._paren_key_list())
+                    else:
+                        alts.append(
+                            [parse_expression(self._slice_balanced())]
+                        )
+                    if self.at_op(","):
+                        self.pos += 1
+                        continue
+                    line, col = self._loc()
+                    if not self.at_op(")"):
+                        raise ParseError(
+                            f"Expected ')' at line {line} column {col}"
+                        )
+                    self.pos += 1
+                    break
+                elements.append(alts)
+                plain = False
+            else:
+                key = self.slice_until(
+                    "ORDER", "HAVING", "LIMIT", "OFFSET", stop_on_comma=True
+                )
+                elements.append([[parse_expression(key)]])
+            if self.at_op(","):
+                self.pos += 1
+                continue
+            break
+
+        if plain:
+            return GroupBy(tuple(e[0][0] for e in elements))
+
+        # Master key list: first appearance order across every
+        # alternative; sets index into it.
+        master: list[Node] = []
+        canon_ix: dict[str, int] = {}
+
+        def ix(k: Node) -> int:
+            c = k.canonical()
+            if c not in canon_ix:
+                canon_ix[c] = len(master)
+                master.append(k)
+            return canon_ix[c]
+
+        for alts in elements:
+            for ks in alts:
+                for k in ks:
+                    ix(k)
+        total = 1
+        for alts in elements:
+            total *= len(alts)
+        if total > 128:
+            raise ParseError(
+                "GROUP BY expands to more than 128 grouping sets"
+            )
+        import itertools
+
+        sets: list[tuple[int, ...]] = []
+        for combo in itertools.product(*elements):
+            s: list[int] = []
+            for ks in combo:
+                for k in ks:
+                    i = ix(k)
+                    if i not in s:
+                        s.append(i)
+            sets.append(tuple(s))
+        if len(sets) == 1 and sets[0] == tuple(range(len(master))):
+            return GroupBy(tuple(master))  # degenerate: plain GROUP BY
+        return GroupBy(tuple(master), tuple(sets))
+
     def slice_until(self, *stop_kws: str, stop_on_comma: bool = False) -> list[Token]:
         """Collect tokens until a top-level stop keyword (or comma)."""
         start = self.pos
@@ -1133,17 +1313,7 @@ class _QueryParser:
         if self.at_kw("GROUP"):
             self.pos += 1
             self.expect_kw("BY")
-            keys: list[Node] = []
-            while self.pos < len(self.toks):
-                key = self.slice_until(
-                    "ORDER", "HAVING", "LIMIT", "OFFSET", stop_on_comma=True
-                )
-                keys.append(parse_expression(key))
-                if self.at_op(","):
-                    self.pos += 1
-                    continue
-                break
-            q.group_by = GroupBy(tuple(keys))
+            q.group_by = self._parse_group_by()
 
         if self.at_kw("HAVING"):
             self.pos += 1

@@ -63,5 +63,17 @@ def validate_query(
             check(key, "GROUP BY")
     check(query.having, "HAVING clause")
     if query.order_by is not None:
+        # Standard output-column resolution: a bare ORDER BY name may
+        # reference a select-list alias (the executor rewrites it via
+        # resolve_order_aliases); validate against columns ∪ aliases.
+        from .ast import Alias
+
+        aliases = {
+            item.name for item in query.select_list if isinstance(item, Alias)
+        }
+        order_cols = set(columns) | aliases
         for term in query.order_by.terms:
-            check(term.expr, "ORDER BY")
+            try:
+                validate_expression(term.expr, order_cols, table_names)
+            except ValidationError as e:
+                raise ValidationError(f"ORDER BY: {e}") from None
