@@ -2,6 +2,7 @@
 having_distinct_test, extended_types_test), randomized oracle
 comparisons, JOIN execution, window functions, and error paths."""
 
+import math
 import numpy as np
 import pytest
 
@@ -125,6 +126,83 @@ def test_having_count_empty(db):
         "SELECT SUM(price) FROM test GROUP BY quantity HAVING COUNT(price) > 1"
     )
     assert res == []
+
+
+def test_aggregate_filter_clause(db):
+    # AGG(x) FILTER (WHERE c) — masked mergeable partials (standard).
+    res = db.query_sql_table(
+        "SELECT COUNT(*) FILTER (WHERE price > 15) AS n, "
+        "SUM(price) FILTER (WHERE quantity > 3) AS s, "
+        "AVG(price) FILTER (WHERE price > 100) AS a, "
+        "MIN(price) FILTER (WHERE quantity < 4) AS lo, "
+        "MAX(price) FILTER (WHERE price < 0) AS hi "
+        "FROM test"
+    )
+    # price 10.5/20/15.25/30, quantity 3/4/2/5
+    assert list(res["n"]) == [3.0]
+    assert list(res["s"]) == [50.0]
+    assert math.isnan(res["a"][0])  # zero matches → NULL
+    assert list(res["lo"]) == [10.5]
+    assert math.isnan(res["hi"][0])
+
+
+def test_aggregate_filter_grouped(db):
+    res = db.query_sql_table(
+        "SELECT quantity, COUNT(*) FILTER (WHERE price > 15) "
+        "FROM test GROUP BY quantity ORDER BY quantity"
+    )
+    # quantity 2→15.25 (1), 3→10.5 (0), 4→20 (1), 5→30 (1)
+    assert list(list(res.values())[1]) == [1.0, 0.0, 1.0, 1.0]
+
+
+def test_aggregate_filter_rejects_order_stats(db):
+    with pytest.raises(WarpDBError):
+        db.query_sql("SELECT MEDIAN(price) FILTER (WHERE price > 1) FROM test")
+    with pytest.raises(WarpDBError):
+        db.query_sql(
+            "SELECT COUNT(DISTINCT price) FILTER (WHERE price > 1) FROM test"
+        )
+
+
+def test_filter_stays_usable_as_identifier():
+    q = parse_query_text("SELECT filter FROM t WHERE filter > 1")
+    assert q.select_list[0].canonical() == "filter[idx]"
+
+
+def test_order_by_ordinal(db):
+    # ORDER BY 1-based select-list positions (standard).
+    res = db.query_sql_table(
+        "SELECT quantity, SUM(price) FROM test GROUP BY quantity "
+        "ORDER BY 2 DESC"
+    )
+    totals = list(res.values())[1]
+    assert list(totals) == sorted(totals, reverse=True)
+    with pytest.raises(WarpDBError):
+        db.query_sql("SELECT price FROM test ORDER BY 3")
+
+
+def test_order_by_nulls_placement(db):
+    # Engine defaults match PostgreSQL (NaN last ASC / first DESC);
+    # the non-default placements flip via an IS-NULL flag term.
+    res = db.query_sql_table(
+        "SELECT NULLIF(quantity, 4) AS k FROM test ORDER BY k NULLS FIRST"
+    )
+    k = list(res.values())[0]
+    assert math.isnan(k[0]) and list(k[1:]) == sorted(k[1:])
+    res = db.query_sql_table(
+        "SELECT NULLIF(quantity, 4) AS k FROM test ORDER BY k DESC NULLS LAST"
+    )
+    k = list(res.values())[0]
+    assert math.isnan(k[-1]) and list(k[:-1]) == sorted(k[:-1], reverse=True)
+
+
+def test_simple_case_form(db):
+    res = db.query_sql_table(
+        "SELECT CASE quantity WHEN 3 THEN 30 WHEN 5 THEN 50 ELSE 0 END "
+        "FROM test"
+    )
+    # quantity: 3, 4, 2, 5
+    assert list(list(res.values())[0]) == [30.0, 0.0, 0.0, 50.0]
 
 
 def test_order_by_select_alias(db):

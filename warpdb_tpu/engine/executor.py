@@ -2318,7 +2318,7 @@ def resolve_order_aliases(query: Query) -> Query:
             new_terms.append((alias_map[e.name], t.ascending))
             changed = True
         else:
-            new_terms.append((t.expr, t.ascending))
+            new_terms.append((e, t.ascending))
     if not changed:
         return query
     query = _copy.copy(query)

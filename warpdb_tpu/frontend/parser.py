@@ -120,6 +120,67 @@ def _variance_rewrite(name: str, inner: Node) -> Node:
     return var
 
 
+def _apply_agg_filter(node: Node, cond: Node) -> Node:
+    """Rewrite every aggregate in ``node`` to apply ``FILTER (WHERE
+    cond)``: masked CASE arithmetic over the same mergeable partials
+    (see ``_maybe_filter_suffix``)."""
+    from .ast import transform
+
+    def case(val: Node, other: Node) -> Node:
+        return CaseWhen((cond,), (val,), other)
+
+    match_count = Aggregation(AggregationType.SUM, case(Constant("1"), Constant("0")))
+
+    def guard_empty(expr: Node) -> Node:
+        # Standard: an aggregate over zero qualifying rows is NULL.
+        return CaseWhen(
+            (BinaryOp("==", match_count, Constant("0")),),
+            (FunctionCall("nullval", ()),),
+            expr,
+        )
+
+    def rewrite(n: Node) -> Node:
+        if not isinstance(n, Aggregation):
+            return n
+        a = n.agg
+        if a is AggregationType.COUNT:
+            return match_count
+        if a is AggregationType.SUM:
+            return guard_empty(
+                Aggregation(AggregationType.SUM, case(n.expr, Constant("0")))
+            )
+        if a is AggregationType.AVG:
+            # masked sum / masked count; 0/0 → NaN (NULL) automatically.
+            return BinaryOp(
+                "/",
+                Aggregation(AggregationType.SUM, case(n.expr, Constant("0"))),
+                match_count,
+            )
+        if a is AggregationType.MIN:
+            return guard_empty(
+                Aggregation(AggregationType.MIN, case(n.expr, Constant("inf")))
+            )
+        if a is AggregationType.MAX:
+            return guard_empty(
+                Aggregation(AggregationType.MAX, case(n.expr, Constant("-inf")))
+            )
+        raise ParseError(
+            f"FILTER is not supported with {a.name} aggregates"
+        )
+
+    new = transform(node, rewrite)
+    if new is node:
+        raise ParseError("FILTER requires an aggregate function")
+    # Label with the surface form, not the expanded CASE partials
+    # (canonical() delegates through Alias, so cache keys still see the
+    # expansion; an explicit user AS wraps outside and wins).
+    label = (
+        f"{node.canonical().replace('[idx]', '')} FILTER "
+        f"(WHERE {cond.canonical().replace('[idx]', '')})"
+    )
+    return Alias(new, label)
+
+
 class _ExprParser:
     def __init__(self, tokens: list[Token]):
         self.toks = tokens
@@ -133,6 +194,35 @@ class _ExprParser:
         tok = self.toks[self.pos]
         self.pos += 1
         return tok
+
+    def _maybe_filter_suffix(self, node: Node) -> Node:
+        """Postfix ``FILTER (WHERE cond)`` after an aggregate (standard;
+        contextual keyword — a column named ``filter`` stays usable).
+        Rewrites every aggregate inside ``node`` into masked mergeable
+        partials (CASE arithmetic), so filtered aggregates group,
+        distribute, and stream wherever plain ones do:
+
+        * ``COUNT(x|*)``   → ``SUM(CASE WHEN c THEN 1 ELSE 0 END)``
+        * ``SUM(x)``       → guarded masked SUM (0 matches → NULL)
+        * ``AVG(x)``       → masked SUM / masked COUNT (0/0 → NULL)
+        * ``MIN/MAX(x)``   → guarded masked MIN/MAX (±inf identity)
+        * variance family  → inner SUM/COUNT partials masked individually
+        """
+        if not (
+            self.pos + 1 < len(self.toks)
+            and self.toks[self.pos].type is TokenType.IDENTIFIER
+            and self.toks[self.pos].value.upper() == "FILTER"
+            and self.toks[self.pos + 1].type is TokenType.OPERATOR
+            and self.toks[self.pos + 1].value == "("
+        ):
+            return node
+        self.pos += 2
+        if not self.match_kw("WHERE"):
+            raise ParseError("Expected WHERE in FILTER clause")
+        cond = self.logical_or()
+        if not self.match_op(")"):
+            raise ParseError("Expected ')' to close FILTER clause")
+        return _apply_agg_filter(node, cond)
 
     def match_op(self, *ops: str) -> Optional[str]:
         tok = self.peek()
@@ -299,10 +389,22 @@ class _ExprParser:
             return FunctionCall("nullval", ())
         if tok.type is TokenType.KEYWORD and tok.value == "CASE":
             self.advance()
+            # Simple form ``CASE operand WHEN v THEN r …`` rewrites each
+            # branch to the searched form's ``operand == v`` (standard).
+            operand: Optional[Node] = None
+            if not (
+                self.pos < len(self.toks)
+                and self.toks[self.pos].type is TokenType.KEYWORD
+                and self.toks[self.pos].value == "WHEN"
+            ):
+                operand = self.logical_or()
             conds: list[Node] = []
             vals: list[Node] = []
             while self.match_kw("WHEN"):
-                conds.append(self.logical_or())
+                cond = self.logical_or()
+                if operand is not None:
+                    cond = BinaryOp("==", operand, cond)
+                conds.append(cond)
                 if not self.match_kw("THEN"):
                     raise ParseError("Expected THEN in CASE expression")
                 vals.append(self.logical_or())
@@ -373,14 +475,18 @@ class _ExprParser:
                 inner = self.logical_or()
                 if not self.match_op(")"):
                     raise ParseError("Expected ')' after arguments")
-                return _variance_rewrite(tok.value.upper(), inner)
+                return self._maybe_filter_suffix(
+                    _variance_rewrite(tok.value.upper(), inner)
+                )
             # MEDIAN(expr) — contextual aggregate (not a reserved word;
             # a bare column named "median" still parses as a Variable).
             if tok.value.upper() == "MEDIAN" and self.match_op("("):
                 inner = self.logical_or()
                 if not self.match_op(")"):
                     raise ParseError("Expected ')' after arguments")
-                return Aggregation(AggregationType.MEDIAN, inner)
+                return self._maybe_filter_suffix(
+                    Aggregation(AggregationType.MEDIAN, inner)
+                )
             # PERCENTILE(expr, q) — contextual parameterised aggregate.
             if tok.value.upper() == "PERCENTILE" and self.match_op("("):
                 inner = self.logical_or()
@@ -401,7 +507,9 @@ class _ExprParser:
                     )
                 if not self.match_op(")"):
                     raise ParseError("Expected ')' after arguments")
-                return Aggregation(AggregationType.PERCENTILE, inner, q)
+                return self._maybe_filter_suffix(
+                    Aggregation(AggregationType.PERCENTILE, inner, q)
+                )
             if self.match_op("("):
                 args: list[Node] = []
                 if not self.match_op(")"):
@@ -423,16 +531,22 @@ class _ExprParser:
             if tok.value == "COUNT" and self.match_op("*"):
                 if not self.match_op(")"):
                     raise ParseError("Expected ')' after arguments")
-                return Aggregation(AggregationType.COUNT, Star())
+                return self._maybe_filter_suffix(
+                    Aggregation(AggregationType.COUNT, Star())
+                )
             if tok.value == "COUNT" and self.match_kw("DISTINCT"):
                 inner = self.logical_or()
                 if not self.match_op(")"):
                     raise ParseError("Expected ')' after arguments")
-                return Aggregation(AggregationType.COUNT_DISTINCT, inner)
+                return self._maybe_filter_suffix(
+                    Aggregation(AggregationType.COUNT_DISTINCT, inner)
+                )
             inner = self.logical_or()
             if not self.match_op(")"):
                 raise ParseError("Expected ')' after arguments")
-            return Aggregation(_AGG_KEYWORDS[tok.value], inner)
+            return self._maybe_filter_suffix(
+                Aggregation(_AGG_KEYWORDS[tok.value], inner)
+            )
         if self.match_op("("):
             # Scalar subquery: (SELECT …) as a value (extension;
             # uncorrelated — resolved to a constant before execution).
@@ -632,6 +746,40 @@ class _QueryParser:
                 f"Expected keyword '{kw}' at line {line} column {col}"
             )
         self.pos += 1
+
+    def _order_term_expr(self, ord_toks, q) -> Node:
+        """Parse one ORDER BY term; a bare integer literal resolves as a
+        1-based select-list ordinal (``ORDER BY 2 DESC`` — standard
+        output-column reference; extension over the reference grammar)."""
+        if (
+            len(ord_toks) == 2  # NUMBER + END sentinel
+            and ord_toks[0].type is TokenType.NUMBER
+            and "." not in ord_toks[0].value
+        ):
+            ix = int(ord_toks[0].value)
+            if not 1 <= ix <= len(q.select_list):
+                raise ParseError(
+                    f"ORDER BY position {ix} is not in the select list"
+                )
+            item = q.select_list[ix - 1]
+            while isinstance(item, Alias):
+                item = item.expr
+            if isinstance(item, Star):
+                raise ParseError(
+                    "ORDER BY ordinal cannot reference a * select item"
+                )
+            return item
+        return parse_expression(ord_toks)
+
+    def _at_nulls_placement(self) -> bool:
+        """At contextual ``NULLS FIRST`` / ``NULLS LAST``?"""
+        nxt = self._peek_tok(1)
+        return (
+            self._at_ident("NULLS")
+            and nxt is not None
+            and nxt.type is TokenType.IDENTIFIER
+            and nxt.value.upper() in ("FIRST", "LAST")
+        )
 
     def _at_ident(self, *names: str) -> bool:
         """Contextual (non-reserved) keyword test — ROLLUP/CUBE/GROUPING
@@ -833,6 +981,11 @@ class _QueryParser:
                 # named `cross` can never directly precede JOIN in a
                 # valid expression).
                 if "JOIN" in stop_kws and self._at_cross_join():
+                    break
+                # Contextual ``NULLS FIRST|LAST`` ends an ORDER BY term
+                # (two adjacent identifiers are never a valid expression,
+                # so a column named `nulls` can't be confused here).
+                if "ASC" in stop_kws and self._at_nulls_placement():
                     break
             self.pos += 1
         out = self.toks[start : self.pos]
@@ -1331,7 +1484,31 @@ class _QueryParser:
                 if self.at_kw("ASC", "DESC"):
                     asc = self.toks[self.pos].value == "ASC"
                     self.pos += 1
-                terms.append(OrderBy(parse_expression(ord_toks), asc))
+                # NULLS FIRST | NULLS LAST (extension; contextual
+                # keywords).  The engine's total order already puts NaN
+                # last ASC / first DESC (the PostgreSQL defaults); the
+                # non-default placement prepends an IS-NULL flag term.
+                nulls_first = None
+                if self._at_nulls_placement():
+                    self.pos += 1
+                    nulls_first = self.toks[self.pos].value.upper() == "FIRST"
+                    self.pos += 1
+                expr = self._order_term_expr(ord_toks, q)
+                # Bare output-column (alias) references resolve here so
+                # the NULLS flag below wraps the resolved expression
+                # (standard rule: a bare name prefers the select alias;
+                # names inside larger expressions stay input columns).
+                if isinstance(expr, Variable) and expr.qualifier is None:
+                    for item in q.select_list:
+                        if isinstance(item, Alias) and item.name == expr.name:
+                            expr = item.expr
+                            while isinstance(expr, Alias):
+                                expr = expr.expr
+                            break
+                if nulls_first is not None and nulls_first != (not asc):
+                    flag = FunctionCall("isnan", (expr,))
+                    terms.append(OrderBy(flag, not nulls_first))
+                terms.append(OrderBy(expr, asc))
                 # Comma-separated tie-breaker terms (extension; the
                 # reference allows exactly one ORDER BY expression).
                 if self.at_op(","):
