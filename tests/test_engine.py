@@ -3041,6 +3041,94 @@ def test_in_subquery_matches_in_list(db):
     assert a == b
 
 
+def test_qualify_top_n_per_group():
+    """QUALIFY filters on window results (top-2 per partition)."""
+    rng = np.random.default_rng(27)
+    n = 2000
+    k = rng.integers(0, 10, n).astype(np.float32)
+    v = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT k, v FROM t QUALIFY "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) <= 2 "
+        "ORDER BY k, v DESC"
+    )
+    rows = [
+        (round(a, 3), round(b, 3)) for a, b in zip(*out.values())
+    ]
+    exp = []
+    for kk in range(10):
+        for x in sorted(v[k == kk], reverse=True)[:2]:
+            exp.append((float(kk), round(float(np.float32(x)), 3)))
+    assert rows == exp
+
+
+def test_qualify_and_chain_and_hidden_order():
+    rng = np.random.default_rng(28)
+    n = 500
+    k = rng.integers(0, 5, n).astype(np.float32)
+    v = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    # AND of a window predicate and a row predicate; ORDER BY an
+    # expression not in the select list rides as a hidden column.
+    out = db.query_sql_table(
+        "SELECT k FROM t QUALIFY "
+        "RANK() OVER (PARTITION BY k ORDER BY v DESC) == 1 AND v > 10 "
+        "ORDER BY v DESC"
+    )
+    got = list(list(out.values())[0])
+    maxes = [(float(np.max(v[k == kk])), float(kk)) for kk in range(5)]
+    exp = [kk for mv, kk in sorted(maxes, reverse=True) if mv > 10]
+    assert got == exp
+
+
+def test_qualify_requires_window():
+    db = WarpDB("data/test.csv")
+    with pytest.raises(WarpDBError):
+        db.query_sql("SELECT price FROM test QUALIFY price > 10")
+
+
+def test_qualify_with_where(db):
+    # WHERE filters rows BEFORE the window evaluates; QUALIFY after.
+    res = db.query_sql_table(
+        "SELECT price FROM test WHERE quantity > 2 QUALIFY "
+        "ROW_NUMBER() OVER (ORDER BY price DESC) == 1"
+    )
+    # quantities 3/4/5 pass → prices 10.5/20/30 → top by price = 30.
+    assert list(list(res.values())[0]) == [30.0]
+
+
+def test_named_window_clause():
+    """WINDOW w AS (spec) + OVER w (SQL:2003 named windows)."""
+    rng = np.random.default_rng(29)
+    n = 400
+    k = rng.integers(0, 4, n).astype(np.float32)
+    v = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    named = db.query_sql_table(
+        "SELECT k, v, ROW_NUMBER() OVER w FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY v DESC) "
+        "QUALIFY ROW_NUMBER() OVER w == 1 ORDER BY k"
+    )
+    inline = db.query_sql_table(
+        "SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) "
+        "FROM t QUALIFY "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) == 1 "
+        "ORDER BY k"
+    )
+    for a, b in zip(named.values(), inline.values()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Two named windows in one statement.
+    out = db.query_sql_table(
+        "SELECT SUM(v) OVER w1, RANK() OVER w2 FROM t "
+        "WINDOW w1 AS (PARTITION BY k), "
+        "w2 AS (PARTITION BY k ORDER BY v) LIMIT 2"
+    )
+    assert len(out) == 2
+    with pytest.raises(WarpDBError):
+        db.query_sql("SELECT RANK() OVER nope FROM t")
+
+
 def test_quantified_any_all(db):
     """expr op ANY|SOME|ALL (SELECT …) — min/max/IN resolution.
     prices 10.5/20/15.25/30, quantities 3/4/2/5."""

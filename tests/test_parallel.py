@@ -988,3 +988,31 @@ def test_fuzz_streaming_vs_in_memory(tmp_path, seed):
             np.asarray(got[c], np.float64), np.asarray(want[c], np.float64),
             rtol=2e-4, atol=1e-3, equal_nan=True, err_msg=f"{sql} [{c}]",
         )
+
+
+def test_mesh_grouping_sets_match_single_device(mesh):
+    """ROLLUP routes each grouping set through the ordinary grouped
+    pipeline, so a mesh-resident table distributes every set."""
+    rng = np.random.default_rng(44)
+    n = 8192
+    a = rng.integers(0, 8, n).astype(np.float32)
+    b = rng.integers(0, 4, n).astype(np.float32)
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    sql = (
+        "SELECT a, b, SUM(v) FROM t GROUP BY ROLLUP(a, b) "
+        "ORDER BY a, b"
+    )
+
+    def run(distribute):
+        db = WarpDB(HostTable.from_dict({"a": a, "b": b, "v": v}))
+        if distribute:
+            db.distribute(mesh)
+        t = db.query_sql_table(sql)
+        arr = np.stack([np.asarray(c, np.float64) for c in t.values()])
+        return np.where(np.isnan(arr), 1e30, arr).T
+
+    single = run(False)
+    sharded = run(True)
+    np.testing.assert_allclose(single, sharded, rtol=1e-4)
+    # 8*4 detail + 8 subtotal + 1 grand total rows.
+    assert single.shape[0] == 32 + 8 + 1

@@ -1176,10 +1176,12 @@ def run_query(
             "WITH (CTEs) resolve at the facade: use WarpDB.query_sql / "
             "query_sql_table"
         )
-    if query.group_by is not None and query.group_by.sets is not None:
-        # GROUPING SETS produce multi-typed rows; the table API owns
-        # them — return the first column (reference single-vector
-        # contract, warpdb.cpp:447-459).
+    if (query.group_by is not None and query.group_by.sets is not None) or (
+        getattr(query, "qualify", None) is not None
+    ):
+        # GROUPING SETS / QUALIFY produce finished result tables; the
+        # table API owns them — return the first column (reference
+        # single-vector contract, warpdb.cpp:447-459).
         out = run_query_table(query, table, catalog, mesh=mesh)
         first = next(iter(out.values()), None)
         return np.zeros(0, np.float32) if first is None else first
@@ -2293,12 +2295,139 @@ def _run_grouping_sets(
             combined[pos].extend([fv] * n)
 
     # ORDER BY / LIMIT / OFFSET over the combined rows, host-side
-    # (O(total groups), not O(rows)).  NaN fills follow the engine's
-    # total order (NaN sorts as the largest value: last ASC, first
-    # DESC); "" sorts as an ordinary empty string.
+    # (O(total groups), not O(rows)).
+    return _host_order_and_slice(
+        query, names, combined, "ORDER BY with GROUPING SETS"
+    )
+
+
+def _run_qualify(query: Query, table: DeviceTable, catalog, mesh) -> dict:
+    """QUALIFY <predicate> (extension — the Snowflake/BigQuery/DuckDB
+    clause; the reference grammar stops at HAVING).  Filters rows AFTER
+    window functions evaluate: the predicate runs as one extra select
+    item through the ordinary window pipeline (sharing its partition
+    sorts via the plan cache), then rows are kept host-side where it is
+    true — O(result) extra work on top of the window select the query
+    already pays for.  ORDER BY terms that aren't select items ride
+    along as hidden columns, so ordering by arbitrary expressions
+    works."""
+    import copy as _copy
+
+    qualify = query.qualify
+    if query.distinct:
+        raise UnsupportedError("DISTINCT with QUALIFY is not supported")
+    if not any(isinstance(n, WindowFunction) for n in walk(qualify)):
+        raise ValidationError(
+            "QUALIFY requires a window function (use WHERE or HAVING "
+            "for row/group predicates)"
+        )
+
+    hidden: list = []
+    new_terms: list = []
+    if query.order_by is not None:
+        sel_canon = {unalias(it).canonical() for it in query.select_list}
+        alias_names = {
+            it.name for it in query.select_list if isinstance(it, Alias)
+        }
+        for i, t in enumerate(query.order_by.terms):
+            e = unalias(t.expr)
+            if (
+                isinstance(e, Variable) and e.name in alias_names
+            ) or e.canonical() in sel_canon:
+                new_terms.append((t.expr, t.ascending))
+                continue
+            hname = f"__ord{i}"
+            hidden.append(Alias(t.expr, hname))
+            new_terms.append((Variable(hname), t.ascending))
+
+    # The window pipeline lowers BARE window items only (expressions
+    # over windows are not row-level kernels) — so each comparison side
+    # of the predicate ships as its own hidden select item and the
+    # boolean structure (cmp / AND / OR) evaluates host-side over the
+    # finished O(result) columns.
+    leaves: list = []
+
+    def leaf(e) -> int:
+        leaves.append(Alias(e, f"__q{len(leaves)}"))
+        return len(leaves) - 1
+
+    _CMPS = {
+        ">": np.greater, "<": np.less, ">=": np.greater_equal,
+        "<=": np.less_equal, "==": np.equal, "=": np.equal,
+        "!=": np.not_equal,
+    }
+
+    def plan(e):
+        """Compile the predicate into a host closure over leaf arrays."""
+        if isinstance(e, BinaryOp) and e.op in ("&&", "||"):
+            lf, rf = plan(e.left), plan(e.right)
+            comb = np.logical_and if e.op == "&&" else np.logical_or
+            return lambda vs: comb(lf(vs), rf(vs))
+        if isinstance(e, BinaryOp) and e.op in _CMPS:
+            op = _CMPS[e.op]
+
+            def side(x):
+                if isinstance(x, Constant):
+                    c = np.float32(x.value)
+                    return lambda vs: c
+                i = leaf(x)
+                return lambda vs: vs[i]
+
+            lf, rf = side(e.left), side(e.right)
+            return lambda vs: op(lf(vs), rf(vs))
+        i = leaf(e)  # bare boolean-valued window expression
+        return lambda vs: np.nan_to_num(vs[i], nan=0.0) != 0.0
+
+    pred = plan(qualify)
+
+    q2 = _copy.copy(query)
+    q2.qualify = None
+    q2.order_by = None
+    q2.limit = None
+    q2.offset = None
+    q2.select_list = [*query.select_list, *hidden, *leaves]
+    out = run_query_table(q2, table, catalog, mesh=mesh)
+    vals = list(out.values())
+    n_leaf = len(leaves)
+    leaf_vals = [
+        np.asarray(v, dtype=np.float64)
+        for v in (vals[len(vals) - n_leaf:] if n_leaf else [])
+    ]
+    keep = np.where(pred(leaf_vals))[0]
+    cols = []
+    for v in vals[: len(vals) - n_leaf]:
+        arr = np.asarray(v) if not isinstance(v, list) else None
+        if arr is not None and arr.dtype.kind in "fiub":
+            cols.append(arr[keep])
+        else:
+            seq = list(v)
+            cols.append([seq[i] for i in keep])
+
+    q_sort = _copy.copy(query)
+    q_sort.select_list = [*query.select_list, *hidden]
+    if new_terms:
+        head, *rest = new_terms
+        q_sort.order_by = OrderBy(
+            head[0], head[1], tuple(OrderBy(e, a) for e, a in rest)
+        )
+    names = list(out.keys())[: len(vals) - n_leaf]
+    sliced = _host_order_and_slice(
+        q_sort, names, cols, "ORDER BY with QUALIFY"
+    )
+    n_vis = len(query.select_list)
+    return dict(list(sliced.items())[:n_vis])
+
+
+def _host_order_and_slice(
+    query: Query, names: list, columns: list, ctx: str
+) -> dict:
+    """Apply ORDER BY / LIMIT / OFFSET host-side to already-finished
+    result columns (lists or arrays, one per select item).  ORDER BY
+    terms must reference select-list items (by alias or canonical) —
+    the values are already computed.  NaN follows the engine's total
+    order (largest: last ASC, first DESC); a missing string is ""."""
     order = None
-    if query.order_by is not None and combined and combined[0] is not None:
-        m = len(combined[0]) if n_items else 0
+    if query.order_by is not None and columns and len(columns[0]):
         sort_keys: list[np.ndarray] = []
         for t in query.order_by.terms:
             e = unalias(t.expr)
@@ -2316,10 +2445,9 @@ def _run_grouping_sets(
                         break
             if target is None:
                 raise UnsupportedError(
-                    "ORDER BY with GROUPING SETS must reference "
-                    "select-list items"
+                    f"{ctx} must reference select-list items"
                 )
-            col = combined[target]
+            col = list(columns[target])
             # ``sort_keys`` collects in significance order (term-major;
             # within a numeric term the NaN flag outranks the value);
             # np.lexsort takes its LAST key as primary, so it gets the
@@ -2345,7 +2473,8 @@ def _run_grouping_sets(
     out: dict = {}
     off = query.offset or 0
     end = None if query.limit is None else off + query.limit
-    for name, col in zip(names, combined):
+    for name, col in zip(names, columns):
+        col = list(col)
         if order is not None:
             col = [col[i] for i in order]
         out[name] = col[off:end]
@@ -2430,6 +2559,9 @@ def run_query_table(
     if expanded is not query.select_list:
         query = _copy.copy(query)
         query.select_list = expanded
+
+    if getattr(query, "qualify", None) is not None:
+        return _run_qualify(query, table, catalog, mesh)
 
     if query.group_by is not None and query.group_by.sets is not None:
         return _run_grouping_sets(query, table, catalog, mesh)

@@ -150,7 +150,28 @@ def explain_query(
             "bind to codes at lowering"
         )
 
-    if query.group_by is not None:
+    if getattr(query, "qualify", None) is not None:
+        lines.append(
+            f"  qualify: {_fmt(query.qualify)}  [window predicate: each "
+            "comparison side rides the window pipeline as a hidden "
+            "select item; boolean filter host-side over O(result) rows]"
+        )
+
+    if query.group_by is not None and query.group_by.sets is not None:
+        ks = query.group_by.keys
+        rendered = ", ".join(
+            "(" + ", ".join(_fmt(ks[i]) for i in s) + ")"
+            for s in query.group_by.sets
+        )
+        lines.append(
+            f"  group by grouping sets: {rendered}"
+        )
+        lines.append(
+            f"    strategy: {len(query.group_by.sets)} grouped passes "
+            "(one per set) through the dense/MXU/sort ladder; rolled-up "
+            "keys read NULL; O(groups) host-side concat + order/limit"
+        )
+    elif query.group_by is not None:
         keys = ", ".join(_fmt(k) for k in query.group_by.keys)
         lines.append(f"  group by: {keys}")
         if mesh is not None and getattr(mesh.devices, "size", 1) > 1:

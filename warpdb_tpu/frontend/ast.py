@@ -554,6 +554,10 @@ class Query:
     limit: Optional[int] = None
     offset: Optional[int] = None
     distinct: bool = False
+    # QUALIFY <predicate over window functions> (extension, the
+    # Snowflake/BigQuery/DuckDB clause): filters rows AFTER window
+    # functions evaluate, before ORDER BY/LIMIT.
+    qualify: Optional[Node] = None
     # Common table expressions: [(name, Query), …] from a ``WITH``
     # prefix.  Each CTE materialises once per statement (in order —
     # later CTEs may reference earlier ones) and is visible to the main
@@ -621,6 +625,8 @@ class Query:
                 )
         if self.having is not None:
             parts.append(f"HAVING {self.having.canonical()}")
+        if self.qualify is not None:
+            parts.append(f"QUALIFY {self.qualify.canonical()}")
         if self.order_by is not None:
             parts.append(f"ORDER BY {self.order_by.canonical()}")
         if self.limit is not None:

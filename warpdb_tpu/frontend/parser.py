@@ -773,6 +773,60 @@ class _QueryParser:
             )
         self.pos += 1
 
+    def _parse_qualify(self, toks: list[Token]) -> Node:
+        """QUALIFY predicate: an AND-chain of comparisons where either
+        side of each comparison may be a window-function item
+        (``ROW_NUMBER() OVER (…) <= 3``).  Window functions only parse
+        at item level (the expression grammar has no OVER), so each side
+        routes through :meth:`parse_select_item`, which falls back to
+        ``parse_expression`` for plain sides."""
+        body = [t for t in toks if t.type is not TokenType.END]
+        parts: list[list[Token]] = []
+        depth = 0
+        start = 0
+        for k, tok in enumerate(body):
+            if tok.type is TokenType.OPERATOR and tok.value == "(":
+                depth += 1
+            elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and tok.type is TokenType.KEYWORD
+                and tok.value == "AND"
+            ):
+                parts.append(body[start:k])
+                start = k + 1
+        parts.append(body[start:])
+        node: Optional[Node] = None
+        for p in parts:
+            if not p:
+                raise ParseError("Empty QUALIFY predicate")
+            c = self._parse_qualify_cmp(p)
+            node = c if node is None else BinaryOp("&&", node, c)
+        if node is None:
+            raise ParseError("Empty QUALIFY predicate")
+        return node
+
+    def _parse_qualify_cmp(self, body: list[Token]) -> Node:
+        depth = 0
+        for k, tok in enumerate(body):
+            if tok.type is TokenType.OPERATOR and tok.value == "(":
+                depth += 1
+            elif tok.type is TokenType.OPERATOR and tok.value == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and tok.type is TokenType.OPERATOR
+                and tok.value in _COMPARISON_OPS
+            ):
+                end = [Token(TokenType.END, "")]
+                return BinaryOp(
+                    tok.value,
+                    self.parse_select_item(body[:k] + end),
+                    self.parse_select_item(body[k + 1 :] + end),
+                )
+        return self.parse_select_item(body + [Token(TokenType.END, "")])
+
     def _order_term_expr(self, ord_toks, q) -> Node:
         """Parse one ORDER BY term; a bare integer literal resolves as a
         1-based select-list ordinal (``ORDER BY 2 DESC`` — standard
@@ -1013,6 +1067,16 @@ class _QueryParser:
                 # so a column named `nulls` can't be confused here).
                 if "ASC" in stop_kws and self._at_nulls_placement():
                     break
+                # Contextual QUALIFY opens its clause wherever ORDER
+                # would stop the slice (semi-reserved: a UDF named
+                # ``qualify`` cannot be CALLED at the top level of a
+                # clause tail — parenthesise it if ever needed).
+                if (
+                    "ORDER" in stop_kws
+                    and tok.type is TokenType.IDENTIFIER
+                    and tok.value.upper() == "QUALIFY"
+                ):
+                    break
             self.pos += 1
         out = self.toks[start : self.pos]
         return out + [Token(TokenType.END, "")]
@@ -1039,6 +1103,10 @@ class _QueryParser:
             self.pos < len(self.toks)
             and self.toks[self.pos].type is TokenType.IDENTIFIER
         ):
+            # Contextual QUALIFY: a clause opener, not an alias for the
+            # relation (alias a relation `qualify` with AS if needed).
+            if self.toks[self.pos].value.upper() == "QUALIFY":
+                return None
             # Contextual CROSS: in ``t CROSS JOIN u`` the identifier is
             # the join prefix, not an alias for t (a relation named or
             # aliased `cross` keeps working everywhere else).
@@ -1299,6 +1367,22 @@ class _QueryParser:
         """
         p = _QueryParser(tail + [Token(TokenType.END, "")])
         p.expect_kw("OVER")
+        # ``OVER name`` — splice the named-window spec registered by the
+        # statement's WINDOW clause.
+        if (
+            not p.at_op("(")
+            and p.pos < len(p.toks)
+            and p.toks[p.pos].type is TokenType.IDENTIFIER
+        ):
+            spec = getattr(self, "_named_windows", {}).get(
+                p.toks[p.pos].value.lower()
+            )
+            if spec is None:
+                raise ParseError(
+                    f"Unknown window name: {p.toks[p.pos].value} "
+                    "(declare it in a WINDOW clause)"
+                )
+            p.toks = p.toks[: p.pos] + list(spec) + p.toks[p.pos + 1 :]
         partition: tuple[Node, ...] = ()
         order: Optional[OrderBy] = None
         frame: Optional[tuple[Optional[int], Optional[int]]] = None
@@ -1374,7 +1458,77 @@ class _QueryParser:
         )
 
     # -- the statement -------------------------------------------------------
+    def _extract_window_clause(self) -> dict:
+        """Pre-scan for a named-window clause ``WINDOW w AS (spec)
+        [, w2 AS (spec2)]*`` (extension; standard SQL:2003).  The clause
+        tokens are removed from the stream and the specs registered so
+        ``OVER w`` splices them in during select-item parsing (select
+        items parse before the clause position is reached).  Detection
+        keys on the 4-token shape ``WINDOW <ident> AS (`` at top level —
+        unambiguous: no expression or alias position allows it."""
+        toks = self.toks
+        depth = 0
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t.type is TokenType.OPERATOR and t.value == "(":
+                depth += 1
+            elif t.type is TokenType.OPERATOR and t.value == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and t.type is TokenType.IDENTIFIER
+                and t.value.upper() == "WINDOW"
+                and i + 3 < len(toks)
+                and toks[i + 1].type is TokenType.IDENTIFIER
+                and toks[i + 2].type is TokenType.KEYWORD
+                and toks[i + 2].value == "AS"
+                and toks[i + 3].type is TokenType.OPERATOR
+                and toks[i + 3].value == "("
+            ):
+                start = i
+                j = i + 1
+                named: dict = {}
+                while True:
+                    name = toks[j].value.lower()
+                    j += 2  # past `name AS`
+                    d = 0
+                    spec_start = j
+                    while j < len(toks):
+                        tt = toks[j]
+                        if tt.type is TokenType.OPERATOR and tt.value == "(":
+                            d += 1
+                        elif tt.type is TokenType.OPERATOR and tt.value == ")":
+                            d -= 1
+                            if d == 0:
+                                j += 1
+                                break
+                        j += 1
+                    else:
+                        raise ParseError(
+                            "Expected ')' to close WINDOW specification"
+                        )
+                    named[name] = toks[spec_start:j]
+                    if (
+                        j + 3 < len(toks)
+                        and toks[j].type is TokenType.OPERATOR
+                        and toks[j].value == ","
+                        and toks[j + 1].type is TokenType.IDENTIFIER
+                        and toks[j + 2].type is TokenType.KEYWORD
+                        and toks[j + 2].value == "AS"
+                        and toks[j + 3].type is TokenType.OPERATOR
+                        and toks[j + 3].value == "("
+                    ):
+                        j += 1
+                        continue
+                    break
+                self.toks = toks[:start] + toks[j:]
+                return named
+            i += 1
+        return {}
+
     def parse(self) -> Query:
+        self._named_windows = self._extract_window_clause()
         q = Query()
         self.expect_kw("SELECT")
         if self.at_kw("DISTINCT"):
@@ -1497,6 +1651,15 @@ class _QueryParser:
         if self.at_kw("HAVING"):
             self.pos += 1
             q.having = parse_expression(self.slice_until(*_CLAUSE_BOUNDARY_AFTER_HAVING))
+
+        if self._at_ident("QUALIFY"):
+            # QUALIFY <predicate with window functions> (extension —
+            # Snowflake/BigQuery/DuckDB): filters rows after windows
+            # evaluate, before ORDER BY/LIMIT.
+            self.pos += 1
+            q.qualify = self._parse_qualify(
+                self.slice_until("ORDER", "LIMIT", "OFFSET")
+            )
 
         if self.at_kw("ORDER"):
             self.pos += 1

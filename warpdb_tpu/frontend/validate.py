@@ -62,6 +62,7 @@ def validate_query(
         for key in query.group_by.keys:
             check(key, "GROUP BY")
     check(query.having, "HAVING clause")
+    check(getattr(query, "qualify", None), "QUALIFY clause")
     if query.order_by is not None:
         # Standard output-column resolution: a bare ORDER BY name may
         # reference a select-list alias (the executor rewrites it via

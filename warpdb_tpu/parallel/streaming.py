@@ -161,6 +161,11 @@ def run_streaming_sql(
         raise UnsupportedError(
             "Streaming SQL does not support UNION/EXCEPT/INTERSECT"
         )
+    if ast.group_by is not None and ast.group_by.sets is not None:
+        raise UnsupportedError(
+            "Streaming SQL does not support GROUPING SETS / ROLLUP / "
+            "CUBE — run one streaming query per grouping set"
+        )
     dims = dims or {}
     for j in ast.joins:
         if (j.source or j.table) not in dims:
