@@ -501,3 +501,122 @@ def test_fuzz_differential_fast_vs_slow_paths(seed):
     np.testing.assert_allclose(
         fast, slow, rtol=2e-4, atol=1e-3, equal_nan=True, err_msg=sql
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTER clauses, grouping sets, QUALIFY (round-2 SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_aggregate_filter(seed):
+    """AGG(x) FILTER (WHERE c) vs a per-group masked NumPy oracle,
+    including zero-match groups (NULL per the standard)."""
+    rng = np.random.default_rng(7000 + seed)
+    n = 2000
+    k = rng.integers(0, 8, n).astype(np.float32)
+    v = rng.uniform(0.5, 100, n).astype(np.float32)
+    w = rng.uniform(0.5, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v, "w": w}))
+    thresh = rng.uniform(0, 120)  # sometimes filters everything out
+    agg = rng.choice(["COUNT", "SUM", "AVG", "MIN", "MAX"])
+    arg = "*" if agg == "COUNT" and rng.uniform() < 0.5 else "v"
+    sql = (
+        f"SELECT k, {agg}({arg}) FILTER (WHERE w > {thresh:.3f}) "
+        "FROM t GROUP BY k ORDER BY k"
+    )
+    out = db.query_sql_table(sql)
+    keys = np.asarray(list(out.values())[0], np.float32)
+    got = np.asarray(list(out.values())[1], np.float64)
+    exp = []
+    for kk in sorted(set(k.tolist())):
+        m = (k == kk) & (w > np.float32(thresh))
+        sel = v[m]
+        if agg == "COUNT":
+            exp.append(float(m.sum()))
+        elif sel.size == 0:
+            exp.append(np.nan)
+        elif agg == "SUM":
+            exp.append(float(np.sum(sel, dtype=np.float32)))
+        elif agg == "AVG":
+            exp.append(
+                float(np.sum(sel, dtype=np.float32)) / float(m.sum())
+            )
+        elif agg == "MIN":
+            exp.append(float(sel.min()))
+        else:
+            exp.append(float(sel.max()))
+    assert keys.tolist() == sorted(set(k.tolist()))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, equal_nan=True)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_grouping_sets(seed):
+    """ROLLUP/CUBE/GROUPING SETS row multisets vs per-set oracles."""
+    rng = np.random.default_rng(7100 + seed)
+    n = 1500
+    a = rng.integers(0, 5, n).astype(np.float32)
+    b = rng.integers(0, 4, n).astype(np.float32)
+    v = rng.uniform(0.5, 50, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"a": a, "b": b, "v": v}))
+    kind = ["ROLLUP(a, b)", "CUBE(a, b)",
+            "GROUPING SETS ((a), (b), ())",
+            "a, ROLLUP(b)"][seed % 4]
+    out = db.query_sql_table(
+        f"SELECT a, b, SUM(v) FROM t GROUP BY {kind}"
+    )
+    cols = [np.asarray(c, np.float64) for c in out.values()]
+    got = {}
+    for x, y, s in zip(*cols):
+        gk = (
+            "N" if np.isnan(x) else round(x, 3),
+            "N" if np.isnan(y) else round(y, 3),
+        )
+        got[gk] = s
+    sets = {
+        0: [("a", "b"), ("a",), ()],
+        1: [("a", "b"), ("a",), ("b",), ()],
+        2: [("a",), ("b",), ()],
+        3: [("a", "b"), ("a",)],
+    }[seed % 4]
+    exp = {}
+    vals = {"a": a, "b": b}
+    for ks in sets:
+        m = {}
+        for i in range(n):
+            key = tuple(float(vals[c][i]) for c in ks)
+            m[key] = np.float32(m.get(key, np.float32(0))) + v[i]
+        for key, s in m.items():
+            d = dict(zip(ks, key))
+            ek = (
+                round(d["a"], 3) if "a" in d else "N",
+                round(d["b"], 3) if "b" in d else "N",
+            )
+            exp[ek] = float(s)
+    assert set(got) == set(exp)
+    for gk in exp:
+        np.testing.assert_allclose(got[gk], exp[gk], rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_qualify_topn(seed):
+    """QUALIFY ROW_NUMBER top-N per partition vs a NumPy oracle."""
+    rng = np.random.default_rng(7200 + seed)
+    n = 1200
+    k = rng.integers(0, 7, n).astype(np.float32)
+    v = rng.uniform(0, 1000, n).astype(np.float32)
+    topn = int(rng.integers(1, 5))
+    desc = bool(rng.integers(0, 2))
+    direction = "DESC" if desc else "ASC"
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        f"SELECT k, v FROM t QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY k ORDER BY v {direction}) <= {topn} "
+        "ORDER BY k, v"
+    )
+    got = list(zip(*[np.asarray(c, np.float64) for c in out.values()]))
+    exp = []
+    for kk in sorted(set(k.tolist())):
+        sel = sorted(v[k == kk], reverse=desc)[:topn]
+        exp += [(float(kk), float(x)) for x in sorted(sel)]
+    np.testing.assert_allclose(np.array(got), np.array(exp), rtol=1e-6)
