@@ -601,6 +601,82 @@ def test_join_then_group():
     assert res == pytest.approx([30.0, 700.0])
 
 
+def test_create_table_as_and_drop():
+    db = WarpDB("data/test.csv")
+    assert db.query_sql_table(
+        "CREATE TABLE summary AS SELECT quantity, SUM(price) AS total "
+        "FROM test GROUP BY quantity"
+    ) == {}
+    out = db.query_sql_table(
+        "SELECT quantity, total FROM summary ORDER BY total DESC LIMIT 2"
+    )
+    assert list(zip(*out.values())) == [(5.0, 30.0), (4.0, 20.0)]
+    # The created table joins like any registered relation.
+    out = db.query_sql_table(
+        "SELECT t.price, s.total FROM test t JOIN summary s "
+        "ON t.quantity = s.quantity ORDER BY t.price LIMIT 1"
+    )
+    assert list(zip(*out.values())) == [(10.5, 10.5)]
+    # CREATE VIEW is a synonym (tables are immutable, so a lazily
+    # evaluated view could never diverge from its defining query).
+    db.query_sql("CREATE VIEW v AS SELECT price FROM test WHERE price > 15")
+    assert db.query_sql("SELECT price FROM v ORDER BY price") == [
+        15.25, 20.0, 30.0,
+    ]
+    db.query_sql("DROP TABLE summary")
+    db.query_sql("DROP VIEW v")
+    with pytest.raises(WarpDBError):
+        db.query_sql("DROP TABLE summary")  # already gone
+    db.query_sql("DROP TABLE IF EXISTS summary")  # idempotent
+
+
+def test_create_table_as_string_columns():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "name": np.array(["b", "a", "b"], dtype=object),
+                "v": np.array([1.0, 2.0, 3.0], np.float32),
+            }
+        )
+    )
+    db.query_sql(
+        "CREATE TABLE agg AS SELECT name, SUM(v) AS s FROM t GROUP BY name"
+    )
+    out = db.query_sql_table("SELECT name, s FROM agg ORDER BY name")
+    assert list(out.values())[0] == ["a", "b"]
+    assert list(out.values())[1] == [2.0, 4.0]
+
+
+def test_create_over_base_table_rejected():
+    db = WarpDB("data/test.csv")
+    with pytest.raises(WarpDBError):
+        db.query_sql("CREATE TABLE test AS SELECT price FROM test")
+
+
+def test_cli_repl(capsys, monkeypatch):
+    from warpdb_tpu.__main__ import main
+
+    lines = iter(
+        [
+            "SELECT quantity, SUM(price) AS total FROM test "
+            "GROUP BY quantity ORDER BY total DESC",
+            ".tables",
+            ".schema",
+            ".explain SELECT SUM(price) FROM test GROUP BY quantity",
+            ".quit",
+        ]
+    )
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    rc = main(["--repl", "data/test.csv"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "quantity" in out and "total" in out
+    assert "(4 rows)" in out
+    assert "test" in out  # .tables
+    assert "FLOAT32" in out  # .schema
+    assert "Plan for:" in out  # .explain
+
+
 def test_cli_demo(capsys):
     from warpdb_tpu.__main__ import main
 

@@ -18,7 +18,11 @@ def main(argv=None) -> int:
         prog="warpdb_tpu",
         description="TPU-native vectorized SQL query engine",
     )
-    parser.add_argument("query", help='e.g. "price * quantity WHERE price > 10" or a SELECT statement')
+    parser.add_argument(
+        "query", nargs="?", default=None,
+        help='e.g. "price * quantity WHERE price > 10" or a SELECT '
+             'statement; omit with --repl',
+    )
     parser.add_argument("data_file", nargs="?", default="data/test.csv")
     parser.add_argument("--limit-print", type=int, default=20,
                         help="max result rows to print")
@@ -34,9 +38,38 @@ def main(argv=None) -> int:
     parser.add_argument("--analyze", action="store_true",
                         help="with --explain: also execute and append the "
                              "measured profile (EXPLAIN ANALYZE)")
+    parser.add_argument("--repl", action="store_true",
+                        help="interactive SQL shell over the data file")
     args = parser.parse_args(argv)
 
+    # Persistent XLA compilation cache: first compile of a kernel on a
+    # remote TPU costs tens of seconds; cached reloads are ~0.3 s.  The
+    # engine config's WARPDB_COMPILATION_CACHE_DIR wins if set.
+    from .config import get_config
+
+    if not get_config().compilation_cache_dir:
+        import os
+
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "warpdb_tpu", "jax"
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+        except Exception:
+            pass  # cache is an optimisation, never a failure
+
     from . import WarpDB
+
+    if args.repl:
+        return _repl(args.data_file)
+    if args.query is None:
+        parser.error("a query is required unless --repl is given")
 
     if args.explain:
         db = WarpDB(args.data_file)
@@ -80,6 +113,97 @@ def main(argv=None) -> int:
     print(f"Query executed in {t_query*1e3:.2f} ms "
           f"({db.num_rows / max(t_query, 1e-9):,.0f} rows/s incl. compile)")
     return 0
+
+
+def _repl(data_file: str) -> int:
+    """Interactive SQL shell (extension; the reference CLI was single
+    shot).  Statements run through the table API and print aligned
+    columns; ``.tables`` lists registered relations, ``.schema`` the
+    columns, ``.explain <sql>`` the physical plan, ``.load name path``
+    registers another table for JOINs, ``.quit`` exits."""
+    try:
+        import readline  # noqa: F401  (line editing + history)
+    except ImportError:
+        pass
+
+    from . import WarpDB
+
+    t0 = time.perf_counter()
+    db = WarpDB(data_file)
+    print(
+        f"warpdb_tpu — {db.num_rows} rows from {data_file} "
+        f"({', '.join(db.column_names)}) in "
+        f"{(time.perf_counter() - t0) * 1e3:.1f} ms.  "
+        f'Try: SELECT * FROM {db.table_name} LIMIT 5;  (.help for commands)'
+    )
+    extra_tables: list[str] = []
+    while True:
+        try:
+            line = input("warpdb> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not line:
+            continue
+        if line.startswith("."):
+            cmd, *rest = line.split()
+            if cmd in (".quit", ".exit"):
+                return 0
+            if cmd == ".help":
+                print(".tables  .schema  .explain <sql>  "
+                      ".load <name> <path>  .quit")
+            elif cmd == ".tables":
+                print("  ".join([db.table_name, *extra_tables]))
+            elif cmd == ".schema":
+                for name in db.column_names:
+                    dt = db.table.dtypes.get(name)
+                    print(f"  {name}  {getattr(dt, 'name', dt)}")
+            elif cmd == ".explain":
+                try:
+                    print(db.explain(line[len(".explain"):].strip()))
+                except Exception as e:  # keep the shell alive
+                    print(f"error: {e}")
+            elif cmd == ".load" and len(rest) == 2:
+                try:
+                    db.register_table(rest[0], rest[1])
+                    extra_tables.append(rest[0])
+                    print(f"registered {rest[0]}")
+                except Exception as e:
+                    print(f"error: {e}")
+            else:
+                print(f"unknown command: {line} (.help)")
+            continue
+        sql = line.rstrip(";")
+        t0 = time.perf_counter()
+        try:
+            out = db.query_sql_table(sql)
+        except Exception as e:
+            print(f"error: {e}")
+            continue
+        dt = time.perf_counter() - t0
+        names = list(out.keys())
+        cols = [list(c) for c in out.values()]
+        n = len(cols[0]) if cols else 0
+        show = min(n, 40)
+        cells = [
+            [
+                (f"{x:.6g}" if not isinstance(x, str) else x)
+                for x in c[:show]
+            ]
+            for c in cols
+        ]
+        widths = [
+            max(len(nm), *(len(x) for x in col)) if col else len(nm)
+            for nm, col in zip(names, cells)
+        ]
+        print("  ".join(nm.ljust(w) for nm, w in zip(names, widths)))
+        print("  ".join("-" * w for w in widths))
+        for i in range(show):
+            print(
+                "  ".join(c[i].ljust(w) for c, w in zip(cells, widths))
+            )
+        tail = f" … ({n} rows)" if n > show else f"({n} rows)"
+        print(f"{tail}  {dt * 1e3:.1f} ms")
 
 
 def _run_demo(data_file: str) -> None:

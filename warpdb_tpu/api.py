@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .errors import ParseError, TokenizeError, WarpDBError
+from .errors import ParseError, TokenizeError, ValidationError, WarpDBError
 from .frontend import (
     parse_expression,
     parse_query,
@@ -122,6 +122,11 @@ class WarpDB:
     @property
     def table(self) -> DeviceTable:
         return self._table
+
+    @property
+    def table_name(self) -> str:
+        """The FROM name of the base relation (file stem or "table")."""
+        return self._name
 
     @property
     def stats(self) -> dict:
@@ -328,6 +333,9 @@ class WarpDB:
         from .engine.executor import run_query
         from .utils.metrics import timed_query
 
+        ddl = self._maybe_ddl(sql)
+        if ddl is not None:
+            return []
         try:
             ast = parse_query(tokenize(sql))
         except (ParseError, TokenizeError) as e:
@@ -641,6 +649,64 @@ def _capsule_address(capsule) -> int:
     return ctypes.pythonapi.PyCapsule_GetPointer(capsule, name)
 
 
+_DDL_CREATE = None  # compiled lazily in _facade_maybe_ddl
+_DDL_DROP = None
+
+
+def _facade_maybe_ddl(self, sql: str):
+    """Handle ``CREATE TABLE|VIEW <name> AS <select>`` and
+    ``DROP TABLE|VIEW [IF EXISTS] <name>`` (extension — the reference
+    grammar is SELECT-only).  Device tables are immutable, so a VIEW's
+    lazily-evaluated result can never diverge from its defining query —
+    both spellings materialise through the full facade (CTEs, set ops,
+    grouping sets, QUALIFY all work in the body) and register in the
+    statement catalog for later FROM/JOIN use.  Returns ``{}`` when the
+    statement was DDL, else None."""
+    global _DDL_CREATE, _DDL_DROP
+    import re
+
+    if _DDL_CREATE is None:
+        _DDL_CREATE = re.compile(
+            r"^\s*CREATE\s+(TABLE|VIEW)\s+([A-Za-z_]\w*)\s+AS\s+(.+)$",
+            re.IGNORECASE | re.DOTALL,
+        )
+        _DDL_DROP = re.compile(
+            r"^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+            re.IGNORECASE,
+        )
+    m = _DDL_CREATE.match(sql)
+    if m is not None:
+        name = m.group(2)
+        if name == self._name:
+            raise ValidationError(
+                f"Cannot CREATE over the base relation: {name}"
+            )
+        out = self.query_sql_table(m.group(3))
+        arrays = {
+            col: np.asarray(
+                vals,
+                dtype=object
+                if any(isinstance(x, str) for x in vals)
+                else np.float32,
+            )
+            for col, vals in out.items()
+        }
+        self.register_table(name, HostTable.from_dict(arrays))
+        return {}
+    m = _DDL_DROP.match(sql)
+    if m is not None:
+        name = m.group(3)
+        if name in self._catalog:
+            del self._catalog[name]
+        elif not m.group(2):
+            raise ValidationError(f"Unknown table: {name}")
+        return {}
+    return None
+
+
+WarpDB._maybe_ddl = _facade_maybe_ddl
+
+
 def _facade_query_sql_table(self, sql: str) -> dict:
     """Execute a SELECT and return every select-list item as a named
     column (``{name: list[float]}``) — exceeds the reference, which
@@ -648,6 +714,9 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     from .engine.executor import run_query_table
     from .errors import ParseError as _PE, TokenizeError as _TE
 
+    ddl = self._maybe_ddl(sql)
+    if ddl is not None:
+        return ddl
     try:
         ast = parse_query(tokenize(sql))
     except (_PE, _TE) as e:
