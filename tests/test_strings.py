@@ -472,3 +472,58 @@ def test_string_funcs_errors(fdb):
         fdb.query_sql("SELECT CONCAT(name, name) FROM t")
     with pytest.raises(ValidationError, match="literal"):
         fdb.query_sql("SELECT SUBSTR(name, x, 2) FROM t")
+
+
+def test_date_part_extraction():
+    """YEAR/MONTH/DAY/HOUR/MINUTE/SECOND over ISO-8601 strings (and the
+    standard EXTRACT(part FROM e) spelling) — vocabulary transforms, so
+    they group, filter, and order like any numeric expression."""
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "ts": np.array(
+                    [
+                        "2024-01-15 10:30:45",
+                        "2024-02-20 23:59:59",
+                        "2023-12-31",
+                        "2024-01-05",
+                        "not-a-date",
+                    ],
+                    dtype=object,
+                ),
+                "v": np.array([1, 2, 3, 4, 5], np.float32),
+            }
+        )
+    )
+    out = db.query_sql_table(
+        "SELECT YEAR(ts), MONTH(ts), SUM(v) FROM t "
+        "GROUP BY YEAR(ts), MONTH(ts) ORDER BY YEAR(ts), MONTH(ts)"
+    )
+    rows = list(zip(*out.values()))
+    # NaN keys (malformed date) sort last per the engine's total order.
+    assert rows[:3] == [
+        (2023.0, 12.0, 3.0),
+        (2024.0, 1.0, 5.0),
+        (2024.0, 2.0, 2.0),
+    ]
+    import math
+
+    assert math.isnan(rows[3][0])  # the malformed-date group
+    assert db.query_sql(
+        "SELECT v FROM t WHERE EXTRACT(MONTH FROM ts) == 1"
+    ) == [1.0, 4.0]
+    out = db.query_sql_table(
+        "SELECT HOUR(ts), MINUTE(ts), SECOND(ts) FROM t WHERE v == 1"
+    )
+    assert list(zip(*out.values())) == [(10.0, 30.0, 45.0)]
+    # Time parts of a date-only entry are NULL (NaN).
+    out = db.query_sql_table("SELECT HOUR(ts) FROM t WHERE v == 3")
+    assert math.isnan(list(out.values())[0][0])
+
+
+def test_extract_rejects_unknown_part():
+    from warpdb_tpu.errors import ParseError
+
+    db = WarpDB("data/test.csv")
+    with pytest.raises(ParseError):
+        db.query_sql("SELECT EXTRACT(EPOCH FROM price) FROM test")

@@ -506,6 +506,28 @@ class _ExprParser:
                 )
             # MEDIAN(expr) — contextual aggregate (not a reserved word;
             # a bare column named "median" still parses as a Variable).
+            # EXTRACT(part FROM expr) — standard spelling of the
+            # date-part functions (lowers to the same YEAR()/MONTH()/…
+            # vocabulary-transform calls; extension — the reference has
+            # no date support at all).
+            if tok.value.upper() == "EXTRACT" and self.match_op("("):
+                part_tok = self.peek()
+                if part_tok.type is not TokenType.IDENTIFIER or (
+                    part_tok.value.upper()
+                    not in ("YEAR", "MONTH", "DAY", "HOUR", "MINUTE",
+                            "SECOND")
+                ):
+                    raise ParseError(
+                        "EXTRACT expects YEAR/MONTH/DAY/HOUR/MINUTE/"
+                        "SECOND"
+                    )
+                self.advance()
+                if not self.match_kw("FROM"):
+                    raise ParseError("Expected FROM in EXTRACT")
+                inner = self.logical_or()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return FunctionCall(part_tok.value.lower(), (inner,))
             if tok.value.upper() == "MEDIAN" and self.match_op("("):
                 inner = self.logical_or()
                 if not self.match_op(")"):

@@ -58,7 +58,25 @@ STRING_FUNCS = {
     "concat": ("str", None),  # variadic; special-cased below
     "length": ("num", lambda s: float(len(s))),
     "char_length": ("num", lambda s: float(len(s))),
+    # Date-part extraction over ISO-8601 date/timestamp strings
+    # ("YYYY-MM-DD[ HH:MM:SS]" — the reference has no date type at all;
+    # ISO strings already sort chronologically through the dictionary,
+    # and these expose the parts as numbers for grouping/filtering).
+    # Malformed entries yield NaN (the engine's NULL).
+    "year": ("num", lambda s: _date_part(s, 0, 4)),
+    "month": ("num", lambda s: _date_part(s, 5, 7)),
+    "day": ("num", lambda s: _date_part(s, 8, 10)),
+    "hour": ("num", lambda s: _date_part(s, 11, 13)),
+    "minute": ("num", lambda s: _date_part(s, 14, 16)),
+    "second": ("num", lambda s: _date_part(s, 17, 19)),
 }
+
+
+def _date_part(s: str, a: int, b: int) -> float:
+    part = s[a:b]
+    if len(part) == b - a and part.isdigit():
+        return float(int(part))
+    return float("nan")
 
 
 def is_string_func(name: str) -> bool:
