@@ -601,6 +601,80 @@ def test_join_then_group():
     assert res == pytest.approx([30.0, 700.0])
 
 
+def test_having_alias(db):
+    # HAVING may reference select aliases (MySQL/DuckDB convenience);
+    # inside aggregate arguments the input column wins.
+    res = db.query_sql_table(
+        "SELECT quantity, SUM(price) AS total FROM test "
+        "GROUP BY quantity HAVING total > 16 ORDER BY total"
+    )
+    assert list(zip(*res.values())) == [(4.0, 20.0), (5.0, 30.0)]
+    res = db.query_sql_table(
+        "SELECT quantity AS price, SUM(price) AS s FROM test "
+        "GROUP BY quantity HAVING SUM(price) > 16 ORDER BY s"
+    )
+    # SUM(price) aggregates the COLUMN price, not the alias.
+    assert list(zip(*res.values())) == [(4.0, 20.0), (5.0, 30.0)]
+
+
+def test_implicit_comma_join():
+    """FROM a, b WHERE a.k = b.k (SQL-89): equality conjuncts lift out
+    of WHERE into INNER equi-join conditions; residue stays in WHERE."""
+    rng = np.random.default_rng(31)
+    n = 6000
+    k = rng.integers(0, 16, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "p": p}))
+    db.register_table(
+        "d",
+        HostTable.from_dict(
+            {
+                "k": np.arange(16, dtype=np.float32),
+                "w": (np.arange(16) * 3.0).astype(np.float32),
+            }
+        ),
+    )
+    a = db.query_sql_table(
+        "SELECT p, w FROM t, d WHERE t.k = d.k AND p > 80 "
+        "ORDER BY p DESC LIMIT 10"
+    )
+    b = db.query_sql_table(
+        "SELECT p, w FROM t JOIN d ON t.k = d.k WHERE p > 80 "
+        "ORDER BY p DESC LIMIT 10"
+    )
+    assert list(zip(*a.values())) == list(zip(*b.values()))
+    # The plan actually lifts (no cartesian product).
+    plan = db.explain("SELECT p, w FROM t, d WHERE t.k = d.k")
+    assert "inner equi-join" in plan and "cross join" not in plan
+    # Three relations chain left-to-right.
+    db.register_table(
+        "e",
+        HostTable.from_dict(
+            {
+                "w": (np.arange(16) * 3.0).astype(np.float32),
+                "z": np.arange(16, dtype=np.float32),
+            }
+        ),
+    )
+    out = db.query_sql_table(
+        "SELECT k, z FROM t, d, e WHERE t.k = d.k AND d.w = e.w "
+        "ORDER BY p LIMIT 3"
+    )
+    kk, zz = list(out.values())
+    assert list(kk) == list(zz)  # z == w/3 == k by construction
+
+
+def test_implicit_join_without_condition_is_cartesian():
+    db = WarpDB(
+        HostTable.from_dict({"a": np.array([1.0, 2.0], np.float32)})
+    )
+    db.register_table(
+        "u", HostTable.from_dict({"b": np.array([10.0, 20.0, 30.0], np.float32)})
+    )
+    out = db.query_sql_table("SELECT a, b FROM t, u ORDER BY a, b")
+    assert len(list(out.values())[0]) == 6  # 2 x 3 product
+
+
 def test_create_table_as_and_drop():
     db = WarpDB("data/test.csv")
     assert db.query_sql_table(

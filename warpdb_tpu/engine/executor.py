@@ -1064,6 +1064,7 @@ from .join_exec import (  # noqa: E402
     _materialize_join_distributed,
     _materialize_join_local,
     _materialize_joins,
+    _lift_implicit_join_conditions,
     _pushdown_join_where,
     _resolve_column,
     _resolve_join_sides,
@@ -1203,6 +1204,7 @@ def run_query(
         query.select_list = expanded
 
     if query.joins:
+        query = _lift_implicit_join_conditions(query, table, catalog)
         query, table = _pushdown_join_where(query, table, catalog, mesh)
         if query.group_by is not None:
             rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
@@ -2482,14 +2484,13 @@ def _host_order_and_slice(
 
 
 def resolve_order_aliases(query: Query) -> Query:
-    """Rewrite ORDER BY terms naming a select-list alias into the aliased
-    expression (standard output-column resolution: the alias wins over an
-    input column of the same name, as in PostgreSQL).  Extension — the
-    reference never connects ORDER BY to aliases (expression.hpp:145-151).
-    Returns ``query`` unchanged (identity — plan-cache keys survive) when
-    no term references an alias."""
-    if query.order_by is None:
-        return query
+    """Rewrite ORDER BY terms (and bare HAVING column references, the
+    MySQL/DuckDB convenience) naming a select-list alias into the
+    aliased expression (standard output-column resolution: the alias
+    wins over an input column of the same name, as in PostgreSQL).
+    Extension — the reference never connects clauses to aliases
+    (expression.hpp:145-151).  Returns ``query`` unchanged (identity —
+    plan-cache keys survive) when nothing references an alias."""
     alias_map = {
         item.name: unalias(item)
         for item in query.select_list
@@ -2499,22 +2500,53 @@ def resolve_order_aliases(query: Query) -> Query:
         return query
     import copy as _copy
 
-    new_terms = []
     changed = False
-    for t in query.order_by.terms:
-        e = t.expr
-        if isinstance(e, Variable) and e.qualifier is None and e.name in alias_map:
-            new_terms.append((alias_map[e.name], t.ascending))
+    new_order = query.order_by
+    if query.order_by is not None:
+        new_terms = []
+        order_changed = False
+        for t in query.order_by.terms:
+            e = t.expr
+            if (
+                isinstance(e, Variable)
+                and e.qualifier is None
+                and e.name in alias_map
+            ):
+                new_terms.append((alias_map[e.name], t.ascending))
+                order_changed = True
+            else:
+                new_terms.append((e, t.ascending))
+        if order_changed:
+            head, *rest = new_terms
+            new_order = OrderBy(
+                head[0], head[1], tuple(OrderBy(e, a) for e, a in rest)
+            )
             changed = True
-        else:
-            new_terms.append((e, t.ascending))
+
+    new_having = query.having
+    if query.having is not None:
+
+        def subst(node):
+            if (
+                isinstance(node, Variable)
+                and node.qualifier is None
+                and node.name in alias_map
+            ):
+                return alias_map[node.name]
+            return node
+
+        # Prune aggregate arguments: inside AGG(...) an input column of
+        # the same name wins over the alias (MySQL resolution order).
+        rewritten = transform(query.having, subst, prune=(Aggregation,))
+        if rewritten is not query.having:
+            new_having = rewritten
+            changed = True
+
     if not changed:
         return query
     query = _copy.copy(query)
-    head, *rest = new_terms
-    query.order_by = OrderBy(
-        head[0], head[1], tuple(OrderBy(e, a) for e, a in rest)
-    )
+    query.order_by = new_order
+    query.having = new_having
     return query
 
 
@@ -2567,6 +2599,7 @@ def run_query_table(
         return _run_grouping_sets(query, table, catalog, mesh)
 
     if query.joins:
+        query = _lift_implicit_join_conditions(query, table, catalog)
         query, table = _pushdown_join_where(query, table, catalog, mesh)
         if query.group_by is not None:
             rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)

@@ -67,6 +67,13 @@ def explain_query(
     catalog = catalog or {}
     lines = [f"Plan for: {query.canonical()}"]
 
+    if query.joins:
+        # Show the plan the executor will actually run: implicit-join
+        # equality conjuncts lift out of WHERE into ON conditions.
+        from .join_exec import _lift_implicit_join_conditions
+
+        query = _lift_implicit_join_conditions(query, table, catalog)
+
     if getattr(query, "from_subquery", None) is not None:
         lines.append(
             f"  from: derived table '{query.from_table}' — the inner "

@@ -21,6 +21,7 @@ from jax import lax
 from ..errors import UnsupportedError, ValidationError
 from ..frontend.ast import (
     Aggregation,
+    Join,
     AggregationType,
     Alias,
     BinaryOp,
@@ -1126,6 +1127,98 @@ def _try_eager_join_aggregate(query, table, catalog, mesh):
     catalog2 = dict(catalog)
     catalog2[join.table] = dim2
     return q2, catalog2
+
+
+def _lift_implicit_join_conditions(
+    query: Query, table: DeviceTable, catalog: Optional[dict]
+) -> Query:
+    """SQL-89 implicit joins: ``FROM a, b WHERE a.k = b.k`` parses as a
+    CROSS JOIN + WHERE; lift each WHERE equality conjunct that links one
+    relation to the chain before it into that join's ON condition
+    (making it an INNER equi-join), leaving the residue in WHERE.
+    Without this the engine would materialise the full N·M cartesian
+    product only to filter it straight back down.  A conjunct whose
+    column resolution is ambiguous (a name in both scopes, or not a
+    bare column equality) stays in WHERE — correct, just unlifted."""
+    if query.where is None or not any(
+        j.kind == "cross" and j.condition is None for j in query.joins
+    ):
+        return query
+    catalog = catalog or {}
+
+    def conjuncts(n):
+        if isinstance(n, BinaryOp) and n.op == "&&":
+            return conjuncts(n.left) + conjuncts(n.right)
+        return [n]
+
+    parts = conjuncts(query.where)
+    used = [False] * len(parts)
+    left_cols = set(table.columns)
+    left_quals = {query.from_table}
+    new_joins = []
+    any_lifted = False
+    for j in query.joins:
+        right = catalog.get(j.table, table)
+        rcols = set(right.columns)
+        if j.kind != "cross" or j.condition is not None:
+            new_joins.append(j)
+            left_cols |= rcols
+            left_quals.add(j.table)
+            continue
+
+        def side_of(v, rcols=rcols, jt=j.table):
+            if v.qualifier is not None:
+                if v.qualifier == jt:
+                    return "right"
+                if v.qualifier in left_quals:
+                    return "left"
+                return None
+            in_r = v.name in rcols
+            in_l = v.name in left_cols
+            if in_r and not in_l:
+                return "right"
+            if in_l and not in_r:
+                return "left"
+            return None  # ambiguous or unknown
+
+        picked = []
+        for i, c in enumerate(parts):
+            if used[i]:
+                continue
+            if (
+                isinstance(c, BinaryOp)
+                and c.op in ("==", "=")
+                and isinstance(c.left, Variable)
+                and isinstance(c.right, Variable)
+            ):
+                sides = {side_of(c.left), side_of(c.right)}
+                if sides == {"left", "right"}:
+                    picked.append(c)
+                    used[i] = True
+        if picked:
+            cond = picked[0]
+            for c in picked[1:]:
+                cond = BinaryOp("&&", cond, c)
+            new_joins.append(
+                Join(j.table, cond, kind="inner", source=j.source)
+            )
+            any_lifted = True
+        else:
+            new_joins.append(j)
+        left_cols |= rcols
+        left_quals.add(j.table)
+    if not any_lifted:
+        return query
+    import copy as _copy
+
+    q2 = _copy.copy(query)
+    q2.joins = new_joins
+    rest = [c for i, c in enumerate(parts) if not used[i]]
+    w = None
+    for c in rest:
+        w = c if w is None else BinaryOp("&&", w, c)
+    q2.where = w
+    return q2
 
 
 def _pushdown_join_where(

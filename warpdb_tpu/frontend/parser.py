@@ -1615,6 +1615,33 @@ class _QueryParser:
                 q.from_source = q.from_table
                 q.from_table = alias
 
+        # Implicit joins: ``FROM a, b [, c]`` (SQL-89 comma syntax) —
+        # each extra relation parses as a CROSS JOIN; the executor's
+        # implicit-join rewrite then lifts WHERE equality conjuncts
+        # linking the relations into real equi-join conditions.
+        while self.at_op(","):
+            self.pos += 1
+            if (
+                self.pos >= len(self.toks)
+                or self.toks[self.pos].type is not TokenType.IDENTIFIER
+            ):
+                line, col = self._loc()
+                raise ParseError(
+                    f"Expected table name after ',' at line {line} "
+                    f"column {col}"
+                )
+            tname = self.toks[self.pos].value
+            self.pos += 1
+            alias = self._maybe_alias()
+            q.joins.append(
+                Join(
+                    alias or tname,
+                    None,
+                    kind="cross",
+                    source=tname if alias else None,
+                )
+            )
+
         while (
             self.at_kw("JOIN")
             or self.at_kw("LEFT")

@@ -61,20 +61,24 @@ def validate_query(
     if query.group_by is not None:
         for key in query.group_by.keys:
             check(key, "GROUP BY")
-    check(query.having, "HAVING clause")
+    # Output-column resolution: bare names in ORDER BY (standard) and
+    # HAVING (MySQL/DuckDB convenience) may reference select-list
+    # aliases — the executor rewrites them via resolve_order_aliases.
+    from .ast import Alias
+
+    aliases = {
+        item.name for item in query.select_list if isinstance(item, Alias)
+    }
+    out_cols = set(columns) | aliases
+    if query.having is not None:
+        try:
+            validate_expression(query.having, out_cols, table_names)
+        except ValidationError as e:
+            raise ValidationError(f"HAVING clause: {e}") from None
     check(getattr(query, "qualify", None), "QUALIFY clause")
     if query.order_by is not None:
-        # Standard output-column resolution: a bare ORDER BY name may
-        # reference a select-list alias (the executor rewrites it via
-        # resolve_order_aliases); validate against columns ∪ aliases.
-        from .ast import Alias
-
-        aliases = {
-            item.name for item in query.select_list if isinstance(item, Alias)
-        }
-        order_cols = set(columns) | aliases
         for term in query.order_by.terms:
             try:
-                validate_expression(term.expr, order_cols, table_names)
+                validate_expression(term.expr, out_cols, table_names)
             except ValidationError as e:
                 raise ValidationError(f"ORDER BY: {e}") from None
