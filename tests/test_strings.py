@@ -527,3 +527,71 @@ def test_extract_rejects_unknown_part():
     db = WarpDB("data/test.csv")
     with pytest.raises(ParseError):
         db.query_sql("SELECT EXTRACT(EPOCH FROM price) FROM test")
+
+
+def test_string_agg_grouped():
+    """STRING_AGG(expr, sep) / GROUP_CONCAT: grouped string
+    concatenation in ascending value order (deterministic)."""
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "cat": np.array(["a", "b", "a", "b", "a"], dtype=object),
+                "name": np.array(
+                    ["zeta", "bee", "ant", "cow", "mid"], dtype=object
+                ),
+                "v": np.array([1, 2, 3, 4, 5], np.float32),
+            }
+        )
+    )
+    out = db.query_sql_table(
+        "SELECT cat, STRING_AGG(name, ', ') FROM t GROUP BY cat "
+        "ORDER BY cat"
+    )
+    assert list(zip(*out.values())) == [
+        ("a", "ant, mid, zeta"),
+        ("b", "bee, cow"),
+    ]
+    # MySQL synonym with its default ',' separator; numeric values
+    # format with %g.
+    out = db.query_sql_table(
+        "SELECT cat, GROUP_CONCAT(v) FROM t GROUP BY cat ORDER BY cat"
+    )
+    assert list(zip(*out.values())) == [("a", "1,3,5"), ("b", "2,4")]
+    # WHERE applies before collection.
+    out = db.query_sql_table(
+        "SELECT cat, STRING_AGG(name, '|') FROM t WHERE v > 2 "
+        "GROUP BY cat ORDER BY cat"
+    )
+    assert list(zip(*out.values())) == [("a", "ant|mid"), ("b", "cow")]
+
+
+def test_string_agg_global_and_mixed():
+    db = WarpDB(
+        HostTable.from_dict(
+            {
+                "name": np.array(["zeta", "bee", "ant"], dtype=object),
+                "v": np.array([1, 2, 3], np.float32),
+            }
+        )
+    )
+    out = db.query_sql_table("SELECT STRING_AGG(name, '|'), SUM(v) FROM t")
+    assert list(zip(*out.values())) == [("ant|bee|zeta", 6.0)]
+
+
+def test_string_agg_rejections(tmp_path):
+    from warpdb_tpu.errors import ParseError, UnsupportedError
+
+    db = WarpDB("data/test.csv")
+    with pytest.raises(ParseError):
+        db.query_sql("SELECT STRING_AGG(price) FROM test")  # no separator
+    with pytest.raises(ParseError):
+        db.query_sql(
+            "SELECT STRING_AGG(price, ',') FILTER (WHERE price > 1) "
+            "FROM test"
+        )
+    p = tmp_path / "sa.csv"
+    p.write_text("cat,v\na,1\nb,2\n")
+    with pytest.raises(UnsupportedError):
+        WarpDB.query_streaming_sql(
+            str(p), "SELECT STRING_AGG(cat, ',') FROM sa", rows_per_chunk=1
+        )

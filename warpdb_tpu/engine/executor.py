@@ -2598,6 +2598,18 @@ def run_query_table(
     if query.group_by is not None and query.group_by.sets is not None:
         return _run_grouping_sets(query, table, catalog, mesh)
 
+    if query.group_by is None and any(
+        isinstance(n, Aggregation) and n.agg is AggregationType.STRING_AGG
+        for item in [*query.select_list, query.having]
+        if item is not None
+        for n in walk(item)
+    ):
+        # Global STRING_AGG: the scalar global-aggregate path is
+        # float-typed — route through the grouped machinery with a
+        # constant key (one group == the whole table).
+        query = _copy.copy(query)
+        query.group_by = GroupBy((Constant("1"),))
+
     if query.joins:
         query = _lift_implicit_join_conditions(query, table, catalog)
         query, table = _pushdown_join_where(query, table, catalog, mesh)

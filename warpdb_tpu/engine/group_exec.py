@@ -208,7 +208,11 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
             spec_to_vidx[spec.key] = "cd"
             cd_specs.append(spec)
             continue
-        if spec.agg in (AggregationType.MEDIAN, AggregationType.PERCENTILE):
+        if spec.agg in (
+            AggregationType.MEDIAN,
+            AggregationType.PERCENTILE,
+            AggregationType.STRING_AGG,
+        ):
             spec_to_vidx[spec.key] = "cd"
             cd_specs.append(spec)
             continue
@@ -292,6 +296,13 @@ def _grouped_partials(
                                vexpr_canons, where_canon, plan["keys_canon"],
                                plan["need"])
     for spec in plan["cd_specs"]:
+        if spec.agg is AggregationType.STRING_AGG:
+            result.dcounts[spec.key] = _grouped_string_agg(
+                query, table, group_keys, spec, result.num_groups,
+                plan["keys_canon"], where_canon,
+                raw_int_key=getattr(result, "raw_int_key", False),
+            )
+            continue
         result.dcounts[spec.key] = _grouped_value_order_stat(
             query, table, group_keys, spec.expr, result.num_groups,
             plan["keys_canon"], where_canon, spec.agg,
@@ -679,6 +690,127 @@ class _HostGroupResult:
         self.raw_int_key: bool = False
 
 
+def _grouped_string_agg(query, table, group_keys, spec, num_groups,
+                        keys_canon, where_canon,
+                        raw_int_key: bool = False) -> np.ndarray:
+    """STRING_AGG(expr, sep): one sort by (group keys…, value) puts each
+    group's values contiguous and ascending; the device ships the
+    sorted values plus per-group counts (O(N) — inherent: the result
+    content is every value), and the host decodes + joins.  Segments
+    emerge in the same ascending key order as every other grouped path,
+    so the object array aligns with the aggregate table row-for-row.
+    Values concatenate in ascending value order (deterministic); string
+    expressions decode through their vocabulary, numeric expressions
+    format with %g.  Empty groups (FILTER'd variants) yield ""."""
+    from ..ops.sort import float_sort_key, int_sort_key
+    from ..storage.strings import decode_codes
+
+    expr = spec.expr
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    capacity = _next_pow2(max(int(num_groups), 16))
+
+    # Vocabulary of the value expression (bare string column or CodeMap).
+    from ..frontend.ast import CodeMap, Variable as _Var
+
+    node = unalias(expr)
+    vocab = None
+    if isinstance(node, CodeMap):
+        vocab = node.out_vocab
+    elif isinstance(node, _Var) and table.dicts:
+        vocab = table.dicts.get(node.name)
+        if vocab is None:
+            vocab = table.dicts.get(node.unqualified)
+
+    key = ("group_string_agg", keys_canon, expr.canonical(), where_canon,
+           schema_signature(cols), capacity, raw_int_key,
+           udf_mod.registry_version())
+
+    def build():
+        if raw_int_key:
+            kvar = group_keys[0]
+            kname, kuname = kvar.name, kvar.unqualified
+
+            def raw_key(cols):
+                arr = cols.get(kname)
+                if arr is None:
+                    arr = cols.get(kuname)
+                return arr
+
+            key_fns = [raw_key]
+        else:
+            key_fns = [build_evaluator(k) for k in group_keys]
+        val_fn = build_evaluator(expr)
+        cond_fn = (
+            build_evaluator(query.where) if query.where is not None else None
+        )
+        u32_max = jnp.uint32(0xFFFFFFFF)
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            if raw_int_key:
+                keys = tuple(_broadcast(f(cols), cols) for f in key_fns)
+                skeys = tuple(
+                    jnp.where(valid, int_sort_key(k), u32_max) for k in keys
+                )
+            else:
+                keys = tuple(
+                    _broadcast(_as_f32(f(cols)), cols) for f in key_fns
+                )
+                skeys = tuple(
+                    jnp.where(valid, float_sort_key(k), u32_max)
+                    for k in keys
+                )
+            vals = _broadcast(_as_f32(val_fn(cols)), cols)
+            sval = float_sort_key(vals)
+            nk = len(skeys)
+            sorted_ops = jax.lax.sort(
+                skeys + (sval, valid.astype(jnp.int32), vals),
+                num_keys=nk + 1,
+                is_stable=True,
+            )
+            skeys_s = sorted_ops[:nk]
+            valid_s = sorted_ops[nk + 1].astype(jnp.bool_)
+            vals_s = sorted_ops[nk + 2]
+            from ..ops.aggregate import sorted_first_flags
+
+            key_first = jnp.logical_and(
+                sorted_first_flags(skeys_s), valid_s
+            )
+            seg = jnp.cumsum(key_first.astype(jnp.int32)) - 1
+            seg = jnp.where(valid_s, seg, capacity)
+            counts = (
+                jnp.zeros((capacity,), jnp.int32)
+                .at[seg]
+                .add(1, mode="drop")
+            )
+            n_valid = jnp.sum(valid_s.astype(jnp.int32))
+            return vals_s, counts, n_valid
+
+        return kernel
+
+    vals_s, counts, n_valid = jax.device_get(
+        get_or_compile(key, build)(cols, n_rows)
+    )
+    n_valid = int(n_valid)
+    vals_s = vals_s[:n_valid]
+    counts = counts[: int(num_groups)]
+    sep = "" if spec.param is None else str(spec.param)
+    if vocab is not None:
+        parts = decode_codes(vals_s, vocab)
+    else:
+        parts = [f"{v:g}" for v in vals_s]
+    out = np.empty(int(num_groups), dtype=object)
+    pos = 0
+    for g, c in enumerate(counts):
+        out[g] = sep.join(parts[pos : pos + int(c)])
+        pos += int(c)
+    return out
+
+
 def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,
                               keys_canon, where_canon, agg,
                               raw_int_key: bool = False,
@@ -950,16 +1082,28 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
     outs = []
     for item in select_items:
         vals = _group_level_eval(item, key_canon_map, agg_values)
-        vals = np.broadcast_to(
-            np.asarray(vals, dtype=np.float32), (num_groups,)
-        )[mask]
+        arr = np.asarray(vals)
+        if arr.dtype == object or arr.dtype.kind in "US":
+            # String-valued aggregate (STRING_AGG): object array, no
+            # float cast; ordering/masking/distinct apply positionally.
+            vals = np.broadcast_to(arr, (num_groups,))[mask]
+        else:
+            vals = np.broadcast_to(
+                np.asarray(vals, dtype=np.float32), (num_groups,)
+            )[mask]
         if order is not None:
             vals = vals[order]
         if query.distinct:
-            vals = np.unique(np.asarray(vals, dtype=np.float32))
+            if vals.dtype == object or vals.dtype.kind in "US":
+                vals = np.unique(vals.astype(str)).astype(object)
+            else:
+                vals = np.unique(np.asarray(vals, dtype=np.float32))
             if query.order_by is not None and not query.order_by.ascending:
                 vals = vals[::-1]
-        outs.append(np.ascontiguousarray(vals, dtype=np.float32))
+        if vals.dtype == object or vals.dtype.kind in "US":
+            outs.append(np.asarray(vals, dtype=object))
+        else:
+            outs.append(np.ascontiguousarray(vals, dtype=np.float32))
     return outs
 
 

@@ -380,6 +380,10 @@ class AggregationType(enum.Enum):
     # PERCENTILE(expr, q) — extension (linear interpolation at
     # q·(count−1), numpy's default scheme; MEDIAN ≡ PERCENTILE 0.5).
     PERCENTILE = "percentile"
+    # STRING_AGG(expr, sep) / GROUP_CONCAT — extension.  Values
+    # concatenate in ascending value order (deterministic; the engine
+    # has no per-group input-order notion after its sorts).
+    STRING_AGG = "string_agg"
 
 
 @dataclass(frozen=True, repr=False)
@@ -402,6 +406,8 @@ class Aggregation(Node):
             return f"COUNT(DISTINCT {self.expr.canonical()})"
         if self.agg is AggregationType.PERCENTILE:
             return f"PERCENTILE({self.expr.canonical()}, {self.param!r})"
+        if self.agg is AggregationType.STRING_AGG:
+            return f"STRING_AGG({self.expr.canonical()}, {self.param!r})"
         return f"{self.agg.name}({self.expr.canonical()})"
 
     def children(self) -> tuple[Node, ...]:

@@ -535,6 +535,33 @@ class _ExprParser:
                 return self._maybe_filter_suffix(
                     Aggregation(AggregationType.MEDIAN, inner)
                 )
+            # STRING_AGG(expr, 'sep') / GROUP_CONCAT(expr[, 'sep']) —
+            # contextual grouped string concatenation (ascending value
+            # order; deterministic).
+            if tok.value.upper() in ("STRING_AGG", "GROUP_CONCAT") and (
+                self.match_op("(")
+            ):
+                inner = self.logical_or()
+                sep = "," if tok.value.upper() == "GROUP_CONCAT" else None
+                if self.match_op(","):
+                    sep_tok = self.peek()
+                    if sep_tok.type is not TokenType.STRING:
+                        raise ParseError(
+                            f"{tok.value.upper()} separator must be a "
+                            "string literal"
+                        )
+                    self.advance()
+                    sep = sep_tok.value
+                elif sep is None:
+                    raise ParseError(
+                        "STRING_AGG requires a separator: "
+                        "STRING_AGG(expr, 'sep')"
+                    )
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return self._maybe_filter_suffix(
+                    Aggregation(AggregationType.STRING_AGG, inner, sep)
+                )
             # PERCENTILE(expr, q) — contextual parameterised aggregate.
             if tok.value.upper() == "PERCENTILE" and self.match_op("("):
                 inner = self.logical_or()

@@ -192,9 +192,11 @@ def run_streaming_sql(
                 )
             if isinstance(n, Aggregation) and n.agg in (
                 AggregationType.MEDIAN, AggregationType.PERCENTILE,
+                AggregationType.STRING_AGG,
             ):
                 # Per-chunk medians are not mergeable (an exact merge
-                # needs every value); COUNT(DISTINCT) IS mergeable via
+                # needs every value) and STRING_AGG's state is the whole
+                # value multiset; COUNT(DISTINCT) IS mergeable via
                 # per-chunk sorted-unique pair sets — see below.
                 raise UnsupportedError(
                     f"Streaming SQL does not support {n.agg.name}"
