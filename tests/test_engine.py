@@ -3248,6 +3248,61 @@ def test_qualify_with_where(db):
     assert list(list(res.values())[0]) == [30.0]
 
 
+def test_window_in_expression():
+    """Window functions embedded in row arithmetic: deviation-from-mean
+    and z-scores (each window rides the pipeline as a hidden item; the
+    arithmetic evaluates host-side over aligned columns)."""
+    rng = np.random.default_rng(41)
+    n = 1500
+    k = rng.integers(0, 6, n).astype(np.float32)
+    v = rng.uniform(0, 100, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT k, v - AVG(v) OVER (PARTITION BY k) AS dev FROM t "
+        "ORDER BY dev DESC LIMIT 5"
+    )
+    means = {kk: np.float32(v[k == kk].astype(np.float64).mean())
+             for kk in range(6)}
+    dev = np.array(
+        [np.float32(v[i]) - means[int(k[i])] for i in range(n)]
+    )
+    exp = sorted(dev, reverse=True)[:5]
+    np.testing.assert_allclose(
+        list(out.values())[1], exp, rtol=1e-3
+    )
+    # Two windows in one expression (z-score), WHERE applies first.
+    out = db.query_sql_table(
+        "SELECT (v - AVG(v) OVER ()) / STDDEV(v) OVER () AS z FROM t "
+        "WHERE k < 3 ORDER BY z LIMIT 3"
+    )
+    sel = v[k < 3].astype(np.float64)
+    exp_z = sorted((sel - sel.mean()) / sel.std(ddof=1))[:3]
+    np.testing.assert_allclose(list(out.values())[0], exp_z, rtol=1e-3)
+
+
+def test_variance_window():
+    # STDDEV/VARIANCE OVER (...) rewrite to SUM/COUNT windows.
+    rng = np.random.default_rng(42)
+    n = 900
+    k = rng.integers(0, 3, n).astype(np.float32)
+    v = rng.uniform(0, 50, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT k, STDDEV(v) OVER (PARTITION BY k) FROM t ORDER BY k"
+    )
+    kk, sd = list(out.values())
+    for g in range(3):
+        want = v[k == g].astype(np.float64).std(ddof=1)
+        got = [s for key, s in zip(kk, sd) if key == g]
+        assert got == pytest.approx([want] * len(got), rel=1e-3)
+
+
+def test_window_expression_mixed_agg_rejected():
+    db = WarpDB("data/test.csv")
+    with pytest.raises(WarpDBError):
+        db.query_sql("SELECT SUM(price) + AVG(price) OVER () FROM test")
+
+
 def test_named_window_clause():
     """WINDOW w AS (spec) + OVER w (SQL:2003 named windows)."""
     rng = np.random.default_rng(29)

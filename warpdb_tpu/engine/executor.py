@@ -1177,12 +1177,18 @@ def run_query(
             "WITH (CTEs) resolve at the facade: use WarpDB.query_sql / "
             "query_sql_table"
         )
-    if (query.group_by is not None and query.group_by.sets is not None) or (
-        getattr(query, "qualify", None) is not None
+    if (
+        (query.group_by is not None and query.group_by.sets is not None)
+        or getattr(query, "qualify", None) is not None
+        or (
+            query.group_by is None
+            and any(_has_nested_window(it) for it in query.select_list)
+        )
     ):
-        # GROUPING SETS / QUALIFY produce finished result tables; the
-        # table API owns them — return the first column (reference
-        # single-vector contract, warpdb.cpp:447-459).
+        # GROUPING SETS / QUALIFY / window-expression selects produce
+        # finished result tables; the table API owns them — return the
+        # first column (reference single-vector contract,
+        # warpdb.cpp:447-459).
         out = run_query_table(query, table, catalog, mesh=mesh)
         first = next(iter(out.values()), None)
         return np.zeros(0, np.float32) if first is None else first
@@ -2303,6 +2309,142 @@ def _run_grouping_sets(
     )
 
 
+def _has_nested_window(item) -> bool:
+    """True when a select item mixes a window function into a larger
+    expression (``v - AVG(v) OVER (…)``) — the window pipeline lowers
+    only BARE window items, so these route through _run_window_exprs."""
+    it = unalias(item)
+    if isinstance(it, WindowFunction):
+        return False
+    return any(isinstance(n, WindowFunction) for n in walk(it))
+
+
+def _run_window_exprs(
+    query: Query, table: DeviceTable, catalog, mesh
+) -> dict:
+    """Select items mixing window functions with row arithmetic
+    (``v - AVG(v) OVER (PARTITION BY k)`` — deviation-from-mean and
+    friends).  Each distinct window function and each referenced column
+    rides the window pipeline as a hidden select item (sharing its
+    partition sorts via the plan cache, rows aligned by contract), then
+    the arithmetic evaluates host-side with NumPy over the O(N)
+    columns — a window select already ships O(N) rows, so this adds
+    bandwidth-bound host math, not a new transfer class."""
+    import copy as _copy
+
+    if query.distinct:
+        raise UnsupportedError(
+            "DISTINCT over window-expression selects is not supported"
+        )
+    if query.group_by is not None:
+        raise UnsupportedError(
+            "Window functions inside expressions are not supported in "
+            "grouped queries (use a bare AGG(..) OVER item)"
+        )
+
+    wins: dict[str, int] = {}
+    win_nodes: list = []
+    cols: dict[str, Node] = {}
+
+    def extract(item):
+        def repl(n):
+            if isinstance(n, WindowFunction):
+                c = n.canonical()
+                if c not in wins:
+                    wins[c] = len(win_nodes)
+                    win_nodes.append(n)
+                return Variable(f"__winx{wins[c]}")
+            return n
+
+        return transform(unalias(item), repl)
+
+    new_items = [extract(it) for it in query.select_list]
+    for it in new_items:
+        for n in walk(it):
+            if isinstance(n, Aggregation):
+                raise UnsupportedError(
+                    "Mixing plain aggregates with window functions in "
+                    "one ungrouped expression is not supported"
+                )
+            if isinstance(n, Variable) and not n.name.startswith("__winx"):
+                cols.setdefault(n.canonical(), n)
+
+    hidden = [Alias(w, f"__winx{i}") for i, w in enumerate(win_nodes)]
+    hidden += [Alias(v, f"__colx{j}") for j, v in enumerate(cols.values())]
+
+    # ORDER BY terms resolve against the ORIGINAL select items (alias/
+    # canonical) or ride along as extra hidden columns, mirroring
+    # _run_qualify.
+    extra_order: list = []
+    new_terms: list = []
+    if query.order_by is not None:
+        sel_canon = {unalias(it).canonical() for it in query.select_list}
+        alias_names = {
+            it.name for it in query.select_list if isinstance(it, Alias)
+        }
+        for i, t in enumerate(query.order_by.terms):
+            e = unalias(t.expr)
+            if (
+                isinstance(e, Variable) and e.name in alias_names
+            ) or e.canonical() in sel_canon:
+                new_terms.append((t.expr, t.ascending))
+                continue
+            hname = f"__ord{i}"
+            extra_order.append(Alias(t.expr, hname))
+            new_terms.append((Variable(hname), t.ascending))
+
+    q2 = _copy.copy(query)
+    q2.order_by = None
+    q2.limit = None
+    q2.offset = None
+    q2.select_list = [*hidden, *extra_order]
+    out = run_query_table(q2, table, catalog, mesh=mesh)
+
+    def _f64(v):
+        try:
+            return np.asarray(v, dtype=np.float64)
+        except (ValueError, TypeError):
+            return np.asarray(v, dtype=object)  # string column reference
+
+    vals = [_f64(v) for v in out.values()]
+    env: dict = {}
+    for i in range(len(win_nodes)):
+        env[f"__winx{i}[idx]"] = vals[i]
+    for j, c in enumerate(cols):
+        env[c] = vals[len(win_nodes) + j]
+
+    from .group_exec import _group_level_eval
+
+    n_rows = len(vals[0]) if vals else 0
+    result_cols = []
+    for it in new_items:
+        v = _group_level_eval(it, env, {})
+        result_cols.append(
+            np.broadcast_to(np.asarray(v, np.float64), (n_rows,))
+        )
+
+    names: list = []
+    for i, item in enumerate(query.select_list):
+        names.append(result_column_name(item, i, set(names)))
+    ord_names = [h.name for h in extra_order]
+    ord_cols = [vals[len(hidden) + k] for k in range(len(extra_order))]
+
+    q_sort = _copy.copy(query)
+    q_sort.select_list = [*query.select_list, *extra_order]
+    if new_terms:
+        head, *rest = new_terms
+        q_sort.order_by = OrderBy(
+            head[0], head[1], tuple(OrderBy(e, a) for e, a in rest)
+        )
+    sliced = _host_order_and_slice(
+        q_sort,
+        [*names, *ord_names],
+        [*result_cols, *ord_cols],
+        "ORDER BY with window expressions",
+    )
+    return dict(list(sliced.items())[: len(query.select_list)])
+
+
 def _run_qualify(query: Query, table: DeviceTable, catalog, mesh) -> dict:
     """QUALIFY <predicate> (extension — the Snowflake/BigQuery/DuckDB
     clause; the reference grammar stops at HAVING).  Filters rows AFTER
@@ -2597,6 +2739,11 @@ def run_query_table(
 
     if query.group_by is not None and query.group_by.sets is not None:
         return _run_grouping_sets(query, table, catalog, mesh)
+
+    if query.group_by is None and not query.joins and any(
+        _has_nested_window(it) for it in query.select_list
+    ):
+        return _run_window_exprs(query, table, catalog, mesh)
 
     if query.group_by is None and any(
         isinstance(n, Aggregation) and n.agg is AggregationType.STRING_AGG

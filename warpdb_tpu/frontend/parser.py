@@ -822,6 +822,159 @@ class _QueryParser:
             )
         self.pos += 1
 
+    def _find_window_spans(self, body: list[Token]) -> list:
+        """Top-level ``FN ( … ) OVER ( … | name )`` token spans."""
+        spans = []
+        i, n = 0, len(body)
+        while i < n:
+            tok = body[i]
+            is_head = (
+                tok.type is TokenType.KEYWORD and tok.value in _AGG_KEYWORDS
+            ) or (
+                tok.type is TokenType.IDENTIFIER
+                and tok.value.upper() in _RANK_KEYWORDS
+            ) or (
+                tok.type is TokenType.IDENTIFIER
+                and tok.value.upper() in _ARG_WINDOW_FNS
+            ) or (
+                tok.type is TokenType.IDENTIFIER
+                and tok.value.upper() in _VARIANCE_FNS
+            )
+            if not (
+                is_head
+                and i + 1 < n
+                and body[i + 1].type is TokenType.OPERATOR
+                and body[i + 1].value == "("
+            ):
+                i += 1
+                continue
+            d = 0
+            j = i + 1
+            while j < n:
+                t = body[j]
+                if t.type is TokenType.OPERATOR and t.value == "(":
+                    d += 1
+                elif t.type is TokenType.OPERATOR and t.value == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if j >= n:
+                break  # unbalanced — let the normal parse error out
+            if not (
+                j + 1 < n
+                and body[j + 1].type is TokenType.KEYWORD
+                and body[j + 1].value == "OVER"
+            ):
+                i = j + 1
+                continue
+            k = j + 2
+            if (
+                k < n
+                and body[k].type is TokenType.OPERATOR
+                and body[k].value == "("
+            ):
+                d = 0
+                while k < n:
+                    t = body[k]
+                    if t.type is TokenType.OPERATOR and t.value == "(":
+                        d += 1
+                    elif t.type is TokenType.OPERATOR and t.value == ")":
+                        d -= 1
+                        if d == 0:
+                            break
+                    k += 1
+                if k >= n:
+                    break
+                end = k
+            elif k < n and body[k].type is TokenType.IDENTIFIER:
+                end = k  # named window: OVER w
+            else:
+                raise ParseError("Expected window specification after OVER")
+            spans.append((i, end))
+            i = end + 1
+        return spans
+
+    def _maybe_embedded_windows(self, body: list[Token]):
+        """Parse a select item whose expression CONTAINS window
+        functions (not a lone ``FN(...) OVER (...)`` item — those keep
+        the dedicated path).  Each window span parses via the
+        single-item machinery and grafts back through a placeholder."""
+        spans = self._find_window_spans(body)
+        if not spans:
+            return None
+        lone = len(spans) == 1 and spans[0] == (0, len(body) - 1)
+        if lone and body[0].value.upper() not in _VARIANCE_FNS:
+            return None  # lone window item — dedicated path handles it
+        if lone:
+            return self._parse_window_span(body)
+        placeholders: list[Node] = []
+        new_toks: list[Token] = []
+        prev = 0
+        for a, b in spans:
+            new_toks += body[prev:a]
+            placeholders.append(self._parse_window_span(body[a : b + 1]))
+            new_toks.append(
+                Token(TokenType.IDENTIFIER, f"__wf{len(placeholders) - 1}")
+            )
+            prev = b + 1
+        new_toks += body[prev:]
+        node = parse_expression(new_toks + [Token(TokenType.END, "")])
+
+        from .ast import transform
+
+        def repl(n):
+            if isinstance(n, Variable) and n.qualifier is None and (
+                n.name.startswith("__wf")
+            ):
+                try:
+                    return placeholders[int(n.name[4:])]
+                except (ValueError, IndexError):
+                    return n
+            return n
+
+        return transform(node, repl)
+
+    def _parse_window_span(self, toks: list[Token]) -> Node:
+        """Parse one ``FN ( … ) OVER ( … | name )`` span.  Variance-
+        family heads rewrite to arithmetic over SUM/COUNT windows of the
+        same spec (the window pipeline lowers bare SUM/COUNT; the
+        surrounding expression evaluates host-side)."""
+        up = toks[0].value.upper()
+        if up not in _VARIANCE_FNS:
+            return self.parse_select_item(
+                toks + [Token(TokenType.END, "")]
+            )
+        # Locate the top-level OVER split.
+        d = 0
+        over_idx = None
+        for k, t in enumerate(toks):
+            if t.type is TokenType.OPERATOR and t.value == "(":
+                d += 1
+            elif t.type is TokenType.OPERATOR and t.value == ")":
+                d -= 1
+            elif d == 0 and t.type is TokenType.KEYWORD and t.value == "OVER":
+                over_idx = k
+                break
+        if over_idx is None or over_idx < 4:
+            raise ParseError(f"Invalid window syntax for {up}")
+        inner = parse_expression(
+            toks[2 : over_idx - 1] + [Token(TokenType.END, "")]
+        )
+        over_part = toks[over_idx:]
+        var_expr = _variance_rewrite(up, inner)
+
+        from .ast import transform
+
+        def to_window(n):
+            if isinstance(n, Aggregation):
+                return self._parse_window(
+                    n.agg, n.expr, list(over_part), param=n.param
+                )
+            return n
+
+        return transform(var_expr, to_window)
+
     def _parse_qualify(self, toks: list[Token]) -> Node:
         """QUALIFY predicate: an AND-chain of comparisons where either
         side of each comparison may be a window-function item
@@ -1232,6 +1385,13 @@ class _QueryParser:
                     body[:k] + [Token(TokenType.END, "")]
                 )
                 return Alias(inner, body[k + 1].value)
+        # Window functions embedded in larger expressions
+        # (``v - AVG(v) OVER (PARTITION BY k)``): extract each window
+        # span, parse it with the single-item machinery, and graft the
+        # nodes back into the surrounding expression.
+        emb = self._maybe_embedded_windows(body)
+        if emb is not None:
+            return emb
         # ROW_NUMBER() / RANK() OVER (...) — extension.  Contextual, not
         # reserved: a bare `rank` stays an ordinary column reference.
         if (
