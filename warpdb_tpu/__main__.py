@@ -40,6 +40,9 @@ def main(argv=None) -> int:
                              "measured profile (EXPLAIN ANALYZE)")
     parser.add_argument("--repl", action="store_true",
                         help="interactive SQL shell over the data file")
+    parser.add_argument("--serve", metavar="PORT", type=int, default=None,
+                        help="serve the data file over HTTP/JSON "
+                             "(POST /query, GET /healthz, /schema)")
     args = parser.parse_args(argv)
 
     # Persistent XLA compilation cache: first compile of a kernel on a
@@ -68,8 +71,13 @@ def main(argv=None) -> int:
 
     if args.repl:
         return _repl(args.data_file)
+    if args.serve is not None:
+        from .serve import serve
+
+        serve(WarpDB(args.data_file), port=args.serve)
+        return 0
     if args.query is None:
-        parser.error("a query is required unless --repl is given")
+        parser.error("a query is required unless --repl or --serve is given")
 
     if args.explain:
         db = WarpDB(args.data_file)
