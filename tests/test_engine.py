@@ -4265,3 +4265,52 @@ def test_ntile_window():
         db.query_sql("SELECT NTILE(0) OVER (ORDER BY o) FROM t")
     with pytest.raises(ParseError, match="positive integer"):
         db.query_sql("SELECT NTILE(o) OVER (ORDER BY o) FROM t")
+
+
+def test_distinct_with_qualify():
+    """SELECT DISTINCT … QUALIFY dedups the qualifying rows."""
+    rng = np.random.default_rng(29)
+    n = 1200
+    k = rng.integers(0, 6, n).astype(np.float32)
+    v = rng.integers(0, 4, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT DISTINCT k FROM t QUALIFY "
+        "RANK() OVER (PARTITION BY k ORDER BY v DESC) <= 3 ORDER BY k"
+    )
+    got = list(list(out.values())[0])
+    assert got == sorted(set(float(x) for x in k))
+    # Multi-column DISTINCT through QUALIFY; no ORDER BY → engine's
+    # lexicographic DISTINCT convention.
+    out = db.query_sql_table(
+        "SELECT DISTINCT k, v FROM t QUALIFY "
+        "MAX(v) OVER (PARTITION BY k) == v"
+    )
+    rows = set(zip(*[map(float, c) for c in out.values()]))
+    exp = set()
+    for kk in np.unique(k):
+        exp.add((float(kk), float(v[k == kk].max())))
+    assert rows == exp
+    # DISTINCT ordering by a non-select expression is rejected.
+    with pytest.raises(UnsupportedError, match="select list"):
+        db.query_sql_table(
+            "SELECT DISTINCT k FROM t QUALIFY "
+            "MAX(v) OVER (PARTITION BY k) == v ORDER BY v"
+        )
+
+
+def test_distinct_over_window_expression():
+    """SELECT DISTINCT over a window-in-expression select item."""
+    rng = np.random.default_rng(30)
+    n = 800
+    k = rng.integers(0, 2, n).astype(np.float32)
+    v = rng.integers(0, 3, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db.query_sql_table(
+        "SELECT DISTINCT v - MIN(v) OVER (PARTITION BY k) FROM t"
+    )
+    got = sorted(float(x) for x in list(out.values())[0])
+    exp = set()
+    for i in range(n):
+        exp.add(float(v[i] - v[k == k[i]].min()))
+    assert got == sorted(exp)

@@ -2332,10 +2332,6 @@ def _run_window_exprs(
     bandwidth-bound host math, not a new transfer class."""
     import copy as _copy
 
-    if query.distinct:
-        raise UnsupportedError(
-            "DISTINCT over window-expression selects is not supported"
-        )
     if query.group_by is not None:
         raise UnsupportedError(
             "Window functions inside expressions are not supported in "
@@ -2429,6 +2425,17 @@ def _run_window_exprs(
     ord_names = [h.name for h in extra_order]
     ord_cols = [vals[len(hidden) + k] for k in range(len(extra_order))]
 
+    if query.distinct:
+        # SELECT DISTINCT over window expressions: dedupe the finished
+        # O(N) rows host-side.  Standard SQL requires DISTINCT ORDER BY
+        # terms to appear in the select list, so hidden order columns
+        # are rejected rather than deduped along.
+        if extra_order:
+            raise UnsupportedError(
+                "DISTINCT ORDER BY terms must appear in the select list"
+            )
+        result_cols = _dedup_rows(result_cols, ordered=False)
+
     q_sort = _copy.copy(query)
     q_sort.select_list = [*query.select_list, *extra_order]
     if new_terms:
@@ -2458,8 +2465,6 @@ def _run_qualify(query: Query, table: DeviceTable, catalog, mesh) -> dict:
     import copy as _copy
 
     qualify = query.qualify
-    if query.distinct:
-        raise UnsupportedError("DISTINCT with QUALIFY is not supported")
     if not any(isinstance(n, WindowFunction) for n in walk(qualify)):
         raise ValidationError(
             "QUALIFY requires a window function (use WHERE or HAVING "
@@ -2546,6 +2551,17 @@ def _run_qualify(query: Query, table: DeviceTable, catalog, mesh) -> dict:
         else:
             seq = list(v)
             cols.append([seq[i] for i in keep])
+
+    if query.distinct:
+        # SELECT DISTINCT ... QUALIFY: dedupe the qualifying rows
+        # host-side (O(result)).  Hidden ORDER BY columns would make
+        # the dedupe ambiguous — standard SQL requires DISTINCT ORDER
+        # BY terms to appear in the select list.
+        if hidden:
+            raise UnsupportedError(
+                "DISTINCT ORDER BY terms must appear in the select list"
+            )
+        cols = _dedup_rows(cols, ordered=False)
 
     q_sort = _copy.copy(query)
     q_sort.select_list = [*query.select_list, *hidden]
