@@ -1330,11 +1330,68 @@ def test_join_multi_key():
     assert pairs == [(2.0, 100.0), (3.0, 200.0)]
 
 
-def test_join_condition_not_equality_errors(db):
+def test_join_condition_not_equality_outer_errors(db):
+    """Outer-join ON decides matching, so non-equality conjuncts are
+    rejected there (INNER theta joins are supported — see
+    test_theta_join_*)."""
     from warpdb_tpu.errors import UnsupportedError
 
-    with pytest.raises(UnsupportedError, match="column equalities"):
-        db.query_sql("SELECT price FROM test JOIN test ON price > quantity")
+    with pytest.raises(UnsupportedError, match="Non-equality"):
+        db.query_sql(
+            "SELECT price FROM test LEFT JOIN test ON price > quantity"
+        )
+
+
+def test_theta_join_residual_predicate():
+    """INNER JOIN with mixed equality + inequality ON conjuncts: the
+    equi-join runs on the equality pairs, the residual filters the
+    joined rows (exact INNER semantics)."""
+    lk = np.array([1, 2, 2, 3], np.float32)
+    lv = np.array([10, 20, 30, 40], np.float32)
+    rk = np.array([2, 2, 3, 4], np.float32)
+    rw = np.array([5, 25, 35, 1], np.float32)
+    db = WarpDB(HostTable.from_dict({"k": lk, "v": lv}))
+    db.register_table("r", HostTable.from_dict({"k": rk, "w": rw}))
+    out = db.query_sql_table(
+        "SELECT v, r.w FROM t JOIN r ON k = r.k AND v > r.w "
+        "ORDER BY v, r.w"
+    )
+    got = list(zip(*[map(float, c) for c in out.values()]))
+    exp = sorted(
+        (float(a), float(b))
+        for i, a in enumerate(lv)
+        for j, b in enumerate(rw)
+        if lk[i] == rk[j] and a > b
+    )
+    assert got == exp
+    # Residual referencing only one side (Var cmp Const).
+    out = db.query_sql_table(
+        "SELECT v FROM t JOIN r ON k = r.k AND r.w > 20 ORDER BY v"
+    )
+    exp2 = sorted(
+        float(a)
+        for i, a in enumerate(lv)
+        for j in range(len(rk))
+        if lk[i] == rk[j] and rw[j] > 20
+    )
+    assert [float(x) for x in list(out.values())[0]] == exp2
+
+
+def test_theta_join_pure_inequality():
+    """ON with no equality conjunct at all executes as a general theta
+    join (cross product + filter)."""
+    lv = np.array([10, 20, 30, 40], np.float32)
+    rw = np.array([5, 25, 35, 1], np.float32)
+    db = WarpDB(HostTable.from_dict({"v": lv}))
+    db.register_table("r", HostTable.from_dict({"w": rw}))
+    out = db.query_sql_table(
+        "SELECT v, r.w FROM t JOIN r ON v < r.w ORDER BY v, r.w"
+    )
+    got = list(zip(*[map(float, c) for c in out.values()]))
+    exp = sorted(
+        (float(a), float(b)) for a in lv for b in rw if a < b
+    )
+    assert got == exp
 
 
 def test_select_star_join_includes_right_columns():

@@ -1065,6 +1065,7 @@ from .join_exec import (  # noqa: E402
     _materialize_join_local,
     _materialize_joins,
     _lift_implicit_join_conditions,
+    _split_join_residuals,
     _pushdown_join_where,
     _resolve_column,
     _resolve_join_sides,
@@ -1211,6 +1212,7 @@ def run_query(
 
     if query.joins:
         query = _lift_implicit_join_conditions(query, table, catalog)
+        query = _split_join_residuals(query)
         query, table = _pushdown_join_where(query, table, catalog, mesh)
         if query.group_by is not None:
             rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
@@ -2775,6 +2777,7 @@ def run_query_table(
 
     if query.joins:
         query = _lift_implicit_join_conditions(query, table, catalog)
+        query = _split_join_residuals(query)
         query, table = _pushdown_join_where(query, table, catalog, mesh)
         if query.group_by is not None:
             rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)

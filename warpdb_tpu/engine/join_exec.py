@@ -1129,6 +1129,78 @@ def _try_eager_join_aggregate(query, table, catalog, mesh):
     return q2, catalog2
 
 
+def _split_join_residuals(query: Query) -> Query:
+    """Theta joins (extension; the reference parses JOIN but never
+    executes it, warpdb.hpp:22-23): split non-equality conjuncts out of
+    INNER JOIN ON conditions.  ``ON a.k = b.k AND a.x < b.y`` runs the
+    equi-join on the equality conjuncts, then the residual filters the
+    joined rows through the ordinary WHERE machinery — exact for INNER
+    joins (ON ≡ WHERE there).  An ON with NO equality conjuncts at all
+    becomes CROSS JOIN + filter (a general theta join — the O(N·M)
+    intermediate is inherent to the predicate).  Outer joins keep the
+    equality-only contract: their ON decides *matching*, not row
+    survival, so a residual cannot move to WHERE."""
+    import dataclasses
+
+    def conjuncts(n):
+        if isinstance(n, BinaryOp) and n.op == "&&":
+            return conjuncts(n.left) + conjuncts(n.right)
+        return [n]
+
+    def is_eq(c):
+        return (
+            isinstance(c, BinaryOp)
+            and c.op in ("=", "==")
+            and isinstance(c.left, Variable)
+            and isinstance(c.right, Variable)
+        )
+
+    new_joins = []
+    residuals: list[Node] = []
+    changed = False
+    for j in query.joins:
+        if j.condition is None:
+            new_joins.append(j)
+            continue
+        parts = conjuncts(j.condition)
+        eq = [c for c in parts if is_eq(c)]
+        res = [c for c in parts if not is_eq(c)]
+        if not res:
+            new_joins.append(j)
+            continue
+        if j.kind not in ("inner", "cross"):
+            raise UnsupportedError(
+                f"Non-equality {j.kind.upper()} JOIN conditions are not "
+                "supported (outer-join ON decides matching; rewrite the "
+                "residual predicate as WHERE if INNER semantics are "
+                "intended)"
+            )
+        changed = True
+        residuals.extend(res)
+        if eq:
+            cond: Optional[Node] = eq[0]
+            for c in eq[1:]:
+                cond = BinaryOp("&&", cond, c)
+            new_joins.append(
+                dataclasses.replace(j, condition=cond, kind="inner")
+            )
+        else:
+            new_joins.append(
+                dataclasses.replace(j, condition=None, kind="cross")
+            )
+    if not changed:
+        return query
+    import copy as _copy
+
+    q2 = _copy.copy(query)
+    q2.joins = new_joins
+    where = query.where
+    for r in residuals:
+        where = r if where is None else BinaryOp("&&", where, r)
+    q2.where = where
+    return q2
+
+
 def _lift_implicit_join_conditions(
     query: Query, table: DeviceTable, catalog: Optional[dict]
 ) -> Query:
