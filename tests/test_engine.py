@@ -1064,6 +1064,71 @@ def test_fuzz_window_range_frames():
         )
 
 
+def _groups_oracle(k, v, t, prec, foll, agg, descending=False):
+    """Naive GROUPS-frame oracle: row j is in row i's frame iff its peer
+    group (dense rank of the order key within the partition) lies within
+    ``prec`` groups before / ``foll`` groups after row i's group."""
+    n = len(k)
+    res = np.zeros(n, np.float32)
+    fns = {"sum": np.sum, "min": np.min, "max": np.max, "avg": np.mean,
+           "count": len}
+    for part in np.unique(k):
+        pidx = np.nonzero(k == part)[0]
+        uniq = sorted(set(t[pidx].tolist()), reverse=descending)
+        rank = {val: r for r, val in enumerate(uniq)}
+        pranks = np.array([rank[x] for x in t[pidx]])
+        for j, i in enumerate(pidx):
+            lo = -np.inf if prec is None else pranks[j] - prec
+            hi = np.inf if foll is None else pranks[j] + foll
+            m = (pranks >= lo) & (pranks <= hi)
+            res[i] = fns[agg](v[pidx[m]])
+    return res
+
+
+def test_window_groups_frames():
+    """GROUPS BETWEEN frames (SQL:2011 — bounds count peer groups):
+    every agg and bound shape vs a naive oracle.  The engine lowers
+    GROUPS to a RANGE frame over the order key's dense rank."""
+    rng = np.random.default_rng(77)
+    n = 300
+    k = rng.integers(0, 5, n).astype(np.float32)
+    v = rng.normal(10, 3, n).astype(np.float32)
+    # Coarse order keys so peer groups have real width.
+    t = rng.integers(0, 15, n).astype(np.float32)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v, "t": t}))
+
+    cases = [
+        ("SUM", "BETWEEN 1 PRECEDING AND 1 FOLLOWING", 1, 1),
+        ("AVG", "BETWEEN 2 PRECEDING AND CURRENT ROW", 2, 0),
+        ("MIN", "BETWEEN CURRENT ROW AND 2 FOLLOWING", 0, 2),
+        ("MAX", "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW", None, 0),
+        ("COUNT", "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING", 0, None),
+        ("COUNT", "BETWEEN CURRENT ROW AND CURRENT ROW", 0, 0),
+    ]
+    for agg, frame, prec, foll in cases:
+        sql = (
+            f"SELECT {agg}(v) OVER (PARTITION BY k ORDER BY t "
+            f"GROUPS {frame}) FROM t"
+        )
+        got = np.asarray(db.query_sql(sql), dtype=np.float32)
+        want = _groups_oracle(k, v, t, prec, foll, agg.lower())
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3,
+                                   err_msg=sql)
+
+    # DESC: PRECEDING now walks toward larger order keys.
+    got = np.asarray(db.query_sql(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY t DESC "
+        "GROUPS 1 PRECEDING) FROM t"
+    ), dtype=np.float32)
+    want = _groups_oracle(k, v, t, 1, 0, "sum", descending=True)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    # GROUPS requires an ORDER BY (SQL:2011; rank is undefined without).
+    with pytest.raises(ParseError, match="GROUPS mode requires"):
+        db.query_sql("SELECT SUM(v) OVER (PARTITION BY k GROUPS "
+                     "BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM t")
+
+
 def test_window_range_frame_errors():
     db = WarpDB(HostTable.from_dict({
         "v": np.array([1.0, 2.0, 3.0], np.float32),
@@ -4012,6 +4077,75 @@ def test_cast(db):
     )
     with pytest.raises(ParseError, match="Unsupported CAST type"):
         db.query_sql("SELECT CAST(price AS BLOB) FROM test")
+
+
+def test_scalar_math_builtins(db):
+    """The standard scalar math surface: logs, powers, trig, rounding
+    with decimals (r3 extensions; all lower to jnp builtins)."""
+    p = np.array([10.5, 20.0, 15.25, 30.0])
+    one = lambda sql: db.query_sql(f"SELECT {sql} FROM test LIMIT 1")[0]
+    np.testing.assert_allclose(
+        db.query_sql("SELECT LN(price) FROM test"), np.log(p), rtol=1e-6)
+    np.testing.assert_allclose(
+        db.query_sql("SELECT LOG2(price) FROM test"), np.log2(p), rtol=1e-6)
+    np.testing.assert_allclose(
+        db.query_sql("SELECT LOG10(price) FROM test"), np.log10(p),
+        rtol=1e-6)
+    # LOG: one arg = natural (back-compat); two args = LOG(base, x).
+    np.testing.assert_allclose(one("LOG(2, 8)"), 3.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        db.query_sql("SELECT POWER(price, 2) FROM test"), p * p, rtol=1e-6)
+    np.testing.assert_allclose(one("MOD(7, 3)"), 1.0)
+    np.testing.assert_allclose(one("CBRT(27)"), 3.0, rtol=1e-6)
+    np.testing.assert_allclose(one("CEILING(1.2)"), 2.0)
+    np.testing.assert_allclose(one("SIN(0)"), 0.0, atol=1e-7)
+    np.testing.assert_allclose(one("COS(0)"), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(one("ATAN2(1, 1)"), np.pi / 4, rtol=1e-6)
+    np.testing.assert_allclose(one("DEGREES(PI())"), 180.0, rtol=1e-6)
+    np.testing.assert_allclose(one("RADIANS(180)"), np.pi, rtol=1e-6)
+    np.testing.assert_allclose(one("TANH(0.5)"), np.tanh(0.5), rtol=1e-6)
+    np.testing.assert_allclose(one("ASIN(1)"), np.pi / 2, rtol=1e-6)
+    # Two-arg ROUND/TRUNC take a decimals count (negative = tens).
+    np.testing.assert_allclose(
+        db.query_sql("SELECT ROUND(price, 1) FROM test"),
+        np.round(p, 1), rtol=1e-6)
+    np.testing.assert_allclose(one("TRUNC(1.279, 2)"), 1.27, rtol=1e-5)
+    np.testing.assert_allclose(one("ROUND(1234.5, -2)"), 1200.0)
+
+
+def test_true_false_literals(db):
+    """TRUE/FALSE literals work as conditions (prunable by the interval
+    optimizer) and as 0/1 values; contextual, so true(...) stays a UDF
+    call position."""
+    assert db.query_sql("SELECT price FROM test WHERE FALSE") == []
+    np.testing.assert_allclose(
+        db.query_sql("SELECT price FROM test WHERE TRUE"),
+        [10.5, 20.0, 15.25, 30.0])
+    np.testing.assert_allclose(
+        db.query_sql("SELECT price FROM test WHERE TRUE AND price > 25"),
+        [30.0])
+    out = db.query_sql_table("SELECT TRUE, FALSE FROM test LIMIT 1")
+    assert list(out.values()) == [[1.0], [0.0]]
+
+
+def test_bool_and_or_any_value():
+    """BOOL_AND/BOOL_OR rewrite to MIN/MAX over the predicate's 0/1 CASE
+    form (so they group/distribute/stream); ANY_VALUE picks the
+    deterministic minimum witness."""
+    t = HostTable.from_dict({
+        "k": np.array([0, 0, 1, 1, 2], np.float32),
+        "v": np.array([5.0, 7.0, -1.0, 4.0, 9.0], np.float32),
+    })
+    db = WarpDB(t)
+    out = db.query_sql_table(
+        "SELECT BOOL_AND(v > 0) AS a, BOOL_OR(v > 8) AS o, "
+        "ANY_VALUE(k) AS w FROM t")
+    assert out["a"] == [0.0] and out["o"] == [1.0] and out["w"] == [0.0]
+    out = db.query_sql_table(
+        "SELECT k, BOOL_AND(v > 0) AS a, BOOL_OR(v < 0) AS o FROM t "
+        "GROUP BY k ORDER BY k")
+    assert out["a"] == [1.0, 0.0, 1.0]
+    assert out["o"] == [0.0, 1.0, 0.0]
 
 
 def test_variance_stddev_global(db):

@@ -1884,7 +1884,7 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                 "NTILE requires an ORDER BY inside OVER (...)"
             )
     if select.frame is not None:
-        fword = "RANGE" if select.frame_type == "range" else "ROWS"
+        fword = select.frame_type.upper()
         if select.order_by is None:
             raise UnsupportedError(
                 f"A {fword} frame requires an ORDER BY inside OVER (...)"
@@ -2045,16 +2045,38 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                     ascending=ord_asc if okeys is not None else True,
                 )
             elif select.frame is not None:
-                # Explicit ROWS/RANGE frame (moving aggregates).
-                framer = (
-                    window_range_frame
-                    if select.frame_type == "range"
-                    else window_frame
-                )
-                win = framer(
-                    part, okeys, vals, valid, agg_name,
-                    select.frame[0], select.frame[1], ascending=ord_asc,
-                )
+                if select.frame_type == "groups":
+                    # GROUPS frame (SQL:2011): bounds count PEER GROUPS.
+                    # Lower to a RANGE frame over the DENSE RANK of the
+                    # order key — rank distance IS peer-group distance,
+                    # and RANGE's peers-always-in rule matches GROUPS'
+                    # whole-group semantics exactly.
+                    dr = window_rank(
+                        part, okeys, valid, "dense_rank", ascending=ord_asc
+                    )
+                    lo = (
+                        None if select.frame[0] is None
+                        else float(select.frame[0])
+                    )
+                    hi = (
+                        None if select.frame[1] is None
+                        else float(select.frame[1])
+                    )
+                    win = window_range_frame(
+                        part, dr, vals, valid, agg_name, lo, hi,
+                        ascending=True,
+                    )
+                else:
+                    # Explicit ROWS/RANGE frame (moving aggregates).
+                    framer = (
+                        window_range_frame
+                        if select.frame_type == "range"
+                        else window_frame
+                    )
+                    win = framer(
+                        part, okeys, vals, valid, agg_name,
+                        select.frame[0], select.frame[1], ascending=ord_asc,
+                    )
             elif okeys is not None:
                 # Running aggregate over the window's ORDER BY — what the
                 # reference parsed and threw away (expression.cpp:296-329).

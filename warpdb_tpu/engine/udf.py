@@ -42,7 +42,11 @@ def _builtin_discount(price, rate):
 def _builtin_math() -> dict:
     """Standard scalar math builtins, lazily bound to jnp (user UDFs of
     the same name shadow them)."""
+    import math
+
     import jax.numpy as jnp
+
+    np_pi = math.pi
 
     def _coalesce(*args):
         if not args:
@@ -66,15 +70,55 @@ def _builtin_math() -> dict:
 
         return folded
 
+    def _round(x, n=None):
+        # Two-arg SQL ROUND(x, n): n rides in as a traced f32 scalar, so
+        # scale-round-unscale instead of jnp.round's static ``decimals``.
+        if n is None:
+            return jnp.round(x)
+        p = jnp.power(jnp.float32(10.0), n)
+        return jnp.round(x * p) / p
+
+    def _trunc(x, n=None):
+        if n is None:
+            return jnp.trunc(x)
+        p = jnp.power(jnp.float32(10.0), n)
+        return jnp.trunc(x * p) / p
+
+    def _log(a, b=None):
+        # One arg: natural log (MySQL-style, kept for back-compat).
+        # Two args: LOG(base, x) (PostgreSQL-style).
+        if b is None:
+            return jnp.log(a)
+        return jnp.log(b) / jnp.log(a)
+
     return {
         "abs": jnp.abs,
         "sqrt": jnp.sqrt,
-        "log": jnp.log,
+        "cbrt": jnp.cbrt,
+        "log": _log,
+        "ln": jnp.log,
+        "log2": jnp.log2,
+        "log10": jnp.log10,
         "exp": jnp.exp,
-        "round": jnp.round,
+        "round": _round,
         "floor": jnp.floor,
         "ceil": jnp.ceil,
+        "ceiling": jnp.ceil,
         "pow": jnp.power,
+        "power": jnp.power,
+        "sin": jnp.sin,
+        "cos": jnp.cos,
+        "tan": jnp.tan,
+        "asin": jnp.arcsin,
+        "acos": jnp.arccos,
+        "atan": jnp.arctan,
+        "atan2": jnp.arctan2,
+        "sinh": jnp.sinh,
+        "cosh": jnp.cosh,
+        "tanh": jnp.tanh,
+        "degrees": jnp.degrees,
+        "radians": jnp.radians,
+        "pi": lambda: jnp.float32(np_pi),
         "minimum": jnp.minimum,
         "maximum": jnp.maximum,
         # NULL handling (NaN is the engine's missing-value marker).
@@ -82,8 +126,9 @@ def _builtin_math() -> dict:
         "nullval": lambda: jnp.float32(float("nan")),
         "coalesce": _coalesce,
         "nullif": _nullif,
-        # CAST(x AS INT) lowers here (truncation toward zero, C-style).
-        "trunc": jnp.trunc,
+        # CAST(x AS INT) lowers here (truncation toward zero, C-style);
+        # the two-arg SQL form TRUNC(x, n) truncates to n decimals.
+        "trunc": _trunc,
         "sign": jnp.sign,
         "fmod": jnp.fmod,
         "mod": jnp.fmod,

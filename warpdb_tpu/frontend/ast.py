@@ -435,7 +435,9 @@ class WindowFunction(Node):
     #: key lies within [o − preceding, o + following] — peers (ties on
     #: the order key) are always in.
     frame: Optional[tuple[Optional[float], Optional[float]]] = None
-    #: "rows" | "range" — meaningless unless ``frame`` is set.
+    #: "rows" | "range" | "groups" — meaningless unless ``frame`` is
+    #: set.  With "groups" the bounds count PEER GROUPS (distinct order-
+    #: key values) relative to the current row's group (SQL:2011).
     frame_type: str = "rows"
     #: Integer parameter: NTH_VALUE's n, LAG/LEAD's offset (None = 1).
     #: Changes results, so it joins ``canonical()`` (the cache key).
@@ -466,6 +468,7 @@ class WindowFunction(Node):
 
             parts.append(
                 (" ROWS BETWEEN " if self.frame_type == "rows"
+                 else " GROUPS BETWEEN " if self.frame_type == "groups"
                  else " RANGE BETWEEN ")
                 + _bound(prec, "PRECEDING")
                 + " AND "

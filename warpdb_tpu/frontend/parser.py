@@ -535,6 +535,43 @@ class _ExprParser:
                 return self._maybe_filter_suffix(
                     Aggregation(AggregationType.MEDIAN, inner)
                 )
+            # TRUE / FALSE boolean literals (extension) — lower to
+            # always-true/false comparisons so they work both as values
+            # (0/1 f32, the engine's boolean convention) and as WHERE
+            # conditions the optimizer's interval analysis can prune.
+            # Contextual: a call ``true(...)`` still resolves as a UDF.
+            if tok.value.upper() in ("TRUE", "FALSE") and not (
+                self.peek().type is TokenType.OPERATOR
+                and self.peek().value == "("
+            ):
+                if tok.value.upper() == "TRUE":
+                    return BinaryOp("==", Constant("1"), Constant("1"))
+                return BinaryOp("==", Constant("1"), Constant("0"))
+            # BOOL_AND / BOOL_OR (extension): every/any row satisfies the
+            # predicate — rewritten to MIN/MAX over the predicate's 0/1
+            # CASE form, so they group, distribute, and stream wherever
+            # plain MIN/MAX do.  ANY_VALUE picks a deterministic witness
+            # (the minimum; the standard allows any input value).
+            if tok.value.upper() in ("BOOL_AND", "BOOL_OR") and (
+                self.match_op("(")
+            ):
+                inner = self.logical_or()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                case = CaseWhen((inner,), (Constant("1"),), Constant("0"))
+                agg = (
+                    AggregationType.MIN
+                    if tok.value.upper() == "BOOL_AND"
+                    else AggregationType.MAX
+                )
+                return self._maybe_filter_suffix(Aggregation(agg, case))
+            if tok.value.upper() == "ANY_VALUE" and self.match_op("("):
+                inner = self.logical_or()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return self._maybe_filter_suffix(
+                    Aggregation(AggregationType.MIN, inner)
+                )
             # STRING_AGG(expr, 'sep') / GROUP_CONCAT(expr[, 'sep']) —
             # contextual grouped string concatenation (ascending value
             # order; deterministic).
@@ -692,8 +729,10 @@ def _at_ident(p: "_QueryParser", word: str) -> bool:
     )
 
 
-def _parse_rows_frame(p: "_QueryParser", range_frame: bool = False) -> tuple:
-    """Parse a ROWS or RANGE frame (the leading ``ROWS``/``RANGE``
+def _parse_rows_frame(
+    p: "_QueryParser", range_frame: bool = False, word: Optional[str] = None,
+) -> tuple:
+    """Parse a ROWS, RANGE, or GROUPS frame (the leading frame word
     already consumed): ``BETWEEN <bound> AND <bound>`` or the shorthand
     ``<bound>`` (meaning BETWEEN <bound> AND CURRENT ROW).  Bounds:
     ``UNBOUNDED PRECEDING``, ``<n> PRECEDING``, ``CURRENT ROW``,
@@ -770,7 +809,7 @@ def _parse_rows_frame(p: "_QueryParser", range_frame: bool = False) -> tuple:
     # current row (start on/before it, end on/after it).
     if start[0] == "foll" or end[0] == "prec":
         raise ParseError(
-            ("RANGE" if range_frame else "ROWS")
+            (word or ("RANGE" if range_frame else "ROWS"))
             + " frames must include the current row "
             "(start ≤ CURRENT ROW ≤ end)"
         )
@@ -1619,7 +1658,8 @@ class _QueryParser:
                             # but only once the key has content, so a
                             # column actually named "rows" still parses.
                             or (key_toks and (_at_ident(p, "ROWS")
-                                              or _at_ident(p, "RANGE")))
+                                              or _at_ident(p, "RANGE")
+                                              or _at_ident(p, "GROUPS")))
                         ):
                             break
                         key_toks.append(tok)
@@ -1640,7 +1680,8 @@ class _QueryParser:
                     # Contextual: a column named "rows" may BE the order
                     # key, so only a non-leading ROWS opens the frame.
                     or (ord_toks and (_at_ident(p, "ROWS")
-                                      or _at_ident(p, "RANGE")))
+                                      or _at_ident(p, "RANGE")
+                                      or _at_ident(p, "GROUPS")))
                 ):
                     ord_toks.append(p.toks[p.pos])
                     p.pos += 1
@@ -1652,16 +1693,30 @@ class _QueryParser:
                     parse_expression(ord_toks + [Token(TokenType.END, "")]), asc
                 )
             frame_type = "rows"
-            if _at_ident(p, "ROWS") or _at_ident(p, "RANGE"):
-                # ROWS/RANGE frame.  ROWS/RANGE/UNBOUNDED/PRECEDING/
-                # FOLLOWING/CURRENT/ROW are recognised contextually (NOT
-                # reserved keywords), so columns with those names keep
-                # working everywhere else.  The reference never parses
-                # past OVER at all (expression.cpp:296-329).
+            if (
+                _at_ident(p, "ROWS") or _at_ident(p, "RANGE")
+                or _at_ident(p, "GROUPS")
+            ):
+                # ROWS/RANGE/GROUPS frame.  All frame words are
+                # recognised contextually (NOT reserved keywords), so
+                # columns with those names keep working everywhere else.
+                # The reference never parses past OVER at all
+                # (expression.cpp:296-329).
                 is_range = _at_ident(p, "RANGE")
-                frame_type = "range" if is_range else "rows"
+                is_groups = _at_ident(p, "GROUPS")
+                frame_type = (
+                    "range" if is_range else "groups" if is_groups
+                    else "rows"
+                )
                 p.pos += 1
-                frame = _parse_rows_frame(p, range_frame=is_range)
+                frame = _parse_rows_frame(
+                    p, range_frame=is_range, word=frame_type.upper()
+                )
+                if is_groups and order is None:
+                    raise ParseError(
+                        "GROUPS mode requires an ORDER BY inside "
+                        "OVER (...)"
+                    )
         return WindowFunction(
             agg, expr, partition, order, frame, frame_type, param
         )
