@@ -378,8 +378,94 @@ def test_streaming_sql_rejects_joins(tmp_path):
     path.write_text("a,b\n1,2\n")
     with pytest.raises(UnsupportedError, match="JOIN"):
         WarpDB.query_streaming_sql(str(path), "SELECT a FROM t JOIN r ON a = b")
-    with pytest.raises(UnsupportedError, match="aggregation"):
-        WarpDB.query_streaming_sql(str(path), "SELECT a FROM t")
+    # ORDER BY without LIMIT needs a full external sort — rejected.
+    with pytest.raises(UnsupportedError, match="ORDER BY only together"):
+        WarpDB.query_streaming_sql(str(path), "SELECT a FROM t ORDER BY a")
+
+
+def test_streaming_sql_perrow(tmp_path):
+    """Out-of-core per-row SQL (r3): projection + WHERE concatenate in
+    stream order; LIMIT stops the stream early; ORDER BY…LIMIT runs a
+    running top-k with O(k) state; strings decode per chunk."""
+    from warpdb_tpu import DataType
+
+    rng = np.random.default_rng(23)
+    n = 9_000
+    v = (rng.random(n) * 100).round(4)
+    name = np.array(["ash", "birch", "cedar", "fir"])[
+        rng.integers(0, 4, n)
+    ]
+    path = tmp_path / "p.csv"
+    path.write_text(
+        "v,name\n" + "\n".join(f"{a},{b}" for a, b in zip(v, name)) + "\n"
+    )
+    sch = [DataType.FLOAT32, DataType.STRING]
+    S = lambda q: WarpDB.query_streaming_sql(
+        str(path), q, rows_per_chunk=1111, schema=sch
+    )
+
+    # Running top-k across chunk boundaries.
+    out = S("SELECT v FROM t ORDER BY v DESC LIMIT 6")
+    np.testing.assert_allclose(out["v"], np.sort(v)[::-1][:6], rtol=1e-5)
+
+    # Projection + WHERE: all matching rows, stream order.
+    out = S("SELECT v * 2 FROM t WHERE v > 99")
+    np.testing.assert_allclose(
+        list(out.values())[0], v[v > 99] * 2, rtol=1e-5
+    )
+
+    # LIMIT without ORDER BY = stream prefix (early stop).
+    out = S("SELECT v FROM t LIMIT 7")
+    np.testing.assert_allclose(out["v"], v[:7], rtol=1e-5)
+
+    # OFFSET composes with the top-k.
+    out = S("SELECT v FROM t ORDER BY v ASC LIMIT 3 OFFSET 2")
+    np.testing.assert_allclose(out["v"], np.sort(v)[2:5], rtol=1e-5)
+
+    # String select + multi-term ORDER BY over a string key: per-chunk
+    # decode makes values comparable across chunk vocabularies.
+    out = S("SELECT name, v FROM t WHERE v > 99.3 "
+            "ORDER BY name ASC, v DESC LIMIT 5")
+    sel = v > 99.3
+    pairs = sorted(zip(name[sel], -v[sel]))[:5]
+    assert out["name"] == [p[0] for p in pairs]
+    np.testing.assert_allclose(
+        out["v"], [-p[1] for p in pairs], rtol=1e-5
+    )
+
+    # SELECT * expands on the first chunk; alias resolves in ORDER BY.
+    out = S("SELECT * FROM t LIMIT 3")
+    assert list(out) == ["v", "name"] and len(out["name"]) == 3
+    out = S("SELECT v * 2 AS d FROM t ORDER BY d DESC LIMIT 2")
+    np.testing.assert_allclose(
+        out["d"], np.sort(v * 2)[::-1][:2], rtol=1e-5
+    )
+
+
+def test_streaming_sql_perrow_dim_join(tmp_path):
+    """Per-row streaming against an in-memory dimension table: each
+    chunk joins (lookup fast path) before the top-k merge."""
+    rng = np.random.default_rng(29)
+    n = 3_000
+    k = rng.integers(0, 8, n)
+    v = (rng.random(n) * 100).round(4)
+    path = tmp_path / "f.csv"
+    path.write_text(
+        "k,v\n" + "\n".join(f"{a},{b}" for a, b in zip(k, v)) + "\n"
+    )
+    dim = HostTable.from_dict({
+        "k2": np.arange(8, dtype=np.float32),
+        "w": (np.arange(8, dtype=np.float32) + 1) * 10,
+    })
+    out = WarpDB.query_streaming_sql(
+        str(path),
+        "SELECT v * d.w FROM t JOIN d ON k = d.k2 WHERE v > 95 "
+        "ORDER BY v * d.w DESC LIMIT 5",
+        rows_per_chunk=500, dims={"d": dim},
+    )
+    prod = v * (k + 1) * 10.0
+    want = np.sort(prod[v > 95])[::-1][:5]
+    np.testing.assert_allclose(list(out.values())[0], want, rtol=1e-5)
 
 
 def test_streaming_sql_empty_global_matches_inmemory(tmp_path):

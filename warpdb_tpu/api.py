@@ -42,6 +42,69 @@ def _split_where(expr: str) -> tuple[str, Optional[str]]:
     return expr[: m.start()], expr[m.end() :]
 
 
+def decode_result_column(item, values: np.ndarray, table, catalog=None) -> list:
+    """Decode a result column's dictionary codes back to strings when the
+    select item is string-valued (bare string column, MIN/MAX of one, or
+    a string scalar function); numeric columns pass through as floats.
+    Shared by the facade, set-operation branches, and the streaming
+    per-row path (each chunk decodes against its own table)."""
+    from .frontend.ast import (
+        Aggregation,
+        AggregationType,
+        CodeMap,
+        FunctionCall,
+        Variable,
+        unalias,
+    )
+    from .storage.strings import decode_codes
+
+    node = unalias(item)
+    # MIN/MAX of a string column: the lexicographic extreme's code.
+    if isinstance(node, Aggregation) and node.agg in (
+        AggregationType.MIN,
+        AggregationType.MAX,
+    ):
+        node = node.expr
+    if isinstance(node, FunctionCall):
+        # String scalar function (UPPER/SUBSTR/CONCAT/…): rebind to
+        # recover its output vocabulary (the transform is
+        # deterministic per (function, args, source vocabulary)) and
+        # decode the result codes through it.
+        from .engine.executor import bind_strings
+        from .errors import WarpDBError
+        from .storage.strfuncs import is_string_func
+
+        if is_string_func(node.name):
+            try:
+                cm = bind_strings(node, table)
+            except WarpDBError:
+                cm = None
+            if isinstance(cm, CodeMap) and cm.out_vocab is not None:
+                vals_arr = np.asarray(values, np.float64)
+                if not np.all(np.isfinite(vals_arr)):
+                    vals_arr = np.where(
+                        np.isfinite(vals_arr), vals_arr, -1.0
+                    )
+                return decode_codes(vals_arr, cm.out_vocab)
+    if isinstance(node, Variable):
+        vals_arr = np.asarray(values)
+        if vals_arr.dtype.kind == "f" and not np.all(
+            np.isfinite(vals_arr)
+        ):
+            # Empty-aggregate sentinels (±inf) have no string form.
+            return vals_arr.tolist()
+        vocab = table.dicts.get(node.name)
+        if vocab is None:
+            vocab = table.dicts.get(node.unqualified)
+        if vocab is None and node.qualifier is not None:
+            t = (catalog or {}).get(node.qualifier)
+            if t is not None:
+                vocab = t.dicts.get(node.unqualified)
+        if vocab is not None:
+            return decode_codes(np.asarray(values), vocab)
+    return np.asarray(values).tolist()
+
+
 class WarpDB:
     """A columnar table loaded onto TPU, queryable with expressions or SQL.
 
@@ -275,58 +338,10 @@ class WarpDB:
         a bare string column (extension: the reference cannot query string
         columns at all, csv_loader.cpp:151-155).  ``table`` overrides the
         source relation (UNION branches read their own FROM table)."""
-        from .frontend.ast import Aggregation, AggregationType, Variable, unalias
-        from .storage.strings import decode_codes
-
-        if table is None:
-            table = self._table
-        node = unalias(item)
-        # MIN/MAX of a string column: the lexicographic extreme's code.
-        if isinstance(node, Aggregation) and node.agg in (
-            AggregationType.MIN,
-            AggregationType.MAX,
-        ):
-            node = node.expr
-        from .frontend.ast import CodeMap, FunctionCall
-
-        if isinstance(node, FunctionCall):
-            # String scalar function (UPPER/SUBSTR/CONCAT/…): rebind to
-            # recover its output vocabulary (the transform is
-            # deterministic per (function, args, source vocabulary)) and
-            # decode the result codes through it.
-            from .engine.executor import bind_strings
-            from .errors import WarpDBError
-            from .storage.strfuncs import is_string_func
-
-            if is_string_func(node.name):
-                try:
-                    cm = bind_strings(node, table)
-                except WarpDBError:
-                    cm = None
-                if isinstance(cm, CodeMap) and cm.out_vocab is not None:
-                    vals_arr = np.asarray(values, np.float64)
-                    if not np.all(np.isfinite(vals_arr)):
-                        vals_arr = np.where(
-                            np.isfinite(vals_arr), vals_arr, -1.0
-                        )
-                    return decode_codes(vals_arr, cm.out_vocab)
-        if isinstance(node, Variable):
-            vals_arr = np.asarray(values)
-            if vals_arr.dtype.kind == "f" and not np.all(
-                np.isfinite(vals_arr)
-            ):
-                # Empty-aggregate sentinels (±inf) have no string form.
-                return vals_arr.tolist()
-            vocab = table.dicts.get(node.name)
-            if vocab is None:
-                vocab = table.dicts.get(node.unqualified)
-            if vocab is None and node.qualifier is not None:
-                t = self._catalog.get(node.qualifier)
-                if t is not None:
-                    vocab = t.dicts.get(node.unqualified)
-            if vocab is not None:
-                return decode_codes(np.asarray(values), vocab)
-        return np.asarray(values).tolist()
+        return decode_result_column(
+            item, values, self._table if table is None else table,
+            self._catalog,
+        )
 
     # -- SQL path (reference WarpDB::query_sql, warpdb.cpp:297-498) ----------
     def query_sql(self, sql: str) -> list:

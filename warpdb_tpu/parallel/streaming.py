@@ -118,9 +118,13 @@ def run_streaming_sql(
     merge exactly with state bounded by the distinct count — over
     datasets far larger than device memory: the out-of-core analogue of
     GROUP BY that the reference never had (its streaming path only ran
-    per-row projection, warpdb.cpp:544-590).  Window / MEDIAN /
-    PERCENTILE / raw row-order queries are rejected (they need global
-    row state); JOINs run against in-memory ``dims`` tables.
+    per-row projection, warpdb.cpp:544-590).  Per-row queries stream
+    too: plain projection/WHERE concatenates in stream order (with a
+    LIMIT stopping the stream early), and ``ORDER BY … LIMIT k`` runs a
+    running top-k merge with O(k) state and transfer (see
+    ``_stream_perrow``).  Window / MEDIAN / PERCENTILE queries and
+    ORDER BY without LIMIT are rejected (they need global row state);
+    JOINs run against in-memory ``dims`` tables.
 
     ``dims`` maps table names to in-memory ``HostTable`` dimension
     tables: the streamed fact chunks JOIN against them (the canonical
@@ -223,6 +227,26 @@ def run_streaming_sql(
     )
 
     query = _copy.copy(ast)
+    # Per-row queries (no aggregation/grouping/distinct): stream chunks
+    # through the full engine — projection, WHERE, and ORDER BY…LIMIT
+    # (a mergeable running top-k) all work out-of-core.
+    if (
+        query.group_by is None
+        and not query.distinct
+        and query.having is None
+        and not any(
+            isinstance(n, Aggregation)
+            for item in [
+                *query.select_list,
+                *(t.expr for t in
+                  (query.order_by.terms if query.order_by else ())),
+            ]
+            for n in walk(unalias(item))
+        )
+    ):
+        return _stream_perrow(
+            query, csv_path, rows_per_chunk, schema, mesh, catalog_dev
+        )
     if query.distinct:
         # SELECT DISTINCT e1, e2, … ≡ GROUP BY e1, e2, … selecting the
         # keys: the per-chunk group keys are exactly the chunk's
@@ -470,4 +494,149 @@ def run_streaming_sql(
         else:
             out_vals = vals.tolist()
         table_out[result_column_name(item, i, table_out)] = out_vals
+    return table_out
+
+
+def _perrow_sort_key(vals: list, ascending: bool) -> np.ndarray:
+    """One ORDER BY term's host-merge sort key: u32 ranks ascending.
+
+    Numeric columns go through the float_sort_key bit transform (the
+    exact total order the device sorts use: -0.0 ≡ +0.0, NaN above
+    +inf); string columns arrive DECODED (each chunk decodes at its own
+    boundary), and Python-string lexicographic order equals dictionary
+    code order, so a dense rank over the strings reproduces it."""
+    arr = np.asarray(vals)
+    if arr.dtype.kind in "OUS":
+        _, inv = np.unique(arr.astype(str), return_inverse=True)
+        u = inv.reshape(-1).astype(np.uint32)
+    else:
+        a = arr.astype(np.float32)
+        a = np.where(a == 0.0, np.float32(0.0), a)
+        a = np.where(np.isnan(a), np.float32(np.nan), a)
+        bits = a.view(np.uint32)
+        u = np.where(bits >= 0x80000000, ~bits, bits | 0x80000000)
+    if not ascending:
+        u = np.iinfo(np.uint32).max - u
+    return u
+
+
+def _stream_perrow(
+    query, csv_path, rows_per_chunk, schema, mesh, catalog_dev
+) -> dict:
+    """Out-of-core per-row SQL: ``SELECT exprs FROM t [JOIN dims…]
+    [WHERE c] [ORDER BY o LIMIT k] [LIMIT n]``.
+
+    Each chunk runs through the ordinary engine (all fast paths live);
+    results merge on host:
+
+    * no ORDER BY — chunks concatenate in stream order, and a LIMIT
+      stops the stream as soon as enough rows survive (the reference
+      streamed blindly to EOF, warpdb.cpp:580-587);
+    * ORDER BY … LIMIT k — a running top-k: every chunk ships at most
+      its own top k rows (device sort + slice, O(k) transfer), and the
+      host keeps the best k of the union via a stable lexsort on the
+      same total order the device uses.  State is O(k), not O(N).
+
+    ORDER BY without LIMIT is rejected: it needs an external sort of
+    the whole stream — O(N) host state AND O(N) transfer, which the
+    relay contract (transfers are O(result)) deliberately refuses.
+    """
+    import copy as _copy
+
+    from ..api import decode_result_column
+    from ..engine.executor import (
+        expand_stars_query,
+        resolve_order_aliases,
+        result_column_name,
+        run_query_table,
+    )
+    from ..errors import UnsupportedError
+
+    query = resolve_order_aliases(query)
+    order = query.order_by
+    limit = query.limit
+    offset = query.offset or 0
+    if order is not None and limit is None:
+        raise UnsupportedError(
+            "Streaming SQL supports ORDER BY only together with LIMIT "
+            "(a full out-of-core sort would materialise the stream)"
+        )
+    keep = None if limit is None else limit + offset
+    terms = order.terms if order is not None else ()
+
+    if mesh is None:
+        mesh = data_mesh()
+    chunk_mesh = mesh if mesh.devices.size > 1 else None
+
+    q_chunk = None
+    n_vis = 0
+    vis_items: list = []
+    acc: list[list] = []
+    total = 0
+    for chunk in iter_table_chunks(csv_path, rows_per_chunk, schema):
+        if mesh.devices.size > 1:
+            dt = shard_table(chunk, mesh)
+        else:
+            dt = DeviceTable.from_host(chunk, keep_host=False)
+        if q_chunk is None:
+            # First chunk fixes the schema: expand stars, then append
+            # the order-key expressions as hidden select items so the
+            # host merge sees the keys for every candidate row.
+            q_chunk = _copy.copy(query)
+            vis_items = list(
+                expand_stars_query(query, dt, catalog_dev or None)
+            )
+            n_vis = len(vis_items)
+            q_chunk.select_list = [*vis_items, *(t.expr for t in terms)]
+            q_chunk.offset = None
+            q_chunk.limit = keep
+            acc = [[] for _ in q_chunk.select_list]
+        out = run_query_table(
+            q_chunk, dt, catalog_dev or None, mesh=chunk_mesh
+        )
+        # Decode string-valued columns against THIS chunk's vocabulary:
+        # decoded strings (unlike raw per-chunk codes) compare
+        # consistently across chunks, so the host top-k merge and the
+        # final output are both vocabulary-independent.
+        cols = [
+            decode_result_column(item, vals, dt, catalog_dev or None)
+            for item, vals in zip(q_chunk.select_list, out.values())
+        ]
+        got = len(cols[0]) if cols else 0
+        for a, c in zip(acc, cols):
+            a.extend(c)
+        total += got
+        if order is not None and keep is not None and total > keep:
+            # Running top-k: stable lexsort (primary term major) on the
+            # hidden keys, truncate to the best `keep` candidates.
+            mats = [
+                _perrow_sort_key(acc[n_vis + i], t.ascending)
+                for i, t in enumerate(terms)
+            ]
+            perm = np.lexsort(tuple(reversed(mats)))[:keep]
+            acc = [[a[j] for j in perm] for a in acc]
+            total = len(perm)
+        elif order is None and keep is not None and total >= keep:
+            break  # LIMIT satisfied: stop reading the stream
+
+    if q_chunk is None:
+        # Empty stream: preserve output column names from the raw list.
+        vis_items = list(query.select_list)
+        acc = [[] for _ in vis_items]
+    if order is not None and total > 0:
+        mats = [
+            _perrow_sort_key(acc[n_vis + i], t.ascending)
+            for i, t in enumerate(terms)
+        ]
+        perm = np.lexsort(tuple(reversed(mats)))
+        acc = [[a[j] for j in perm] for a in acc]
+
+    table_out: dict = {}
+    for i, item in enumerate(vis_items):
+        vals = acc[i]
+        if offset:
+            vals = vals[offset:]
+        if limit is not None:
+            vals = vals[:limit]
+        table_out[result_column_name(item, i, table_out)] = vals
     return table_out
