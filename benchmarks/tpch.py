@@ -1,0 +1,377 @@
+"""TPC-H-derived analytics benchmark for warpdb_tpu.
+
+Six queries adapted from the TPC-H suite (Q1, Q3, Q5, Q6, Q12, Q18) to
+the engine's type system (f32 measures, dictionary-encoded strings; ISO
+date strings order chronologically through the shared sorted vocabulary,
+so date range predicates are plain string comparisons).  This is NOT a
+compliant TPC-H run — it is a star-schema stress suite exercising the
+paths a production deployment hits: multi-way joins, string predicates,
+LIKE, CASE aggregation, expression-over-aggregates, HAVING, and top-k.
+
+The reference (seanwevans/WarpDB) parses JOIN but never executes it
+(warpdb.hpp:22-23) and publishes no benchmark numbers (SURVEY.md §6);
+this suite is the "exceeds" evidence for BASELINE.md's join configs.
+
+Usage:
+    python benchmarks/tpch.py [--rows 4194304] [--check] [--json]
+
+--check runs every query at small scale against a pandas-free NumPy
+oracle first (tests/test_tpch.py runs the same oracle in CI).
+
+Timing: e2e wall-clock per query (parse -> device -> transfer -> host
+finishing, incl. relay RTT), median of 3 after one warm/compile run —
+the same discipline as bench.py's e2e numbers.  Metric: lineitem rows/s
+per query + geomean.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Date vocabularies: ~2.5k distinct ISO days spanning 1992-01-01..1998-12-01
+# (the TPC-H order-date span).  Strings sort chronologically.
+_D0 = np.datetime64("1992-01-01")
+_DAYS = 2527
+
+
+def _iso_dates(rng: np.random.Generator, n: int) -> np.ndarray:
+    offs = rng.integers(0, _DAYS, n)
+    return (_D0 + offs.astype("timedelta64[D]")).astype(str)
+
+
+def make_tables(rows: int, seed: int = 42) -> dict:
+    """Generate the five tables.  ``rows`` = lineitem cardinality; the
+    dimension cardinalities keep TPC-H's rough ratios (orders = rows/4,
+    customers = orders/10, 100 suppliers, 25 nations)."""
+    rng = np.random.default_rng(seed)
+    n_orders = max(rows // 4, 64)
+    n_cust = max(n_orders // 10, 16)
+    n_supp = 100
+    n_nation = 25
+
+    nation = {
+        "n_nationkey": np.arange(n_nation, dtype=np.float32),
+        "n_name": np.array(
+            [f"NATION_{i:02d}" for i in range(n_nation)]
+        ),
+    }
+    supplier = {
+        "s_suppkey": np.arange(n_supp, dtype=np.float32),
+        "s_nationkey": rng.integers(0, n_nation, n_supp).astype(np.float32),
+    }
+    customer = {
+        "c_custkey": np.arange(n_cust, dtype=np.float32),
+        "c_mktsegment": np.array(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        )[rng.integers(0, 5, n_cust)],
+        "c_nationkey": rng.integers(0, n_nation, n_cust).astype(np.float32),
+    }
+    orders = {
+        "o_orderkey": np.arange(n_orders, dtype=np.float32),
+        "o_custkey": rng.integers(0, n_cust, n_orders).astype(np.float32),
+        "o_orderdate": _iso_dates(rng, n_orders),
+        "o_orderpriority": np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        )[rng.integers(0, 5, n_orders)],
+        "o_shippriority": np.zeros(n_orders, dtype=np.float32),
+        "o_totalprice": rng.uniform(1e3, 5e5, n_orders).astype(np.float32),
+    }
+    qty = rng.integers(1, 51, rows).astype(np.float32)
+    price = (qty * rng.uniform(900, 1100, rows)).astype(np.float32)
+    lineitem = {
+        "l_orderkey": rng.integers(0, n_orders, rows).astype(np.float32),
+        "l_suppkey": rng.integers(0, n_supp, rows).astype(np.float32),
+        "l_quantity": qty,
+        "l_extendedprice": price,
+        # One of 11 discrete discounts/taxes, like dbgen.
+        "l_discount": (rng.integers(0, 11, rows) / 100.0).astype(np.float32),
+        "l_tax": (rng.integers(0, 9, rows) / 100.0).astype(np.float32),
+        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, rows)],
+        "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, rows)],
+        "l_shipdate": _iso_dates(rng, rows),
+        "l_shipmode": np.array(
+            ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+        )[rng.integers(0, 7, rows)],
+    }
+    return {
+        "lineitem": lineitem,
+        "orders": orders,
+        "customer": customer,
+        "supplier": supplier,
+        "nation": nation,
+    }
+
+
+QUERIES = {
+    # Q1 pricing summary report: wide multi-aggregate GROUP BY over a
+    # date-range filter (dense path: 6 string-pair groups).
+    "q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(l_quantity) AS sum_qty, "
+        "SUM(l_extendedprice) AS sum_base, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS sum_disc, "
+        "SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_chg, "
+        "AVG(l_quantity) AS avg_qty, AVG(l_discount) AS avg_disc, "
+        "COUNT(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag ASC, l_linestatus ASC"
+    ),
+    # Q3 shipping priority: 2 joins, selective predicates on BOTH sides,
+    # high-cardinality GROUP BY over the joined table, top-10 by revenue.
+    "q3": (
+        "SELECT l_orderkey, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = orders.o_orderkey "
+        "JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "WHERE customer.c_mktsegment = 'BUILDING' "
+        "AND orders.o_orderdate < '1995-03-15' "
+        "AND l_shipdate > '1995-03-15' "
+        "GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10"
+    ),
+    # Q5-style local supplier volume: fact -> supplier -> nation chain,
+    # GROUP BY nation name (string), revenue-ordered.
+    "q5": (
+        "SELECT nation.n_name, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = supplier.s_suppkey "
+        "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+        "GROUP BY nation.n_name ORDER BY revenue DESC"
+    ),
+    # Q6 forecast revenue: pure scan with a 3-predicate filter and one
+    # global aggregate (the HBM-roofline query).
+    "q6": (
+        "SELECT SUM(l_extendedprice * l_discount) AS revenue "
+        "FROM lineitem WHERE l_shipdate >= '1994-01-01' "
+        "AND l_shipdate < '1995-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    # Q12 shipping modes: join + CASE-based conditional aggregation.
+    "q12": (
+        "SELECT l_shipmode, "
+        "SUM(CASE WHEN orders.o_orderpriority = '1-URGENT' "
+        "OR orders.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high, "
+        "SUM(CASE WHEN orders.o_orderpriority <> '1-URGENT' "
+        "AND orders.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS low "
+        "FROM lineitem JOIN orders ON l_orderkey = orders.o_orderkey "
+        "WHERE l_shipmode IN ('MAIL', 'SHIP') "
+        "AND l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01' "
+        "GROUP BY l_shipmode ORDER BY l_shipmode ASC"
+    ),
+    # Q18-style large-volume customers: high-cardinality GROUP BY with
+    # HAVING over SUM, top-k.
+    "q18": (
+        "SELECT l_orderkey, SUM(l_quantity) AS total_qty "
+        "FROM lineitem GROUP BY l_orderkey "
+        "HAVING SUM(l_quantity) > 150 "
+        "ORDER BY total_qty DESC LIMIT 100"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (small-scale correctness gate; also run by tests/test_tpch.py)
+# ---------------------------------------------------------------------------
+
+
+def _group_sum(keys: np.ndarray, vals: np.ndarray):
+    uk, inv = np.unique(keys, return_inverse=True)
+    s = np.zeros(len(uk), np.float64)
+    np.add.at(s, inv.reshape(-1), vals.astype(np.float64))
+    return uk, s
+
+
+def oracle(tables: dict, name: str) -> dict:
+    li = tables["lineitem"]
+    od = tables["orders"]
+    cu = tables["customer"]
+    if name == "q1":
+        m = li["l_shipdate"] <= "1998-09-02"
+        flag = np.char.add(
+            np.char.add(li["l_returnflag"][m].astype(str), "|"),
+            li["l_linestatus"][m].astype(str),
+        )
+        price = li["l_extendedprice"][m].astype(np.float64)
+        disc = li["l_discount"][m].astype(np.float64)
+        qty = li["l_quantity"][m].astype(np.float64)
+        uk = np.unique(flag)
+        out = {"key": uk.tolist()}
+        out["sum_qty"] = [qty[flag == k].sum() for k in uk]
+        out["sum_disc"] = [
+            (price[flag == k] * (1 - disc[flag == k])).sum() for k in uk
+        ]
+        out["n"] = [(flag == k).sum() for k in uk]
+        return out
+    if name == "q3":
+        seg_ok = cu["c_mktsegment"] == "BUILDING"
+        cust_ok = set(cu["c_custkey"][seg_ok].tolist())
+        ord_ok = (od["o_orderdate"] < "1995-03-15") & np.isin(
+            od["o_custkey"], list(cust_ok)
+        )
+        ok_orders = set(od["o_orderkey"][ord_ok].tolist())
+        m = (li["l_shipdate"] > "1995-03-15") & np.isin(
+            li["l_orderkey"], list(ok_orders)
+        )
+        uk, s = _group_sum(
+            li["l_orderkey"][m],
+            li["l_extendedprice"][m] * (1 - li["l_discount"][m]),
+        )
+        order = np.argsort(-s, kind="stable")[:10]
+        return {"key": uk[order].tolist(), "revenue": s[order].tolist()}
+    if name == "q5":
+        su, na = tables["supplier"], tables["nation"]
+        snat = su["s_nationkey"][li["l_suppkey"].astype(int)]
+        nname = na["n_name"][snat.astype(int)]
+        uk, s = _group_sum(
+            nname, li["l_extendedprice"] * (1 - li["l_discount"])
+        )
+        order = np.argsort(-s, kind="stable")
+        return {"key": uk[order].tolist(), "revenue": s[order].tolist()}
+    if name == "q6":
+        m = (
+            (li["l_shipdate"] >= "1994-01-01")
+            & (li["l_shipdate"] < "1995-01-01")
+            & (li["l_discount"] >= 0.05)
+            & (li["l_discount"] <= 0.07)
+            & (li["l_quantity"] < 24)
+        )
+        return {
+            "revenue": [
+                float(
+                    (
+                        li["l_extendedprice"][m].astype(np.float64)
+                        * li["l_discount"][m]
+                    ).sum()
+                )
+            ]
+        }
+    if name == "q12":
+        prio = od["o_orderpriority"][li["l_orderkey"].astype(int)]
+        m = (
+            np.isin(li["l_shipmode"], ["MAIL", "SHIP"])
+            & (li["l_shipdate"] >= "1994-01-01")
+            & (li["l_shipdate"] < "1995-01-01")
+        )
+        hi = np.isin(prio, ["1-URGENT", "2-HIGH"]).astype(np.float64)
+        uk = np.unique(li["l_shipmode"][m])
+        return {
+            "key": uk.tolist(),
+            "high": [hi[m][li["l_shipmode"][m] == k].sum() for k in uk],
+            "low": [
+                (1 - hi[m])[li["l_shipmode"][m] == k].sum() for k in uk
+            ],
+        }
+    if name == "q18":
+        uk, s = _group_sum(li["l_orderkey"], li["l_quantity"])
+        keep = s > 150
+        uk, s = uk[keep], s[keep]
+        order = np.argsort(-s, kind="stable")[:100]
+        return {"key": uk[order].tolist(), "total_qty": s[order].tolist()}
+    raise KeyError(name)
+
+
+def check_results(name: str, got: dict, want: dict, rtol=2e-3) -> None:
+    """Compare engine output columns to the oracle (sorted row multisets
+    for value ties; revenue-ordered queries compare the VALUE column
+    sorted, since equal revenues may permute keys)."""
+    cols = list(got.values())
+    if name == "q1":
+        key = [f"{a}|{b}" for a, b in zip(cols[0], cols[1])]
+        assert key == want["key"], (key, want["key"])
+        np.testing.assert_allclose(got["sum_qty"], want["sum_qty"], rtol=rtol)
+        np.testing.assert_allclose(got["sum_disc"], want["sum_disc"],
+                                   rtol=rtol)
+        np.testing.assert_allclose(got["n"], want["n"])
+    elif name in ("q3", "q5", "q18"):
+        vcol = "revenue" if name != "q18" else "total_qty"
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got[vcol], np.float64))[::-1],
+            np.sort(np.asarray(want[vcol], np.float64))[::-1],
+            rtol=rtol,
+        )
+    elif name == "q6":
+        np.testing.assert_allclose(got["revenue"], want["revenue"],
+                                   rtol=rtol)
+    elif name == "q12":
+        assert cols[0] == want["key"]
+        np.testing.assert_allclose(got["high"], want["high"], rtol=rtol)
+        np.testing.assert_allclose(got["low"], want["low"], rtol=rtol)
+
+
+def build_db(tables: dict, mesh=None):
+    from warpdb_tpu import WarpDB
+    from warpdb_tpu.storage import HostTable
+
+    db = WarpDB(HostTable.from_dict(tables["lineitem"]), mesh=mesh)
+    for name in ("orders", "customer", "supplier", "nation"):
+        db.register_table(name, HostTable.from_dict(tables[name]))
+    return db
+
+
+def run_check(rows: int = 20_000) -> None:
+    tables = make_tables(rows, seed=7)
+    db = build_db(tables)
+    for name in QUERIES:
+        got = db.query_sql_table(QUERIES[name])
+        check_results(name, got, oracle(tables, name))
+        print(f"  {name}: oracle match ({len(list(got.values())[0])} rows)")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 22)
+    ap.add_argument("--check", action="store_true",
+                    help="small-scale oracle validation before timing")
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if args.check:
+        print("oracle validation @ 20k rows:", flush=True)
+        run_check()
+
+    tables = make_tables(args.rows)
+    db = build_db(tables)
+    rows = args.rows
+    out = {"suite": "tpch-derived", "lineitem_rows": rows}
+    rates = {}
+    for name, sql in QUERIES.items():
+        db.query_sql_table(sql)  # warm: compile + memo fill is excluded
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            db.query_sql_table(sql)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        rates[name] = rows / dt
+        print(f"  {name}: {dt*1e3:8.1f} ms  {rates[name]/1e6:9.1f} M rows/s",
+              flush=True)
+    ge = np.asarray(list(rates.values()), np.float64)
+    out["per_query_rows_per_s"] = {k: round(v) for k, v in rates.items()}
+    out["geomean_rows_per_s"] = round(float(np.exp(np.log(ge).mean())))
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(f"geomean: {out['geomean_rows_per_s']/1e6:.1f} M rows/s")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

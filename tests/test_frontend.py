@@ -52,6 +52,16 @@ def test_logical_keywords():
     assert "AND" in kws and "OR" not in kws
 
 
+def test_sql_inequality_normalises_to_bang_eq():
+    # <> (standard SQL) lexes as the same operator token as != so every
+    # downstream canonical form / cache key sees one spelling.
+    ops = [t.value for t in tokenize("a <> 4") if t.type is TokenType.OPERATOR]
+    assert ops == ["!="]
+    a = parse_expression(tokenize("a <> 4"))
+    b = parse_expression(tokenize("a != 4"))
+    assert a.canonical() == b.canonical()
+
+
 def test_two_char_operators_before_single():
     tokens = tokenize("a >= 1 <= 2 == 3 != 4")
     ops = [t.value for t in tokens if t.type is TokenType.OPERATOR]

@@ -180,6 +180,14 @@ def tokenize(text: str) -> list[Token]:
                 advance(text[i])
                 advance(text[i + 1])
                 i += 2
+            elif c == "<" and i + 1 < n and text[i + 1] == ">":
+                # Standard SQL inequality ``<>`` (extension over the
+                # reference lexer); normalised to ``!=`` so downstream
+                # canonical forms and cache keys see one spelling.
+                op = "!="
+                advance(text[i])
+                advance(text[i + 1])
+                i += 2
             else:
                 op = c
                 advance(c)

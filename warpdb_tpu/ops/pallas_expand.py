@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: windowed gather at a nondecreasing index.
+
+The expansion join's dominant cost is gathering the probe columns at the
+capacity-sized ``probe_idx`` (ops/join.join_gather_indices): a random
+take costs ~20 ns/row at 2^26 — ~1000x off the HBM roofline — because
+TPU gathers pay per-row overhead (DESIGN.md §2).  But ``probe_idx`` is
+NONDECREASING (expansion output is ordered by probe row), so each
+1024-lane output block reads from a small contiguous source window.
+This kernel exploits that:
+
+* a scalar-prefetched per-block base (``idx[block_start] // 1024``)
+  drives the BlockSpec index maps, so each grid step DMAs exactly two
+  consecutive 1024-row source blocks HBM→VMEM (sequential traffic, no
+  per-row addressing);
+* within the 2048-row VMEM window, selection is an MXU one-hot matmul —
+  the same fused-one-hot trick as ops/pallas_group — with NO per-lane
+  dynamic indexing (the construct that crashes Mosaic, DESIGN.md §4);
+* exactness: the f32/i32 source columns are pre-split into four
+  bf16-held BYTE planes (each byte 0..255 is exact in bf16); the one-hot
+  matmul picks one byte per row exactly (0/1 · byte, f32 accumulate),
+  and the bytes reassemble with integer shifts — the gathered bits are
+  reproduced EXACTLY, not to rounding.
+
+Contract: every 1024-lane output block must satisfy
+``idx[last] - idx[first] < 1024`` (then the 2048 window covers it).
+``spans_ok`` checks this on device; callers ``lax.cond`` between this
+kernel and the general stacked take — dense expansions (every probe row
+matching, the common inner-join shape) always pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["windowed_sorted_take", "spans_ok", "supported"]
+
+_BLK = 1024
+
+
+def supported(n_idx: int, n_src: int) -> bool:
+    """Static shape gate: lane-divisible index, lane-divisible source
+    (device tables are always 1024-padded)."""
+    return n_idx % _BLK == 0 and n_src % _BLK == 0 and n_src >= _BLK
+
+
+def spans_ok(idx: jax.Array) -> jax.Array:
+    """Device check of the per-block span contract (scalar bool)."""
+    blocks = idx.reshape(-1, _BLK)
+    return jnp.all(blocks[:, -1] - blocks[:, 0] < _BLK)
+
+
+def _kernel(bases_ref, idx_ref, plo_ref, phi_ref, out_ref, *, c_cols):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    base = bases_ref[i]
+    idx = idx_ref[0, 0, :]
+    # Local offset into the 2048-row VMEM window.  The clip only fires
+    # outside the spans_ok contract (callers route those to the general
+    # take), so it guards against OOB, never correctness.
+    li = jnp.clip(idx - base * _BLK, 0, 2 * _BLK - 1)
+    window = jnp.concatenate([plo_ref[...], phi_ref[...]], axis=1)
+    # One-hot select: (4C, 2048) byte planes @ (2048, 1024) one-hot.
+    sel = (
+        li[None, :]
+        == lax.broadcasted_iota(jnp.int32, (2 * _BLK, _BLK), 0)
+    ).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    by = lax.dot_general(
+        window, sel, dn, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    for c in range(c_cols):
+        out_ref[c, :] = (
+            by[4 * c]
+            | (by[4 * c + 1] << 8)
+            | (by[4 * c + 2] << 16)
+            | (by[4 * c + 3] << 24)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def windowed_sorted_take(cols, idx, valid, interpret: bool = False):
+    """Gather C 4-byte columns at nondecreasing ``idx`` (see module
+    docstring for the span contract).  Same signature/result as
+    ``ops.join.stacked_take``: invalid slots zero."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cols = tuple(cols)
+    c_cols = len(cols)
+    n_idx = idx.shape[0]
+    n_src = cols[0].shape[0]
+    steps = n_idx // _BLK
+
+    # Byte planes, bf16-held (exact for 0..255): (4C, n_src + pad).
+    # One extra zero block keeps ``base + 1`` in range for every base.
+    bits = jnp.stack(
+        [lax.bitcast_convert_type(c, jnp.uint32).astype(jnp.int32)
+         for c in cols],
+        axis=0,
+    )
+    planes = jnp.concatenate(
+        [
+            ((bits >> shift) & 0xFF).astype(jnp.bfloat16)
+            for shift in (0, 8, 16, 24)
+        ],
+        axis=0,
+    ).reshape(4, c_cols, n_src).transpose(1, 0, 2).reshape(4 * c_cols, n_src)
+    planes = jnp.pad(planes, ((0, 0), (0, _BLK)))
+
+    idx3 = idx.astype(jnp.int32).reshape(steps, 1, _BLK)
+    first = idx3[:, 0, 0]
+    bases = jnp.clip(first // _BLK, 0, n_src // _BLK - 1).astype(jnp.int32)
+
+    kernel = functools.partial(_kernel, c_cols=c_cols)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, _BLK), lambda i, b: (i, 0, 0)),
+            pl.BlockSpec((4 * c_cols, _BLK), lambda i, b: (0, b[i])),
+            pl.BlockSpec((4 * c_cols, _BLK), lambda i, b: (0, b[i] + 1)),
+        ],
+        out_specs=pl.BlockSpec((c_cols, _BLK), lambda i, b: (0, i)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_cols, n_idx), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_idx * 2 * _BLK * 4 * c_cols,
+            bytes_accessed=n_idx * (4 + 8 * c_cols) + n_idx * 4 * c_cols,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bases, idx3, planes, planes)
+
+    out = jnp.where(valid[None, :], out, jnp.int32(0))
+    return tuple(
+        lax.bitcast_convert_type(out[i], c.dtype)
+        for i, c in enumerate(cols)
+    )
