@@ -4079,6 +4079,75 @@ def test_cast(db):
         db.query_sql("SELECT CAST(price AS BLOB) FROM test")
 
 
+def test_composite_key_dense_group():
+    """Composite GROUP BY keys pack into one dense gid when the product
+    of the stats-proven widths fits the dense/midrange tier (r3) —
+    group order and results must match the sort path exactly."""
+    rng = np.random.default_rng(41)
+    n = 20_000
+    a = rng.integers(0, 7, n).astype(np.float32)
+    b = rng.integers(100, 130, n).astype(np.float32)
+    v = rng.normal(10, 5, n).astype(np.float32)
+    db2 = WarpDB(HostTable.from_dict({"a": a, "b": b, "v": v}))
+    sql = ("SELECT a, b, SUM(v), COUNT(*), MIN(v) FROM t "
+           "GROUP BY a, b ORDER BY a ASC, b ASC")
+    plan = db2.explain(sql)
+    assert "packed composite key" in plan, plan
+    out = db2.query_sql_table(sql)
+    want = {}
+    for ai, bi, vi in zip(a, b, v):
+        want.setdefault((ai, bi), []).append(vi)
+    keys = sorted(want)
+    np.testing.assert_allclose(out["a"], [k[0] for k in keys])
+    np.testing.assert_allclose(out["b"], [k[1] for k in keys])
+    np.testing.assert_allclose(
+        out["SUM(v[idx])"],
+        [np.float64(np.asarray(want[k], np.float64).sum()) for k in keys],
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        out["COUNT(*)"], [len(want[k]) for k in keys])
+    np.testing.assert_allclose(
+        out["MIN(v[idx])"], [min(want[k]) for k in keys], rtol=1e-6)
+
+    # Midrange tier: product in the tens of thousands of slots.
+    b2 = rng.integers(0, 3000, n).astype(np.float32)
+    db3 = WarpDB(HostTable.from_dict({"a": a, "b": b2, "v": v}))
+    sql2 = "SELECT a, b, SUM(v) FROM t GROUP BY a, b ORDER BY a ASC, b ASC"
+    plan2 = db3.explain(sql2)
+    assert "MIDRANGE" in plan2 and "packed composite key" in plan2, plan2
+    out2 = db3.query_sql_table(sql2)
+    want2 = {}
+    for ai, bi, vi in zip(a, b2, v):
+        want2[(ai, bi)] = want2.get((ai, bi), 0.0) + np.float64(vi)
+    keys2 = sorted(want2)
+    np.testing.assert_allclose(out2["a"], [k[0] for k in keys2])
+    np.testing.assert_allclose(out2["b"], [k[1] for k in keys2])
+    np.testing.assert_allclose(
+        out2["SUM(v[idx])"], [want2[k] for k in keys2], rtol=1e-3)
+
+    # Wide keys (no provable narrow range) still fall back to sorts.
+    c = rng.normal(0, 1e6, n).astype(np.float32)
+    db4 = WarpDB(HostTable.from_dict({"a": a, "c": c, "v": v}))
+    plan3 = db4.explain("SELECT a, c, SUM(v) FROM t GROUP BY a, c")
+    assert "SORTED segmented" in plan3, plan3
+
+    # Non-integral composite keys pass the range gate but fail the
+    # runtime integrality check — execution must fall back and stay
+    # correct (explain is optimistic there by design).
+    c2 = rng.uniform(0, 3, n).round(2).astype(np.float32)
+    db5 = WarpDB(HostTable.from_dict({"a": a, "c": c2, "v": v}))
+    out5 = db5.query_sql_table(
+        "SELECT a, c, COUNT(*) FROM t GROUP BY a, c ORDER BY a ASC, c ASC")
+    want5 = {}
+    for ai, ci in zip(a, c2):
+        want5[(ai, ci)] = want5.get((ai, ci), 0) + 1
+    keys5 = sorted(want5)
+    np.testing.assert_allclose(out5["a"], [k[0] for k in keys5])
+    np.testing.assert_allclose(out5["c"], [k[1] for k in keys5], rtol=1e-6)
+    np.testing.assert_allclose(out5["COUNT(*)"], [want5[k] for k in keys5])
+
+
 def test_scalar_math_builtins(db):
     """The standard scalar math surface: logs, powers, trig, rounding
     with decimals (r3 extensions; all lower to jnp builtins)."""

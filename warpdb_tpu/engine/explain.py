@@ -201,20 +201,34 @@ def explain_query(
                     f"    strategy: DISTRIBUTED all-to-all hash shuffle "
                     f"({mesh.devices.size} devices)"
                 )
-        elif len(query.group_by.keys) == 1:
+        else:
             import math
 
-            rng = expr_range(query.group_by.keys[0], current.stats)
-            if rng is not None and not (
-                math.isfinite(rng[0]) and math.isfinite(rng[1])
-            ):
-                rng = None
-            slots = None if rng is None else int(rng[1]) - int(rng[0]) + 1
+            # Mirror _dense_key_plan: the product of the per-key
+            # stats-proven widths sizes the packed slot space (single
+            # keys are the width itself).
+            slots = 1
+            for k in query.group_by.keys:
+                rng = expr_range(k, current.stats)
+                if rng is None or not (
+                    math.isfinite(rng[0]) and math.isfinite(rng[1])
+                ):
+                    slots = None
+                    break
+                slots *= int(rng[1]) - int(rng[0]) + 1
+                if slots > cfg.midrange_group_max_slots:
+                    slots = None
+                    break
+            packed = (
+                ", packed composite key"
+                if len(query.group_by.keys) > 1
+                else ""
+            )
             if slots is not None and slots <= cfg.dense_group_max_slots:
                 lines.append(
                     f"    strategy: DENSE integer-key aggregation "
-                    f"({slots} slots, stats-bounded; no sort, no scatter — "
-                    "fused VPU compare-reduce)"
+                    f"({slots} slots, stats-bounded{packed}; no sort, no "
+                    "scatter — fused VPU compare-reduce)"
                 )
             elif slots is not None and slots <= cfg.midrange_group_max_slots:
                 engine = (
@@ -224,7 +238,7 @@ def explain_query(
                 )
                 lines.append(
                     f"    strategy: MIDRANGE sort-free aggregation "
-                    f"({slots} slots, stats-bounded; {engine} for "
+                    f"({slots} slots, stats-bounded{packed}; {engine} for "
                     "SUM/COUNT, scatter for MIN/MAX; device-side "
                     "occupancy compaction)"
                 )
@@ -233,10 +247,6 @@ def explain_query(
                     "    strategy: SORTED segmented aggregation "
                     "(radix-sortable keys -> lax.sort -> segment reduce)"
                 )
-        else:
-            lines.append(
-                "    strategy: SORTED segmented aggregation (composite keys)"
-            )
         aggs = {
             n.canonical()
             for item in select_items + [query.having] + [

@@ -435,49 +435,133 @@ def _integral_key_check(table, key_expr) -> tuple:
     return False, memo[key_canon]
 
 
+def _dense_key_plan(table, group_keys):
+    """Plan the dense/midrange key: stats-bounded integral range(s).
+
+    Single keys keep the historical behavior.  COMPOSITE keys (r3) pack
+    into one dense gid — ``Σ (kᵢ − baseᵢ)·strideᵢ`` with strides the
+    suffix products of the per-key widths — when the PRODUCT of the
+    stats-proven widths fits the midrange tier: ascending packed order
+    is exactly lexicographic ascending per-key order, so group order
+    matches the sort path.  Returns None (→ sort path) or a dict with
+    ``make_key_fn`` / ``canon`` / ``base`` / ``num_slots`` /
+    ``unpack(np keys) -> tuple`` / ``raw_int_key``."""
+    from ..config import get_config
+    from .optimizer import expr_range
+
+    cfg = get_config()
+    infos = []
+    total = 1
+    for key_expr in group_keys:
+        rng = expr_range(key_expr, table.stats)
+        if rng is None:
+            return None
+        lo, hi = rng
+        if not (np.isfinite(lo) and np.isfinite(hi)):
+            return None
+        b = int(np.floor(lo))
+        w = int(np.floor(hi)) - b + 1
+        if w < 1:
+            return None
+        if not (-(2**31) <= b and b + w <= 2**31 - 1):
+            # Key values outside int32: the dense gid arithmetic would
+            # overflow at trace time; the sort path handles these fine.
+            return None
+        integral_static, ok = _integral_key_check(table, key_expr)
+        if not ok:
+            return None
+        total *= w
+        if total > cfg.midrange_group_max_slots:
+            return None
+        infos.append((key_expr, b, w, integral_static))
+
+    if len(infos) == 1:
+        key_expr, base, num_slots, integral_static = infos[0]
+        return {
+            "make_key_fn": lambda: _raw_or_f32_key_fn(
+                key_expr, integral_static
+            ),
+            "canon": key_expr.canonical(),
+            "base": base,
+            "num_slots": num_slots,
+            "unpack": lambda arr: (arr,),
+            "raw_int_key": bool(
+                isinstance(key_expr, Variable) and integral_static
+            ),
+        }
+
+    strides = [1] * len(infos)
+    for i in range(len(infos) - 2, -1, -1):
+        strides[i] = strides[i + 1] * infos[i + 1][2]
+
+    def make_key_fn():
+        parts = [
+            (_raw_or_f32_key_fn(k, st), b, s)
+            for (k, b, _w, st), s in zip(infos, strides)
+        ]
+
+        def key_fn(cols):
+            acc = None
+            for f, b, s in parts:
+                # Cast BEFORE the base shift: stats bound every key value
+                # inside int32, so the cast is exact for raw ints and for
+                # runtime-integral f32 expressions alike.
+                kv = jnp.asarray(f(cols)).astype(jnp.int32)
+                term = (kv - jnp.int32(b)) * jnp.int32(s)
+                acc = term if acc is None else acc + term
+            return acc
+
+        return key_fn
+
+    def unpack(arr):
+        g = np.asarray(arr).astype(np.int64)
+        outs = []
+        for (k, b, w, st), s in zip(infos, strides):
+            v = b + (g // s) % w
+            outs.append(
+                v if st else v.astype(np.float32)
+            )
+        return tuple(outs)
+
+    canon = "__pack[" + "; ".join(
+        f"{k.canonical()}@{b}+{w}" for k, b, w, _st in infos
+    ) + "]"
+    return {
+        "make_key_fn": make_key_fn,
+        "canon": canon,
+        "base": 0,
+        "num_slots": total,
+        "unpack": unpack,
+        "raw_int_key": all(
+            isinstance(k, Variable) and st for k, _b, _w, st in infos
+        ),
+    }
+
+
 def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
                      where_canon, need=("sum", "min", "max"),
                      limit_cap=None):
     """Attempt the sort-free GROUP BY ladder — dense O(N·G) VPU sweep for
     small key ranges, scatter/MXU slot tables for mid-range ones; returns
-    None when stats can't prove an integral key range narrow enough
-    (falls back to the sort path)."""
+    None when stats can't prove integral key range(s) narrow enough
+    (falls back to the sort path).  Composite keys pack into one gid
+    (see _dense_key_plan)."""
     from ..config import get_config
-    from .optimizer import expr_range
 
-    if len(group_keys) != 1:
+    kp = _dense_key_plan(table, group_keys)
+    if kp is None:
         return None
-    key_expr = group_keys[0]
-    rng = expr_range(key_expr, table.stats)
-    if rng is None:
-        return None
-    lo, hi = rng
     cfg = get_config()
-    if not (np.isfinite(lo) and np.isfinite(hi)):
-        return None
-    if hi - lo + 1 > cfg.midrange_group_max_slots:
-        return None
-    base = int(np.floor(lo))
-    num_slots = int(np.floor(hi)) - base + 1
-    if num_slots < 1:
-        return None
-    if not (-(2**31) <= base and base + num_slots <= 2**31 - 1):
-        # Key values outside int32: the dense gid arithmetic would
-        # overflow at trace time; the sort path handles these fine.
-        return None
+    base, num_slots = kp["base"], kp["num_slots"]
+    key_canon = kp["canon"]
 
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
-    key_canon = key_expr.canonical()
-
-    integral_static, ok = _integral_key_check(table, key_expr)
-    if not ok:
-        return None
 
     if num_slots > cfg.dense_group_max_slots:
         return _midrange_group_run(
-            query, table, key_expr, vexpr_nodes, vexpr_canons, where_canon,
-            base, num_slots, need, integral_static, limit_cap,
+            query, table, kp, vexpr_nodes, vexpr_canons, where_canon,
+            need, limit_cap,
         )
 
     gkey = ("dense_group", key_canon, tuple(vexpr_canons), where_canon,
@@ -485,7 +569,7 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
             udf_mod.registry_version())
 
     def build_dense():
-        key_fn = _raw_or_f32_key_fn(key_expr, integral_static)
+        key_fn = kp["make_key_fn"]()
         val_fns = [build_evaluator(v) for v in vexpr_nodes]
         cond_fn = build_evaluator(query.where) if query.where is not None else None
 
@@ -507,16 +591,14 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     # output contract matches the sort path.
     counts = result.counts
     occ = counts > 0
-    keys = tuple(k[occ] for k in result.keys)
+    keys = kp["unpack"](result.keys[0][occ])
     values = tuple(
         (v.sums[occ], v.mins[occ], v.maxs[occ]) for v in result.values
     )
     out = _HostGroupResult(keys, counts[occ], values, int(occ.sum()))
     # COUNT(DISTINCT) kernels must group keys exactly the way this path
-    # did: raw ints when the dense kernel read the raw column.
-    out.raw_int_key = bool(
-        isinstance(key_expr, Variable) and integral_static
-    )
+    # did: raw ints when the dense kernel read the raw column(s).
+    out.raw_int_key = kp["raw_int_key"]
     return out
 
 
@@ -538,9 +620,8 @@ def _raw_or_f32_key_fn(key_expr, integral_static: bool):
     return lambda cols: _as_f32(inner(cols))
 
 
-def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
-                        where_canon, base, num_slots, need, integral_static,
-                        limit_cap=None):
+def _midrange_group_run(query, table, kp, vexpr_nodes, vexpr_canons,
+                        where_canon, need, limit_cap=None):
     """Mid-range sort-free GROUP BY: scatter/MXU into a dense slot table
     (ops/aggregate.midrange_group_aggregate), then a device-side
     occupancy compaction so the relay transfer is O(groups) — at 2^16+
@@ -561,7 +642,8 @@ def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
 
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
-    key_canon = key_expr.canonical()
+    base, num_slots = kp["base"], kp["num_slots"]
+    key_canon = kp["canon"]
     # The MXU engine scales one-hot columns by the value, so a ±inf/NaN
     # value would poison OTHER slots through 0·inf = NaN — it only runs
     # when stats PROVE every summed expression finite (same gate as the
@@ -607,7 +689,7 @@ def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
             fused_cap, udf_mod.registry_version())
 
     def build():
-        key_fn = _raw_or_f32_key_fn(key_expr, integral_static)
+        key_fn = kp["make_key_fn"]()
         val_fns = [build_evaluator(v) for v in vexpr_nodes]
         cond_fn = (
             build_evaluator(query.where) if query.where is not None else None
@@ -667,11 +749,9 @@ def _midrange_group_run(query, table, key_expr, vexpr_nodes, vexpr_canons,
         for i in range(len(vexpr_nodes))
     )
     result = _HostGroupResult(
-        (keys_c[:ng_eff],), counts_c[:ng_eff], values, ng_eff
+        kp["unpack"](keys_c[:ng_eff]), counts_c[:ng_eff], values, ng_eff
     )
-    result.raw_int_key = bool(
-        isinstance(key_expr, Variable) and integral_static
-    )
+    result.raw_int_key = kp["raw_int_key"]
     return result
 
 
