@@ -2328,6 +2328,66 @@ def test_join_filter_pushdown_matches_filter_after_join():
     assert len(getattr(db.table, "_prefilter_memo", {})) >= 1
 
 
+def test_build_side_filter_pushdown_matches_filter_after_join():
+    """Build-side predicate pushdown (r3): single-relation WHERE
+    conjuncts compact their INNER-joined dimension before the join —
+    results must match the filter-after-join plan, LEFT-join build
+    sides must NOT be filtered, and stripping build conjuncts must
+    still leave the probe conjuncts correct."""
+    from warpdb_tpu.config import get_config
+
+    rng = np.random.default_rng(27)
+    n = 16384
+    n_dim = 8192
+    k = rng.integers(0, n_dim, n).astype(np.float32)
+    p = rng.uniform(0, 100, n).astype(np.float32)
+    w = rng.uniform(0, 1, n_dim).astype(np.float32)
+    seg = np.array(["gold", "iron", "salt"], dtype=object)[
+        rng.integers(0, 3, n_dim)
+    ]
+    db = WarpDB(HostTable.from_dict({"k": k, "p": p}))
+    db.register_table(
+        "d",
+        HostTable.from_dict(
+            {"k2": np.arange(n_dim, dtype=np.float32), "w": w, "seg": seg},
+            dtypes={
+                "k2": DataType.FLOAT32,
+                "w": DataType.FLOAT32,
+                "seg": DataType.STRING,
+            },
+        ),
+    )
+    queries = [
+        # Pure build-side conjunct (numeric).
+        "SELECT SUM(p * d.w) FROM t JOIN d ON k = d.k2 WHERE d.w < 0.25",
+        # Build string predicate + probe conjunct: build strips, probe
+        # pushdown then fires on the remainder.
+        "SELECT COUNT(*) FROM t JOIN d ON k = d.k2 "
+        "WHERE d.seg = 'gold' AND p > 50",
+        # Unqualified build column (unique across the namespace).
+        "SELECT SUM(w) FROM t JOIN d ON k = d.k2 WHERE w > 0.9",
+        # LEFT join: the build conjunct must stay post-join (filtering
+        # the dim would convert matches into NaN misses).
+        "SELECT COUNT(*) FROM t LEFT JOIN d ON k = d.k2 WHERE d.w < 0.25",
+    ]
+    for sql in queries:
+        get_config().join_filter_pushdown = False
+        base = db.query_sql_table(sql)
+        get_config().join_filter_pushdown = True
+        try:
+            pushed = db.query_sql_table(sql)
+        finally:
+            get_config().join_filter_pushdown = True
+        for b, g in zip(base.values(), pushed.values()):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float64), np.asarray(g, np.float64),
+                rtol=1e-4, err_msg=sql,
+            )
+    # The dimension-side memo engaged.
+    dim_table = db._catalog["d"]
+    assert len(getattr(dim_table, "_prefilter_memo", {})) >= 1
+
+
 def test_join_filter_pushdown_self_join_bails():
     """Self-joins must keep the build side unfiltered — the pushdown
     bails (memo stays empty) and results stay correct."""
@@ -4146,6 +4206,59 @@ def test_composite_key_dense_group():
     np.testing.assert_allclose(out5["a"], [k[0] for k in keys5])
     np.testing.assert_allclose(out5["c"], [k[1] for k in keys5], rtol=1e-6)
     np.testing.assert_allclose(out5["COUNT(*)"], [want5[k] for k in keys5])
+
+
+def test_grouped_device_finish_matches_host():
+    """HAVING + ORDER BY <aggregate> + LIMIT finish ON DEVICE for the
+    midrange and sorted group tiers (r3): the relay ships O(limit)
+    groups instead of O(G).  Results must match the host finish exactly
+    across tiers, directions, HAVING forms, and OFFSET."""
+    rng = np.random.default_rng(53)
+    n = 120_000
+
+    def oracle(k, v, having, order_key, asc, limit, offset=0):
+        sums, cnts, mins = {}, {}, {}
+        for ki, vi in zip(k, v):
+            sums[ki] = sums.get(ki, 0.0) + np.float64(vi)
+            cnts[ki] = cnts.get(ki, 0) + 1
+            mins[ki] = min(mins.get(ki, np.inf), vi)
+        rows = [
+            (ki, sums[ki], cnts[ki], mins[ki])
+            for ki in sums
+            if having(sums[ki], cnts[ki], mins[ki])
+        ]
+        rows.sort(key=order_key, reverse=not asc)
+        return rows[offset:offset + limit]
+
+    # Midrange tier (stats-bounded int keys, ~30k slots).
+    k = rng.integers(0, 30_000, n).astype(np.float32)
+    v = rng.normal(50, 20, n).astype(np.float32)
+    db2 = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    out = db2.query_sql_table(
+        "SELECT k, SUM(v) AS s FROM t GROUP BY k "
+        "HAVING COUNT(*) >= 5 ORDER BY s DESC LIMIT 11")
+    want = oracle(k, v, lambda s, c, m: c >= 5, lambda r: r[1], False, 11)
+    np.testing.assert_allclose(out["s"], [r[1] for r in want], rtol=1e-4)
+
+    # Sorted tier (continuous keys — no stats bound).
+    k2 = rng.uniform(0, 1e6, n).round(2).astype(np.float32)
+    db3 = WarpDB(HostTable.from_dict({"k": k2, "v": v}))
+    out = db3.query_sql_table(
+        "SELECT k, AVG(v) AS a FROM t GROUP BY k "
+        "HAVING MIN(v) > 10 ORDER BY a ASC LIMIT 6 OFFSET 2")
+    want = oracle(k2, v, lambda s, c, m: m > 10,
+                  lambda r: r[1] / r[2], True, 6, offset=2)
+    np.testing.assert_allclose(
+        out["a"], [r[1] / r[2] for r in want], rtol=1e-4)
+
+    # Expression order key over two aggregates.
+    out = db2.query_sql_table(
+        "SELECT k, SUM(v) / COUNT(*) AS m FROM t GROUP BY k "
+        "ORDER BY SUM(v) / COUNT(*) DESC LIMIT 4")
+    want = oracle(k, v, lambda s, c, m: True,
+                  lambda r: r[1] / r[2], False, 4)
+    np.testing.assert_allclose(
+        out["m"], [r[1] / r[2] for r in want], rtol=1e-4)
 
 
 def test_scalar_math_builtins(db):

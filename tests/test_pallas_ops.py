@@ -106,3 +106,95 @@ def test_midrange_inf_values_route_to_scatter_engine():
     assert out[inf_slot] == np.inf
     finite = np.delete(out, inf_slot)
     assert np.isfinite(finite).all()
+
+
+# --- windowed sorted-gather kernel (expansion join; interpret on CPU) --------
+
+
+def test_windowed_sorted_take_interpret():
+    """Bit-exact gather at a nondecreasing index through the byte-plane
+    MXU one-hot select (ops/pallas_expand): f32 specials (NaN, -inf,
+    -0.0) and full-range int32 codes must reproduce EXACTLY."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from warpdb_tpu.ops.pallas_expand import (
+        spans_ok,
+        supported,
+        windowed_sorted_take,
+    )
+
+    rng = np.random.default_rng(3)
+    n_src, n_idx = 4096, 8192
+    idx = np.repeat(np.arange(n_src, dtype=np.int32), 2)  # fan-out 2
+    vals_f = rng.normal(0, 1e10, n_src).astype(np.float32)
+    vals_f[5], vals_f[7], vals_f[9] = np.nan, -np.inf, -0.0
+    vals_i = rng.integers(-2**31, 2**31 - 1, n_src, dtype=np.int32)
+    valid = np.ones(n_idx, bool)
+    valid[-3:] = False
+    assert supported(n_idx, n_src)
+    assert bool(spans_ok(jnp.asarray(idx)))
+    out = windowed_sorted_take(
+        (jnp.asarray(vals_f), jnp.asarray(vals_i)),
+        jnp.asarray(idx), jnp.asarray(valid),
+        interpret=jax.default_backend() != "tpu",
+    )
+    got_f, got_i = np.asarray(out[0]), np.asarray(out[1])
+    want_f = np.where(valid, vals_f[idx], 0).astype(np.float32)
+    want_i = np.where(valid, vals_i[idx], 0)
+    np.testing.assert_array_equal(
+        got_f.view(np.uint32), want_f.view(np.uint32)
+    )
+    np.testing.assert_array_equal(got_i, want_i)
+
+    # Variable fan-outs (still dense within each block) stay in
+    # contract; a sparse index trips the span check.
+    counts = rng.integers(1, 4, 3000)
+    idx2 = np.repeat(np.arange(3000, dtype=np.int32), counts)
+    idx2 = np.pad(idx2, (0, 1024 - len(idx2) % 1024), mode="edge")
+    assert bool(spans_ok(jnp.asarray(idx2)))
+    # Sparse: 1024 outputs spread across the whole 4096-row source —
+    # the per-block span blows the 1024-row window contract.
+    sparse = np.sort(rng.integers(0, n_src, 1024)).astype(np.int32)
+    assert not bool(spans_ok(jnp.asarray(sparse)))
+
+
+def test_expansion_join_matches_oracle_with_duplicate_build_keys():
+    """The expansion join (duplicate build keys force the general
+    sort-merge expansion; the eager rewrite is disabled) must match a
+    NumPy oracle — on TPU the windowed kernel serves the probe gather
+    via lax.cond, on CPU the general take does; both must agree with
+    the oracle, pinning the shared contract."""
+    import numpy as np
+
+    from warpdb_tpu import WarpDB
+    from warpdb_tpu.config import get_config
+    from warpdb_tpu.storage import HostTable
+
+    rng = np.random.default_rng(11)
+    n = 8192
+    k = rng.integers(0, 2048, n).astype(np.float32)
+    v = rng.uniform(0, 100, n).astype(np.float32)
+    w = rng.uniform(0, 1, 4096).astype(np.float32)
+    wk = np.tile(np.arange(2048, dtype=np.float32), 2)
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    db.register_table("d", HostTable.from_dict({"k2": wk, "w": w}))
+    get_config().eager_join_aggregation = False
+    try:
+        out = db.query_sql_table(
+            "SELECT k, SUM(v * d.w) AS s FROM t JOIN d ON k = d.k2 "
+            "GROUP BY k ORDER BY k ASC LIMIT 5"
+        )
+    finally:
+        get_config().eager_join_aggregation = True
+    # Oracle: per-key sum of v times BOTH matching dim weights.
+    wsum = np.zeros(2048, np.float64)
+    np.add.at(wsum, wk.astype(int), w.astype(np.float64))
+    vsum = np.zeros(2048, np.float64)
+    np.add.at(vsum, k.astype(int), v.astype(np.float64))
+    want = vsum * wsum  # SUM over pairs factorises for this expression
+    keys = np.sort(np.unique(k.astype(int)))[:5]
+    np.testing.assert_allclose(out["k"], keys.astype(np.float32))
+    np.testing.assert_allclose(
+        out["s"], want[keys], rtol=2e-3,
+    )

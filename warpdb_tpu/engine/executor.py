@@ -1065,6 +1065,7 @@ from .join_exec import (  # noqa: E402
     _materialize_join_local,
     _materialize_joins,
     _lift_implicit_join_conditions,
+    _pushdown_build_filters,
     _split_join_residuals,
     _pushdown_join_where,
     _resolve_column,
@@ -1213,6 +1214,9 @@ def run_query(
     if query.joins:
         query = _lift_implicit_join_conditions(query, table, catalog)
         query = _split_join_residuals(query)
+        # Build-side pushdown first: stripping single-relation conjuncts
+        # can leave an all-probe WHERE the probe pushdown then takes.
+        query, catalog = _pushdown_build_filters(query, table, catalog, mesh)
         query, table = _pushdown_join_where(query, table, catalog, mesh)
         if query.group_by is not None:
             rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)
@@ -2800,6 +2804,7 @@ def run_query_table(
     if query.joins:
         query = _lift_implicit_join_conditions(query, table, catalog)
         query = _split_join_residuals(query)
+        query, catalog = _pushdown_build_filters(query, table, catalog, mesh)
         query, table = _pushdown_join_where(query, table, catalog, mesh)
         if query.group_by is not None:
             rewritten = _try_eager_join_aggregate(query, table, catalog, mesh)

@@ -250,11 +250,19 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
 
 
 def _grouped_partials(
-    query: Query, table: DeviceTable, plan: dict, mesh=None
+    query: Query, table: DeviceTable, plan: dict, mesh=None,
+    final: bool = True,
 ) -> "_HostGroupResult":
     """Compute the per-group aggregate table (keys, counts, sum/min/max
     per value expression) on device — the mergeable partial form shared
-    by the single-table, distributed, and out-of-core streaming paths."""
+    by the single-table, distributed, and out-of-core streaming paths.
+
+    ``final=False`` (streaming per-chunk partials) disables the
+    device-side HAVING/ORDER-BY-LIMIT finish: pruning a chunk's groups
+    by its PARTIAL aggregates would be wrong — only the merged totals
+    decide (the ascending-key ``limit_cap`` pushdown stays legal:
+    the global first-k groups are contained in the union of per-chunk
+    first-k groups)."""
     group_keys = plan["group_keys"]
     vexpr_nodes = plan["vexpr_nodes"]
     vexpr_canons = plan["vexpr_canons"]
@@ -288,13 +296,43 @@ def _grouped_partials(
             and not plan["cd_specs"]
         ):
             limit_cap = query.limit + (query.offset or 0)
+        # Device finish: HAVING + single-term ORDER BY + LIMIT prune and
+        # order the groups ON DEVICE (midrange tier), shipping O(limit)
+        # instead of O(G).  Expressibility over the partials is checked
+        # inside the midrange run; anything else falls back unchanged.
+        device_finish = None
+        if (
+            final
+            and limit_cap is None
+            and query.limit is not None
+            and not query.distinct
+            and not plan["cd_specs"]
+            and query.order_by is not None
+            and len(query.order_by.terms) == 1
+            # Aggregate order terms only: a bare raw-int KEY order would
+            # rank through the f32-cast key values, which collide beyond
+            # 2^24 (key-ascending limits take the limit_cap pushdown
+            # instead; everything else finishes on host).
+            and any(
+                isinstance(n, Aggregation)
+                for n in walk(query.order_by.terms[0].expr)
+            )
+        ):
+            device_finish = {
+                "limit": query.limit + (query.offset or 0),
+                "order": query.order_by.terms[0],
+                "having": query.having,
+            }
         result = _try_dense_group(query, table, group_keys, vexpr_nodes,
                                   vexpr_canons, where_canon, plan["need"],
-                                  limit_cap=limit_cap)
-    if result is None:
-        result = _sorted_group(query, table, group_keys, vexpr_nodes,
-                               vexpr_canons, where_canon, plan["keys_canon"],
-                               plan["need"])
+                                  limit_cap=limit_cap,
+                                  device_finish=device_finish)
+        if result is None:
+            result = _sorted_group(
+                query, table, group_keys, vexpr_nodes, vexpr_canons,
+                where_canon, plan["keys_canon"], plan["need"],
+                device_finish=device_finish,
+            )
     for spec in plan["cd_specs"]:
         if spec.agg is AggregationType.STRING_AGG:
             result.dcounts[spec.key] = _grouped_string_agg(
@@ -485,6 +523,7 @@ def _dense_key_plan(table, group_keys):
             "base": base,
             "num_slots": num_slots,
             "unpack": lambda arr: (arr,),
+            "unpack_dev": lambda arr: (arr,),
             "raw_int_key": bool(
                 isinstance(key_expr, Variable) and integral_static
             ),
@@ -523,6 +562,15 @@ def _dense_key_plan(table, group_keys):
             )
         return tuple(outs)
 
+    def unpack_dev(arr):
+        g = arr.astype(jnp.int32)
+        return tuple(
+            ((g // jnp.int32(s)) % jnp.int32(w) + jnp.int32(b)).astype(
+                jnp.float32
+            )
+            for (_k, b, w, _st), s in zip(infos, strides)
+        )
+
     canon = "__pack[" + "; ".join(
         f"{k.canonical()}@{b}+{w}" for k, b, w, _st in infos
     ) + "]"
@@ -532,15 +580,97 @@ def _dense_key_plan(table, group_keys):
         "base": 0,
         "num_slots": total,
         "unpack": unpack,
+        "unpack_dev": unpack_dev,
         "raw_int_key": all(
             isinstance(k, Variable) and st for k, _b, _w, st in infos
         ),
     }
 
 
+def _partials_fn(node, keys_canon, vexpr_canons):
+    """Compile an expression over GROUP PARTIALS into ``fn(env) -> jnp``
+    evaluated per slot on device, where ``env`` holds the slot tables
+    (``counts`` f32, ``sums``/``mins``/``maxs`` per value expression,
+    ``keys`` per group key).  Returns None when the expression needs
+    anything beyond SUM/AVG/COUNT/MIN/MAX partials, keys, constants,
+    arithmetic/comparisons/logicals, and registered scalar functions —
+    callers then fall back to the host finish."""
+    from ..frontend.ast import Star as _Star
+
+    if node is None:
+        return None
+    node = unalias(node)
+    if isinstance(node, Constant):
+        v = jnp.float32(float(node.value))
+        return lambda env: v
+    if isinstance(node, Variable):
+        c = node.canonical()
+        if c in keys_canon:
+            i = keys_canon.index(c)
+            return lambda env: env["keys"][i]
+        return None
+    if isinstance(node, Aggregation):
+        if node.agg is AggregationType.COUNT:
+            return lambda env: env["counts"]
+        if isinstance(node.expr, _Star):
+            return None
+        c = node.expr.canonical()
+        if c not in vexpr_canons:
+            return None
+        i = vexpr_canons.index(c)
+        if node.agg is AggregationType.SUM:
+            return lambda env: env["sums"][i]
+        if node.agg is AggregationType.AVG:
+            return lambda env: (
+                env["sums"][i] / jnp.maximum(env["counts"], 1.0)
+            )
+        if node.agg is AggregationType.MIN:
+            return lambda env: env["mins"][i]
+        if node.agg is AggregationType.MAX:
+            return lambda env: env["maxs"][i]
+        return None
+    if isinstance(node, BinaryOp):
+        lf = _partials_fn(node.left, keys_canon, vexpr_canons)
+        rf = _partials_fn(node.right, keys_canon, vexpr_canons)
+        if lf is None or rf is None:
+            return None
+        op = node.op
+        if op in ("&&", "||"):
+            comb = jnp.logical_and if op == "&&" else jnp.logical_or
+            return lambda env: comb(_as_bool(lf(env)), _as_bool(rf(env)))
+        cmp = {
+            ">": jnp.greater, "<": jnp.less, ">=": jnp.greater_equal,
+            "<=": jnp.less_equal, "==": jnp.equal, "=": jnp.equal,
+            "!=": jnp.not_equal,
+        }.get(op)
+        if cmp is not None:
+            return lambda env: cmp(_as_f32(lf(env)), _as_f32(rf(env)))
+        arith = {
+            "+": jnp.add, "-": jnp.subtract, "*": jnp.multiply,
+            "/": jnp.divide, "%": jnp.fmod,
+        }.get(op)
+        if arith is None:
+            return None
+        return lambda env: arith(_as_f32(lf(env)), _as_f32(rf(env)))
+    if isinstance(node, FunctionCall):
+        arg_fns = [
+            _partials_fn(a, keys_canon, vexpr_canons) for a in node.args
+        ]
+        if any(f is None for f in arg_fns):
+            return None
+        name = node.name
+
+        def call(env):
+            fn = udf_mod.resolve_udf(name)
+            return _as_f32(fn(*[a(env) for a in arg_fns]))
+
+        return call
+    return None
+
+
 def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
                      where_canon, need=("sum", "min", "max"),
-                     limit_cap=None):
+                     limit_cap=None, device_finish=None):
     """Attempt the sort-free GROUP BY ladder — dense O(N·G) VPU sweep for
     small key ranges, scatter/MXU slot tables for mid-range ones; returns
     None when stats can't prove integral key range(s) narrow enough
@@ -561,7 +691,7 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     if num_slots > cfg.dense_group_max_slots:
         return _midrange_group_run(
             query, table, kp, vexpr_nodes, vexpr_canons, where_canon,
-            need, limit_cap,
+            need, limit_cap, device_finish,
         )
 
     gkey = ("dense_group", key_canon, tuple(vexpr_canons), where_canon,
@@ -621,7 +751,8 @@ def _raw_or_f32_key_fn(key_expr, integral_static: bool):
 
 
 def _midrange_group_run(query, table, kp, vexpr_nodes, vexpr_canons,
-                        where_canon, need, limit_cap=None):
+                        where_canon, need, limit_cap=None,
+                        device_finish=None):
     """Mid-range sort-free GROUP BY: scatter/MXU into a dense slot table
     (ops/aggregate.midrange_group_aggregate), then a device-side
     occupancy compaction so the relay transfer is O(groups) — at 2^16+
@@ -664,6 +795,39 @@ def _midrange_group_run(query, table, kp, vexpr_nodes, vexpr_canons,
         and ("sum" not in need or values_finite)
     )
 
+    # Device finish (r3): HAVING + ORDER BY over partial-evaluable
+    # expressions + LIMIT run ON DEVICE over the slot table — the relay
+    # ships O(limit) groups instead of O(G) (at 2^20 groups the O(G)
+    # transfer alone costs ~1 s through the ~10 MB/s relay; TPC-H q18's
+    # whole finish was there).  Pruned/failing slots sort to the back
+    # under a sentinel in float_sort_key space; ties break on slot id
+    # for determinism.  Host finishing then re-applies HAVING/ORDER BY
+    # over the k survivors — a no-op by construction.
+    keys_canon_df = tuple(k.canonical() for k in query.group_by.keys)
+    df = None
+    if device_finish is not None:
+        term = device_finish["order"]
+        ord_fn = _partials_fn(term.expr, keys_canon_df, tuple(vexpr_canons))
+        hav = device_finish["having"]
+        hav_fn = (
+            _partials_fn(hav, keys_canon_df, tuple(vexpr_canons))
+            if hav is not None
+            else False
+        )
+        if ord_fn is not None and hav_fn is not None:
+            df = {
+                "limit": device_finish["limit"],
+                "ord_fn": ord_fn,
+                "asc": term.ascending,
+                "hav_fn": hav_fn if hav is not None else None,
+                "canon": (
+                    term.expr.canonical(),
+                    term.ascending,
+                    hav.canonical() if hav is not None else "",
+                    device_finish["limit"],
+                ),
+            }
+
     # With LIMIT pushdown the output capacity is static, so aggregation
     # and occupancy compaction fuse into ONE dispatch — no intermediate
     # num_groups round-trip through the relay.  Without a limit the
@@ -673,6 +837,10 @@ def _midrange_group_run(query, table, kp, vexpr_nodes, vexpr_canons,
         if limit_cap is not None
         else 0
     )
+    if df is not None:
+        fused_cap = min(
+            _next_pow2(max(min(df["limit"], num_slots), 16)), num_slots
+        )
 
     def _compact(res, out_cap):
         counts = res.counts
@@ -684,9 +852,41 @@ def _midrange_group_run(query, table, kp, vexpr_nodes, vexpr_canons,
         sorted_ops = lax.sort(ops, num_keys=1, is_stable=False)
         return tuple(o[:out_cap] for o in sorted_ops[1:])
 
+    def _finish_device(res, out_cap):
+        """HAVING + ORDER-BY top-k over the slot table: survivors sort
+        to the front by the order expression, everything else under a
+        sentinel; returns the compacted ops + survivor count."""
+        from ..ops.sort import float_sort_key
+
+        counts = res.counts.astype(jnp.float32)
+        env = {
+            "counts": counts,
+            "sums": [v.sums for v in res.values],
+            "mins": [v.mins for v in res.values],
+            "maxs": [v.maxs for v in res.values],
+            "keys": list(kp["unpack_dev"](res.keys[0])),
+        }
+        mask = res.counts > 0
+        if df["hav_fn"] is not None:
+            mask = jnp.logical_and(mask, _as_bool(df["hav_fn"](env)))
+        oku = float_sort_key(_as_f32(df["ord_fn"](env)))
+        if not df["asc"]:
+            oku = jnp.uint32(0xFFFFFFFF) - oku
+        # Sentinel: strictly above every float_sort_key image (NaN maps
+        # to 0xFFC00000; the DESC inversion tops out there too).
+        oku = jnp.where(mask, oku, jnp.uint32(0xFFFFFFFF))
+        slots = jnp.arange(num_slots, dtype=jnp.int32)
+        ops = (oku, slots, res.keys[0], res.counts) + tuple(
+            x for v in res.values for x in (v.sums, v.mins, v.maxs)
+        )
+        sorted_ops = lax.sort(ops, num_keys=2, is_stable=False)
+        n_surv = jnp.sum(mask.astype(jnp.int32))
+        return tuple(o[:out_cap] for o in sorted_ops[2:]) + (n_surv,)
+
     gkey = ("midrange_group", key_canon, tuple(vexpr_canons), where_canon,
             schema_signature(cols), base, num_slots, need, use_mxu,
-            fused_cap, udf_mod.registry_version())
+            fused_cap, df["canon"] if df is not None else None,
+            udf_mod.registry_version())
 
     def build():
         key_fn = kp["make_key_fn"]()
@@ -705,6 +905,8 @@ def _midrange_group_run(query, table, kp, vexpr_nodes, vexpr_canons,
             res = midrange_group_aggregate(
                 keys, vals, valid, base, num_slots, need, use_mxu
             )
+            if df is not None:
+                return _finish_device(res, fused_cap)
             if fused_cap:
                 return _compact(res, fused_cap) + (res.num_groups,)
             return res
@@ -715,7 +917,7 @@ def _midrange_group_run(query, table, kp, vexpr_nodes, vexpr_canons,
         out = jax.device_get(get_or_compile(gkey, build)(cols, n_rows))
         ng = int(out[-1])
         out = out[:-1]
-        ng_eff = min(ng, limit_cap)
+        ng_eff = min(ng, df["limit"] if df is not None else limit_cap)
     else:
         res = get_or_compile(gkey, build)(cols, n_rows)
         ng = _cached_count(
@@ -1022,7 +1224,8 @@ def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,
 
 
 def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
-                  where_canon, keys_canon, need=("sum", "min", "max")):
+                  where_canon, keys_canon, need=("sum", "min", "max"),
+                  device_finish=None):
     from ..ops.aggregate import group_scatter_stage, group_sort_stage
 
     cols = table.columns
@@ -1086,25 +1289,103 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
         )
         capacity = _next_pow2(max(ng, 16))
 
+    # Device finish (r3, mirrors the midrange one): HAVING + single-term
+    # ORDER BY + LIMIT prune and order the group table ON DEVICE, so the
+    # relay ships O(limit) groups instead of O(G) — the win that makes
+    # ORDER BY SUM(...) DESC LIMIT k usable at millions of groups.
+    df = None
+    if device_finish is not None:
+        term = device_finish["order"]
+        ord_fn = _partials_fn(term.expr, keys_canon, tuple(vexpr_canons))
+        hav = device_finish["having"]
+        hav_fn = (
+            _partials_fn(hav, keys_canon, tuple(vexpr_canons))
+            if hav is not None
+            else False
+        )
+        if ord_fn is not None and hav_fn is not None:
+            df = {
+                "limit": device_finish["limit"],
+                "ord_fn": ord_fn,
+                "asc": term.ascending,
+                "hav_fn": hav_fn if hav is not None else None,
+                "canon": (
+                    term.expr.canonical(),
+                    term.ascending,
+                    hav.canonical() if hav is not None else "",
+                    device_finish["limit"],
+                ),
+            }
+
     # Phase 2: scatter the pre-sorted segments into capacity-sized tables.
     gkey = ("group_scatter", len(keys_canon), len(vexpr_canons),
-            table.padded_rows, capacity, need)
+            table.padded_rows, capacity, need,
+            df["canon"] if df is not None else None)
+    lim_cap = (
+        min(_next_pow2(max(min(df["limit"], capacity), 16)), capacity)
+        if df is not None
+        else capacity
+    )
 
     def build_scatter():
+        from ..ops.sort import float_sort_key
+
         @jax.jit
         def kernel(keys_s, vals_s, valid_s, seg, ng):
-            return group_scatter_stage(
+            res = group_scatter_stage(
                 tuple(keys_s), tuple(vals_s), valid_s, seg, ng, capacity,
                 need,
             )
+            if df is None:
+                return res
+            env = {
+                "counts": res.counts.astype(jnp.float32),
+                "sums": [v.sums for v in res.values],
+                "mins": [v.mins for v in res.values],
+                "maxs": [v.maxs for v in res.values],
+                "keys": list(res.keys),
+            }
+            mask = res.counts > 0
+            if df["hav_fn"] is not None:
+                mask = jnp.logical_and(mask, _as_bool(df["hav_fn"](env)))
+            oku = float_sort_key(_as_f32(df["ord_fn"](env)))
+            if not df["asc"]:
+                oku = jnp.uint32(0xFFFFFFFF) - oku
+            oku = jnp.where(mask, oku, jnp.uint32(0xFFFFFFFF))
+            slots = jnp.arange(capacity, dtype=jnp.int32)
+            ops = (oku, slots) + tuple(res.keys) + (res.counts,) + tuple(
+                x for v in res.values for x in (v.sums, v.mins, v.maxs)
+            )
+            sorted_ops = lax.sort(ops, num_keys=2, is_stable=False)
+            n_surv = jnp.sum(mask.astype(jnp.int32))
+            return tuple(o[:lim_cap] for o in sorted_ops[2:]) + (n_surv,)
 
         return kernel
 
-    result = jax.device_get(
-        get_or_compile(gkey, build_scatter)(
-            tuple(keys_s), tuple(vals_s), valid_s, seg, ng_dev
-        )
+    got = get_or_compile(gkey, build_scatter)(
+        tuple(keys_s), tuple(vals_s), valid_s, seg, ng_dev
     )
+    if df is not None:
+        out_t = jax.device_get(got)
+        n_surv = int(out_t[-1])
+        ng_eff = min(n_surv, df["limit"])
+        nk = len(keys_canon)
+        keys = tuple(k[:ng_eff] for k in out_t[:nk])
+        counts = out_t[nk][:ng_eff]
+        vals_flat = out_t[nk + 1:-1]
+        values = tuple(
+            (
+                vals_flat[3 * i][:ng_eff],
+                vals_flat[3 * i + 1][:ng_eff],
+                vals_flat[3 * i + 2][:ng_eff],
+            )
+            for i in range(len(vexpr_nodes))
+        )
+        out = _HostGroupResult(keys, counts, values, ng_eff)
+        out.raw_int_key = raw_int
+        return out
+
+    result = jax.device_get(got)
 
     num_groups = int(result.num_groups)
     keys = tuple(k[:num_groups] for k in result.keys)

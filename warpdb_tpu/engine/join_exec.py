@@ -580,11 +580,34 @@ def _materialize_join_local(
 
         @jax.jit
         def take_probe(cols_tuple, idx, valid):
-            m = jnp.stack([_bits(c) for c in cols_tuple], axis=0)
-            t = jnp.where(valid[None, :], _take(m, idx), jnp.uint32(0))
-            return tuple(
-                lax.bitcast_convert_type(t[i], c.dtype)
-                for i, c in enumerate(cols_tuple)
+            def general():
+                m = jnp.stack([_bits(c) for c in cols_tuple], axis=0)
+                t = jnp.where(valid[None, :], _take(m, idx), jnp.uint32(0))
+                return tuple(
+                    lax.bitcast_convert_type(t[i], c.dtype)
+                    for i, c in enumerate(cols_tuple)
+                )
+
+            from ..ops.pallas_expand import (
+                spans_ok,
+                supported,
+                windowed_sorted_take,
+            )
+
+            if jax.default_backend() != "tpu" or not supported(
+                idx.shape[0], cols_tuple[0].shape[0]
+            ):
+                return general()
+            # probe_idx is NONDECREASING (expansion output is probe-
+            # ordered), so when every 1024-lane block spans < 1024
+            # source rows (dense expansions: every probe row matching,
+            # the common inner-join shape) the windowed MXU kernel
+            # replaces the per-row random gather — see
+            # ops/pallas_expand.  Sparse matches fall back at runtime.
+            return lax.cond(
+                spans_ok(idx),
+                lambda: windowed_sorted_take(cols_tuple, idx, valid),
+                general,
             )
 
         @jax.jit
@@ -1353,10 +1376,7 @@ def _pushdown_join_where(
         if isinstance(n, (Aggregation, _Star)):
             return query, table
 
-    from . import udf as udf_mod
-    from .compiler import _as_bool, build_evaluator
-    from .executor import _cached_count, _valid_mask, bind_strings
-    from ..ops.join import stacked_take
+    from .executor import bind_strings
 
     # Bind string literals against the probe vocabulary up front (every
     # WHERE column is a probe column, checked above); the bound codes
@@ -1387,6 +1407,31 @@ def _pushdown_join_where(
         c for c in table.columns if star or c in needed
     ] or list(table.columns)[:1]
 
+    filtered = _filtered_table_for(table, where, base_cols)
+    if filtered is None:
+        return query, table
+
+    import copy as _copy
+
+    q2 = _copy.copy(query)
+    q2.where = None
+    return q2, filtered
+
+
+def _filtered_table_for(table, where, base_cols):
+    """Two-phase compaction of ``table`` to the rows matching ``where``
+    (string literals already bound against ``table``): count → stable
+    position sort → ONE stacked multi-column take at the counted pow2
+    capacity.  Memoised per table instance (CLAUDE.md invariant: the
+    bound WHERE canonical, column set, capacity, and UDF registry
+    version key the memo).  Returns None when the filter keeps ≥ 50% of
+    the rows — the compaction pays ~one sort + one take, which a
+    near-full table would pay for nothing."""
+    from . import udf as udf_mod
+    from .compiler import _as_bool, build_evaluator
+    from .executor import _cached_count, _valid_mask
+    from ..ops.join import stacked_take
+
     n_match = _cached_count(
         table,
         ("where_count", where.canonical(), udf_mod.registry_version()),
@@ -1403,9 +1448,8 @@ def _pushdown_join_where(
         ),
     )
     if n_match * 2 > table.num_rows:
-        return query, table
+        return None
 
-    import copy as _copy
     from collections import OrderedDict
 
     memo = getattr(table, "_prefilter_memo", None)
@@ -1462,10 +1506,135 @@ def _pushdown_join_where(
         memo[mkey] = filtered
         while len(memo) > 16:
             memo.popitem(last=False)
+    return filtered
+
+
+def _pushdown_build_filters(
+    query: Query, table: DeviceTable, catalog: Optional[dict], mesh=None
+) -> tuple[Query, Optional[dict]]:
+    """Build-side predicate pushdown (r3): WHERE conjuncts that
+    reference exactly ONE INNER/CROSS-joined relation filter THAT
+    relation before the join materialises — the join's build sorts,
+    phase-1 match counting, and expansion then see only surviving build
+    rows, and removing the conjuncts can unlock the probe-side pushdown
+    for the remainder (its all-probe-columns requirement).
+
+    Classic star-schema rewrite (TPC-H q3: the customer-segment and
+    order-date filters compact two dimension tables before the fact
+    joins them).  Semantics: for INNER/CROSS joins a single-relation
+    predicate commutes with the join — post-join WHERE would keep
+    exactly the rows whose build row passed (NaN comparisons evaluate
+    false on device both pre- and post-join).  LEFT-join build sides
+    bail: filtering them would turn matches into NaN-filled misses
+    instead of dropping rows.  Conjuncts with ambiguous unqualified
+    columns (present in the probe or in two relations) stay in WHERE.
+    """
+    where = query.where
+    if where is None or not query.joins:
+        return query, catalog
+    from ..config import get_config
+
+    if not get_config().join_filter_pushdown:
+        return query, catalog
+    if mesh is not None and getattr(getattr(mesh, "devices", None), "size", 1) > 1:
+        return query, catalog
+    from ..frontend.ast import Star as _Star
+    from .executor import _and_conjuncts, bind_strings
+
+    # Relations eligible for filtering: INNER/CROSS build sides resolved
+    # through the catalog, large enough that two extra dispatches beat
+    # the relay RTT they cost.
+    pushable: dict = {}
+    kinds = {j.table: j.kind for j in query.joins}
+    for j in query.joins:
+        t = (catalog or {}).get(j.table)
+        if (
+            j.kind in ("inner", "cross")
+            and t is not None
+            and t is not table
+            and t.num_rows >= 4096
+        ):
+            pushable[j.table] = t
+
+    if not pushable:
+        return query, catalog
+
+    # Unqualified-name ownership across the whole joined namespace: the
+    # join output resolves unqualified names probe-first then in join
+    # order, so a name is only pushable when exactly one relation owns
+    # it anywhere.
+    owner: dict = {c: "__probe__" for c in table.columns}
+    for j in query.joins:
+        t = (catalog or {}).get(j.table, table)
+        for c in t.columns:
+            owner[c] = j.table if c not in owner else "__ambiguous__"
+
+    probe_names = {query.from_table}
+    if getattr(query, "from_source", None) is not None:
+        probe_names.add(query.from_source)
+
+    def conjunct_relation(c) -> Optional[str]:
+        """The single pushable relation ``c`` reads, or None."""
+        rel = None
+        for n in walk(c):
+            if isinstance(n, (Aggregation, _Star)):
+                return None
+            if not isinstance(n, Variable):
+                continue
+            if n.qualifier is not None:
+                if n.qualifier in probe_names:
+                    return None
+                r = n.qualifier if n.qualifier in pushable else None
+            else:
+                o = owner.get(n.name)
+                r = o if o in pushable else None
+            if r is None:
+                return None
+            # The dim-side evaluator resolves the unqualified name.
+            if n.unqualified not in pushable[r].columns:
+                return None
+            if rel is not None and rel != r:
+                return None
+            rel = r
+        return rel
+
+    parts = _and_conjuncts(where)
+    by_rel: dict = {}
+    rest = []
+    for c in parts:
+        r = conjunct_relation(c)
+        if r is not None and kinds.get(r) in ("inner", "cross"):
+            by_rel.setdefault(r, []).append(c)
+        else:
+            rest.append(c)
+    if not by_rel:
+        return query, catalog
+
+    catalog2 = dict(catalog or {})
+    changed = False
+    for rname, conjs in by_rel.items():
+        cond = conjs[0]
+        for c in conjs[1:]:
+            cond = BinaryOp("&&", cond, c)
+        dim = pushable[rname]
+        bound = bind_strings(cond, dim)
+        filtered = _filtered_table_for(dim, bound, list(dim.columns))
+        if filtered is None:
+            rest.extend(conjs)  # selectivity too high: keep post-join
+            continue
+        catalog2[rname] = filtered
+        changed = True
+    if not changed:
+        return query, catalog
+
+    import copy as _copy
 
     q2 = _copy.copy(query)
-    q2.where = None
-    return q2, filtered
+    w = None
+    for c in rest:
+        w = c if w is None else BinaryOp("&&", w, c)
+    q2.where = w
+    return q2, catalog2
 
 
 def _build_prefilter_count(where):

@@ -377,7 +377,8 @@ def run_streaming_sql(
             from ..engine.join_exec import _materialize_joins
 
             dt = _materialize_joins(q_join, dt, catalog_dev, mesh=chunk_mesh)
-        part = _grouped_partials(query, dt, plan, mesh=chunk_mesh)
+        part = _grouped_partials(query, dt, plan, mesh=chunk_mesh,
+                                  final=False)
         ng = int(part.num_groups)
         ck = np.stack(
             [np.asarray(k)[:ng].astype(np.float32) for k in part.keys]
@@ -422,7 +423,8 @@ def run_streaming_sql(
         acc_keys, acc_counts = new_keys, new_counts
 
         for spec, q_cd, plan_cd in cd_runs:
-            part_cd = _grouped_partials(q_cd, dt, plan_cd, mesh=chunk_mesh)
+            part_cd = _grouped_partials(q_cd, dt, plan_cd,
+                                         mesh=chunk_mesh, final=False)
             ng_cd = int(part_cd.num_groups)
             pairs = np.stack(
                 [np.asarray(k)[:ng_cd].astype(np.float32)
