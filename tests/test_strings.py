@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from warpdb_tpu import DataType, WarpDB
-from warpdb_tpu.errors import TokenizeError, ValidationError
+from warpdb_tpu.errors import TokenizeError, ValidationError, WarpDBError
 from warpdb_tpu.storage import HostTable
 
 
@@ -595,3 +595,44 @@ def test_string_agg_rejections(tmp_path):
         WarpDB.query_streaming_sql(
             str(p), "SELECT STRING_AGG(cat, ',') FROM sa", rows_per_chunk=1
         )
+
+
+def test_date_trunc():
+    """DATE_TRUNC('part', d): truncated ISO strings group and sort
+    chronologically through the ordinary string machinery; malformed
+    entries map to the empty string (r3)."""
+    d = np.array(["2024-01-15", "2024-02-03", "2024-02-20", "2023-11-30",
+                  "bogus", "2024-07-09 13:45:10"])
+    v = np.arange(1, 7, dtype=np.float32)
+    db = WarpDB(HostTable.from_dict({"d": d, "v": v}))
+    out = db.query_sql_table(
+        "SELECT DATE_TRUNC('month', d) AS m, SUM(v) FROM t "
+        "GROUP BY DATE_TRUNC('month', d) ORDER BY m ASC")
+    assert out["m"] == ["", "2023-11-01", "2024-01-01", "2024-02-01",
+                        "2024-07-01"]
+    np.testing.assert_allclose(out["SUM(v[idx])"], [5.0, 4.0, 1.0, 5.0, 6.0])
+    out = db.query_sql_table("SELECT DATE_TRUNC('quarter', d) FROM t LIMIT 1")
+    assert list(out.values())[0] == ["2024-01-01"]
+    out = db.query_sql_table(
+        "SELECT DATE_TRUNC('hour', d) FROM t WHERE MONTH(d) = 7")
+    assert list(out.values())[0] == ["2024-07-09 13:00:00"]
+    with pytest.raises(WarpDBError, match="DATE_TRUNC supports"):
+        db.query_sql("SELECT DATE_TRUNC('fortnight', d) FROM t")
+
+
+def test_ilike():
+    """ILIKE (case-insensitive LIKE, PostgreSQL extension) — contextual
+    keyword, NOT ILIKE spelling, plan-time code binding like LIKE."""
+    n = np.array(["Apple", "apple pie", "Banana", "CHERRY", "cherry"])
+    db = WarpDB(HostTable.from_dict(
+        {"n": n, "x": np.arange(5, dtype=np.float32)}))
+    assert db.query_sql_table("SELECT n FROM t WHERE n ILIKE 'apple%'")[
+        "n"] == ["Apple", "apple pie"]
+    assert db.query_sql_table("SELECT n FROM t WHERE n NOT ILIKE '%e%'")[
+        "n"] == ["Banana"]
+    assert db.query_sql("SELECT COUNT(*) FROM t WHERE n ILIKE 'CHERRY'") \
+        == [2.0]
+    # A column actually named "ilike" still parses as an identifier.
+    db2 = WarpDB(HostTable.from_dict(
+        {"ilike": np.arange(4, dtype=np.float32)}))
+    assert db2.query_sql("SELECT ilike FROM t WHERE ilike > 2") == [3.0]

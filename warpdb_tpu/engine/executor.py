@@ -202,7 +202,8 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             "".join(
                 ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
                 for ch in node.pattern
-            )
+            ),
+            re.IGNORECASE if getattr(node, "ci", False) else 0,
         )
         codes = tuple(
             int(i) for i, s in enumerate(vocab) if rx.fullmatch(str(s))

@@ -130,13 +130,16 @@ class StringLiteral(Node):
 @dataclass(frozen=True, repr=False)
 class LikePattern(Node):
     """``expr LIKE 'pat%'`` (extension).  Bound against the column's
-    dictionary at plan lowering into an :class:`InCodeSet`."""
+    dictionary at plan lowering into an :class:`InCodeSet`.  ``ci``
+    marks the case-insensitive ILIKE spelling (PostgreSQL extension)."""
 
     expr: Node
     pattern: str
+    ci: bool = False
 
     def canonical(self) -> str:
-        return f"({self.expr.canonical()} LIKE '{self.pattern}')"
+        word = "ILIKE" if self.ci else "LIKE"
+        return f"({self.expr.canonical()} {word} '{self.pattern}')"
 
     def children(self) -> tuple[Node, ...]:
         return (self.expr,)

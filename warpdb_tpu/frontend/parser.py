@@ -277,8 +277,17 @@ class _ExprParser:
             self.peek().type is TokenType.KEYWORD
             and self.peek().value == "NOT"
             and self.pos + 1 < len(self.toks)
-            and self.toks[self.pos + 1].type is TokenType.KEYWORD
-            and self.toks[self.pos + 1].value in ("IN", "BETWEEN", "LIKE")
+            and (
+                (
+                    self.toks[self.pos + 1].type is TokenType.KEYWORD
+                    and self.toks[self.pos + 1].value
+                    in ("IN", "BETWEEN", "LIKE")
+                )
+                or (
+                    self.toks[self.pos + 1].type is TokenType.IDENTIFIER
+                    and self.toks[self.pos + 1].value.upper() == "ILIKE"
+                )
+            )
         ):
             self.advance()  # NOT
             positive = self._predicate_tail(node)
@@ -320,6 +329,15 @@ class _ExprParser:
     def _maybe_predicate_tail(self, node: Node) -> Optional[Node]:
         if self.peek().type is TokenType.KEYWORD and self.peek().value in (
             "IN", "BETWEEN", "LIKE",
+        ):
+            return self._predicate_tail(node)
+        # ILIKE is contextual: only a following string literal makes it
+        # the operator (a bare column named "ilike" keeps working).
+        if (
+            self.peek().type is TokenType.IDENTIFIER
+            and self.peek().value.upper() == "ILIKE"
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1].type is TokenType.STRING
         ):
             return self._predicate_tail(node)
         return None
@@ -379,6 +397,17 @@ class _ExprParser:
                 raise ParseError("Expected string pattern after LIKE")
             self.advance()
             return LikePattern(node, tok.value)
+        # ILIKE — contextual (PostgreSQL's case-insensitive LIKE).
+        if (
+            self.peek().type is TokenType.IDENTIFIER
+            and self.peek().value.upper() == "ILIKE"
+        ):
+            self.advance()
+            tok = self.peek()
+            if tok.type is not TokenType.STRING:
+                raise ParseError("Expected string pattern after ILIKE")
+            self.advance()
+            return LikePattern(node, tok.value, ci=True)
         raise ParseError("Expected IN, BETWEEN or LIKE")
 
     def additive(self) -> Node:

@@ -69,7 +69,38 @@ STRING_FUNCS = {
     "hour": ("num", lambda s: _date_part(s, 11, 13)),
     "minute": ("num", lambda s: _date_part(s, 14, 16)),
     "second": ("num", lambda s: _date_part(s, 17, 19)),
+    # DATE_TRUNC('part', d) — truncated ISO strings keep sorting
+    # chronologically, so grouped-by-month/quarter rollups ride the
+    # ordinary string GROUP BY.  Malformed entries map to "" (sorts
+    # first; decodes to the empty string, the engine's string missing
+    # marker).  Argument order follows PostgreSQL.
+    "date_trunc": ("str", None),  # part precedes the column; below
 }
+
+
+def _date_trunc(s: str, part: str) -> str:
+    p = str(part).lower()
+    if len(s) < 10 or not (s[0:4] + s[5:7] + s[8:10]).isdigit():
+        return ""
+    y, mo, d = s[0:4], s[5:7], s[8:10]
+    if p == "year":
+        return f"{y}-01-01"
+    if p == "quarter":
+        q0 = (int(mo) - 1) // 3 * 3 + 1
+        return f"{y}-{q0:02d}-01"
+    if p == "month":
+        return f"{y}-{mo}-01"
+    if p == "day":
+        return f"{y}-{mo}-{d}"
+    if p in ("hour", "minute"):
+        hh = s[11:13] if len(s) >= 13 and s[11:13].isdigit() else "00"
+        if p == "hour":
+            return f"{y}-{mo}-{d} {hh}:00:00"
+        mi = s[14:16] if len(s) >= 16 and s[14:16].isdigit() else "00"
+        return f"{y}-{mo}-{d} {hh}:{mi}:00"
+    raise ValidationError(
+        "DATE_TRUNC supports year/quarter/month/day/hour/minute"
+    )
 
 
 def _date_part(s: str, a: int, b: int) -> float:
@@ -150,6 +181,12 @@ def bind_string_func(fc: FunctionCall, table) -> Optional[CodeMap]:
             )
 
         transformed = [apply(e) for e in entries]
+    elif name == "date_trunc":
+        if len(lit_args) != 1:
+            raise ValidationError(
+                "DATE_TRUNC expects ('part', date_column)"
+            )
+        transformed = [_date_trunc(e, lit_args[0][1]) for e in entries]
     else:
         args_only = [t for _i, t in lit_args]
         try:
