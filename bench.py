@@ -299,6 +299,30 @@ def main() -> None:
     except Exception as e:
         extras["join_cached_error"] = str(e)[:120]
 
+    # TPC-H-derived suite (benchmarks/tpch.py): six star-schema queries
+    # at 4M lineitem rows, e2e wall per query — the "production
+    # workload" number beside the micro query set.  Correctness is
+    # pinned by tests/test_tpch.py's oracle gate.
+    try:
+        sys.path.insert(0, "benchmarks")
+        import tpch
+
+        tables = tpch.make_tables(1 << 22)
+        tdb = tpch.build_db(tables)
+        trates = {}
+        for tname, tsql in tpch.QUERIES.items():
+            dt = _time(lambda s=tsql: tdb.query_sql_table(s))
+            trates[tname] = (1 << 22) / dt
+        extras["tpch_per_query_rows_per_s"] = {
+            k: round(v) for k, v in trates.items()
+        }
+        tg = np.asarray(list(trates.values()), dtype=np.float64)
+        extras["tpch_geomean_rows_per_s"] = round(
+            float(np.exp(np.log(tg).mean()))
+        )
+    except Exception as e:  # never fail the whole bench on the suite
+        extras["tpch_error"] = str(e)[:120]
+
     # End-to-end geomean across the FULL query set (parse → device →
     # transfer → host finishing, incl. relay RTT) — printed beside the
     # kernel geomean so the sort-bound paths (join/window/distinct/

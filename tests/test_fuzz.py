@@ -406,6 +406,9 @@ def test_fuzz_outer_joins_vs_numpy(seed):
 
 _DIFF_SHAPES = [
     "group", "join_group", "left_join", "window", "distinct", "derived",
+    # r3 paths: packed composite dense keys, device-side HAVING/ORDER-BY
+    # top-k finish, build-side predicate pushdown.
+    "multi_group", "agg_topk", "dim_filter",
 ]
 
 
@@ -441,6 +444,36 @@ def _diff_query(rng):
         return f"SELECT {low}(v) OVER (PARTITION BY g) FROM t {cond}"
     if shape == "distinct":
         return f"SELECT DISTINCT g FROM t {cond} ORDER BY g ASC{lim}"
+    if shape == "multi_group":
+        # Composite keys: packed dense/midrange vs sorted composite.
+        return (
+            f"SELECT g, k, {agg}(v), COUNT(*) FROM t {cond} "
+            f"GROUP BY g, k ORDER BY g ASC, k ASC{lim}"
+        )
+    if shape == "agg_topk":
+        # Device finish: ORDER BY aggregate + LIMIT (+ HAVING).
+        low = agg if agg != "COUNT" else "SUM"
+        hav = (
+            f" HAVING COUNT(*) > {int(rng.integers(0, 3))}"
+            if rng.uniform() < 0.5
+            else ""
+        )
+        d = "DESC" if rng.uniform() < 0.5 else "ASC"
+        k = int(rng.integers(1, 7))
+        return (
+            f"SELECT k, {low}(v) FROM t {cond} GROUP BY k{hav} "
+            f"ORDER BY {low}(v) {d} LIMIT {k}"
+        )
+    if shape == "dim_filter":
+        # Single-relation conjuncts on both sides: build-side pushdown
+        # strips d.w, then the probe pushdown may take the remainder.
+        wlo = rng.uniform(0.5, 1.8)
+        pc = f" AND v > {rng.uniform(0, 30):.2f}" if rng.uniform() < 0.5 \
+            else ""
+        return (
+            f"SELECT g, {agg}(v * d.w) FROM t JOIN d ON k = d.k "
+            f"WHERE d.w < {wlo:.3f}{pc} GROUP BY g ORDER BY g ASC{lim}"
+        )
     return (
         f"SELECT {agg}(x) FROM (SELECT g, v * 2 AS x FROM t {cond}) "
         f"GROUP BY g ORDER BY g ASC{lim}"
@@ -490,6 +523,8 @@ def test_fuzz_differential_fast_vs_slow_paths(seed):
                 cfg.mxu_group_max_slots = 0
                 cfg.join_dense_build_max = 0
                 cfg.eager_join_aggregation = False
+                cfg.join_filter_pushdown = False
+                cfg.grouped_device_finish = False
             set_config(cfg)
             db = WarpDB(host)
             db.register_table("d", dim)

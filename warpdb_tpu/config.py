@@ -52,6 +52,10 @@ class EngineConfig:
     # WHERE-matching rows before materialising INNER/LEFT/CROSS joins
     # when every WHERE column is a probe column (selectivity < 50%).
     join_filter_pushdown: bool = True
+    # Device-side grouped finish: HAVING + ORDER BY <aggregate> + LIMIT
+    # prune/order/slice the group table on device (O(limit) transfer
+    # instead of O(groups)).
+    grouped_device_finish: bool = True
     # Distributed GROUP BY: key-count threshold between the all_gather
     # partial merge and the all-to-all shuffle.
     distributed_small_keys: int = 4096

@@ -300,9 +300,12 @@ def _grouped_partials(
         # order the groups ON DEVICE (midrange tier), shipping O(limit)
         # instead of O(G).  Expressibility over the partials is checked
         # inside the midrange run; anything else falls back unchanged.
+        from ..config import get_config
+
         device_finish = None
         if (
             final
+            and get_config().grouped_device_finish
             and limit_cap is None
             and query.limit is not None
             and not query.distinct
