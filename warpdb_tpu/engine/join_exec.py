@@ -518,6 +518,56 @@ def _materialize_join_local(
         if _wanted(name, f"{right_name}.{name}")
     }
 
+    # Fused windowed expansion (r3): when every output block's owner
+    # rows fit the kernel's 2048-row window (dense expansions — most
+    # inner joins), ops/pallas_expand.windowed_expand replaces BOTH the
+    # scatter+cummax metadata fill and the capacity-sized random take
+    # (measured 11.8x on the take alone at 2^26).  The verdict is a
+    # host decision (one tiny kernel + scalar sync riding the same
+    # protocol as the capacity count), so only ONE expansion program
+    # compiles — no traced branch.
+    fused = False
+    if (
+        jax.default_backend() == "tpu"
+        and capacity % 1024 == 0
+        and left.padded_rows % 1024 == 0
+    ):
+        gate_key = (
+            "join_expand_gate", left.padded_rows, capacity, kind,
+        )
+
+        def build_gate():
+            from ..ops.pallas_expand import (
+                expand_block_owners,
+                expand_spans_ok,
+            )
+
+            @jax.jit
+            def gate(p1, n_left):
+                counts = p1.counts
+                if kind == "left":
+                    lmask = (
+                        jnp.arange(counts.shape[0], dtype=jnp.int32)
+                        < n_left
+                    )
+                    counts = jnp.where(lmask, jnp.maximum(counts, 1), 0)
+                offsets = jnp.cumsum(counts) - counts
+                total = jnp.sum(counts)
+                p_lo, p_last = expand_block_owners(
+                    offsets, capacity, total
+                )
+                return expand_spans_ok(p_lo, p_last)
+
+            return gate
+
+        fused = bool(
+            jax.device_get(
+                get_or_compile(gate_key, build_gate)(
+                    phase1, jnp.int32(left.num_rows)
+                )
+            )
+        )
+
     # Phase 2 fused with the payload gather: index expansion and every
     # column gather in one program, one dispatch.
     key2 = (
@@ -528,6 +578,7 @@ def _materialize_join_local(
         right_name,
         kind,
         dense_k,
+        fused,
     )
 
     def build_expand_gather():
@@ -580,34 +631,14 @@ def _materialize_join_local(
 
         @jax.jit
         def take_probe(cols_tuple, idx, valid):
-            def general():
-                m = jnp.stack([_bits(c) for c in cols_tuple], axis=0)
-                t = jnp.where(valid[None, :], _take(m, idx), jnp.uint32(0))
-                return tuple(
-                    lax.bitcast_convert_type(t[i], c.dtype)
-                    for i, c in enumerate(cols_tuple)
-                )
-
-            from ..ops.pallas_expand import (
-                spans_ok,
-                supported,
-                windowed_sorted_take,
-            )
-
-            if jax.default_backend() != "tpu" or not supported(
-                idx.shape[0], cols_tuple[0].shape[0]
-            ):
-                return general()
-            # probe_idx is NONDECREASING (expansion output is probe-
-            # ordered), so when every 1024-lane block spans < 1024
-            # source rows (dense expansions: every probe row matching,
-            # the common inner-join shape) the windowed MXU kernel
-            # replaces the per-row random gather — see
-            # ops/pallas_expand.  Sparse matches fall back at runtime.
-            return lax.cond(
-                spans_ok(idx),
-                lambda: windowed_sorted_take(cols_tuple, idx, valid),
-                general,
+            # General path only: dense expansions never reach here (the
+            # host-gated fused windowed kernel serves them); sparse
+            # matches genuinely need the random take.
+            m = jnp.stack([_bits(c) for c in cols_tuple], axis=0)
+            t = jnp.where(valid[None, :], _take(m, idx), jnp.uint32(0))
+            return tuple(
+                lax.bitcast_convert_type(t[i], c.dtype)
+                for i, c in enumerate(cols_tuple)
             )
 
         @jax.jit
@@ -655,13 +686,61 @@ def _materialize_join_local(
                 filled.append(jnp.where(valid, f, jnp.zeros((), v.dtype)))
             return tuple(filled)
 
+        @jax.jit
+        def indices_and_probe_fused(p1, lcols, n_left):
+            """Windowed-kernel expansion: ownership + probe/metadata
+            gather in one Pallas pass (no fill scatter, no random
+            take)."""
+            from ..ops.pallas_expand import windowed_expand
+
+            counts = p1.counts
+            if kind == "left":
+                lmask = (
+                    jnp.arange(counts.shape[0], dtype=jnp.int32) < n_left
+                )
+                counts = jnp.where(lmask, jnp.maximum(counts, 1), 0)
+            offsets = jnp.cumsum(counts) - counts
+            total = jnp.sum(counts)
+            gather_cols = [lcols[n] for n in lnames] + [p1.lo]
+            if kind == "left":
+                gather_cols.append(p1.counts)  # true match counts
+            pidx, off_r, taken = windowed_expand(
+                offsets, tuple(gather_cols), capacity, total=total
+            )
+            r = jnp.arange(capacity, dtype=jnp.int32)
+            valid = r < total
+            lt = tuple(
+                jnp.where(valid, t, jnp.zeros((), t.dtype))
+                for t in taken[: len(lnames)]
+            )
+            lo_r = taken[len(lnames)]
+            dup_j = r - off_r
+            n_build = p1.build_order.shape[0]
+            slot = jnp.clip(lo_r + dup_j, 0, n_build - 1)
+            slot = jnp.where(valid, slot, 0)
+            matched = None
+            if kind == "left":
+                mc_r = taken[len(lnames) + 1]
+                matched = jnp.logical_and(valid, dup_j < mc_r)
+            return lt, slot, valid, matched
+
         def expand_gather(p1, lcols, rcols, n_left):
-            pidx, slot, valid, matched = indices(p1, n_left)
+            if fused:
+                lt, slot, valid, matched = indices_and_probe_fused(
+                    p1, lcols, n_left
+                )
+            else:
+                pidx, slot, valid, matched = indices(p1, n_left)
+                lt = (
+                    take_probe(
+                        tuple(lcols[n] for n in lnames), pidx, valid
+                    )
+                    if lnames
+                    else ()
+                )
             out = {}
-            if lnames:
-                lt = take_probe(tuple(lcols[n] for n in lnames), pidx, valid)
-                for n, arr in zip(lnames, lt):
-                    out[n] = arr
+            for n, arr in zip(lnames, lt):
+                out[n] = arr
             if rnames:
                 rt = take_build(
                     tuple(rcols[n] for n in rnames), slot, valid,

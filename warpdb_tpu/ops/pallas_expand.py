@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["windowed_sorted_take", "spans_ok", "supported"]
+__all__ = [
+    "windowed_sorted_take", "spans_ok", "supported",
+    "windowed_expand", "expand_spans_ok",
+]
 
 _BLK = 1024
 
@@ -144,3 +147,173 @@ def windowed_sorted_take(cols, idx, valid, interpret: bool = False):
         lax.bitcast_convert_type(out[i], c.dtype)
         for i, c in enumerate(cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused expansion: ownership-by-counting + windowed gather in ONE pass
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(plo_ref, off_lo, off_hi, pl_lo, pl_hi, out_ref, *,
+                   c_cols):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    q = plo_ref[i] // _BLK
+    pos = i * _BLK + lax.broadcasted_iota(jnp.int32, (_BLK,), 0)
+    w = jnp.concatenate([off_lo[0, :], off_hi[0, :]], axis=0)  # (2048,)
+    # Ownership by counting: the owner of output position ``pos`` is the
+    # LAST probe row whose exclusive start offset is ≤ pos (zero-count
+    # rows tie on offsets and never end up last — see windowed_expand).
+    # Every row before the window also satisfies offset ≤ pos (offsets
+    # are monotone and the window anchor p_lo//1024 starts at or before
+    # the block's first owner), so counting within the window gives the
+    # owner's window-local index directly.
+    le = (
+        w[:, None] <= pos[None, :]
+    )  # (2048, 1024)
+    cnt = jnp.sum(le.astype(jnp.int32), axis=0)
+    local = jnp.clip(cnt - 1, 0, 2 * _BLK - 1)
+    window = jnp.concatenate([pl_lo[...], pl_hi[...]], axis=1)
+    sel = (
+        local[None, :]
+        == lax.broadcasted_iota(jnp.int32, (2 * _BLK, _BLK), 0)
+    ).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    by = lax.dot_general(
+        window, sel, dn, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    for c in range(c_cols):
+        out_ref[c, :] = (
+            by[4 * c]
+            | (by[4 * c + 1] << 8)
+            | (by[4 * c + 2] << 16)
+            | (by[4 * c + 3] << 24)
+        )
+    out_ref[c_cols, :] = q * _BLK + local
+
+
+def expand_block_owners(offsets: jax.Array, capacity: int, total) -> tuple:
+    """Owner probe row of each output block's first position (positions
+    past ``total`` clamp to the last real output, so tail blocks anchor
+    at the final owner), plus the owner of the LAST real output.
+    ``searchsorted(offsets, pos, 'right') - 1``: 65K needles over 2^25
+    rows — searchsorted's per-needle cost (DESIGN.md bans it at 2^24
+    NEEDLES) is fine at needle counts 512x smaller, and nothing
+    sort-free computes a monotone partition point cheaper."""
+    steps = capacity // _BLK
+    last = jnp.maximum(jnp.asarray(total, jnp.int32) - 1, 0)
+    nb = jnp.minimum(
+        jnp.arange(steps + 1, dtype=jnp.int32) * _BLK, last
+    )
+    p_all = (
+        jnp.searchsorted(
+            offsets.astype(jnp.int32), nb, side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    p_all = jnp.clip(p_all, 0, offsets.shape[0] - 1)
+    return p_all[:-1], p_all[-1]
+
+
+def expand_spans_ok(p_lo: jax.Array, p_last: jax.Array) -> jax.Array:
+    """Device check of the fused-expansion window contract: every output
+    block's owner rows fit the 2048-row window anchored at
+    ``p_lo//1024`` — i.e. consecutive block anchors (and the final
+    owner) advance < 1024 rows.  Dense expansions (every probe row
+    emitting ≥ 1 output) always pass; sparse matches (many zero-count
+    rows between owners) may not."""
+    nxt = jnp.concatenate([p_lo[1:], p_last.reshape(1)])
+    return jnp.all(nxt - p_lo < _BLK)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "interpret")
+)
+def windowed_expand(offsets, cols, capacity: int, total=None,
+                    interpret: bool = False):
+    """Fused expansion-join metadata + gather: for each output position
+    r in [0, capacity), find its owner probe row (the last row with
+    exclusive start offset ≤ r) and gather every array in ``cols`` (plus
+    ``offsets`` itself) at that row — replacing BOTH the
+    scatter-at-starts + cummax forward fill AND the capacity-sized
+    random take of the two-phase expansion (ops/join.join_gather_indices
+    + stacked_take).
+
+    Returns ``(probe_idx i32[capacity], off_r i32[capacity],
+    taken tuple per col)``.  Caller contract: ``offsets`` monotone
+    exclusive prefix sums padded so one extra 1024 block exists past the
+    last real row, and ``expand_spans_ok`` verified True (the host
+    decides before compiling this path — no traced branch).  Invalid
+    tail positions (≥ total) return clipped garbage the caller masks.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cols = tuple(cols)
+    c_cols = len(cols) + 1  # + offsets (off_r output)
+    n_probe = offsets.shape[0]
+    steps = capacity // _BLK
+
+    off32 = offsets.astype(jnp.int32)
+    if total is None:
+        total = off32[-1]  # padding rows carry offset == total
+    p_lo, _p_last = expand_block_owners(off32, capacity, total)
+
+    bits = jnp.stack(
+        [
+            lax.bitcast_convert_type(c, jnp.uint32).astype(jnp.int32)
+            for c in (*cols, off32)
+        ],
+        axis=0,
+    )
+    planes = jnp.concatenate(
+        [
+            ((bits >> shift) & 0xFF).astype(jnp.bfloat16)
+            for shift in (0, 8, 16, 24)
+        ],
+        axis=0,
+    ).reshape(4, c_cols, n_probe).transpose(1, 0, 2).reshape(
+        4 * c_cols, n_probe
+    )
+    planes = jnp.pad(planes, ((0, 0), (0, _BLK)))
+    # Offsets window: padding rows read a sentinel ABOVE every position
+    # so they never count as owners.
+    off_pad = jnp.pad(
+        off32.reshape(1, n_probe), ((0, 0), (0, _BLK)),
+        constant_values=2**31 - 1,
+    )
+
+    kernel = functools.partial(_expand_kernel, c_cols=c_cols)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((1, _BLK), lambda i, p: (0, p[i] // _BLK)),
+            pl.BlockSpec((1, _BLK), lambda i, p: (0, p[i] // _BLK + 1)),
+            pl.BlockSpec((4 * c_cols, _BLK), lambda i, p: (0, p[i] // _BLK)),
+            pl.BlockSpec(
+                (4 * c_cols, _BLK), lambda i, p: (0, p[i] // _BLK + 1)
+            ),
+        ],
+        out_specs=pl.BlockSpec((c_cols + 1, _BLK), lambda i, p: (0, i)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c_cols + 1, capacity), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * capacity * 2 * _BLK * (4 * c_cols + 1),
+            bytes_accessed=capacity * (8 * c_cols + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(p_lo, off_pad, off_pad, planes, planes)
+
+    probe_idx = jnp.clip(out[c_cols], 0, n_probe - 1)
+    off_r = out[c_cols - 1]
+    taken = tuple(
+        lax.bitcast_convert_type(out[i], c.dtype)
+        for i, c in enumerate(cols)
+    )
+    return probe_idx, off_r, taken
