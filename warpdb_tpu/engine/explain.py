@@ -130,6 +130,23 @@ def explain_query(
                 f"[{how}; build side {right.num_rows} rows]"
             )
 
+    if (
+        query.joins
+        and query.where is not None
+        and cfg.join_filter_pushdown
+        and not (mesh is not None and getattr(mesh.devices, "size", 1) > 1)
+    ):
+        from .join_exec import _classify_build_conjuncts
+
+        by_rel, _rest, _p = _classify_build_conjuncts(query, table, catalog)
+        for rname, conjs in by_rel.items():
+            pred = " AND ".join(_fmt(c) for c in conjs)
+            lines.append(
+                f"  pushdown: {pred} -> compacts '{rname}' BEFORE the "
+                "join (two-phase count + position sort; skipped at "
+                ">= 50% selectivity)"
+            )
+
     select_items = [
         unalias(s)
         for s in _expand_stars(
@@ -257,6 +274,25 @@ def explain_query(
             if isinstance(n, Aggregation)
         }
         lines.append(f"    aggregates (one pass): {', '.join(sorted(aggs)) or '-'}")
+        if (
+            cfg.grouped_device_finish
+            and query.limit is not None
+            and not query.distinct
+            and query.order_by is not None
+            and len(query.order_by.terms) == 1
+            and any(
+                isinstance(n, Aggregation)
+                for n in walk(query.order_by.terms[0].expr)
+            )
+            and not (
+                mesh is not None and getattr(mesh.devices, "size", 1) > 1
+            )
+        ):
+            lines.append(
+                "    finish: HAVING + ORDER BY + LIMIT on device when "
+                "expressible over the partials — ships O(limit) groups, "
+                "not O(G)"
+            )
         if query.having is not None:
             lines.append(
                 f"  having: {_fmt(query.having)}  [host, over <=G aggregate table]"

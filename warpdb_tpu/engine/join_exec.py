@@ -1588,37 +1588,15 @@ def _filtered_table_for(table, where, base_cols):
     return filtered
 
 
-def _pushdown_build_filters(
-    query: Query, table: DeviceTable, catalog: Optional[dict], mesh=None
-) -> tuple[Query, Optional[dict]]:
-    """Build-side predicate pushdown (r3): WHERE conjuncts that
-    reference exactly ONE INNER/CROSS-joined relation filter THAT
-    relation before the join materialises — the join's build sorts,
-    phase-1 match counting, and expansion then see only surviving build
-    rows, and removing the conjuncts can unlock the probe-side pushdown
-    for the remainder (its all-probe-columns requirement).
-
-    Classic star-schema rewrite (TPC-H q3: the customer-segment and
-    order-date filters compact two dimension tables before the fact
-    joins them).  Semantics: for INNER/CROSS joins a single-relation
-    predicate commutes with the join — post-join WHERE would keep
-    exactly the rows whose build row passed (NaN comparisons evaluate
-    false on device both pre- and post-join).  LEFT-join build sides
-    bail: filtering them would turn matches into NaN-filled misses
-    instead of dropping rows.  Conjuncts with ambiguous unqualified
-    columns (present in the probe or in two relations) stay in WHERE.
-    """
-    where = query.where
-    if where is None or not query.joins:
-        return query, catalog
-    from ..config import get_config
-
-    if not get_config().join_filter_pushdown:
-        return query, catalog
-    if mesh is not None and getattr(getattr(mesh, "devices", None), "size", 1) > 1:
-        return query, catalog
+def _classify_build_conjuncts(
+    query: Query, table: DeviceTable, catalog: Optional[dict]
+) -> tuple[dict, list, dict]:
+    """Split the WHERE conjuncts by the single pushable INNER/CROSS join
+    relation each one reads: ``(by_relation, rest, pushable_tables)``.
+    Shared by the executor rewrite and EXPLAIN (planning only — no
+    device work)."""
     from ..frontend.ast import Star as _Star
-    from .executor import _and_conjuncts, bind_strings
+    from .executor import _and_conjuncts
 
     # Relations eligible for filtering: INNER/CROSS build sides resolved
     # through the catalog, large enough that two extra dispatches beat
@@ -1635,8 +1613,9 @@ def _pushdown_build_filters(
         ):
             pushable[j.table] = t
 
+    parts = _and_conjuncts(query.where) if query.where is not None else []
     if not pushable:
-        return query, catalog
+        return {}, parts, pushable
 
     # Unqualified-name ownership across the whole joined namespace: the
     # join output resolves unqualified names probe-first then in join
@@ -1677,7 +1656,6 @@ def _pushdown_build_filters(
             rel = r
         return rel
 
-    parts = _and_conjuncts(where)
     by_rel: dict = {}
     rest = []
     for c in parts:
@@ -1686,6 +1664,41 @@ def _pushdown_build_filters(
             by_rel.setdefault(r, []).append(c)
         else:
             rest.append(c)
+    return by_rel, rest, pushable
+
+
+def _pushdown_build_filters(
+    query: Query, table: DeviceTable, catalog: Optional[dict], mesh=None
+) -> tuple[Query, Optional[dict]]:
+    """Build-side predicate pushdown (r3): WHERE conjuncts that
+    reference exactly ONE INNER/CROSS-joined relation filter THAT
+    relation before the join materialises — the join's build sorts,
+    phase-1 match counting, and expansion then see only surviving build
+    rows, and removing the conjuncts can unlock the probe-side pushdown
+    for the remainder (its all-probe-columns requirement).
+
+    Classic star-schema rewrite (TPC-H q3: the customer-segment and
+    order-date filters compact two dimension tables before the fact
+    joins them).  Semantics: for INNER/CROSS joins a single-relation
+    predicate commutes with the join — post-join WHERE would keep
+    exactly the rows whose build row passed (NaN comparisons evaluate
+    false on device both pre- and post-join).  LEFT-join build sides
+    bail: filtering them would turn matches into NaN-filled misses
+    instead of dropping rows.  Conjuncts with ambiguous unqualified
+    columns (present in the probe or in two relations) stay in WHERE.
+    """
+    where = query.where
+    if where is None or not query.joins:
+        return query, catalog
+    from ..config import get_config
+
+    if not get_config().join_filter_pushdown:
+        return query, catalog
+    if mesh is not None and getattr(getattr(mesh, "devices", None), "size", 1) > 1:
+        return query, catalog
+    from .executor import bind_strings
+
+    by_rel, rest, pushable = _classify_build_conjuncts(query, table, catalog)
     if not by_rel:
         return query, catalog
 
