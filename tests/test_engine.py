@@ -2496,6 +2496,85 @@ def test_join_memo_reuses_materialized_join():
     np.testing.assert_allclose(third, first * 2, rtol=1e-6)
 
 
+def test_join_semicompact_unique_key_partial_match():
+    """Unique build keys + partial match rate (the post-pushdown
+    star-schema shape, TPC-H q3): the INNER join compacts the probe to
+    matched rows instead of running the expansion machinery — asserted
+    via the operator trace, verified against a NumPy oracle for
+    aggregates, row projections, a string build column, and a chained
+    second join over the compacted output."""
+    from warpdb_tpu.utils.metrics import last
+
+    rng = np.random.default_rng(77)
+    n, m = 6000, 1500
+    # Build keys unique (stride 3) → only ~1/3 of probe rows match.
+    k = rng.integers(0, 3 * m, n).astype(np.float32)
+    v = rng.uniform(0, 10, n).astype(np.float32)
+    bk = (np.arange(m) * 3).astype(np.float32)
+    w = rng.uniform(0, 1, m).astype(np.float32)
+    tag = np.array(["red", "green", "blue"])[np.arange(m) % 3]
+    db = WarpDB(HostTable.from_dict({"k": k, "v": v}))
+    db.register_table(
+        "b", HostTable.from_dict({"bk": bk, "w": w, "tag": tag})
+    )
+
+    db.query_sql("SELECT SUM(v) FROM t JOIN b ON k = b.bk")
+    ops = [name for name, _ in last().operators]
+    assert "join_semicompact" in ops, ops
+    assert "join_expand_gather" not in ops, ops
+    got = db.query_sql_table(
+        "SELECT SUM(v * b.w) AS s, COUNT(*) AS c FROM t "
+        "JOIN b ON k = b.bk"
+    )
+    mask = np.isin(k, bk)
+    wmap = dict(zip(bk.tolist(), w.tolist()))
+    want_s = sum(float(vv) * wmap[float(kk)] for kk, vv in zip(k[mask], v[mask]))
+    np.testing.assert_allclose(got["s"][0], want_s, rtol=1e-4)
+    assert got["c"][0] == mask.sum()
+
+    # Row projection including a string build column, deterministic order.
+    got2 = db.query_sql_table(
+        "SELECT v, b.tag FROM t JOIN b ON k = b.bk ORDER BY v LIMIT 7"
+    )
+    tmap = dict(zip(bk.tolist(), tag.tolist()))
+    order = np.argsort(v[mask], kind="stable")[:7]
+    np.testing.assert_allclose(
+        got2["v"], v[mask][order], rtol=1e-6
+    )
+    assert got2["b.tag"] == [tmap[float(x)] for x in k[mask][order]]
+
+    # Chained second join consumes the compacted (num_rows < padded)
+    # output as its probe side.
+    db.register_table(
+        "b2",
+        HostTable.from_dict(
+            {"bk2": (np.arange(m) * 6).astype(np.float32),
+             "z": np.full(m, 2.0, np.float32)}
+        ),
+    )
+    got3 = db.query_sql_table(
+        "SELECT SUM(v * b2.z) AS s FROM t "
+        "JOIN b ON k = b.bk JOIN b2 ON k = b2.bk2"
+    )
+    mask2 = np.isin(k, (np.arange(m) * 6).astype(np.float32))
+    np.testing.assert_allclose(
+        got3["s"][0], 2.0 * v[mask & mask2].sum(), rtol=1e-4
+    )
+
+    # Zero matches: empty result, no crash.
+    db.register_table(
+        "b3",
+        HostTable.from_dict(
+            {"bk3": np.array([-5.0, -8.0], np.float32),
+             "z": np.array([1.0, 1.0], np.float32)}
+        ),
+    )
+    got4 = db.query_sql_table(
+        "SELECT v FROM t JOIN b3 ON k = b3.bk3"
+    )
+    assert len(got4["v"]) == 0
+
+
 # --- LEFT OUTER JOIN ----------------------------------------------------------
 
 

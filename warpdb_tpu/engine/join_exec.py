@@ -305,6 +305,144 @@ def _left_fill_stats(st, is_dict: bool, n_miss: int):
     )
 
 
+def _semicompact_join(
+    left: DeviceTable,
+    right: DeviceTable,
+    right_name: str,
+    phase1,
+    total: int,
+    dense_k: int,
+    lcols_in: dict,
+    needed: Optional[set],
+    _wanted,
+) -> DeviceTable:
+    """Probe-compacting unique-key INNER join (r3).
+
+    Phase 1 proved ``counts <= 1`` (unique build keys) but not every
+    probe row matched — the classic star-schema shape after a selective
+    dimension filter (TPC-H q3: only ~9% of lineitem rows survive the
+    filtered-orders join).  The general path would run the full
+    expansion machinery (ownership fill + capacity gathers + windowed
+    take) to emit what is just a SUBSET of the probe table; instead,
+    compact the probe to its matched positions and gather both sides at
+    the compacted size:
+
+    * matched positions sort to the front under an ascending position
+      key (order-preserving → deterministic probe-order output);
+    * ONE stacked 2-D take pulls every needed probe column plus the
+      per-row build slot (``phase1.lo`` rides the same index);
+    * build columns gather through the sorted-build permutation at the
+      compacted size (or the tiny-build compare-select sweep).
+
+    Zero extra relay syncs: the output capacity rides the ``total``
+    scalar phase 1 already shipped.  Downstream operators (later joins,
+    GROUP BY, WHERE) then scan ``total`` rows instead of ``n_probe`` —
+    at a 9% match rate that is an 11x cut in every later pass.
+    """
+    # Power-of-two buckets for compile reuse, clamped to the probe's
+    # padded length (which is a 1024-multiple, so the stacked 2-D take
+    # stays lane-divisible even when the clamp wins).
+    capacity = min(
+        max(_next_pow2(max(total, 1)), 1024), left.padded_rows
+    )
+    rcols_in = {
+        name: arr
+        for name, arr in right.columns.items()
+        if _wanted(name, f"{right_name}.{name}")
+    }
+    key = (
+        "join_semicompact",
+        schema_signature(lcols_in),
+        schema_signature(rcols_in),
+        left.padded_rows,
+        right.padded_rows,
+        capacity,
+        dense_k,
+    )
+
+    def build():
+        from ..ops.join import stacked_take
+
+        lnames = list(lcols_in)
+        rnames = list(rcols_in)
+
+        @jax.jit
+        def kernel(p1, lcols, rcols, n_left):
+            n_pad = p1.lo.shape[0]
+            pos_all = jnp.arange(n_pad, dtype=jnp.int32)
+            matched = jnp.logical_and(pos_all < n_left, p1.counts > 0)
+            okey = jnp.where(matched, pos_all, jnp.int32(0x7FFFFFFF))
+            (pos_s,) = lax.sort((okey,), num_keys=1, is_stable=False)
+            pos = jnp.clip(pos_s[:capacity], 0, n_pad - 1)
+            out_valid = (
+                jnp.arange(capacity, dtype=jnp.int32) < p1.total
+            )
+            # Probe columns + the build slot share ONE stacked take.
+            slot_src = jnp.clip(p1.lo, 0, p1.build_order.shape[0] - 1)
+            taken = stacked_take(
+                tuple(lcols[n] for n in lnames) + (slot_src,),
+                pos,
+                out_valid,
+            )
+            lout = dict(zip(lnames, taken[: len(lnames)]))
+            slot = taken[len(lnames)]
+            if dense_k:
+                # Tiny build side: virtual (capacity, K) compare-select
+                # sweep beats per-row gathers (same trade as the lookup
+                # join's dense path).
+                j = jnp.arange(dense_k, dtype=jnp.int32)
+                eq = slot[:, None] == j[None, :]
+                rout = {}
+                for n in rnames:
+                    perm = rcols[n][p1.build_order]
+                    bits = lax.bitcast_convert_type(
+                        perm[:dense_k], jnp.uint32
+                    )
+                    t = jnp.sum(
+                        jnp.where(eq, bits[None, :], jnp.uint32(0)),
+                        axis=1,
+                    )
+                    t = jnp.where(out_valid, t, jnp.uint32(0))
+                    rout[n] = lax.bitcast_convert_type(
+                        t, rcols[n].dtype
+                    )
+            else:
+                perms = tuple(
+                    rcols[n][p1.build_order] for n in rnames
+                )
+                rtaken = stacked_take(perms, slot, out_valid)
+                rout = dict(zip(rnames, rtaken))
+            return lout, rout
+
+        return kernel
+
+    lout, rout = get_or_compile(key, build)(
+        phase1, lcols_in, rcols_in, jnp.int32(left.num_rows)
+    )
+    new_cols = dict(lout)
+    for name, arr in rout.items():
+        new_cols[f"{right_name}.{name}"] = arr
+        new_cols.setdefault(name, arr)
+    dtypes = {n: dt for n, dt in left.dtypes.items()}
+    dicts = {n: v for n, v in left.dicts.items()}
+    for name, dt in right.dtypes.items():
+        dtypes[f"{right_name}.{name}"] = dt
+        dtypes.setdefault(name, dt)
+    for name, vocab in right.dicts.items():
+        dicts[f"{right_name}.{name}"] = vocab
+        dicts.setdefault(name, vocab)
+    # Row-subset outputs keep both sides' stats verbatim: every bound is
+    # a superset of the surviving rows' range (stats gates are
+    # monotone-safe on supersets).
+    stats = {n: st for n, st in left.stats.items()}
+    for name, st in right.stats.items():
+        stats[f"{right_name}.{name}"] = st
+        stats.setdefault(name, st)
+    return DeviceTable(
+        new_cols, dtypes, total, capacity, stats=stats, dicts=dicts
+    )
+
+
 def _materialize_join_local(
     left: DeviceTable,
     right: DeviceTable,
@@ -512,6 +650,13 @@ def _materialize_join_local(
         for name, arr in left.columns.items()
         if needed is None or name in needed
     }
+
+    if bool(one2one) and kind == "inner" and total < left.num_rows:
+        return _semicompact_join(
+            left, right, right_name, phase1, total, dense_k,
+            lcols_in, needed, _wanted,
+        )
+
     rcols_in = {
         name: arr
         for name, arr in right.columns.items()
