@@ -278,6 +278,60 @@ def test_fuzz_join_groupby(seed):
         assert out["n"][i] == int(m.sum())
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_semicompact_join_vs_numpy(seed):
+    """Unique build keys with a randomized match rate: sweeps the
+    lookup (100% match) / semicompact (partial match) / empty (0%)
+    boundaries of the 1:1 inner-join ladder, with a string build
+    column and a chained GROUP BY over the compacted output."""
+    rng = np.random.default_rng(41000 + seed)
+    nl = int(rng.integers(200, 2000))
+    m = int(rng.integers(8, 300))
+    stride = int(rng.choice([1, 2, 5]))  # 1 → every probe row matches
+    bk = (np.arange(m) * stride).astype(np.float32)
+    lk = rng.integers(0, max(int(bk[-1]) + 2, 2), nl).astype(np.float32)
+    if rng.random() < 0.2:
+        lk += 10_000.0  # zero matches
+    lv = rng.uniform(-5, 5, nl).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, m).astype(np.float32)
+    tag = np.array(["x", "y", "z"], dtype=object)[np.arange(m) % 3]
+    db = WarpDB(HostTable.from_dict({"k": lk, "v": lv}))
+    db.register_table(
+        "d", HostTable.from_dict({"k": bk, "w": w, "tag": tag})
+    )
+
+    out = db.query_sql_table(
+        "SELECT v, d.w, d.tag FROM t JOIN d ON k = d.k"
+    )
+    wmap = {float(k): (float(x), str(s)) for k, x, s in zip(bk, w, tag)}
+    mask = np.isin(lk, bk)
+    assert len(out["v"]) == int(mask.sum())
+    # The engine preserves probe order for 1:1 joins — compare aligned.
+    np.testing.assert_allclose(
+        out["v"], lv[mask].astype(np.float32), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        out["d.w"],
+        np.asarray([wmap[float(k)][0] for k in lk[mask]], np.float32),
+        rtol=1e-6,
+    )
+    assert out["d.tag"] == [wmap[float(k)][1] for k in lk[mask]]
+
+    grp = db.query_sql_table(
+        "SELECT d.tag, SUM(v * d.w) AS s, COUNT(*) AS n FROM t "
+        "JOIN d ON k = d.k GROUP BY d.tag ORDER BY d.tag ASC"
+    )
+    want: dict = {}
+    for k, v in zip(lk[mask], lv[mask]):
+        wv, t = wmap[float(k)]
+        s, n = want.get(t, (0.0, 0))
+        want[t] = (s + float(v) * wv, n + 1)
+    assert grp["d.tag"] == sorted(want)
+    for i, t in enumerate(grp["d.tag"]):
+        np.testing.assert_allclose(grp["s"][i], want[t][0], rtol=1e-3)
+        assert grp["n"][i] == want[t][1]
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_special_values(seed):
     """NaN / ±inf data values through WHERE / ORDER BY / aggregates

@@ -27,8 +27,17 @@ class EngineConfig:
     # slots, ~4x at 4K, and loses beyond ~8K.
     dense_group_max_slots: int = 4096
     # Mid-range sort-free GROUP BY (scatter/MXU into a dense slot
-    # table): max key-range slots before falling back to the sort path.
-    midrange_group_max_slots: int = 1 << 20
+    # table): scatter cost is per-UPDATE (row), not per-slot, so the
+    # slot count only pays the occupancy-compaction sort — up to
+    # ``base_slots`` the slot table wins regardless of input size
+    # (measured at 2^20 slots on v5e: 93 vs 158 ms at 4M rows AND 39
+    # vs 45 ms at 368K rows).  Beyond that the compaction sort starts
+    # to matter, so the slot table runs only when the input has at
+    # least as many rows as slots (measured at 2^22 slots: 16M rows
+    # 407 vs 671 ms for the sort path; 1.5M rows 92 vs 83 — sort
+    # wins).  ``max_slots`` is the hard cap either way.
+    midrange_group_base_slots: int = 1 << 20
+    midrange_group_max_slots: int = 1 << 23
     # SUM/COUNT-only mid-range queries ride the MXU one-hot matmul up
     # to this many slots (FLOPs grow linearly with the slot count).
     mxu_group_max_slots: int = 1 << 16

@@ -247,7 +247,10 @@ def explain_query(
                     f"({slots} slots, stats-bounded{packed}; no sort, no "
                     "scatter — fused VPU compare-reduce)"
                 )
-            elif slots is not None and slots <= cfg.midrange_group_max_slots:
+            elif slots is not None and (
+                slots <= cfg.midrange_group_base_slots
+                or slots <= current.num_rows
+            ):
                 engine = (
                     "MXU one-hot histogram"
                     if slots <= cfg.mxu_group_max_slots

@@ -692,6 +692,14 @@ def _try_dense_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
     n_rows = jnp.int32(table.num_rows)
 
     if num_slots > cfg.dense_group_max_slots:
+        if (
+            num_slots > cfg.midrange_group_base_slots
+            and num_slots > table.num_rows
+        ):
+            # Beyond the unconditional tier, a slot table wider than
+            # the input loses to the sort path (measured — see the
+            # config knob's docstring): fall back.
+            return None
         return _midrange_group_run(
             query, table, kp, vexpr_nodes, vexpr_canons, where_canon,
             need, limit_cap, device_finish,
