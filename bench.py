@@ -300,19 +300,33 @@ def main() -> None:
         extras["join_cached_error"] = str(e)[:120]
 
     # TPC-H-derived suite (benchmarks/tpch.py): six star-schema queries
-    # at 4M lineitem rows, e2e wall per query — the "production
+    # at 16M lineitem rows, e2e wall per query — the "production
     # workload" number beside the micro query set.  Correctness is
-    # pinned by tests/test_tpch.py's oracle gate.
+    # pinned by tests/test_tpch.py's oracle gate.  16M (vs r3's 4M):
+    # at 4M every query except q18 sat on the ~30 ms relay-RTT floor,
+    # so the suite measured the tunnel, not the engine.
+    #
+    # Default engine config (the join memo back on — the micro sections
+    # above disable it to expose raw join machinery), and the 33.5M-row
+    # micro tables + their memoized join intermediates released first:
+    # several GB of dead HBM under a 16M-row star schema degrades every
+    # allocation-heavy dispatch (measured: q3 205 ms vs 85 ms clean).
+    get_config().join_cache_entries = 4
+    del db, cols
+    import gc
+
+    gc.collect()
     try:
         sys.path.insert(0, "benchmarks")
         import tpch
 
-        tables = tpch.make_tables(1 << 22)
+        TPCH_ROWS = 1 << 24
+        tables = tpch.make_tables(TPCH_ROWS)
         tdb = tpch.build_db(tables)
         trates = {}
         for tname, tsql in tpch.QUERIES.items():
             dt = _time(lambda s=tsql: tdb.query_sql_table(s))
-            trates[tname] = (1 << 22) / dt
+            trates[tname] = TPCH_ROWS / dt
         extras["tpch_per_query_rows_per_s"] = {
             k: round(v) for k, v in trates.items()
         }

@@ -1736,6 +1736,64 @@ def test_count_distinct(db, random_db):
     np.testing.assert_allclose(got, want)
 
 
+def test_approx_count_distinct():
+    """APPROX_COUNT_DISTINCT (HyperLogLog, ops/hll.py): within the
+    ~1.6%-per-sigma error envelope of the exact count at several
+    cardinalities, across global / grouped / WHERE / HAVING / string
+    forms.  5-sigma bounds keep the assertions seed-stable."""
+    rng = np.random.default_rng(29)
+    n = 120_000
+    x = rng.integers(0, 30_000, n).astype(np.float32)
+    g = rng.integers(0, 4, n).astype(np.float32)
+    tag = np.array([f"u{i:04d}" for i in range(2_000)], dtype=object)[
+        rng.integers(0, 2_000, n)
+    ]
+    d = WarpDB(HostTable.from_dict({"g": g, "x": x, "tag": tag}))
+
+    def _close(approx, exact):
+        assert abs(approx - exact) <= 5 * 0.0164 * exact + 2, (
+            approx, exact
+        )
+
+    out = d.query_sql_table(
+        "SELECT APPROX_COUNT_DISTINCT(x) AS a, COUNT(DISTINCT x) AS e "
+        "FROM t"
+    )
+    _close(out["a"][0], out["e"][0])
+
+    grp = d.query_sql_table(
+        "SELECT g, APPROX_COUNT_DISTINCT(x) AS a, COUNT(DISTINCT x) AS e "
+        "FROM t WHERE x > 100 GROUP BY g ORDER BY g ASC"
+    )
+    assert grp["g"] == [0.0, 1.0, 2.0, 3.0]
+    for a, e in zip(grp["a"], grp["e"]):
+        _close(a, e)
+
+    st = d.query_sql_table(
+        "SELECT APPROX_COUNT_DISTINCT(tag) AS a, COUNT(DISTINCT tag) AS e "
+        "FROM t"
+    )
+    _close(st["a"][0], st["e"][0])
+
+    # Tiny cardinalities ride the linear-counting correction — near
+    # exact there.
+    small = WarpDB(
+        HostTable.from_dict(
+            {"v": np.array([1, 2, 2, 3, 3, 3, np.nan, np.nan], np.float32)}
+        )
+    )
+    a = small.query_sql("SELECT APPROX_COUNT_DISTINCT(v) FROM t")[0]
+    # NaN counts as ONE distinct value, matching COUNT(DISTINCT).
+    assert abs(a - 4.0) < 0.5, a
+
+    # HAVING over the estimate.
+    hv = d.query_sql_table(
+        "SELECT g FROM t GROUP BY g "
+        "HAVING APPROX_COUNT_DISTINCT(x) > 1 ORDER BY g ASC"
+    )
+    assert hv["g"] == [0.0, 1.0, 2.0, 3.0]
+
+
 def test_concurrent_queries_thread_safe(db, test_table):
     # The reference's parser used file-static mutable state and was not
     # reentrant (expression.cpp:123-124); this engine must serve

@@ -619,6 +619,70 @@ def test_streaming_sql_count_distinct(tmp_path):
     assert list(out2.values())[0][0] == len(set(v.tolist()))
 
 
+def test_streaming_sql_approx_count_distinct(tmp_path):
+    """Streamed APPROX_COUNT_DISTINCT equals the in-memory estimate
+    EXACTLY: per-chunk u8 HLL registers merge by elementwise max (a
+    lossless union), so chunking cannot change the final registers —
+    only 4 KB of state per group regardless of value cardinality."""
+    rng = np.random.default_rng(23)
+    n = 30_000
+    k = rng.integers(0, 3, n)
+    v = rng.integers(0, 6_000, n)
+    path = tmp_path / "hll.csv"
+    with open(path, "w") as f:
+        f.write("k,v\n")
+        for a, b in zip(k, v):
+            f.write(f"{a},{b}\n")
+    sql = (
+        "SELECT k, APPROX_COUNT_DISTINCT(v) AS a FROM t "
+        "GROUP BY k ORDER BY k ASC"
+    )
+    streamed = WarpDB.query_streaming_sql(
+        str(path), sql, rows_per_chunk=4_096
+    )
+    db = WarpDB(
+        HostTable.from_dict(
+            {"k": k.astype(np.float32), "v": v.astype(np.float32)}
+        )
+    )
+    mem = db.query_sql_table(sql)
+    np.testing.assert_allclose(streamed["a"], mem["a"], rtol=1e-6)
+    # And the estimate tracks the exact count (5-sigma envelope).
+    exact = db.query_sql_table(
+        "SELECT k, COUNT(DISTINCT v) AS e FROM t GROUP BY k ORDER BY k ASC"
+    )
+    for a, e in zip(mem["a"], exact["e"]):
+        assert abs(a - e) <= 5 * 0.0164 * e + 2
+
+    # Global form streams too.
+    g_stream = WarpDB.query_streaming_sql(
+        str(path), "SELECT APPROX_COUNT_DISTINCT(v) FROM t",
+        rows_per_chunk=4_096,
+    )
+    g_mem = db.query_sql_table("SELECT APPROX_COUNT_DISTINCT(v) FROM t")
+    np.testing.assert_allclose(
+        list(g_stream.values())[0], list(g_mem.values())[0], rtol=1e-6
+    )
+
+
+def test_mesh_approx_count_distinct_matches_single_device(mesh):
+    """The mesh route and single-device execution agree on the HLL
+    estimate (same registers, same hash)."""
+    rng = np.random.default_rng(24)
+    n = 20_000
+    g = rng.integers(0, 4, n).astype(np.float32)
+    x = rng.integers(0, 3_000, n).astype(np.float32)
+    t = HostTable.from_dict({"g": g, "x": x})
+    sql = (
+        "SELECT g, APPROX_COUNT_DISTINCT(x) AS a FROM t "
+        "GROUP BY g ORDER BY g ASC"
+    )
+    single = WarpDB(t).query_sql_table(sql)
+    meshed = WarpDB(t, mesh=mesh).query_sql_table(sql)
+    np.testing.assert_allclose(meshed["a"], single["a"], rtol=1e-6)
+    assert meshed["g"] == single["g"]
+
+
 def test_streaming_sql_distinct(tmp_path):
     rng = np.random.default_rng(22)
     vals = rng.integers(0, 12, 300).astype(np.float32)

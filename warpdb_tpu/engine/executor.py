@@ -1681,6 +1681,19 @@ def _global_agg_value(agg, param, vals, valid):
     cnt = jnp.sum(valid.astype(jnp.float32))
     if agg is AggregationType.COUNT_DISTINCT:
         return count_distinct((vals,), valid).astype(jnp.float32)
+    if agg is AggregationType.APPROX_COUNT_DISTINCT:
+        from ..ops.hll import hll_estimate, hll_grouped_registers
+        from ..ops.sort import float_sort_key
+
+        # One group: the register table is (1, m) and the whole thing
+        # (hash + scatter-max + estimate) fuses into this kernel.
+        regs = hll_grouped_registers(
+            jnp.zeros(vals.shape, jnp.int32),
+            float_sort_key(vals),
+            valid,
+            1,
+        )
+        return hll_estimate(regs)[0]
     if agg in (AggregationType.MEDIAN, AggregationType.PERCENTILE):
         v = sort_values(vals, valid, ascending=True)
         c = jnp.maximum(cnt.astype(jnp.int32), 1)

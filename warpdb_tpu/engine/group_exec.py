@@ -212,6 +212,7 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
             AggregationType.MEDIAN,
             AggregationType.PERCENTILE,
             AggregationType.STRING_AGG,
+            AggregationType.APPROX_COUNT_DISTINCT,
         ):
             spec_to_vidx[spec.key] = "cd"
             cd_specs.append(spec)
@@ -342,6 +343,18 @@ def _grouped_partials(
                 query, table, group_keys, spec, result.num_groups,
                 plan["keys_canon"], where_canon,
                 raw_int_key=getattr(result, "raw_int_key", False),
+            )
+            continue
+        if spec.agg is AggregationType.APPROX_COUNT_DISTINCT:
+            # Streaming per-chunk partials (final=False) ship the raw
+            # u8 registers — the mergeable form (elementwise max) —
+            # instead of estimates; the stream merge estimates once
+            # over the merged registers.
+            result.dcounts[spec.key] = _grouped_hll(
+                query, table, group_keys, spec.expr, result.num_groups,
+                plan["keys_canon"], where_canon,
+                raw_int_key=getattr(result, "raw_int_key", False),
+                want_registers=not final,
             )
             continue
         result.dcounts[spec.key] = _grouped_value_order_stat(
@@ -1102,6 +1115,113 @@ def _grouped_string_agg(query, table, group_keys, spec, num_groups,
         out[g] = sep.join(parts[pos : pos + int(c)])
         pos += int(c)
     return out
+
+
+def _grouped_hll(query, table, group_keys, expr, num_groups,
+                 keys_canon, where_canon, raw_int_key: bool = False,
+                 want_registers: bool = False):
+    """Per-group APPROX_COUNT_DISTINCT (HyperLogLog, ops/hll.py).
+
+    One sort by the group keys yields ascending segment ids (the same
+    group order every other grouped path emits); values hash through
+    their ``float_sort_key`` image and scatter-max rho into a
+    ``(capacity, m)`` register table — ONE scatter of N updates, the
+    midrange GROUP BY's cost class.  The estimate evaluates ON DEVICE
+    and ships O(groups) scalars.
+
+    ``want_registers=True`` (the streaming partial form) ships the raw
+    u8 registers instead — they merge across chunks/hosts by
+    elementwise max with zero precision loss, bounding out-of-core
+    DISTINCT state at 4 KB/group regardless of cardinality.
+
+    Groups beyond ``capacity·m ≤ 2^23`` would blow the register table's
+    HBM footprint; those fall back to the EXACT sorted kernel (approx
+    is for high value cardinality, not high group counts — the exact
+    path is already one sort there)."""
+    from ..ops.hll import HLL_M, hll_estimate, hll_grouped_registers
+
+    cols = table.columns
+    n_rows = jnp.int32(table.num_rows)
+    capacity = _next_pow2(max(int(num_groups), 16))
+    if capacity * HLL_M > (1 << 23) and not want_registers:
+        return _grouped_value_order_stat(
+            query, table, group_keys, expr, num_groups, keys_canon,
+            where_canon, AggregationType.COUNT_DISTINCT,
+            raw_int_key=raw_int_key,
+        )
+
+    key = ("group_hll", keys_canon, expr.canonical(), where_canon,
+           schema_signature(cols), capacity, raw_int_key, want_registers,
+           udf_mod.registry_version())
+
+    def build():
+        from ..ops.sort import float_sort_key, int_sort_key
+
+        if raw_int_key:
+            kvar = group_keys[0]
+            kname, kuname = kvar.name, kvar.unqualified
+
+            def raw_key(cols):
+                arr = cols.get(kname)
+                if arr is None:
+                    arr = cols.get(kuname)
+                return arr
+
+            key_fns = [raw_key]
+        else:
+            key_fns = [build_evaluator(k) for k in group_keys]
+        val_fn = build_evaluator(expr)
+        cond_fn = (
+            build_evaluator(query.where) if query.where is not None else None
+        )
+        u32_max = jnp.uint32(0xFFFFFFFF)
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            if raw_int_key:
+                keys = tuple(_broadcast(f(cols), cols) for f in key_fns)
+                skeys = tuple(
+                    jnp.where(valid, int_sort_key(k), u32_max) for k in keys
+                )
+            else:
+                keys = tuple(
+                    _broadcast(_as_f32(f(cols)), cols) for f in key_fns
+                )
+                skeys = tuple(
+                    jnp.where(valid, float_sort_key(k), u32_max)
+                    for k in keys
+                )
+            vals = _broadcast(_as_f32(val_fn(cols)), cols)
+            sval = float_sort_key(vals)
+            nk = len(skeys)
+            sorted_ops = jax.lax.sort(
+                skeys + (valid.astype(jnp.int32), sval),
+                num_keys=nk,
+                is_stable=True,
+            )
+            skeys_s = sorted_ops[:nk]
+            valid_s = sorted_ops[nk].astype(jnp.bool_)
+            sval_s = sorted_ops[nk + 1]
+            from ..ops.aggregate import sorted_first_flags
+
+            key_first = jnp.logical_and(
+                sorted_first_flags(skeys_s), valid_s
+            )
+            seg = jnp.cumsum(key_first.astype(jnp.int32)) - 1
+            regs = hll_grouped_registers(seg, sval_s, valid_s, capacity)
+            if want_registers:
+                return regs.astype(jnp.uint8)
+            return hll_estimate(regs)
+
+        return kernel
+
+    out = jax.device_get(get_or_compile(key, build)(cols, n_rows))
+    if want_registers:
+        return out[: max(int(num_groups), 0)]
+    return np.asarray(out[: int(num_groups)], np.float32)
 
 
 def _grouped_value_order_stat(query, table, group_keys, expr, num_groups,

@@ -387,6 +387,10 @@ class AggregationType(enum.Enum):
     # concatenate in ascending value order (deterministic; the engine
     # has no per-group input-order notion after its sorts).
     STRING_AGG = "string_agg"
+    # APPROX_COUNT_DISTINCT(expr) — extension: HyperLogLog estimate
+    # (~1.6% standard error at m=4096 registers).  Same distinct
+    # semantics as COUNT(DISTINCT): every NaN is one value, -0 ≡ +0.
+    APPROX_COUNT_DISTINCT = "approx_count_distinct"
 
 
 @dataclass(frozen=True, repr=False)

@@ -564,6 +564,21 @@ class _ExprParser:
                 return self._maybe_filter_suffix(
                     Aggregation(AggregationType.MEDIAN, inner)
                 )
+            # APPROX_COUNT_DISTINCT(expr) — contextual aggregate:
+            # HyperLogLog estimate with bounded mergeable state (the
+            # streaming/distributed-friendly sibling of the exact
+            # COUNT(DISTINCT)).
+            if tok.value.upper() == "APPROX_COUNT_DISTINCT" and (
+                self.match_op("(")
+            ):
+                inner = self.logical_or()
+                if not self.match_op(")"):
+                    raise ParseError("Expected ')' after arguments")
+                return self._maybe_filter_suffix(
+                    Aggregation(
+                        AggregationType.APPROX_COUNT_DISTINCT, inner
+                    )
+                )
             # TRUE / FALSE boolean literals (extension) — lower to
             # always-true/false comparisons so they work both as values
             # (0/1 f32, the engine's boolean convention) and as WHERE

@@ -330,7 +330,16 @@ def run_streaming_sql(
     # the final per-group count is a bincount over key-tuple ids.
     # State is bounded by the DISTINCT pair count, not the row count.
     cd_runs = []
+    hll_specs = []
     for spec in plan["cd_specs"]:
+        if spec.agg is AggregationType.APPROX_COUNT_DISTINCT:
+            # APPROX_COUNT_DISTINCT: per-chunk u8 HLL registers arrive
+            # in the chunk partials (``_grouped_partials(final=False)``)
+            # and merge by elementwise max — 4 KB of state per group
+            # regardless of value cardinality (the whole point of the
+            # approx variant out-of-core).
+            hll_specs.append(spec)
+            continue
         q_cd = _copy.copy(query)
         q_cd.group_by = GroupBy((*query.group_by.keys, spec.expr))
         items_cd = [Aggregation(AggregationType.COUNT, Constant("1"))]
@@ -361,6 +370,10 @@ def run_streaming_sql(
     acc_maxs = [np.zeros(0, np.float32) for _ in range(nv)]
     acc_cd = {spec.key: np.zeros((nk + 1, 0), np.float32)
               for spec, _q, _p in cd_runs}
+    from ..ops.hll import HLL_M, hll_estimate_np
+
+    acc_hll = {spec.key: np.zeros((0, HLL_M), np.uint8)
+               for spec in hll_specs}
 
     if mesh is None:
         mesh = data_mesh()
@@ -420,6 +433,14 @@ def run_streaming_sql(
             mx = np.full(m, -np.inf, np.float32)
             np.maximum.at(mx, inv, mx_all)
             acc_maxs[i] = mx
+        for spec in hll_specs:
+            # Same [acc, chunk] concatenation order as counts_all, so
+            # the main merge's ``inv`` aligns the register rows too.
+            regs_chunk = np.asarray(part.dcounts[spec.key])[:ng]
+            regs_all = np.concatenate([acc_hll[spec.key], regs_chunk])
+            merged = np.zeros((m, HLL_M), np.uint8)
+            np.maximum.at(merged, inv, regs_all)
+            acc_hll[spec.key] = merged
         acc_keys, acc_counts = new_keys, new_counts
 
         for spec, q_cd, plan_cd in cd_runs:
@@ -446,6 +467,7 @@ def run_streaming_sql(
         acc_mins = [np.full(1, np.inf, np.float32) for _ in range(nv)]
         acc_maxs = [np.full(1, -np.inf, np.float32) for _ in range(nv)]
         acc_cd = {k: np.ones((nk + 1, 0), np.float32) for k in acc_cd}
+        acc_hll = {k: np.zeros((1, HLL_M), np.uint8) for k in acc_hll}
 
     merged_keys = tuple(acc_keys[i] for i in range(nk))
     merged_vals = tuple(
@@ -469,6 +491,10 @@ def run_streaming_sql(
         else:
             dc = np.zeros(ngroups, np.float32)
         result.dcounts[spec.key] = dc
+    for spec in hll_specs:
+        # Merged registers are aligned with the merged ascending group
+        # order (same ``inv`` as every other partial); estimate once.
+        result.dcounts[spec.key] = hll_estimate_np(acc_hll[spec.key])
     outs = _finish_grouped(
         query, select_items, plan["specs"], plan["spec_to_vidx"], result,
         plan["keys_canon"],
