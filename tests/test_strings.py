@@ -636,3 +636,49 @@ def test_ilike():
     db2 = WarpDB(HostTable.from_dict(
         {"ilike": np.arange(4, dtype=np.float32)}))
     assert db2.query_sql("SELECT ilike FROM t WHERE ilike > 2") == [3.0]
+
+
+def test_regexp_predicates():
+    """REGEXP / RLIKE operators and STARTS_WITH / ENDS_WITH / CONTAINS /
+    REGEXP_MATCHES functions — all lower to the same vocabulary-LUT
+    code-set machinery as LIKE."""
+    names = np.array(
+        ["alpha", "beta", "Gamma", "delta42", "epsilon", "a42z"],
+        dtype=object,
+    )
+    v = np.arange(6, dtype=np.float32)
+    db = WarpDB(HostTable.from_dict({"s": names, "v": v}))
+
+    assert db.query_sql_table(
+        "SELECT v FROM t WHERE s REGEXP '[0-9]+'"
+    )["v"] == [3.0, 5.0]
+    assert db.query_sql_table(
+        "SELECT v FROM t WHERE s RLIKE '^[ab]'"
+    )["v"] == [0.0, 1.0, 5.0]
+    assert db.query_sql_table(
+        "SELECT v FROM t WHERE s NOT REGEXP '[0-9]'"
+    )["v"] == [0.0, 1.0, 2.0, 4.0]
+    assert db.query_sql_table(
+        "SELECT v FROM t WHERE STARTS_WITH(s, 'a')"
+    )["v"] == [0.0, 5.0]
+    assert db.query_sql_table(
+        "SELECT v FROM t WHERE ENDS_WITH(s, 'a')"
+    )["v"] == [0.0, 1.0, 2.0]
+    assert db.query_sql_table(
+        "SELECT v FROM t WHERE CONTAINS(s, 'lt')"
+    )["v"] == [3.0]
+    # As a 0/1 value in the select list.
+    assert db.query_sql_table(
+        "SELECT REGEXP_MATCHES(s, '42') AS m FROM t"
+    )["m"] == [0.0, 0.0, 0.0, 1.0, 0.0, 1.0]
+    # Invalid patterns fail at plan time with a clear error.
+    import pytest as _pytest
+    from warpdb_tpu.errors import ValidationError as _VE
+
+    with _pytest.raises(_VE):
+        db.query_sql("SELECT v FROM t WHERE s REGEXP '[unclosed'")
+    # A column actually named "regexp" still parses as an identifier.
+    db2 = WarpDB(
+        HostTable.from_dict({"regexp": np.arange(4, dtype=np.float32)})
+    )
+    assert db2.query_sql("SELECT regexp FROM t WHERE regexp > 2") == [3.0]

@@ -194,6 +194,20 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             raise ValidationError(
                 "LIKE requires a string column on its left side"
             )
+        flags = re.IGNORECASE if getattr(node, "ci", False) else 0
+        if getattr(node, "regex", False):
+            # REGEXP / RLIKE: the pattern IS a regular expression;
+            # re.search semantics (unanchored), per MySQL/PostgreSQL ~.
+            try:
+                rx = re.compile(node.pattern, flags)
+            except re.error as e:
+                raise ValidationError(
+                    f"Invalid REGEXP pattern {node.pattern!r}: {e}"
+                ) from None
+            codes = tuple(
+                int(i) for i, s in enumerate(vocab) if rx.search(str(s))
+            )
+            return InCodeSet(like_expr, codes, len(vocab))
         # SQL LIKE wildcards: % = any sequence, _ = one character.
         # Everything else is literal — escape it so regex/glob
         # metacharacters ([, ], *, ?, .) in patterns or data match
@@ -203,7 +217,7 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                 ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
                 for ch in node.pattern
             ),
-            re.IGNORECASE if getattr(node, "ci", False) else 0,
+            flags,
         )
         codes = tuple(
             int(i) for i, s in enumerate(vocab) if rx.fullmatch(str(s))
@@ -217,6 +231,46 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
         )
     if isinstance(node, FunctionCall):
         from ..storage.strfuncs import bind_string_func, is_string_func
+
+        # String predicate functions (extension): STARTS_WITH /
+        # ENDS_WITH / CONTAINS / REGEXP_MATCHES(s, 'lit') bind to a
+        # static code set against the vocabulary — the same one-LUT
+        # lowering as LIKE, usable as a WHERE predicate or a 0/1 value.
+        fname = node.name.lower()
+        if (
+            fname in ("starts_with", "ends_with", "contains",
+                      "regexp_matches")
+            and len(node.args) == 2
+            and isinstance(node.args[1], StringLiteral)
+        ):
+            sexpr = bind_strings(node.args[0], table)
+            vocab = _vocab_of(sexpr, table)
+            if vocab is None:
+                raise ValidationError(
+                    f"{node.name.upper()} requires a string column as "
+                    "its first argument"
+                )
+            pat = node.args[1].text
+            if fname == "regexp_matches":
+                import re
+
+                try:
+                    rx = re.compile(pat)
+                except re.error as e:
+                    raise ValidationError(
+                        f"Invalid REGEXP pattern {pat!r}: {e}"
+                    ) from None
+                pred = lambda s: rx.search(s) is not None  # noqa: E731
+            elif fname == "starts_with":
+                pred = lambda s: s.startswith(pat)  # noqa: E731
+            elif fname == "ends_with":
+                pred = lambda s: s.endswith(pat)  # noqa: E731
+            else:
+                pred = lambda s: pat in s  # noqa: E731
+            codes = tuple(
+                int(i) for i, s in enumerate(vocab) if pred(str(s))
+            )
+            return InCodeSet(sexpr, codes, len(vocab))
 
         if is_string_func(node.name):
             # String-function literal args (CONCAT(name, '!'), REPLACE

@@ -131,14 +131,20 @@ class StringLiteral(Node):
 class LikePattern(Node):
     """``expr LIKE 'pat%'`` (extension).  Bound against the column's
     dictionary at plan lowering into an :class:`InCodeSet`.  ``ci``
-    marks the case-insensitive ILIKE spelling (PostgreSQL extension)."""
+    marks the case-insensitive ILIKE spelling (PostgreSQL extension);
+    ``regex`` marks the REGEXP / RLIKE spelling (MySQL extension) —
+    the pattern is then a full regular expression, matched with
+    ``re.search`` semantics against the vocabulary."""
 
     expr: Node
     pattern: str
     ci: bool = False
+    regex: bool = False
 
     def canonical(self) -> str:
-        word = "ILIKE" if self.ci else "LIKE"
+        word = (
+            "REGEXP" if self.regex else "ILIKE" if self.ci else "LIKE"
+        )
         return f"({self.expr.canonical()} {word} '{self.pattern}')"
 
     def children(self) -> tuple[Node, ...]:

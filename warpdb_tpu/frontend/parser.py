@@ -285,7 +285,8 @@ class _ExprParser:
                 )
                 or (
                     self.toks[self.pos + 1].type is TokenType.IDENTIFIER
-                    and self.toks[self.pos + 1].value.upper() == "ILIKE"
+                    and self.toks[self.pos + 1].value.upper()
+                    in ("ILIKE", "REGEXP", "RLIKE")
                 )
             )
         ):
@@ -331,11 +332,12 @@ class _ExprParser:
             "IN", "BETWEEN", "LIKE",
         ):
             return self._predicate_tail(node)
-        # ILIKE is contextual: only a following string literal makes it
-        # the operator (a bare column named "ilike" keeps working).
+        # ILIKE / REGEXP / RLIKE are contextual: only a following string
+        # literal makes them operators (bare columns with those names
+        # keep working).
         if (
             self.peek().type is TokenType.IDENTIFIER
-            and self.peek().value.upper() == "ILIKE"
+            and self.peek().value.upper() in ("ILIKE", "REGEXP", "RLIKE")
             and self.pos + 1 < len(self.toks)
             and self.toks[self.pos + 1].type is TokenType.STRING
         ):
@@ -408,6 +410,20 @@ class _ExprParser:
                 raise ParseError("Expected string pattern after ILIKE")
             self.advance()
             return LikePattern(node, tok.value, ci=True)
+        # REGEXP / RLIKE — contextual (MySQL's regex predicate): the
+        # pattern is a full regular expression with re.search
+        # semantics, matched against the vocabulary at plan lowering
+        # (one boolean LUT gather on device, same as LIKE).
+        if (
+            self.peek().type is TokenType.IDENTIFIER
+            and self.peek().value.upper() in ("REGEXP", "RLIKE")
+        ):
+            word = self.advance().value.upper()
+            tok = self.peek()
+            if tok.type is not TokenType.STRING:
+                raise ParseError(f"Expected string pattern after {word}")
+            self.advance()
+            return LikePattern(node, tok.value, regex=True)
         raise ParseError("Expected IN, BETWEEN or LIKE")
 
     def additive(self) -> Node:
