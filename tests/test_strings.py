@@ -682,3 +682,33 @@ def test_regexp_predicates():
         HostTable.from_dict({"regexp": np.arange(4, dtype=np.float32)})
     )
     assert db2.query_sql("SELECT regexp FROM t WHERE regexp > 2") == [3.0]
+
+
+def test_string_pad_split_search_functions():
+    """LPAD/RPAD/SPLIT_PART/REPEAT/INITCAP/STRPOS/INSTR — PostgreSQL
+    semantics, lowered through the same O(vocab) CodeMap transform as
+    the rest of the string functions."""
+    names = np.array(
+        ["a-b-c", "hello world", "x", "longword"], dtype=object
+    )
+    db = WarpDB(
+        HostTable.from_dict(
+            {"s": names, "v": np.arange(4, dtype=np.float32)}
+        )
+    )
+    out = db.query_sql_table(
+        "SELECT LPAD(s, 5, '*') AS l, RPAD(s, 5, '*') AS r, "
+        "SPLIT_PART(s, '-', 2) AS p, REPEAT(s, 2) AS rr, "
+        "INITCAP(s) AS ic, STRPOS(s, 'o') AS sp FROM t ORDER BY v ASC"
+    )
+    assert out["l"] == ["a-b-c", "hello", "****x", "longw"]
+    assert out["r"] == ["a-b-c", "hello", "x****", "longw"]
+    assert out["p"] == ["b", "", "", ""]
+    assert out["rr"] == ["a-b-ca-b-c", "hello worldhello world",
+                         "xx", "longwordlongword"]
+    assert out["ic"] == ["A-B-C", "Hello World", "X", "Longword"]
+    assert out["sp"] == [0.0, 5.0, 0.0, 2.0]
+    # Compose with predicates and GROUP BY.
+    assert db.query_sql_table(
+        "SELECT v FROM t WHERE STRPOS(s, 'world') > 0"
+    )["v"] == [1.0]

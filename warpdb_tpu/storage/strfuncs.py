@@ -34,6 +34,26 @@ from ..frontend.ast import (
 __all__ = ["is_string_func", "bind_string_func", "STRING_FUNCS"]
 
 
+def _pad(s: str, n, fill: str, left: bool) -> str:
+    # PostgreSQL semantics: truncate to n when longer, pad cyclically
+    # with ``fill`` otherwise.
+    n = max(int(float(n)), 0)
+    if len(s) >= n:
+        return s[:n]
+    fill = str(fill) or " "
+    pad = (fill * n)[: n - len(s)]
+    return pad + s if left else s + pad
+
+
+def _split_part(s: str, delim: str, n) -> str:
+    # PostgreSQL: 1-based field index; out-of-range yields "".
+    if delim == "":
+        raise ValidationError("SPLIT_PART: empty delimiter")
+    parts = s.split(str(delim))
+    i = int(float(n))
+    return parts[i - 1] if 1 <= i <= len(parts) else ""
+
+
 def _substr(s: str, start: float, length: Optional[float] = None) -> str:
     # SQL SUBSTR is 1-based; a zero/negative start clamps to 1
     # (SQLite/Postgres-compatible enough for the supported surface).
@@ -58,6 +78,17 @@ STRING_FUNCS = {
     "concat": ("str", None),  # variadic; special-cased below
     "length": ("num", lambda s: float(len(s))),
     "char_length": ("num", lambda s: float(len(s))),
+    # Padding / splitting / search (PostgreSQL semantics; LEFT/RIGHT
+    # are join-qualifier keywords, so SUBSTR covers those forms).
+    "lpad": ("str", lambda s, n, fill=" ": _pad(s, n, fill, True)),
+    "rpad": ("str", lambda s, n, fill=" ": _pad(s, n, fill, False)),
+    "split_part": ("str", _split_part),
+    "repeat": ("str", lambda s, n: s * max(int(float(n)), 0)),
+    "initcap": ("str", lambda s: s.title()),
+    # 1-based position of the substring; 0 when absent (PostgreSQL
+    # strpos / MySQL instr).
+    "strpos": ("num", lambda s, sub: float(s.find(str(sub)) + 1)),
+    "instr": ("num", lambda s, sub: float(s.find(str(sub)) + 1)),
     # Date-part extraction over ISO-8601 date/timestamp strings
     # ("YYYY-MM-DD[ HH:MM:SS]" — the reference has no date type at all;
     # ISO strings already sort chronologically through the dictionary,
