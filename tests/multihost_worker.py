@@ -127,6 +127,47 @@ def main() -> int:
     assert len(got3) == len(uniq3), (len(got3), len(uniq3))
     np.testing.assert_array_equal(got3, want3.astype(np.float32))
 
+    # Star-schema JOIN + GROUP BY across processes through plain SQL:
+    # the fact table spans both processes, the dimension registers
+    # host-side and reshards through the distributed join route.
+    qty = rng.integers(0, 16, total).astype(np.float32)
+    local4 = HostTable.from_dict(
+        {"price": price[start:end], "qty": qty[start:end]}
+    )
+    table4 = multihost.make_global_table(local4, total, mesh)
+    db4 = WarpDB.from_device_table(table4, mesh=mesh, name="t")
+    rate = (np.arange(16, dtype=np.float32) + 1.0) / 16.0
+    db4.register_table(
+        "rates",
+        HostTable.from_dict(
+            {"q": np.arange(16, dtype=np.float32), "rate": rate}
+        ),
+    )
+    got4 = np.asarray(
+        db4.query_sql(
+            "SELECT SUM(price * rates.rate) FROM t "
+            "JOIN rates ON qty = rates.q GROUP BY qty ORDER BY qty ASC"
+        )
+    )
+    want4 = np.array(
+        [
+            (price[qty == u] * rate[int(u)]).sum()
+            for u in np.sort(np.unique(qty))
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(got4, want4, rtol=1e-4)
+
+    # APPROX_COUNT_DISTINCT over the process-spanning mesh matches the
+    # replicated single-program estimate (same registers everywhere).
+    got5 = np.asarray(
+        db3.query_sql(
+            "SELECT APPROX_COUNT_DISTINCT(hk) FROM t GROUP BY hk "
+            "ORDER BY hk ASC LIMIT 3"
+        )
+    )
+    np.testing.assert_allclose(got5, np.ones(3, np.float32), rtol=0.05)
+
     print(f"proc {proc_id}: OK ({ng} groups over {nprocs} processes)")
     return 0
 
