@@ -620,10 +620,13 @@ def test_streaming_sql_count_distinct(tmp_path):
 
 
 def test_streaming_sql_approx_count_distinct(tmp_path):
-    """Streamed APPROX_COUNT_DISTINCT equals the in-memory estimate
-    EXACTLY: per-chunk u8 HLL registers merge by elementwise max (a
-    lossless union), so chunking cannot change the final registers —
-    only 4 KB of state per group regardless of value cardinality."""
+    """Streamed APPROX_COUNT_DISTINCT equals the in-memory estimate:
+    per-chunk u8 HLL registers merge by elementwise max (a lossless
+    union), so chunking cannot change the final registers — only 4 KB
+    of state per group regardless of value cardinality.  (Contract
+    holds within the 2048-group register gate: beyond it the in-memory
+    side legally returns EXACT counts and streaming refuses with the
+    COUNT(DISTINCT) remedy — covered below.)"""
     rng = np.random.default_rng(23)
     n = 30_000
     k = rng.integers(0, 3, n)
@@ -663,6 +666,28 @@ def test_streaming_sql_approx_count_distinct(tmp_path):
     np.testing.assert_allclose(
         list(g_stream.values())[0], list(g_mem.values())[0], rtol=1e-6
     )
+
+
+def test_streaming_approx_count_distinct_group_gate(tmp_path):
+    """Beyond the register-table gate (2048 groups per chunk) the
+    streaming APPROX path refuses with a clear remedy instead of
+    allocating an unbounded register table."""
+    import pytest as _pytest
+
+    from warpdb_tpu.errors import UnsupportedError
+
+    n = 3000
+    path = tmp_path / "many_groups.csv"
+    with open(path, "w") as f:
+        f.write("k,v\n")
+        for i in range(n):
+            f.write(f"{i},{i % 7}\n")
+    with _pytest.raises(UnsupportedError, match="COUNT\\(DISTINCT"):
+        WarpDB.query_streaming_sql(
+            str(path),
+            "SELECT k, APPROX_COUNT_DISTINCT(v) FROM t GROUP BY k",
+            rows_per_chunk=3000,
+        )
 
 
 def test_mesh_approx_count_distinct_matches_single_device(mesh):

@@ -712,3 +712,18 @@ def test_string_pad_split_search_functions():
     assert db.query_sql_table(
         "SELECT v FROM t WHERE STRPOS(s, 'world') > 0"
     )["v"] == [1.0]
+    # PostgreSQL edges: empty fill pads nothing (after truncation);
+    # INITCAP treats digits as word characters ('abc2def' stays
+    # 'Abc2def', unlike str.title()).
+    db2 = WarpDB(
+        HostTable.from_dict(
+            {"s": np.array(["abc2def", "hi"], dtype=object),
+             "v": np.arange(2, dtype=np.float32)}
+        )
+    )
+    out2 = db2.query_sql_table(
+        "SELECT INITCAP(s) AS ic, LPAD(s, 5, '') AS lp FROM t "
+        "ORDER BY v ASC"
+    )
+    assert out2["ic"] == ["Abc2def", "Hi"]
+    assert out2["lp"] == ["abc2d", "hi"]

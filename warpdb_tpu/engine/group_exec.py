@@ -1143,7 +1143,20 @@ def _grouped_hll(query, table, group_keys, expr, num_groups,
     cols = table.columns
     n_rows = jnp.int32(table.num_rows)
     capacity = _next_pow2(max(int(num_groups), 16))
-    if capacity * HLL_M > (1 << 23) and not want_registers:
+    if capacity * HLL_M > (1 << 23):
+        if want_registers:
+            # Streaming partials cannot silently switch representation
+            # (registers merge by max; exact counts don't): refuse with
+            # the remedy.  Register state at this group count would be
+            # G x 4 KB anyway — the approx form is the wrong tool.
+            from ..errors import UnsupportedError
+
+            raise UnsupportedError(
+                "APPROX_COUNT_DISTINCT streaming supports up to "
+                f"{(1 << 23) // HLL_M} groups per chunk (got "
+                f"{int(num_groups)}); use COUNT(DISTINCT ...) — its "
+                "streamed state is bounded by the distinct count"
+            )
         return _grouped_value_order_stat(
             query, table, group_keys, expr, num_groups, keys_canon,
             where_canon, AggregationType.COUNT_DISTINCT,

@@ -36,6 +36,7 @@ from ..frontend.ast import (
     walk,
 )
 from ..ops.join import (
+    dense_select_sweep,
     join_gather_indices,
     join_match_counts,
     join_match_counts_dense,
@@ -313,7 +314,6 @@ def _semicompact_join(
     total: int,
     dense_k: int,
     lcols_in: dict,
-    needed: Optional[set],
     _wanted,
 ) -> DeviceTable:
     """Probe-compacting unique-key INNER join (r3).
@@ -390,22 +390,11 @@ def _semicompact_join(
                 # Tiny build side: virtual (capacity, K) compare-select
                 # sweep beats per-row gathers (same trade as the lookup
                 # join's dense path).
-                j = jnp.arange(dense_k, dtype=jnp.int32)
-                eq = slot[:, None] == j[None, :]
-                rout = {}
-                for n in rnames:
-                    perm = rcols[n][p1.build_order]
-                    bits = lax.bitcast_convert_type(
-                        perm[:dense_k], jnp.uint32
-                    )
-                    t = jnp.sum(
-                        jnp.where(eq, bits[None, :], jnp.uint32(0)),
-                        axis=1,
-                    )
-                    t = jnp.where(out_valid, t, jnp.uint32(0))
-                    rout[n] = lax.bitcast_convert_type(
-                        t, rcols[n].dtype
-                    )
+                taken_r = dense_select_sweep(
+                    tuple(rcols[n][p1.build_order] for n in rnames),
+                    slot, out_valid, dense_k,
+                )
+                rout = dict(zip(rnames, taken_r))
             else:
                 perms = tuple(
                     rcols[n][p1.build_order] for n in rnames
@@ -569,29 +558,12 @@ def _materialize_join_local(
                 slot = jnp.clip(p1.lo, 0, n_build - 1)
                 perm = tuple(rcols[n][p1.build_order] for n in rnames)
                 if dense_k:
-                    # Tiny build side: per-row values via a virtual
-                    # (N, K) compare-select sweep — the per-row gather
-                    # costs ~0.18 s per 2^25 rows on v5e while K≤256
-                    # VPU passes cost single-digit ms (same trade as
-                    # dense GROUP BY).
-                    j = jnp.arange(dense_k, dtype=jnp.int32)
-                    eq = slot[:, None] == j[None, :]
-                    taken = []
-                    for n, c in zip(rnames, perm):
-                        bits = lax.bitcast_convert_type(
-                            c[:dense_k], jnp.uint32
-                        )
-                        # Exactly one slot matches per row, so the u32
-                        # sum selects that slot's bits exactly.
-                        t = jnp.sum(
-                            jnp.where(eq, bits[None, :], jnp.uint32(0)),
-                            axis=1,
-                        )
-                        t = jnp.where(valid, t, jnp.uint32(0))
-                        taken.append(
-                            lax.bitcast_convert_type(t, rcols[n].dtype)
-                        )
-                    taken = tuple(taken)
+                    # Tiny build side: virtual (N, K) compare-select
+                    # sweep instead of per-row gathers (ops/join.py
+                    # dense_select_sweep for the measured trade).
+                    taken = dense_select_sweep(
+                        perm, slot, valid, dense_k
+                    )
                 else:
                     taken = stacked_take(perm, slot, valid)
                 if row_matched is not None:
@@ -654,7 +626,7 @@ def _materialize_join_local(
     if bool(one2one) and kind == "inner" and total < left.num_rows:
         return _semicompact_join(
             left, right, right_name, phase1, total, dense_k,
-            lcols_in, needed, _wanted,
+            lcols_in, _wanted,
         )
 
     rcols_in = {
@@ -789,26 +761,14 @@ def _materialize_join_local(
         @jax.jit
         def take_build(cols_tuple, slot, valid, order):
             if dense_k:
-                # Tiny build side: per-row values via a virtual (N, K)
-                # compare-select sweep — per-row gathers cost ~0.7 s per
-                # column at 2^26 output rows while the K-lane VPU sweep
-                # costs tens of ms (same trade as the lookup join).
-                j = jnp.arange(dense_k, dtype=jnp.int32)
-                eq = slot[:, None] == j[None, :]
-                out = []
-                for c in cols_tuple:
-                    bits = lax.bitcast_convert_type(
-                        c[order][:dense_k], jnp.uint32
-                    )
-                    # Exactly one slot matches per valid row, so the u32
-                    # sum selects that slot's bits exactly.
-                    t = jnp.sum(
-                        jnp.where(eq, bits[None, :], jnp.uint32(0)),
-                        axis=1,
-                    )
-                    t = jnp.where(valid, t, jnp.uint32(0))
-                    out.append(lax.bitcast_convert_type(t, c.dtype))
-                return tuple(out)
+                # Tiny build side: virtual (N, K) compare-select sweep
+                # instead of per-row gathers — ~0.7 s per column at
+                # 2^26 output rows vs tens of ms (ops/join.py
+                # dense_select_sweep).
+                return dense_select_sweep(
+                    tuple(c[order] for c in cols_tuple),
+                    slot, valid, dense_k,
+                )
             # Small-source gathers: per-column 1-D takes on columns
             # pre-permuted into sorted-build order (the stacked 2-D form
             # re-materialises the 64x-padded gather when the operand is

@@ -28,8 +28,6 @@ loop, jit.cpp:179-246); this is a production-engine extension.
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -105,9 +103,10 @@ def hll_estimate(regs: jnp.ndarray) -> jnp.ndarray:
 
 def hll_estimate_np(regs: np.ndarray) -> np.ndarray:
     """NumPy twin of :func:`hll_estimate` for merged streaming partials
-    — kept in exact arithmetic lockstep (f32 throughout) so a streamed
-    estimate equals the in-memory one BIT-FOR-BIT (register merge by
-    max is lossless, so only the estimator could diverge)."""
+    — f32 throughout, mirroring the device estimator, so a streamed
+    estimate matches the in-memory one to float precision (the register
+    merge by max is exactly lossless; only estimator arithmetic could
+    diverge, and it is kept in lockstep)."""
     regs = np.asarray(regs)
     m = regs.shape[1]
     rf = regs.astype(np.float32)

@@ -199,6 +199,28 @@ def join_match_counts_dense(
     return JoinPhase1(order_s, bkey_s, lt, counts, total)
 
 
+def dense_select_sweep(cols, slot, valid, k_cap: int):
+    """Per-row values from a TINY (≤ ``k_cap`` rows) source via a
+    virtual (n, K) compare-select sweep — the dense GROUP BY trick
+    applied to build-side column resolution.  Per-row gathers cost
+    ~0.18 s per 2^25 random rows on v5e while K ≤ 256 VPU passes cost
+    single-digit ms.
+
+    ``cols`` must already be permuted into the order ``slot`` indexes
+    (callers pass ``col[build_order]``).  Exactly one slot matches per
+    valid row, so the masked u32 sum selects that slot's bits exactly
+    — bit-exact for any 32-bit dtype.  Invalid rows read zeros."""
+    j = jnp.arange(k_cap, dtype=jnp.int32)
+    eq = slot[:, None] == j[None, :]
+    out = []
+    for c in cols:
+        bits = lax.bitcast_convert_type(c[:k_cap], jnp.uint32)
+        t = jnp.sum(jnp.where(eq, bits[None, :], jnp.uint32(0)), axis=1)
+        t = jnp.where(valid, t, jnp.uint32(0))
+        out.append(lax.bitcast_convert_type(t, c.dtype))
+    return tuple(out)
+
+
 def stacked_take(cols, idx, valid):
     """Gather the same ``idx`` from C equally-sized columns in ONE take.
 

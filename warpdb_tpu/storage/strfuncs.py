@@ -34,15 +34,32 @@ from ..frontend.ast import (
 __all__ = ["is_string_func", "bind_string_func", "STRING_FUNCS"]
 
 
-def _pad(s: str, n, fill: str, left: bool) -> str:
-    # PostgreSQL semantics: truncate to n when longer, pad cyclically
-    # with ``fill`` otherwise.
+def _pad(s: str, n, fill: str = " ", left: bool = True) -> str:
+    # PostgreSQL semantics: truncate to n when longer; an explicitly
+    # empty fill pads nothing (the string returns unchanged).
     n = max(int(float(n)), 0)
     if len(s) >= n:
         return s[:n]
-    fill = str(fill) or " "
+    fill = str(fill)
+    if not fill:
+        return s
     pad = (fill * n)[: n - len(s)]
     return pad + s if left else s + pad
+
+
+def _initcap(s: str) -> str:
+    # PostgreSQL initcap: uppercase letters that follow a
+    # NON-ALPHANUMERIC character, lowercase the rest — digits count as
+    # word characters ('abc2def' → 'Abc2def'; str.title() would give
+    # 'Abc2Def').
+    out = []
+    prev_alnum = False
+    for ch in s:
+        out.append(
+            ch.upper() if (ch.isalpha() and not prev_alnum) else ch.lower()
+        )
+        prev_alnum = ch.isalnum()
+    return "".join(out)
 
 
 def _split_part(s: str, delim: str, n) -> str:
@@ -84,7 +101,7 @@ STRING_FUNCS = {
     "rpad": ("str", lambda s, n, fill=" ": _pad(s, n, fill, False)),
     "split_part": ("str", _split_part),
     "repeat": ("str", lambda s, n: s * max(int(float(n)), 0)),
-    "initcap": ("str", lambda s: s.title()),
+    "initcap": ("str", _initcap),
     # 1-based position of the substring; 0 when absent (PostgreSQL
     # strpos / MySQL instr).
     "strpos": ("num", lambda s, sub: float(s.find(str(sub)) + 1)),
