@@ -45,12 +45,13 @@ def _iso_dates(rng: np.random.Generator, n: int) -> np.ndarray:
 
 
 def make_tables(rows: int, seed: int = 42) -> dict:
-    """Generate the five tables.  ``rows`` = lineitem cardinality; the
+    """Generate the six tables.  ``rows`` = lineitem cardinality; the
     dimension cardinalities keep TPC-H's rough ratios (orders = rows/4,
-    customers = orders/10, 100 suppliers, 25 nations)."""
+    customers = orders/10, parts = rows/16, 100 suppliers, 25 nations)."""
     rng = np.random.default_rng(seed)
     n_orders = max(rows // 4, 64)
     n_cust = max(n_orders // 10, 16)
+    n_part = max(rows // 16, 32)
     n_supp = 100
     n_nation = 25
 
@@ -81,10 +82,31 @@ def make_tables(rows: int, seed: int = 42) -> dict:
         "o_shippriority": np.zeros(n_orders, dtype=np.float32),
         "o_totalprice": rng.uniform(1e3, 5e5, n_orders).astype(np.float32),
     }
+    # p_type mirrors dbgen's "<prefix> <finish> <metal>" grammar; 1/6 of
+    # types are PROMO% (the q14 numerator's LIKE predicate).
+    type_vocab = np.array(
+        [
+            f"{pre} {fin} {met}"
+            for pre in ("ECONOMY", "LARGE", "MEDIUM", "PROMO",
+                        "SMALL", "STANDARD")
+            for fin in ("ANODIZED", "BRUSHED", "BURNISHED", "PLATED",
+                        "POLISHED")
+            for met in ("BRASS", "COPPER", "NICKEL", "STEEL", "TIN")
+        ]
+    )
+    part = {
+        "p_partkey": np.arange(n_part, dtype=np.float32),
+        "p_type": type_vocab[rng.integers(0, len(type_vocab), n_part)],
+    }
     qty = rng.integers(1, 51, rows).astype(np.float32)
     price = (qty * rng.uniform(900, 1100, rows)).astype(np.float32)
+    # commit/receipt dates: ~60% of lineitems are received after their
+    # commit date (q4's "late" EXISTS predicate selects a real subset).
+    commit = _iso_dates(rng, rows)
+    receipt = _iso_dates(rng, rows)
     lineitem = {
         "l_orderkey": rng.integers(0, n_orders, rows).astype(np.float32),
+        "l_partkey": rng.integers(0, n_part, rows).astype(np.float32),
         "l_suppkey": rng.integers(0, n_supp, rows).astype(np.float32),
         "l_quantity": qty,
         "l_extendedprice": price,
@@ -94,6 +116,8 @@ def make_tables(rows: int, seed: int = 42) -> dict:
         "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, rows)],
         "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, rows)],
         "l_shipdate": _iso_dates(rng, rows),
+        "l_commitdate": commit,
+        "l_receiptdate": receipt,
         "l_shipmode": np.array(
             ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
         )[rng.integers(0, 7, rows)],
@@ -104,6 +128,7 @@ def make_tables(rows: int, seed: int = 42) -> dict:
         "customer": customer,
         "supplier": supplier,
         "nation": nation,
+        "part": part,
     }
 
 
@@ -135,6 +160,17 @@ QUERIES = {
         "AND l_shipdate > '1995-03-15' "
         "GROUP BY l_orderkey ORDER BY revenue DESC LIMIT 10"
     ),
+    # Q4 order priority checking: correlated EXISTS (decorrelates into a
+    # grouped LEFT semi-join) under a date-range filter on the outer.
+    "q4": (
+        "SELECT o_orderpriority, COUNT(*) AS n "
+        "FROM orders "
+        "WHERE o_orderdate >= '1993-07-01' AND o_orderdate < '1993-10-01' "
+        "AND EXISTS (SELECT * FROM lineitem "
+        "WHERE l_orderkey = o_orderkey "
+        "AND l_commitdate < l_receiptdate) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority ASC"
+    ),
     # Q5-style local supplier volume: fact -> supplier -> nation chain,
     # GROUP BY nation name (string), revenue-ordered.
     "q5": (
@@ -153,6 +189,19 @@ QUERIES = {
         "AND l_shipdate < '1995-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     ),
+    # Q10 returned item reporting: three-way join with selective filters
+    # on fact AND both dimensions, high-cardinality GROUP BY, top-20.
+    "q10": (
+        "SELECT customer.c_custkey, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = orders.o_orderkey "
+        "JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "WHERE l_returnflag = 'R' "
+        "AND orders.o_orderdate >= '1993-10-01' "
+        "AND orders.o_orderdate < '1994-01-01' "
+        "GROUP BY customer.c_custkey ORDER BY revenue DESC LIMIT 20"
+    ),
     # Q12 shipping modes: join + CASE-based conditional aggregation.
     "q12": (
         "SELECT l_shipmode, "
@@ -164,6 +213,15 @@ QUERIES = {
         "WHERE l_shipmode IN ('MAIL', 'SHIP') "
         "AND l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01' "
         "GROUP BY l_shipmode ORDER BY l_shipmode ASC"
+    ),
+    # Q14 promotion effect: part-dimension join, LIKE-gated CASE
+    # numerator, expression OVER two global aggregates (ratio).
+    "q14": (
+        "SELECT 100 * SUM(CASE WHEN part.p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue "
+        "FROM lineitem JOIN part ON l_partkey = part.p_partkey "
+        "WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'"
     ),
     # Q18-style large-volume customers: high-cardinality GROUP BY with
     # HAVING over SUM, top-k.
