@@ -100,10 +100,16 @@ def make_tables(rows: int, seed: int = 42) -> dict:
     }
     qty = rng.integers(1, 51, rows).astype(np.float32)
     price = (qty * rng.uniform(900, 1100, rows)).astype(np.float32)
-    # commit/receipt dates: ~60% of lineitems are received after their
-    # commit date (q4's "late" EXISTS predicate selects a real subset).
-    commit = _iso_dates(rng, rows)
-    receipt = _iso_dates(rng, rows)
+    # commit/receipt dates: receipt = commit + offset drawn from [-20, 30)
+    # days, so ~60% of lineitems are received strictly after their commit
+    # date (q4's "late" EXISTS predicate selects a real, biased subset —
+    # roughly dbgen's late fraction).
+    commit_offs = rng.integers(0, _DAYS, rows)
+    receipt_offs = np.clip(
+        commit_offs + rng.integers(-20, 30, rows), 0, _DAYS - 1
+    )
+    commit = (_D0 + commit_offs.astype("timedelta64[D]")).astype(str)
+    receipt = (_D0 + receipt_offs.astype("timedelta64[D]")).astype(str)
     lineitem = {
         "l_orderkey": rng.integers(0, n_orders, rows).astype(np.float32),
         "l_partkey": rng.integers(0, n_part, rows).astype(np.float32),
@@ -332,6 +338,48 @@ def oracle(tables: dict, name: str) -> dict:
         uk, s = uk[keep], s[keep]
         order = np.argsort(-s, kind="stable")[:100]
         return {"key": uk[order].tolist(), "total_qty": s[order].tolist()}
+    if name == "q4":
+        late = li["l_commitdate"] < li["l_receiptdate"]
+        late_orders = np.unique(li["l_orderkey"][late])
+        m = (
+            (od["o_orderdate"] >= "1993-07-01")
+            & (od["o_orderdate"] < "1993-10-01")
+            & np.isin(od["o_orderkey"], late_orders)
+        )
+        uk, counts = np.unique(od["o_orderpriority"][m], return_counts=True)
+        return {"key": uk.tolist(), "n": counts.tolist()}
+    if name == "q10":
+        ord_ok = (od["o_orderdate"] >= "1993-10-01") & (
+            od["o_orderdate"] < "1994-01-01"
+        )
+        okey_to_cust = dict(
+            zip(od["o_orderkey"][ord_ok].tolist(),
+                od["o_custkey"][ord_ok].tolist())
+        )
+        m = (li["l_returnflag"] == "R") & np.isin(
+            li["l_orderkey"], list(okey_to_cust)
+        )
+        cust = np.asarray(
+            [okey_to_cust[k] for k in li["l_orderkey"][m].tolist()]
+        )
+        uk, s = _group_sum(
+            cust, li["l_extendedprice"][m] * (1 - li["l_discount"][m])
+        )
+        order = np.argsort(-s, kind="stable")[:20]
+        return {"key": uk[order].tolist(), "revenue": s[order].tolist()}
+    if name == "q14":
+        pt = tables["part"]["p_type"][li["l_partkey"].astype(int)]
+        m = (li["l_shipdate"] >= "1995-09-01") & (
+            li["l_shipdate"] < "1995-10-01"
+        )
+        rev = (
+            li["l_extendedprice"][m].astype(np.float64)
+            * (1 - li["l_discount"][m].astype(np.float64))
+        )
+        promo = np.char.startswith(pt[m].astype(str), "PROMO")
+        return {
+            "promo_revenue": [float(100.0 * rev[promo].sum() / rev.sum())]
+        }
     raise KeyError(name)
 
 
@@ -347,20 +395,26 @@ def check_results(name: str, got: dict, want: dict, rtol=2e-3) -> None:
         np.testing.assert_allclose(got["sum_disc"], want["sum_disc"],
                                    rtol=rtol)
         np.testing.assert_allclose(got["n"], want["n"])
-    elif name in ("q3", "q5", "q18"):
-        vcol = "revenue" if name != "q18" else "total_qty"
+    elif name in ("q3", "q5", "q10", "q18"):
+        vcol = "total_qty" if name == "q18" else "revenue"
         np.testing.assert_allclose(
             np.sort(np.asarray(got[vcol], np.float64))[::-1],
             np.sort(np.asarray(want[vcol], np.float64))[::-1],
             rtol=rtol,
         )
-    elif name == "q6":
-        np.testing.assert_allclose(got["revenue"], want["revenue"],
-                                   rtol=rtol)
+    elif name == "q4":
+        assert cols[0] == want["key"], (cols[0], want["key"])
+        np.testing.assert_allclose(got["n"], want["n"])
+    elif name in ("q6", "q14"):
+        vcol = "revenue" if name == "q6" else "promo_revenue"
+        np.testing.assert_allclose(got[vcol], want[vcol], rtol=rtol)
     elif name == "q12":
         assert cols[0] == want["key"]
         np.testing.assert_allclose(got["high"], want["high"], rtol=rtol)
         np.testing.assert_allclose(got["low"], want["low"], rtol=rtol)
+    else:
+        # A query without a check branch must never "pass" vacuously.
+        raise KeyError(f"check_results has no branch for {name!r}")
 
 
 def build_db(tables: dict, mesh=None):
@@ -368,7 +422,12 @@ def build_db(tables: dict, mesh=None):
     from warpdb_tpu.storage import HostTable
 
     db = WarpDB(HostTable.from_dict(tables["lineitem"]), mesh=mesh)
-    for name in ("orders", "customer", "supplier", "nation"):
+    # Every relation the suite names is explicitly registered — including
+    # the fact table under "lineitem" (subquery FROMs resolve through the
+    # catalog; the unknown-name demo fallback is disabled once a catalog
+    # exists, see engine/executor.py::_validate_relations).
+    db.register_table("lineitem", db.table)
+    for name in ("orders", "customer", "supplier", "nation", "part"):
         db.register_table(name, HostTable.from_dict(tables[name]))
     return db
 

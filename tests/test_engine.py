@@ -4596,6 +4596,38 @@ def test_qualified_star():
         db.query_sql("SELECT nope.* FROM t")
 
 
+def test_unknown_table_raises_once_catalog_registered():
+    """Strict relation resolution (VERDICT r3 #2): without registered
+    tables any FROM name resolves to the primary (reference demo
+    semantics, warpdb.hpp:22-23); the moment a table is registered an
+    unknown FROM / JOIN / subquery relation must raise — a silent
+    fallback would execute against the wrong table."""
+    db = WarpDB(HostTable.from_dict({
+        "k": np.array([0.0, 1.0, 2.0], np.float32),
+        "v": np.array([5.0, 6.0, 7.0], np.float32),
+    }))
+    # Lenient while nothing is registered.
+    assert db.query_sql("SELECT v FROM anything WHERE k > 0") == [6.0, 7.0]
+    db.register_table("d", HostTable.from_dict({
+        "k": np.array([0.0, 1.0], np.float32),
+        "w": np.array([9.0, 8.0], np.float32),
+    }))
+    # The primary stays reachable by its name and the reserved alias.
+    assert db.query_sql("SELECT v FROM t WHERE k > 0") == [6.0, 7.0]
+    assert db.query_sql("SELECT v FROM table WHERE k > 0") == [6.0, 7.0]
+    with pytest.raises(ValidationError, match="Unknown table: nosuchtable"):
+        db.query_sql("SELECT v FROM nosuchtable")
+    with pytest.raises(ValidationError, match="Unknown table: nodim"):
+        db.query_sql("SELECT v FROM t JOIN nodim ON k = nodim.k")
+    with pytest.raises(ValidationError, match="Unknown table: nosub"):
+        db.query_sql(
+            "SELECT v FROM t WHERE EXISTS (SELECT * FROM nosub "
+            "WHERE nosub.k = k)"
+        )
+    with pytest.raises(ValidationError, match="Unknown table: noref"):
+        db.query_sql_table("SELECT * FROM (SELECT v FROM noref) sub")
+
+
 # --- table aliases and self-joins -------------------------------------------
 
 

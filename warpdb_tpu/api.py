@@ -105,8 +105,25 @@ def decode_result_column(item, values: np.ndarray, table, catalog=None) -> list:
     return np.asarray(values).tolist()
 
 
+class Catalog(dict):
+    """Relation-name catalog: name -> DeviceTable.
+
+    ``strict`` starts False (reference demo semantics: any FROM name
+    resolves to the primary table, warpdb.hpp:22-23) and flips True the
+    moment the user registers a table — from then on an unknown
+    FROM/JOIN/subquery relation raises ``Unknown table: X`` instead of
+    silently executing against the wrong relation."""
+
+    strict = False
+
+
 class WarpDB:
     """A columnar table loaded onto TPU, queryable with expressions or SQL.
+
+    The primary (constructor) table is registered under its own name
+    (the file stem, or "table" for in-memory sources) and under the
+    reserved alias ``t`` — so ``FROM t`` always means the primary
+    relation, even after other tables are registered.
 
     Example::
 
@@ -142,7 +159,9 @@ class WarpDB:
             self._table = shard_table(self._host, mesh)
         else:
             self._table = DeviceTable.from_host(self._host, sharding=sharding)
-        self._catalog: dict[str, DeviceTable] = {self._name: self._table}
+        self._catalog: Catalog = Catalog(
+            {self._name: self._table, "t": self._table}
+        )
 
     @classmethod
     def from_device_table(
@@ -157,7 +176,7 @@ class WarpDB:
         db._name = name
         db._mesh = mesh
         db._table = table
-        db._catalog = {name: table}
+        db._catalog = Catalog({name: table, "t": table})
         return db
 
     def distribute(self, mesh=None) -> "WarpDB":
@@ -171,6 +190,8 @@ class WarpDB:
         self._mesh = mesh if mesh is not None else data_mesh()
         self._table = shard_table(self._host, self._mesh)
         self._catalog[self._name] = self._table
+        if self._catalog.get("t") is not None:
+            self._catalog["t"] = self._table
         return self
 
     # -- introspection -----------------------------------------------------
@@ -197,7 +218,12 @@ class WarpDB:
 
     def register_table(self, name: str, source, schema=None) -> None:
         """Register an additional table for JOINs (exceeds the reference,
-        which resolved every JOIN to the same table, warpdb.hpp:22-23)."""
+        which resolved every JOIN to the same table, warpdb.hpp:22-23).
+
+        Registering any table turns strict relation resolution on:
+        unknown FROM/JOIN/subquery names raise ``Unknown table: X``
+        from then on (the primary stays reachable via its own name and
+        the reserved ``t`` alias)."""
         if isinstance(source, DeviceTable):
             self._catalog[name] = source
         elif isinstance(source, HostTable):
@@ -206,6 +232,7 @@ class WarpDB:
             self._catalog[name] = DeviceTable.from_host(
                 load_table(str(source), schema)
             )
+        self._catalog.strict = True
 
     # -- expression path (reference WarpDB::query, warpdb.cpp:199-256) ------
     def _parse_expr_query(self, expr: str):
@@ -269,14 +296,21 @@ class WarpDB:
         return result
 
     def _base_table(self, ast, catalog=None):
-        """The FROM relation: routes through the registered-table
-        catalog (primary table is the fallback).  A derived table's
-        ``from_table`` is its ALIAS — never a catalog lookup."""
+        """The FROM relation, routed through the registered-table
+        catalog.  A derived table's ``from_table`` is its ALIAS — never
+        a catalog lookup.  With only the primary table registered, any
+        FROM name resolves to it (the reference's demo semantics,
+        warpdb.hpp:22-23); once tables are registered, an unknown name
+        raises (see executor._validate_relations)."""
         if getattr(ast, "from_subquery", None) is not None:
             return self._table
         if catalog is None:
             catalog = self._catalog
         name = getattr(ast, "from_source", None) or ast.from_table
+        if name not in catalog and getattr(
+            catalog, "strict", len(catalog) > 2
+        ):
+            raise ValidationError(f"Unknown table: {name}")
         return catalog.get(name, self._table)
 
     def _resolve_ctes(self, ast, catalog=None) -> dict:
@@ -301,7 +335,9 @@ class WarpDB:
         memo = getattr(self, "_cte_memo", None)
         if memo is None:
             memo = self._cte_memo = OrderedDict()
-        catalog = dict(catalog)
+        strict = getattr(catalog, "strict", len(catalog) > 2)
+        catalog = Catalog(catalog)
+        catalog.strict = strict
         for name, q in ctes:
             inner = self._resolve_ctes(q, catalog)  # nested WITH
             if getattr(q, "ctes", None):
@@ -397,6 +433,9 @@ class WarpDB:
         is the per-statement catalog (CTEs extend it)."""
         if catalog is None:
             catalog = self._catalog
+        from .engine.executor import _validate_relations
+
+        _validate_relations(ast, catalog)
         if table is None:
             table = self._base_table(ast, catalog)
         cols = set(table.dtypes.keys())

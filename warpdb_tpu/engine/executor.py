@@ -463,6 +463,66 @@ def _resolve_alias_catalog(query, table, catalog):
     return catalog
 
 
+def _validate_relations(query, catalog, outer_names=frozenset()) -> None:
+    """Strict relation-name resolution: every FROM / JOIN / subquery
+    relation must be a registered catalog name.
+
+    Until the user registers a table the reference's demo semantics
+    stay: any FROM name resolves to the primary table ("loads the same
+    table for demonstration", warpdb.hpp:22-23).  Once a catalog is
+    strict (``api.Catalog.strict``, set by register_table), that
+    fallback would silently execute against the wrong relation — here
+    it raises ``Unknown table: X`` instead.  Plain-dict catalogs (CTE /
+    internal copies) count as strict when they hold more than the
+    primary + its reserved ``t`` alias.
+    """
+    if catalog is None:
+        return
+    strict = getattr(catalog, "strict", None)
+    if strict is None:
+        strict = len(catalog) > 2
+    if not strict:
+        return
+    names = set(catalog) | set(outer_names)
+    local: set = set()
+
+    def check(real_name, alias=None):
+        if real_name and real_name not in names:
+            raise ValidationError(f"Unknown table: {real_name}")
+        if real_name:
+            local.add(real_name)
+        if alias:
+            local.add(alias)
+
+    if getattr(query, "from_subquery", None) is not None:
+        _validate_relations(query.from_subquery, catalog, names)
+        local.add(query.from_table)  # derived-table alias
+    else:
+        check(
+            getattr(query, "from_source", None) or query.from_table,
+            query.from_table,
+        )
+    for j in query.joins:
+        if j.table.startswith(_CORR_PREFIX):
+            continue  # decorrelation plumbing, not a user relation
+        check(j.source or j.table, j.table)
+    for _op, _all_flag, branch in getattr(query, "set_ops", ()) or ():
+        _validate_relations(branch, catalog, names)
+    clause_nodes = [
+        *query.select_list, query.where, query.having,
+        getattr(query, "qualify", None),
+        *(query.group_by.keys if query.group_by else ()),
+        *((t.expr for t in query.order_by.terms) if query.order_by else ()),
+    ]
+    for n in clause_nodes:
+        if n is None:
+            continue
+        for x in walk(n):
+            if isinstance(x, (ScalarSubquery, InSubquery, ExistsSubquery)):
+                # Subqueries may name outer relations (correlation).
+                _validate_relations(x.query, catalog, names | local)
+
+
 def _resolve_from_subquery(query, table, catalog, mesh):
     """Materialise a derived table (``FROM (SELECT …) AS alias``): run
     the inner query through the normal table pipeline, land its columns
@@ -1250,6 +1310,7 @@ def run_query(
         first = next(iter(out.values()), None)
         return np.zeros(0, np.float32) if first is None else first
     query = resolve_order_aliases(query)
+    _validate_relations(query, catalog)
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
     catalog = _resolve_alias_catalog(query, table, catalog)
@@ -2835,6 +2896,7 @@ def run_query_table(
             "query_sql_table"
         )
 
+    _validate_relations(query, catalog)
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
     catalog = _resolve_alias_catalog(query, table, catalog)
