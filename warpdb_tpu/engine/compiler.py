@@ -17,7 +17,11 @@ compiler:
 Numeric semantics: every column and constant is evaluated in float32,
 matching the reference's all-``float`` pipeline (expression.hpp:32-38,
 cuda kernels take ``float*``), so results are bit-comparable where the
-reference is deterministic.
+reference is deterministic.  ONE deliberate exception: comparisons whose
+operands are both integral (INT column / dictionary code / integral
+literal) compare in int32 — an f32 comparison would collide key values
+beyond 2^24 (the reference's Int32/Int64 DataTypes, csv_loader.hpp:13,
+promise exact integer semantics).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from ..errors import ExecutionError, ValidationError
 from ..frontend.ast import (
     Aggregation,
     Alias,
+    unalias,
     BinaryOp,
     CaseWhen,
     Constant,
@@ -52,6 +57,7 @@ from . import udf as udf_mod
 
 __all__ = [
     "build_evaluator",
+    "raw_int_item",
     "compile_filter_project",
     "schema_signature",
     "clear_cache",
@@ -69,6 +75,133 @@ def _as_f32(x):
     if x.dtype == jnp.bool_ or x.dtype != jnp.float32:
         return x.astype(jnp.float32)
     return x
+
+
+def _const_value(node):
+    """Fold an all-Constant arithmetic subtree in f64 (exact for integer
+    literals: the grammar has no unary minus, so ``-16777217`` arrives
+    as ``0 - 16777217`` — an f32 fold would round it).  None when the
+    subtree isn't constant."""
+    if isinstance(node, Alias):
+        return _const_value(node.expr)
+    if isinstance(node, Constant):
+        return float(node.value)
+    if isinstance(node, BinaryOp) and node.op in ("+", "-", "*", "/"):
+        l = _const_value(node.left)
+        r = _const_value(node.right)
+        if l is None or r is None:
+            return None
+        if node.op == "+":
+            return l + r
+        if node.op == "-":
+            return l - r
+        if node.op == "*":
+            return l * r
+        return l / r if r != 0 else None
+    return None
+
+
+def _raw_operand(node):
+    """Evaluator for a COMPARISON operand preserving exactness:
+
+    * bare Variable -> the raw device array (int32 for INT/string-code
+      columns, f32 otherwise);
+    * constant subtree -> the Python float (f64: integer literals stay
+      exact, including parenthesised/negated forms);
+    * anything else -> the normal f32 evaluator.
+    """
+    if isinstance(node, Alias):
+        return _raw_operand(node.expr)
+    cval = _const_value(node)
+    if cval is not None:
+        return lambda cols: cval
+    if isinstance(node, Variable):
+        name, uname = node.name, node.unqualified
+
+        def raw_var(cols):
+            arr = cols.get(name)
+            if arr is None:
+                arr = cols.get(uname)
+            if arr is None:
+                raise ValidationError(f"Unknown column: {name}")
+            return arr
+
+        return raw_var
+    return build_evaluator(node)
+
+
+def _exact_compare(cmp, op, lhs, rhs):
+    """Comparison with integer-exact semantics where possible.
+
+    int-array vs int-array (or integral scalar) compares in int32 (f32
+    would collide values beyond 2^24); int-array vs NON-integral scalar
+    rewrites to the equivalent exact integer comparison
+    (``k < 2.5`` ⟺ ``k <= 2``); everything else compares in f32 as the
+    reference does."""
+
+    def is_int_arr(x):
+        return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.integer)
+
+    def as_arr_f32(x):
+        return jnp.float32(x) if isinstance(x, float) else _as_f32(x)
+
+    import math
+
+    li, ri = is_int_arr(lhs), is_int_arr(rhs)
+    if li and ri:
+        return cmp(lhs, rhs)
+    for a, b, swap in ((lhs, rhs, False), (rhs, lhs, True)):
+        if not (is_int_arr(a) and isinstance(b, float)):
+            continue
+        if float(b).is_integer() and -(2.0**31) <= b <= 2.0**31 - 1:
+            bi = jnp.int32(int(b))
+            return cmp(a, bi) if not swap else cmp(bi, a)
+        if op in ("==", "="):
+            return jnp.zeros(a.shape, jnp.bool_)
+        if op == "!=":
+            return jnp.ones(a.shape, jnp.bool_)
+        if math.isfinite(b) and -(2.0**31) < b < 2.0**31 - 1:
+            # int-array <op> non-integral scalar: exact integer rewrite
+            # in the array's frame (``k < 2.5`` ⟺ ``k <= 2``).
+            effective = op if not swap else {
+                "<": ">", "<=": ">=", ">": "<", ">=": "<="
+            }[op]
+            if effective in ("<", "<="):
+                return a <= jnp.int32(int(math.floor(b)))
+            return a >= jnp.int32(int(math.ceil(b)))
+        break  # out-of-int32-range scalar: f32 handles the ±inf regime
+    return cmp(as_arr_f32(lhs), as_arr_f32(rhs))
+
+
+def raw_int_item(item, table):
+    """``(raw evaluator, np output dtype)`` when ``item`` is a bare INT
+    column whose device array is integer-typed, else None.
+
+    Such items evaluate/carry/emit RAW int32 (the reference's
+    Int32/Int64 DataTypes, csv_loader.hpp:13, promise exact integer
+    values; an f32 carry collides beyond 2^24).  Joined/derived tables
+    may have demoted an INT column to f32 (outer-join NaN fills) — the
+    device dtype is the authority, so those fall back to f32 here."""
+    import numpy as np
+
+    node = unalias(item)
+    if not isinstance(node, Variable):
+        return None
+    dt = table.dtypes.get(node.name) or table.dtypes.get(node.unqualified)
+    if dt is None or getattr(dt, "value", None) not in ("int32", "int64"):
+        return None
+    arr = table.columns.get(node.name)
+    if arr is None:
+        arr = table.columns.get(node.unqualified)
+    if arr is None or not np.issubdtype(np.dtype(arr.dtype), np.integer):
+        return None
+    name, uname = node.name, node.unqualified
+
+    def raw_fn(cols):
+        a = cols.get(name)
+        return a if a is not None else cols[uname]
+
+    return raw_fn, (np.int64 if dt.value == "int64" else np.int32)
 
 
 def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
@@ -120,7 +253,11 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
                 "=": jnp.equal,
                 "!=": jnp.not_equal,
             }[op]
-            return lambda cols: cmp(_as_f32(left(cols)), _as_f32(right(cols)))
+            lraw = _raw_operand(node.left)
+            rraw = _raw_operand(node.right)
+            return lambda cols: _exact_compare(
+                cmp, op, lraw(cols), rraw(cols)
+            )
         arith = {
             "+": jnp.add,
             "-": jnp.subtract,

@@ -1404,6 +1404,9 @@ from .group_exec import (  # noqa: E402
 )
 
 
+from .compiler import raw_int_item as _raw_int_item  # noqa: E402
+
+
 def _run_projection_multi(
     query: Query, table: DeviceTable, select_items: list
 ) -> list[np.ndarray]:
@@ -1458,17 +1461,30 @@ def _run_projection_multi(
     pkey = ("project_multi", items_canon, where_canon, order_canon, sort_cap,
             filter_cap, schema_signature(cols), udf_mod.registry_version())
 
+    raw_specs = [_raw_int_item(s, table) for s in select_items]
+
     def build():
-        sel_fns = [build_evaluator(s) for s in select_items]
-        cond_fn = build_evaluator(where) if where is not None else None
-        ord_fns = [
-            (build_evaluator(t.expr), t.ascending) for t in order_terms
+        sel_fns = [
+            r[0] if r is not None else build_evaluator(s)
+            for s, r in zip(select_items, raw_specs)
         ]
+        cond_fn = build_evaluator(where) if where is not None else None
+        ord_fns = []
+        for t in order_terms:
+            r = _raw_int_item(t.expr, table)
+            ord_fns.append(
+                (r[0] if r is not None else build_evaluator(t.expr),
+                 t.ascending)
+            )
 
         @jax.jit
         def kernel(cols, num_rows):
+            # Bare INT columns ride raw (int32); everything else f32.
             outs = tuple(
-                _broadcast(_as_f32(f(cols)), cols) for f in sel_fns
+                _broadcast(
+                    f(cols) if r is not None else _as_f32(f(cols)), cols
+                )
+                for f, r in zip(sel_fns, raw_specs)
             )
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
@@ -1494,7 +1510,11 @@ def _run_projection_multi(
 
             keys = []
             for i, (f, asc) in enumerate(ord_fns):
-                kk = _broadcast(_as_f32(f(cols)), cols)
+                kk = _broadcast(f(cols), cols)
+                if not jnp.issubdtype(kk.dtype, jnp.integer):
+                    kk = _as_f32(kk)
+                # order_key dispatches: int arrays key on raw int bits
+                # (exact beyond 2^24), floats on the f32 total order.
                 keys.append(order_key(kk, valid if i == 0 else None, asc))
             nk = len(keys)
             sorted_ops = jax.lax.sort(
@@ -1513,7 +1533,10 @@ def _run_projection_multi(
         get_or_compile(pkey, build)(cols, n_rows)
     )
     count = int(count)
-    return [out[:count].astype(np.float32) for out in outs]
+    return [
+        out[:count].astype(np.float32 if r is None else r[1])
+        for out, r in zip(outs, raw_specs)
+    ]
 
 
 def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
@@ -1572,12 +1595,16 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
         and single_term
         and expr_range(order_terms[0].expr, table.stats) is not None
     )
+    raw_spec = _raw_int_item(select, table)
     use_topk = (
         same_expr
         and not distinct
         and order_nan_free
         and query.limit is not None
         and 0 < limit_total < table.padded_rows // 2
+        # The value-space top-k pull works in f32 (±inf sentinels) —
+        # raw INT selects take the exact sort path instead.
+        and raw_spec is None
     )
     topk_k = _next_pow2(max(limit_total, 16)) if use_topk else 0
 
@@ -1641,17 +1668,32 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     def build():
         from ..ops.sort import sort_by_keys
 
-        sel_fn = build_evaluator(select)
-        cond_fn = build_evaluator(where) if where is not None else None
-        ord_fns = (
-            [(build_evaluator(t.expr), t.ascending) for t in order_terms]
-            if order is not None and not same_expr
-            else None
+        sel_fn = raw_spec[0] if raw_spec is not None else build_evaluator(
+            select
         )
+        cond_fn = build_evaluator(where) if where is not None else None
+        ord_fns = None
+        if order is not None and not same_expr:
+            ord_fns = []
+            for t in order_terms:
+                r = _raw_int_item(t.expr, table)
+                ord_fns.append(
+                    (r[0] if r is not None else build_evaluator(t.expr),
+                     t.ascending)
+                )
+
+        def _order_operand(x):
+            # order_key / sort_* dispatch on dtype: raw int arrays key
+            # exactly, anything else evaluates f32 as before.
+            return x if jnp.issubdtype(x.dtype, jnp.integer) else _as_f32(x)
 
         @jax.jit
         def kernel(cols, num_rows):
-            vals = _broadcast(_as_f32(sel_fn(cols)), cols)
+            vals = _broadcast(
+                sel_fn(cols) if raw_spec is not None
+                else _as_f32(sel_fn(cols)),
+                cols,
+            )
             n_pad = vals.shape[0]
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
@@ -1665,11 +1707,13 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
                     else:
                         out = sort_values(vals, valid, order.ascending)
                 elif single_term:
-                    okeys = _broadcast(_as_f32(ord_fns[0][0](cols)), cols)
+                    okeys = _order_operand(
+                        _broadcast(ord_fns[0][0](cols), cols)
+                    )
                     out, _ = sort_pairs(okeys, vals, valid, order.ascending)
                 else:
                     keys = [
-                        (_broadcast(_as_f32(f(cols)), cols), asc)
+                        (_order_operand(_broadcast(f(cols), cols)), asc)
                         for f, asc in ord_fns
                     ]
                     out = sort_by_keys(keys, vals, valid)
@@ -1694,11 +1738,12 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     )
     count = int(count)
 
+    out_dtype = np.float32 if raw_spec is None else raw_spec[1]
     if use_topk:
-        return out[: min(limit_total, count)].astype(np.float32)
+        return out[: min(limit_total, count)].astype(out_dtype)
     if valid is not None:
-        return out[valid].astype(np.float32)
-    return out[:count].astype(np.float32)
+        return out[valid].astype(out_dtype)
+    return out[:count].astype(out_dtype)
 
 
 def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
@@ -1722,12 +1767,14 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
     limit_cap = None
     if query.limit is not None and (order is None or order.ascending):
         limit_cap = query.limit + (query.offset or 0)
+    raw_spec = _raw_int_item(select, table)
+    out_dtype = np.float32 if raw_spec is None else raw_spec[1]
     dres = _try_dense_group(
         query, table, [select], [Constant("1")], ["1.0f"], where_canon,
         need=(), limit_cap=limit_cap,
     )
     if dres is not None:
-        values = np.asarray(dres.keys[0], np.float32)
+        values = np.asarray(dres.keys[0]).astype(out_dtype)
         if order is not None and not order.ascending:
             values = values[::-1].copy()
         return values
@@ -1739,7 +1786,9 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
             schema_signature(cols), udf_mod.registry_version())
 
     def build_sort():
-        sel_fn = build_evaluator(select)
+        sel_fn = raw_spec[0] if raw_spec is not None else build_evaluator(
+            select
+        )
         cond_fn = build_evaluator(where) if where is not None else None
 
         @jax.jit
@@ -1747,7 +1796,11 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            vals = _broadcast(_as_f32(sel_fn(cols)), cols)
+            vals = _broadcast(
+                sel_fn(cols) if raw_spec is not None
+                else _as_f32(sel_fn(cols)),
+                cols,
+            )
             return group_sort_stage((vals,), (), valid)
 
         return kernel
@@ -1786,7 +1839,7 @@ def _run_distinct(query: Query, table: DeviceTable, select) -> np.ndarray:
     # names the same expression (having_distinct_test.cpp:9-11).
     if order is not None and not order.ascending:
         values = values[::-1].copy()
-    return values.astype(np.float32)
+    return values.astype(out_dtype)
 
 
 def _global_agg_value(agg, param, vals, valid):

@@ -95,7 +95,12 @@ def _group_level_eval(
              getattr(node, "param", None))
         ]
     if isinstance(node, Constant):
-        return np.float32(node.value)
+        v = float(node.value)
+        if v.is_integer() and abs(v) >= 2**24 and abs(v) <= 2**53:
+            # f32 would round large integer literals (HAVING k = 2^24+1
+            # must compare exactly against int keys).
+            return np.float64(v)
+        return np.float32(v)
     if isinstance(node, BinaryOp):
         l = _group_level_eval(node.left, key_canon, agg_values)
         r = _group_level_eval(node.right, key_canon, agg_values)
@@ -1409,10 +1414,12 @@ def _sorted_group(query, table, group_keys, vexpr_nodes, vexpr_canons,
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             vals = tuple(_broadcast(_as_f32(f(cols)), cols) for f in val_fns)
             if raw_int:
+                # Carry the RAW int key through the sort/scatter — an
+                # f32 carry would emit collided key VALUES beyond 2^24
+                # even though the int_sort_key grouping itself is exact.
                 raw = _broadcast(raw_fn(cols), cols)
-                keys = (raw.astype(jnp.float32),)
                 return group_sort_stage(
-                    keys, vals, valid, skeys=(int_sort_key(raw),)
+                    (raw,), vals, valid, skeys=(int_sort_key(raw),)
                 )
             keys = tuple(_broadcast(_as_f32(f(cols)), cols) for f in key_fns)
             return group_sort_stage(keys, vals, valid)
@@ -1574,11 +1581,13 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
     if query.order_by is not None:
         # Multi-term lexicographic sort; descending terms negate their
         # key (stable within ties, matching Python's reverse=True).
+        # Keys sort in f64: exact for f32 values AND for int32/int64
+        # group keys (an f32 cast would collide keys beyond 2^24).
         keys = []
         for t in query.order_by.terms:
             v = _group_level_eval(t.expr, key_canon_map, agg_values)
             v = np.broadcast_to(
-                np.asarray(v, dtype=np.float32), (num_groups,)
+                np.asarray(v, dtype=np.float64), (num_groups,)
             )[mask]
             keys.append(v if t.ascending else -v)
         order = np.lexsort(tuple(reversed(keys)))
@@ -1592,6 +1601,10 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
             # String-valued aggregate (STRING_AGG): object array, no
             # float cast; ordering/masking/distinct apply positionally.
             vals = np.broadcast_to(arr, (num_groups,))[mask]
+        elif arr.dtype.kind in "iu":
+            # Integer group keys stay integer end-to-end (exact beyond
+            # 2^24 — the whole point of the raw-int key carry).
+            vals = np.broadcast_to(arr, (num_groups,))[mask]
         else:
             vals = np.broadcast_to(
                 np.asarray(vals, dtype=np.float32), (num_groups,)
@@ -1602,11 +1615,13 @@ def _finish_grouped(query, select_items, specs, spec_to_vidx,
             if vals.dtype == object or vals.dtype.kind in "US":
                 vals = np.unique(vals.astype(str)).astype(object)
             else:
-                vals = np.unique(np.asarray(vals, dtype=np.float32))
+                vals = np.unique(vals)
             if query.order_by is not None and not query.order_by.ascending:
                 vals = vals[::-1]
         if vals.dtype == object or vals.dtype.kind in "US":
             outs.append(np.asarray(vals, dtype=object))
+        elif vals.dtype.kind in "iu":
+            outs.append(np.ascontiguousarray(vals))
         else:
             outs.append(np.ascontiguousarray(vals, dtype=np.float32))
     return outs

@@ -136,6 +136,18 @@ def _translated_right_key(left, right, left_var, right_var):
     return lkey_raw, rkey_raw
 
 
+def _join_key_pair(lkey_raw, rkey_raw):
+    """Key representation for one equi-join pair: both sides integer →
+    keep RAW int32 (matching happens in int_sort_key u32 space — exact
+    beyond 2^24, where an f32 cast would produce false matches);
+    anything else evaluates f32 on both sides as before."""
+    int_l = jnp.issubdtype(lkey_raw.dtype, jnp.integer)
+    int_r = jnp.issubdtype(rkey_raw.dtype, jnp.integer)
+    if int_l and int_r:
+        return lkey_raw.astype(jnp.int32), rkey_raw.astype(jnp.int32)
+    return _as_f32(lkey_raw), _as_f32(rkey_raw)
+
+
 def _materialize_join_distributed(
     left, right, right_name, pairs, needed, mesh, kind: str = "inner"
 ) -> DeviceTable:
@@ -453,8 +465,9 @@ def _materialize_join_local(
         lkey_raw, rkey_raw = _translated_right_key(
             left, right, left_var, right_var
         )
-        lkeys.append(_as_f32(lkey_raw))
-        rkeys.append(_as_f32(rkey_raw))
+        lk, rk = _join_key_pair(lkey_raw, rkey_raw)
+        lkeys.append(lk)
+        rkeys.append(rk)
         pair_canons.append((left_var.canonical(), right_var.canonical()))
     if not pairs:
         # CROSS JOIN: one synthetic all-zero key — every valid probe
@@ -916,9 +929,11 @@ def _append_build_misses(
     for left_var, right_var in _resolve_join_sides(
         left, right, right_name, pairs
     ):
-        lk, rk = _translated_right_key(left, right, left_var, right_var)
-        lkeys.append(_as_f32(lk))
-        rkeys.append(_as_f32(rk))
+        lk, rk = _join_key_pair(
+            *_translated_right_key(left, right, left_var, right_var)
+        )
+        lkeys.append(lk)
+        rkeys.append(rk)
         pair_canons.append((left_var.canonical(), right_var.canonical()))
 
     akey = (

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .sort import float_sort_key
+from .sort import float_sort_key, sort_key_any as _sort_key_any
 
 __all__ = [
     "GroupResult",
@@ -107,7 +107,7 @@ def group_sort_stage(keys, values_list, mask: jax.Array, skeys=None):
     valid = mask
     if skeys is None:
         skeys = tuple(
-            jnp.where(valid, float_sort_key(k), _U32_MAX) for k in keys
+            jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in keys
         )
     else:
         skeys = tuple(
@@ -143,7 +143,13 @@ def group_scatter_stage(
     seg = jnp.where(valid_s, seg, capacity)
     counts = jnp.zeros((capacity,), jnp.int32).at[seg].add(1, mode="drop")
     keys_out = tuple(
-        jnp.full((capacity,), jnp.inf, jnp.float32).at[seg].min(k, mode="drop")
+        jnp.full(
+            (capacity,), jnp.iinfo(jnp.int32).max, k.dtype
+        ).at[seg].min(k, mode="drop")
+        if jnp.issubdtype(k.dtype, jnp.integer)
+        else jnp.full(
+            (capacity,), jnp.inf, jnp.float32
+        ).at[seg].min(k, mode="drop")
         for k in keys_s
     )
     inf = jnp.full((capacity,), jnp.inf, jnp.float32)
@@ -178,7 +184,7 @@ def group_aggregate(
     values_list = tuple(values_list)
     valid = mask
     skeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in keys
+        jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in keys
     )
     nk = len(skeys)
 
@@ -199,7 +205,13 @@ def group_aggregate(
 
     counts = jnp.zeros((capacity,), jnp.int32).at[seg].add(1, mode="drop")
     keys_out = tuple(
-        jnp.full((capacity,), jnp.inf, jnp.float32).at[seg].min(k, mode="drop")
+        jnp.full(
+            (capacity,), jnp.iinfo(jnp.int32).max, k.dtype
+        ).at[seg].min(k, mode="drop")
+        if jnp.issubdtype(k.dtype, jnp.integer)
+        else jnp.full(
+            (capacity,), jnp.inf, jnp.float32
+        ).at[seg].min(k, mode="drop")
         for k in keys_s
     )
     per_value = []
@@ -215,7 +227,7 @@ def group_aggregate(
 def count_distinct(keys, mask: jax.Array) -> jax.Array:
     """Number of distinct valid key tuples (two-phase capacity sizing)."""
     keys = _as_key_tuple(keys)
-    skeys = tuple(jnp.where(mask, float_sort_key(k), _U32_MAX) for k in keys)
+    skeys = tuple(jnp.where(mask, _sort_key_any(k), _U32_MAX) for k in keys)
     nk = len(skeys)
     sorted_ops = lax.sort(
         skeys + (mask.astype(jnp.int32),), num_keys=nk, is_stable=False
@@ -281,7 +293,13 @@ def dense_group_aggregate(
         )
         per_value.append(ValueAggregates(s, mn, mx))
 
-    keys_out = (jnp.float32(base) + slot_ids.astype(jnp.float32),)
+    # Integer key inputs reconstruct exactly in int32 (base + slot is
+    # in-range by the planner's int32 guard); f32 reconstruction would
+    # collide slot keys beyond 2^24.
+    if jnp.issubdtype(keys.dtype, jnp.integer):
+        keys_out = (jnp.int32(base) + slot_ids,)
+    else:
+        keys_out = (jnp.float32(base) + slot_ids.astype(jnp.float32),)
     num_groups = jnp.sum((counts > 0).astype(jnp.int32))
     return GroupResult(keys_out, counts, tuple(per_value), num_groups)
 
@@ -459,7 +477,13 @@ def midrange_group_aggregate(
         per_value = tuple(per_value)
 
     slot_ids = jnp.arange(num_slots, dtype=jnp.int32)
-    keys_out = (jnp.float32(base) + slot_ids.astype(jnp.float32),)
+    # Integer key inputs reconstruct exactly in int32 (base + slot is
+    # in-range by the planner's int32 guard); f32 reconstruction would
+    # collide slot keys beyond 2^24.
+    if jnp.issubdtype(keys.dtype, jnp.integer):
+        keys_out = (jnp.int32(base) + slot_ids,)
+    else:
+        keys_out = (jnp.float32(base) + slot_ids.astype(jnp.float32),)
     num_groups = jnp.sum((counts > 0).astype(jnp.int32))
     return GroupResult(keys_out, counts, per_value, num_groups)
 
@@ -564,7 +588,7 @@ def window_aggregate(
     n = values.shape[0]
     valid = mask
     skeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+        jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in part_keys
     )
     nk = len(skeys)
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -623,10 +647,10 @@ def window_rank(
     n = order_keys.shape[0]
     valid = mask
     pkeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+        jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in part_keys
     )
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         # Invert in u32 space so NaN keeps its "largest value" rank
         # (negating the f32 key would leave NaN last under DESC).
@@ -725,10 +749,10 @@ def window_shift(
     n = values.shape[0]
     valid = mask
     pkeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+        jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in part_keys
     )
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         okey = ~okey
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -796,7 +820,7 @@ def window_edge_value(
     vkey = (~valid).astype(jnp.uint32)
     pkeys = tuple(float_sort_key(k) for k in part_keys)
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         okey = ~okey
     pos = jnp.arange(n, dtype=jnp.uint32)
@@ -844,7 +868,7 @@ def window_ntile(
     vkey = (~valid).astype(jnp.uint32)
     pkeys = tuple(float_sort_key(k) for k in part_keys)
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         okey = ~okey
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -919,7 +943,7 @@ def window_relative_rank(
     vkey = (~valid).astype(jnp.uint32)
     pkeys = tuple(float_sort_key(k) for k in part_keys)
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         okey = ~okey
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -1007,7 +1031,7 @@ def window_nth_value(
     vkey = (~valid).astype(jnp.uint32)
     pkeys = tuple(float_sort_key(k) for k in part_keys)
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         okey = ~okey
     pos_u = jnp.arange(n, dtype=jnp.uint32)
@@ -1080,10 +1104,10 @@ def window_running(
     n = values.shape[0]
     valid = mask
     pkeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+        jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in part_keys
     )
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         okey = ~okey  # u32-space inversion: NaN stays "largest"
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -1224,10 +1248,10 @@ def window_frame(
     n = values.shape[0]
     valid = mask
     pkeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+        jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in part_keys
     )
     nk = len(pkeys)
-    okey = float_sort_key(order_keys)
+    okey = _sort_key_any(order_keys)
     if not ascending:
         okey = ~okey
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -1342,7 +1366,7 @@ def window_range_frame(
     n = values.shape[0]
     valid = mask
     pkeys = tuple(
-        jnp.where(valid, float_sort_key(k), _U32_MAX) for k in part_keys
+        jnp.where(valid, _sort_key_any(k), _U32_MAX) for k in part_keys
     )
     nk = len(pkeys)
     o = order_keys.astype(jnp.float32)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .sort import float_sort_key
+from .sort import float_sort_key, sort_key_any
 
 __all__ = [
     "join_match_counts", "join_match_counts_dense", "join_gather_indices",
@@ -59,8 +59,8 @@ def _composite_ids(probe_keys, probe_mask, build_keys, build_mask):
     allk = tuple(
         jnp.concatenate(
             [
-                jnp.where(probe_mask, float_sort_key(p), _U32_MAX),
-                jnp.where(build_mask, float_sort_key(b), _U32_MAX),
+                jnp.where(probe_mask, sort_key_any(p), _U32_MAX),
+                jnp.where(build_mask, sort_key_any(b), _U32_MAX),
             ]
         )
         for p, b in zip(probe_keys, build_keys)
@@ -95,16 +95,16 @@ def join_match_counts(
         build_keys = tuple(build_keys)
         if len(probe_keys) == 1:
             pkey_u, bkey_u = (
-                float_sort_key(probe_keys[0]),
-                float_sort_key(build_keys[0]),
+                sort_key_any(probe_keys[0]),
+                sort_key_any(build_keys[0]),
             )
         else:
             pkey_u, bkey_u = _composite_ids(
                 probe_keys, probe_mask, build_keys, build_mask
             )
     else:
-        pkey_u = float_sort_key(probe_keys)
-        bkey_u = float_sort_key(build_keys)
+        pkey_u = sort_key_any(probe_keys)
+        bkey_u = sort_key_any(build_keys)
 
     bkey = jnp.where(build_mask, bkey_u, _U32_MAX)
     n_build = bkey.shape[0]
@@ -176,8 +176,8 @@ def join_match_counts_dense(
     semantics (including the canonical-NaN-matches-NaN behavior) are
     bit-identical to the sort-merge path.  Caller guarantees
     ``build.num_rows ≤ k_cap`` and a single key column."""
-    pkey_u = float_sort_key(probe_key)
-    bkey_u = float_sort_key(build_key)
+    pkey_u = sort_key_any(probe_key)
+    bkey_u = sort_key_any(build_key)
     bkey = jnp.where(build_mask, bkey_u, _U32_MAX)
     n_build = bkey.shape[0]
     order = jnp.arange(n_build, dtype=jnp.int32)

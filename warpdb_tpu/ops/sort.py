@@ -18,7 +18,7 @@ from jax import lax
 
 __all__ = [
     "sort_values", "sort_pairs", "sort_by_keys", "top_k_values",
-    "order_key", "float_sort_key", "int_sort_key",
+    "order_key", "float_sort_key", "int_sort_key", "sort_key_any",
 ]
 
 _F32_INF = jnp.float32(jnp.inf)
@@ -41,8 +41,14 @@ def order_key(values: jax.Array, mask, ascending: bool) -> jax.Array:
     the result ahead of the invalid sentinel — a raw ±inf sentinel would
     let NaN-keyed valid rows sort behind it and fall off the row-count
     slice.  (A valid key whose u32 image is exactly the sentinel — only
-    an all-ones-payload NaN — still collides; accepted.)"""
-    k = float_sort_key(values)
+    an all-ones-payload NaN — still collides; accepted.)
+
+    Integer inputs key through ``int_sort_key`` instead — an f32 cast
+    would collide (and mis-order) values beyond 2^24."""
+    if jnp.issubdtype(values.dtype, jnp.integer):
+        k = int_sort_key(values)
+    else:
+        k = float_sort_key(values)
     if not ascending:
         k = ~k
     if mask is None:
@@ -138,6 +144,18 @@ def int_sort_key(values: jax.Array) -> jax.Array:
     """Order-preserving bijection int32 → uint32 (sign-bit flip)."""
     bits = lax.bitcast_convert_type(values.astype(jnp.int32), jnp.uint32)
     return bits ^ jnp.uint32(0x80000000)
+
+
+def sort_key_any(values: jax.Array) -> jax.Array:
+    """Order-preserving u32 key in the array's own domain: raw int bits
+    for integer arrays (exact beyond f32's 2^24 integer ceiling —
+    csv_loader.hpp:13 declares Int32/Int64 first-class), the f32
+    total-order key otherwise.  Every kernel that groups/joins/orders in
+    u32 key space dispatches through this, so raw int keys are exact
+    end-to-end."""
+    if jnp.issubdtype(values.dtype, jnp.integer):
+        return int_sort_key(values)
+    return float_sort_key(values)
 
 
 def float_sort_key(values: jax.Array) -> jax.Array:

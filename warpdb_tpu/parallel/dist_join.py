@@ -73,7 +73,10 @@ def _partition_exchange(keys, payloads, valid, n_dev, send_cap):
     send_valid = slot[None, :] < counts[:, None]
     row_idx = order[src]
 
-    send_keys = [jnp.where(send_valid, k[row_idx], 0.0) for k in keys]
+    send_keys = [
+        jnp.where(send_valid, k[row_idx], jnp.zeros((), k.dtype))
+        for k in keys
+    ]
     send_payloads = [
         jnp.where(send_valid, p[row_idx], jnp.zeros((), p.dtype))
         for p in payloads
@@ -167,17 +170,29 @@ def _run_dist_join(
                     if rkey_override is not None
                     else tuple(rcols[c] for c in rk_names)
                 )
-                # Keys hash/compare as f32; payloads ride their RAW
-                # dtypes (an f32 round-trip would clip int32 values
-                # beyond 2^24 — stacked_take bitcasts internally, the
+                # Key pairs where BOTH sides are integer hash/compare
+                # on raw int32 bits (exact beyond 2^24); mixed pairs
+                # fall back to f32.  Payloads always ride their RAW
+                # dtypes (stacked_take bitcasts internally, the
                 # exchange only selects).
+                def _key_pair(lc, rc):
+                    if jnp.issubdtype(
+                        lc.dtype, jnp.integer
+                    ) and jnp.issubdtype(rc.dtype, jnp.integer):
+                        return lc.astype(jnp.int32), rc.astype(jnp.int32)
+                    return lc.astype(jnp.float32), rc.astype(jnp.float32)
+
+                key_pairs = [
+                    _key_pair(lcols[c], rk_arr)
+                    for c, rk_arr in zip(lk_names, rkey_cols)
+                ]
                 lk, lpay, lv, ovl = _partition_exchange(
-                    tuple(lcols[c].astype(jnp.float32) for c in lk_names),
+                    tuple(kp[0] for kp in key_pairs),
                     [lcols[c] for c in lp],
                     l_valid, n_dev, send_cap_l,
                 )
                 rk, rpay, rv, ovr = _partition_exchange(
-                    tuple(k.astype(jnp.float32) for k in rkey_cols),
+                    tuple(kp[1] for kp in key_pairs),
                     [rcols[c] for c in rp],
                     r_valid, n_dev, send_cap_r,
                 )

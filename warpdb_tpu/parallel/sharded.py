@@ -267,7 +267,9 @@ def run_grouped_sharded(
     )
 
     def build():
-        key_fns = [build_evaluator(k) for k in keys_fn_exprs]
+        from .shuffle import _key_eval_fns
+
+        key_fns = _key_eval_fns(keys_fn_exprs, table)
         val_fns = [build_evaluator(v) for v in value_exprs]
         cond_fn = build_evaluator(cond) if cond is not None else None
         n_dev = mesh.devices.size
@@ -285,7 +287,7 @@ def run_grouped_sharded(
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
             keys = tuple(
-                jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in key_fns
+                jnp.broadcast_to(f(cols), (n_local,)) for f in key_fns
             )
             vals = tuple(
                 jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in val_fns

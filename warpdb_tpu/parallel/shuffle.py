@@ -48,12 +48,13 @@ from ..engine.compiler import (
     _as_f32,
     build_evaluator,
     get_or_compile,
+    raw_int_item,
     schema_signature,
 )
 from ..engine import udf as udf_mod
 from ..errors import ExecutionError
 from ..ops.aggregate import group_aggregate
-from ..ops.sort import float_sort_key
+from ..ops.sort import sort_key_any
 from ..storage.table import DeviceTable
 from .mesh import DATA_AXIS, data_mesh
 from .sharded import _ensure_sharded, fetch_global
@@ -76,7 +77,7 @@ def hash_dest(key_tuple, n_dev: int) -> jax.Array:
     all occurrences of one key tuple to one device."""
     h = jnp.zeros(key_tuple[0].shape, jnp.uint32)
     for k in key_tuple:
-        kb = float_sort_key(k) * _HASH_MULT
+        kb = sort_key_any(k) * _HASH_MULT
         h = (h << jnp.uint32(5)) ^ (h >> jnp.uint32(27)) ^ kb
     return ((h >> jnp.uint32(16)).astype(jnp.int32)) % n_dev
 
@@ -97,6 +98,21 @@ class ShuffleGroupResult:
     def num_groups(self) -> int:
         return len(self.keys[0])
 
+
+
+def _key_eval_fns(key_exprs, table):
+    """Per-key evaluators: bare INT columns ride the exchange RAW
+    (int32 — exact beyond 2^24, hashed/grouped via int_sort_key bits);
+    everything else evaluates f32 as before."""
+    fns = []
+    for k in key_exprs:
+        r = raw_int_item(k, table)
+        if r is not None:
+            fns.append(r[0])
+        else:
+            inner = build_evaluator(k)
+            fns.append(lambda cols, _f=inner: _as_f32(_f(cols)))
+    return fns
 
 def _shuffle_kernel(key_fns, val_fns, cond_fn, n_dev, send_cap, group_cap,
                     overlap: bool = False):
@@ -121,7 +137,7 @@ def _shuffle_kernel(key_fns, val_fns, cond_fn, n_dev, send_cap, group_cap,
             valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
 
         keys = tuple(
-            jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in key_fns
+            jnp.broadcast_to(f(cols), (n_local,)) for f in key_fns
         )
         vals = [jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in val_fns]
 
@@ -147,7 +163,10 @@ def _shuffle_kernel(key_fns, val_fns, cond_fn, n_dev, send_cap, group_cap,
         src = jnp.clip(src, 0, n_local - 1)
         row_idx = order[src]  # (n_dev, send_cap)
 
-        send_keys = [jnp.where(send_valid, k[row_idx], 0.0) for k in keys]
+        send_keys = [
+            jnp.where(send_valid, k[row_idx], jnp.zeros((), k.dtype))
+            for k in keys
+        ]
         send_vals = [jnp.where(send_valid, v[row_idx], 0.0) for v in vals]
         overflow = jnp.max(counts) > send_cap
 
@@ -262,7 +281,7 @@ def _combine_shuffle_kernel(key_fns, val_fns, cond_fn, n_dev, local_cap,
         if cond_fn is not None:
             valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
         keys = tuple(
-            jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in key_fns
+            jnp.broadcast_to(f(cols), (n_local,)) for f in key_fns
         )
         vals = tuple(
             jnp.broadcast_to(_as_f32(f(cols)), (n_local,)) for f in val_fns
@@ -304,7 +323,10 @@ def _combine_shuffle_kernel(key_fns, val_fns, cond_fn, n_dev, local_cap,
         send_valid = slot[None, :] < counts[:, None]
         row_idx = order[src]
 
-        send_keys = [jnp.where(send_valid, k[row_idx], 0.0) for k in pkeys]
+        send_keys = [
+            jnp.where(send_valid, k[row_idx], jnp.zeros((), k.dtype))
+            for k in pkeys
+        ]
         send_payload = [jnp.where(send_valid, p[row_idx], 0.0) for p in payload]
 
         # 3. ICI exchange.
@@ -396,7 +418,7 @@ def combine_shuffle_grouped(
         )
 
         def build():
-            key_fns = [build_evaluator(k) for k in key_exprs]
+            key_fns = _key_eval_fns(key_exprs, table)
             val_fns = [build_evaluator(v) for v in value_exprs]
             cond_fn = build_evaluator(cond) if cond is not None else None
             body = _combine_shuffle_kernel(
@@ -443,7 +465,12 @@ def combine_shuffle_grouped(
 
 def _sort_key_u32(a: np.ndarray) -> np.ndarray:
     """float_sort_key semantics on host: total order with -0≡+0, all
-    NaNs equal and last — the exact order the device kernels group by."""
+    NaNs equal and last — the exact order the device kernels group by.
+    Integer arrays key on raw int bits (exact beyond 2^24), mirroring
+    the device's sort_key_any dispatch."""
+    a = np.asarray(a)
+    if a.dtype.kind in "iu":
+        return a.astype(np.int32).view(np.uint32) ^ np.uint32(0x80000000)
     a = np.asarray(a, np.float32)
     a = np.where(a == 0.0, np.float32(0.0), a)
     a = np.where(np.isnan(a), np.float32(np.nan), a)
@@ -524,7 +551,7 @@ def shuffle_grouped(
         )
 
         def build():
-            key_fns = [build_evaluator(k) for k in key_exprs]
+            key_fns = _key_eval_fns(key_exprs, table)
             val_fns = [build_evaluator(v) for v in value_exprs]
             cond_fn = build_evaluator(cond) if cond is not None else None
             body = _shuffle_kernel(

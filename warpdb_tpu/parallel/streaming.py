@@ -346,13 +346,20 @@ def run_streaming_sql(
         cd_runs.append((spec, q_cd, _grouped_plan(q_cd, items_cd)))
 
     def _u32_keys(key_cols) -> np.ndarray:
-        """(nk, G) f32 keys → lexicographically orderable u32 matrix
-        (float_sort_key semantics: -0.0 ≡ +0.0, all NaNs equal & last) —
+        """per-key arrays → lexicographically orderable u32 matrix.
+        Float keys use float_sort_key semantics (-0.0 ≡ +0.0, all NaNs
+        equal & last); INT keys use raw int bits (exact beyond 2^24) —
         the exact grouping the device kernels use, so the host merge can
-        never split or duplicate a group (a plain float dict would treat
-        every chunk's NaN key as new)."""
+        never split or duplicate a group."""
         rows = []
         for a in key_cols:
+            a = np.asarray(a)
+            if a.dtype.kind in "iu":
+                rows.append(
+                    a.astype(np.int32).view(np.uint32)
+                    ^ np.uint32(0x80000000)
+                )
+                continue
             a = np.asarray(a, np.float32)
             a = np.where(a == 0.0, np.float32(0.0), a)
             a = np.where(np.isnan(a), np.float32(np.nan), a)
@@ -363,13 +370,15 @@ def run_streaming_sql(
         return np.stack(rows, axis=0) if rows else np.zeros((0, 0), np.uint32)
 
     nk = len(plan["keys_canon"])
-    acc_keys = np.zeros((nk, 0), np.float32)
+    # Keys accumulate as per-key 1-D arrays (NOT one stacked f32 matrix)
+    # so INT keys keep their dtype — exact beyond 2^24; dtypes bind on
+    # the first chunk.
+    acc_keys = None
     acc_counts = np.zeros(0, np.int64)
     acc_sums = [np.zeros(0, np.float64) for _ in range(nv)]
     acc_mins = [np.zeros(0, np.float32) for _ in range(nv)]
     acc_maxs = [np.zeros(0, np.float32) for _ in range(nv)]
-    acc_cd = {spec.key: np.zeros((nk + 1, 0), np.float32)
-              for spec, _q, _p in cd_runs}
+    acc_cd = {spec.key: None for spec, _q, _p in cd_runs}
     from ..ops.hll import HLL_M, hll_estimate_np
 
     acc_hll = {spec.key: np.zeros((0, HLL_M), np.uint8)
@@ -393,26 +402,35 @@ def run_streaming_sql(
         part = _grouped_partials(query, dt, plan, mesh=chunk_mesh,
                                   final=False)
         ng = int(part.num_groups)
-        ck = np.stack(
-            [np.asarray(k)[:ng].astype(np.float32) for k in part.keys]
-        ) if nk else np.zeros((0, ng), np.float32)
+        ck = [np.asarray(k)[:ng] for k in part.keys]
 
         # Vectorized merge: concatenate accumulated + chunk groups, then
         # re-reduce per unique key tuple (u32 space).  O(G log G) NumPy
         # instead of the former per-group Python loop.
-        keys_all = np.concatenate([acc_keys, ck], axis=1)
-        _, idx, inv = np.unique(
-            _u32_keys(keys_all), axis=1,
-            return_index=True, return_inverse=True,
-        )
-        inv = inv.reshape(-1)
-        m = idx.shape[0]
+        if acc_keys is None:
+            keys_all = ck
+        else:
+            keys_all = [
+                np.concatenate([a, c]) for a, c in zip(acc_keys, ck)
+            ]
         counts_all = np.concatenate(
             [acc_counts, np.asarray(part.counts)[:ng].astype(np.int64)]
         )
+        # Keyless (global) aggregates merge as ONE group: an empty-row
+        # u32 matrix must still carry the column count.
+        u = (
+            _u32_keys(keys_all)
+            if nk
+            else np.zeros((0, counts_all.shape[0]), np.uint32)
+        )
+        _, idx, inv = np.unique(
+            u, axis=1, return_index=True, return_inverse=True
+        )
+        inv = inv.reshape(-1)
+        m = idx.shape[0]
         new_counts = np.zeros(m, np.int64)
         np.add.at(new_counts, inv, counts_all)
-        new_keys = keys_all[:, idx]
+        new_keys = [k[idx] for k in keys_all]
         for i in range(nv):
             s_all = np.concatenate(
                 [acc_sums[i],
@@ -447,26 +465,30 @@ def run_streaming_sql(
             part_cd = _grouped_partials(q_cd, dt, plan_cd,
                                          mesh=chunk_mesh, final=False)
             ng_cd = int(part_cd.num_groups)
-            pairs = np.stack(
-                [np.asarray(k)[:ng_cd].astype(np.float32)
-                 for k in part_cd.keys]
+            pairs = [np.asarray(k)[:ng_cd] for k in part_cd.keys]
+            prev = acc_cd[spec.key]
+            both = (
+                pairs
+                if prev is None
+                else [np.concatenate([a, c]) for a, c in zip(prev, pairs)]
             )
-            both = np.concatenate([acc_cd[spec.key], pairs], axis=1)
             _, pidx = np.unique(_u32_keys(both), axis=1, return_index=True)
-            acc_cd[spec.key] = both[:, pidx]
+            acc_cd[spec.key] = [b[pidx] for b in both]
 
-    ngroups = acc_keys.shape[1]
+    ngroups = acc_counts.shape[0]
+    if acc_keys is None:
+        acc_keys = [np.zeros(0, np.float32) for _ in range(nk)]
     if ngroups == 0 and ast.group_by is None and not ast.distinct:
         # Global aggregate over zero surviving rows: one empty group, so
         # COUNT()=0 / SUM()=0 / MIN()=inf / MAX()=-inf — matching the
         # in-memory global-aggregate path.
         ngroups = 1
-        acc_keys = np.ones((nk, 1), np.float32)
+        acc_keys = [np.ones(1, np.float32) for _ in range(nk)]
         acc_counts = np.zeros(1, np.int64)
         acc_sums = [np.zeros(1, np.float64) for _ in range(nv)]
         acc_mins = [np.full(1, np.inf, np.float32) for _ in range(nv)]
         acc_maxs = [np.full(1, -np.inf, np.float32) for _ in range(nv)]
-        acc_cd = {k: np.ones((nk + 1, 0), np.float32) for k in acc_cd}
+        acc_cd = {k: None for k in acc_cd}
         acc_hll = {k: np.zeros((1, HLL_M), np.uint8) for k in acc_hll}
 
     merged_keys = tuple(acc_keys[i] for i in range(nk))
@@ -481,7 +503,7 @@ def run_streaming_sql(
         # The same chunks and WHERE produced both tables, so the group
         # sets coincide and the u32-lexicographic order matches the
         # merged ascending key order.
-        if pairs.shape[1]:
+        if pairs is not None and len(pairs[0]):
             _, ginv = np.unique(
                 _u32_keys(pairs[:nk]), axis=1, return_inverse=True
             )
