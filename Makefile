@@ -2,7 +2,7 @@
 # here the Python package needs no build and the native library is one
 # translation unit).
 
-.PHONY: all native test test-tpu bench clean
+.PHONY: all native test test-tpu bench check clean
 
 all: native
 
@@ -17,6 +17,13 @@ test-tpu: native
 
 bench: native
 	python bench.py
+
+# Pre-snapshot gate (VERDICT r3 #9): the FULL suite, the TPC-H oracle
+# run, and a bench smoke that fails on any *_error key.  CI runs this;
+# no snapshot commit may be taken with it red.
+check: native
+	python -m pytest tests/ -q
+	python scripts/check_gate.py
 
 clean:
 	$(MAKE) -C native clean

@@ -10,8 +10,11 @@ with ~10-30 ms per-dispatch RTT, and first-compiles are remote):
 
 * every query's device pipeline is timed as N passes inside ONE jitted
   ``lax.scan`` whose body consumes every lane via a full reduction and
-  perturbs an input per-iteration (a non-distributive ``max``) — so XLA
-  can neither hoist the body nor dead-code-eliminate lanes;
+  perturbs the input per-iteration in a way that CHANGES THE RESULT
+  (``price + i·1e-7`` flips condition outcomes near thresholds) — so
+  XLA can neither hoist the body nor dead-code-eliminate lanes; every
+  kernel also reports effective GB/s and the run FAILS if any exceeds
+  the chip's HBM roofline (a leak detector, VERDICT r3 #5);
 * ``jax.block_until_ready`` does NOT synchronize through the remote
   relay, so every timed call forces the scalar result to host; the
   per-pass time is the two-point difference t(N_HI) − t(N_LO) divided
@@ -46,12 +49,22 @@ SQL_QUERIES = [
     ("orderby_limit", "SELECT price FROM t ORDER BY price DESC LIMIT 5"),
 ]
 
-EXPR_ROWS = 1 << 25      # 33.5M rows
+import os
+
+# Row count override for the `make check` smoke (scripts/check_gate.py):
+# the full 33.5M-row run is a real-chip benchmark; the smoke only needs
+# every section to EXECUTE and produce no *_error keys.
+EXPR_ROWS = int(os.environ.get("WARPDB_BENCH_ROWS", 1 << 25))
 GROUP_SLOTS = 32
 TOPK = 16
 ITERS_LO = 10
 ITERS_HI = 110
-REPEATS = 3
+REPEATS = 5
+
+# v5e HBM peak ≈ 819 GB/s: no kernel measurement may imply more bytes/s
+# than the chip can physically move (VERDICT r3 #5 — a number above the
+# roofline means the measurement leaked, not that the kernel is fast).
+HBM_PEAK_GBPS = 819.0
 
 
 def _make_table(n: int) -> dict:
@@ -64,32 +77,54 @@ def _make_table(n: int) -> dict:
     }
 
 
-def _time(fn) -> float:
-    """Median-of-REPEATS wall time of fn(), which must itself block
-    (forcing its result to host)."""
-    fn()  # compile + warm
+def _times(fn) -> list:
+    """Sorted wall times of REPEATS runs of fn(), which must itself
+    block (forcing its result to host).  One warm/compile run first."""
+    fn()
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+    return sorted(times)
 
 
-def _time_per_iter(make_loop, args) -> float:
-    """Per-pass time via two-point differencing: removes the constant
-    relay round-trip from the measurement."""
+def _time(fn) -> float:
+    """Median-of-REPEATS wall time of fn()."""
+    return _times(fn)[REPEATS // 2]
+
+
+def _time_spread(fn):
+    """(min, median, max) wall time of fn() over REPEATS runs — the
+    spread makes relay noise visible next to every reported rate."""
+    ts = _times(fn)
+    return ts[0], ts[REPEATS // 2], ts[-1]
+
+
+def _time_per_iter(make_loop, args):
+    """(min, median, max) per-pass time via two-point differencing:
+    removes the constant relay round-trip from the measurement.  The
+    i-th order statistics of the two runs pair up, so the spread stays
+    meaningful."""
     lo = make_loop(ITERS_LO)
     hi = make_loop(ITERS_HI)
-    t_lo = _time(lambda: float(lo(*args)))
-    t_hi = _time(lambda: float(hi(*args)))
-    return max(t_hi - t_lo, 1e-9) / (ITERS_HI - ITERS_LO)
+    t_lo = _times(lambda: float(lo(*args)))
+    t_hi = _times(lambda: float(hi(*args)))
+    dts = [
+        max(h - l, 1e-9) / (ITERS_HI - ITERS_LO)
+        for h, l in zip(t_hi, t_lo)
+    ]
+    dts = sorted(dts)
+    return dts[0], dts[len(dts) // 2], dts[-1]
 
 
 def main() -> None:
-    import os
-
     import jax
+
+    if os.environ.get("WARPDB_BENCH_CPU"):
+        # check_gate smoke: force the CPU backend through the config API
+        # (env vars lose to the axon sitecustomize on the TPU dev host).
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent XLA executable cache (repo-local): bench kernels compile
     # through the remote relay once EVER, not once per run — reruns of
@@ -138,12 +173,15 @@ def main() -> None:
 
                 def body(acc, i):
                     c = dict(cols)
-                    # max() is not distributive over the reduction: XLA can
-                    # neither hoist the pass nor split the sum; numerically
-                    # it is the identity (arg is ~ -1e30).
-                    c["price"] = jnp.maximum(
-                        c["price"], i.astype(jnp.float32) * 1e-12 - 1e30
-                    )
+                    # Per-iteration perturbation that changes the
+                    # CONDITION'S TRUTH SET (rows within i·1e-7 of any
+                    # threshold flip): the body's value genuinely depends
+                    # on i, so XLA cannot hoist the pass or split the
+                    # reduction.  (The former max(price, i·1e-12 − 1e30)
+                    # guard was mathematically loop-invariant for the
+                    # pure-filter shape — VERDICT r3 #5's 1.48 TB/s
+                    # filter_gt leak.)
+                    c["price"] = c["price"] + i.astype(jnp.float32) * 1e-7
                     out = jnp.broadcast_to(_as_f32(expr_fn(c)), (n_pad,))
                     valid = base_valid
                     if cond_fn is not None:
@@ -158,9 +196,31 @@ def main() -> None:
 
         return factory
 
+    from warpdb_tpu.frontend import column_refs
+
+    def _bytes_per_pass(text):
+        """HBM bytes one pass must read: every referenced column once."""
+        e, w = _split_where(text)
+        refs = set()
+        for part in (e, w):
+            if part:
+                for r in column_refs(parse_expression_text(part)):
+                    refs.add(r.unqualified)
+        return sum(
+            cols[r].dtype.itemsize * cols[r].shape[0]
+            for r in refs
+            if r in cols
+        )
+
+    spreads = {}
+    gbps = {}
     for name, text in EXPR_QUERIES:
-        dt = _time_per_iter(make_expr_loop_factory(text), (cols, n_rows))
+        lo_dt, dt, hi_dt = _time_per_iter(
+            make_expr_loop_factory(text), (cols, n_rows)
+        )
         results[name] = EXPR_ROWS / dt
+        spreads[name] = [round(EXPR_ROWS / hi_dt), round(EXPR_ROWS / lo_dt)]
+        gbps[name] = _bytes_per_pass(text) / dt / 1e9
 
     # --- grouped aggregation pipeline (dense TPU path) --------------------------
     def group_loop_factory(iters):
@@ -170,9 +230,7 @@ def main() -> None:
             valid = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
 
             def body(acc, i):
-                vals = jnp.maximum(
-                    cols["price"], i.astype(jnp.float32) * 1e-12 - 1e30
-                )
+                vals = cols["price"] + i.astype(jnp.float32) * 1e-7
                 g = dense_group_aggregate(
                     cols["quantity"], (vals,), valid, 0, GROUP_SLOTS,
                     need=("sum",),
@@ -184,8 +242,10 @@ def main() -> None:
 
         return loop
 
-    dt = _time_per_iter(group_loop_factory, (cols, n_rows))
+    lo_dt, dt, hi_dt = _time_per_iter(group_loop_factory, (cols, n_rows))
     results["group_sum"] = EXPR_ROWS / dt
+    spreads["group_sum"] = [round(EXPR_ROWS / hi_dt), round(EXPR_ROWS / lo_dt)]
+    gbps["group_sum"] = 8 * EXPR_ROWS / dt / 1e9  # price + quantity
 
     # --- order-by + limit pipeline (top-k) ---------------------------------------
     def topk_loop_factory(iters):
@@ -195,9 +255,7 @@ def main() -> None:
             valid = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
 
             def body(acc, i):
-                vals = jnp.maximum(
-                    cols["price"], i.astype(jnp.float32) * 1e-12 - 1e30
-                )
+                vals = cols["price"] + i.astype(jnp.float32) * 1e-7
                 top = top_k_values(vals, valid, TOPK, ascending=False)
                 return acc + top[0], None
 
@@ -206,13 +264,32 @@ def main() -> None:
 
         return loop
 
-    dt = _time_per_iter(topk_loop_factory, (cols, n_rows))
+    lo_dt, dt, hi_dt = _time_per_iter(topk_loop_factory, (cols, n_rows))
     results["orderby_limit"] = EXPR_ROWS / dt
+    spreads["orderby_limit"] = [
+        round(EXPR_ROWS / hi_dt), round(EXPR_ROWS / lo_dt)
+    ]
+    gbps["orderby_limit"] = 4 * EXPR_ROWS / dt / 1e9  # price
+
+    # Roofline sanity: a kernel claiming more HBM bytes/s than the chip
+    # has is a measurement leak, not a result — fail the bench loudly.
+    if jax.default_backend() != "cpu":
+        for name, g in gbps.items():
+            if g > HBM_PEAK_GBPS:
+                raise AssertionError(
+                    f"kernel '{name}' implies {g:.0f} GB/s effective HBM "
+                    f"bandwidth > {HBM_PEAK_GBPS:.0f} GB/s peak — "
+                    "anti-hoist guard leaked; fix the loop body"
+                )
 
     # --- end-to-end SQL wall-clock (incl. tunnel RTT + host finishing) ----------
+    e2e_spreads = {}
     for name, sql in SQL_QUERIES:
-        dt = _time(lambda s=sql: db.query_sql(s))
+        lo_t, dt, hi_t = _time_spread(lambda s=sql: db.query_sql(s))
         extras[f"e2e_{name}_rows_per_s"] = round(EXPR_ROWS / dt)
+        e2e_spreads[f"e2e_{name}"] = [
+            round(EXPR_ROWS / hi_t), round(EXPR_ROWS / lo_t)
+        ]
 
     # --- breadth extras (outside the geomean; e2e wall incl. transfer) ---------
     rng = np.random.default_rng(7)
@@ -272,8 +349,11 @@ def main() -> None:
                 # Measure the RAW expansion machinery (the optimizer's
                 # eager-aggregation rewrite would legitimately skip it).
                 get_config().eager_join_aggregation = False
-            dt = _time(lambda s=sql: db.query_sql(s))
+            lo_t, dt, hi_t = _time_spread(lambda s=sql: db.query_sql(s))
             extras[f"{name}_rows_per_s"] = round(EXPR_ROWS / dt)
+            e2e_spreads[name] = [
+                round(EXPR_ROWS / hi_t), round(EXPR_ROWS / lo_t)
+            ]
         except Exception as e:  # never fail the whole bench on an extra
             extras[f"{name}_error"] = str(e)[:120]
         finally:
@@ -320,7 +400,7 @@ def main() -> None:
         sys.path.insert(0, "benchmarks")
         import tpch
 
-        TPCH_ROWS = 1 << 24
+        TPCH_ROWS = min(EXPR_ROWS, 1 << 24)
         tables = tpch.make_tables(TPCH_ROWS)
         tdb = tpch.build_db(tables)
         trates = {}
@@ -392,6 +472,10 @@ def main() -> None:
         "baseline": "numpy oracle, same host (reference publishes no numbers)",
         "rows": EXPR_ROWS,
         "per_query_rows_per_s": {k: round(v) for k, v in results.items()},
+        "per_query_gbps": {k: round(v, 1) for k, v in gbps.items()},
+        "hbm_peak_gbps": HBM_PEAK_GBPS,
+        "per_query_spread_rows_per_s": spreads,
+        "e2e_spread_rows_per_s": e2e_spreads,
         "per_query_speedup": {
             k: round(results[k] / baseline[k], 2) for k in results
         },
