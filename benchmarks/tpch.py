@@ -97,6 +97,20 @@ def make_tables(rows: int, seed: int = 42) -> dict:
     part = {
         "p_partkey": np.arange(n_part, dtype=np.float32),
         "p_type": type_vocab[rng.integers(0, len(type_vocab), n_part)],
+        # dbgen's Brand#MN grammar: 25 brands (q19's OR-of-AND arms).
+        "p_brand": np.array(
+            [f"Brand#{m}{n}" for m in range(1, 6) for n in range(1, 6)]
+        )[rng.integers(0, 25, n_part)],
+    }
+    # partsupp: every part stocked by 4 suppliers at distinct costs
+    # (q2's correlated MIN-cost subquery needs real per-part minima).
+    n_ps = n_part * 4
+    partsupp = {
+        "ps_partkey": np.repeat(
+            np.arange(n_part, dtype=np.float32), 4
+        ),
+        "ps_suppkey": rng.integers(0, n_supp, n_ps).astype(np.float32),
+        "ps_supplycost": rng.uniform(1.0, 1000.0, n_ps).astype(np.float32),
     }
     qty = rng.integers(1, 51, rows).astype(np.float32)
     price = (qty * rng.uniform(900, 1100, rows)).astype(np.float32)
@@ -135,6 +149,7 @@ def make_tables(rows: int, seed: int = 42) -> dict:
         "supplier": supplier,
         "nation": nation,
         "part": part,
+        "partsupp": partsupp,
     }
 
 
@@ -236,6 +251,40 @@ QUERIES = {
         "FROM lineitem GROUP BY l_orderkey "
         "HAVING SUM(l_quantity) > 150 "
         "ORDER BY total_qty DESC LIMIT 100"
+    ),
+    # Q2 minimum-cost supplier: correlated scalar MIN subquery (the
+    # decorrelator turns it into a grouped-MIN join) over partsupp.
+    "q2": (
+        "SELECT ps_suppkey, ps_supplycost FROM partsupp "
+        "JOIN part ON ps_partkey = part.p_partkey "
+        "WHERE ps_supplycost = "
+        "(SELECT MIN(ps_supplycost) FROM partsupp ps2 "
+        "WHERE ps2.ps_partkey = part.p_partkey) "
+        "ORDER BY ps_supplycost ASC LIMIT 100"
+    ),
+    # Q15 top supplier: CTE (revenue view) over an aggregate, joined
+    # back and filtered by an uncorrelated scalar MAX over the view.
+    "q15": (
+        "WITH revenue AS ("
+        "SELECT l_suppkey, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS total_revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01' "
+        "GROUP BY l_suppkey) "
+        "SELECT l_suppkey, total_revenue FROM revenue "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)"
+    ),
+    # Q19 discounted revenue: disjunction of multi-way conjunctions
+    # mixing part-side string equality with fact-side ranges + IN.
+    "q19": (
+        "SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = part.p_partkey "
+        "WHERE (part.p_brand = 'Brand#12' AND l_quantity >= 1 "
+        "AND l_quantity <= 11 AND l_shipmode IN ('AIR', 'REG AIR')) "
+        "OR (part.p_brand = 'Brand#23' AND l_quantity >= 10 "
+        "AND l_quantity <= 20 AND l_shipmode IN ('AIR', 'REG AIR')) "
+        "OR (part.p_brand = 'Brand#34' AND l_quantity >= 20 "
+        "AND l_quantity <= 30 AND l_shipmode IN ('AIR', 'REG AIR'))"
     ),
 }
 
@@ -367,6 +416,45 @@ def oracle(tables: dict, name: str) -> dict:
         )
         order = np.argsort(-s, kind="stable")[:20]
         return {"key": uk[order].tolist(), "revenue": s[order].tolist()}
+    if name == "q2":
+        ps = tables["partsupp"]
+        pk = ps["ps_partkey"].astype(np.int64)
+        n_part = int(pk.max()) + 1
+        mincost = np.full(n_part, np.inf, np.float32)
+        np.minimum.at(mincost, pk, ps["ps_supplycost"])
+        m = ps["ps_supplycost"] == mincost[pk]
+        costs = np.sort(ps["ps_supplycost"][m])[:100]
+        return {"cost": costs.astype(np.float64).tolist()}
+    if name == "q15":
+        m = (li["l_shipdate"] >= "1996-01-01") & (
+            li["l_shipdate"] < "1996-04-01"
+        )
+        uk, s = _group_sum(
+            li["l_suppkey"][m],
+            li["l_extendedprice"][m] * (1 - li["l_discount"][m]),
+        )
+        # f32 engine totals: find the max under the engine's precision.
+        s32 = s.astype(np.float32)
+        best = s32.max()
+        return {
+            "key": uk[s32 == best].tolist(),
+            "total_revenue": [float(best)],
+        }
+    if name == "q19":
+        pt = tables["part"]
+        brand = pt["p_brand"][li["l_partkey"].astype(int)]
+        qty = li["l_quantity"]
+        mode_ok = np.isin(li["l_shipmode"], ["AIR", "REG AIR"])
+        m = (
+            ((brand == "Brand#12") & (qty >= 1) & (qty <= 11) & mode_ok)
+            | ((brand == "Brand#23") & (qty >= 10) & (qty <= 20) & mode_ok)
+            | ((brand == "Brand#34") & (qty >= 20) & (qty <= 30) & mode_ok)
+        )
+        rev = (
+            li["l_extendedprice"][m].astype(np.float64)
+            * (1 - li["l_discount"][m].astype(np.float64))
+        ).sum()
+        return {"revenue": [float(rev)]}
     if name == "q14":
         pt = tables["part"]["p_type"][li["l_partkey"].astype(int)]
         m = (li["l_shipdate"] >= "1995-09-01") & (
@@ -405,9 +493,22 @@ def check_results(name: str, got: dict, want: dict, rtol=2e-3) -> None:
     elif name == "q4":
         assert cols[0] == want["key"], (cols[0], want["key"])
         np.testing.assert_allclose(got["n"], want["n"])
-    elif name in ("q6", "q14"):
-        vcol = "revenue" if name == "q6" else "promo_revenue"
+    elif name in ("q6", "q14", "q19"):
+        vcol = "promo_revenue" if name == "q14" else "revenue"
         np.testing.assert_allclose(got[vcol], want[vcol], rtol=rtol)
+    elif name == "q2":
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got["ps_supplycost"], np.float64)),
+            np.sort(np.asarray(want["cost"], np.float64)),
+            rtol=rtol,
+        )
+    elif name == "q15":
+        assert sorted(got["l_suppkey"]) == sorted(want["key"]), (
+            got["l_suppkey"], want["key"],
+        )
+        np.testing.assert_allclose(
+            got["total_revenue"][:1], want["total_revenue"], rtol=rtol
+        )
     elif name == "q12":
         assert cols[0] == want["key"]
         np.testing.assert_allclose(got["high"], want["high"], rtol=rtol)
@@ -427,7 +528,9 @@ def build_db(tables: dict, mesh=None):
     # catalog; the unknown-name demo fallback is disabled once a catalog
     # exists, see engine/executor.py::_validate_relations).
     db.register_table("lineitem", db.table)
-    for name in ("orders", "customer", "supplier", "nation", "part"):
+    for name in (
+        "orders", "customer", "supplier", "nation", "part", "partsupp"
+    ):
         db.register_table(name, HostTable.from_dict(tables[name]))
     return db
 
