@@ -71,6 +71,20 @@ def main() -> None:
     }
     base_scan = base_group = base_combine = None
 
+    from warpdb_tpu.utils.metrics import timed_query, last as last_metric
+
+    # v5e ICI: ~45 GB/s per direction per link, 2 links on a 1-D ring
+    # slice — the all_to_all model bandwidth for extrapolating the
+    # virtual-CPU phase walls to real hardware (docs/DESIGN.md §6).
+    ICI_GBPS = 90.0
+
+    def measured_collectives(fn):
+        """Run fn under the metrics trace; returns (wall_s, [(op, bytes)])."""
+        with timed_query("scaling", "sharded", n, 0):
+            fn()
+        m = last_metric()
+        return list(m.collectives) if m is not None else []
+
     for s in sizes:
         mesh = data_mesh(s)
         table = shard_table(host, mesh)
@@ -91,6 +105,25 @@ def main() -> None:
         t_combine = timed(
             lambda: combine_shuffle_grouped(key, vals, None, table, mesh=mesh)
         )
+        cs_group = measured_collectives(
+            lambda: shuffle_grouped(key, vals, None, table, mesh=mesh)
+        )
+        cs_combine = measured_collectives(
+            lambda: combine_shuffle_grouped(key, vals, None, table, mesh=mesh)
+        )
+
+        def collective_model(cs):
+            """Per-phase collective bytes + the ICI time they imply on
+            real hardware (the extrapolatable part of the ≥80% 1→N
+            scaling target — virtual-CPU walls measure host memcpy, not
+            ICI)."""
+            total = sum(b for _op, b in cs)
+            return {
+                "per_collective_bytes": [[op, b] for op, b in cs],
+                "bytes_per_device": total,
+                "ici_model_ms": round(total / (ICI_GBPS * 1e9) * 1e3, 4),
+            }
+
         scan_rps = n / t_scan
         group_rps = n / t_group
         combine_rps = n / t_combine
@@ -100,16 +133,22 @@ def main() -> None:
             "rows_per_s": round(scan_rps),
             "per_device": round(scan_rps / s),
             "efficiency": round(scan_rps / (base_scan * s), 3),
+            "wall_ms": round(t_scan * 1e3, 3),
+            "collectives": {"bytes_per_device": 0, "ici_model_ms": 0.0},
         }
         report["shuffle_group"][s] = {
             "rows_per_s": round(group_rps),
             "per_device": round(group_rps / s),
             "efficiency": round(group_rps / (base_group * s), 3),
+            "wall_ms": round(t_group * 1e3, 3),
+            "collectives": collective_model(cs_group),
         }
         report["combine_group"][s] = {
             "rows_per_s": round(combine_rps),
             "per_device": round(combine_rps / s),
             "efficiency": round(combine_rps / (base_combine * s), 3),
+            "wall_ms": round(t_combine * 1e3, 3),
+            "collectives": collective_model(cs_combine),
         }
 
     print(json.dumps(report, indent=2))

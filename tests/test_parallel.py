@@ -1071,6 +1071,33 @@ def test_streaming_sql_join_string_dim(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_mesh_window_matches_single_device(mesh, seed):
+    """Distributed window execution (parallel/window.py: per-shard
+    dense partition slot tables merged with psum/pmin/pmax over the
+    data axis, zero row movement) must agree with the single-device
+    window kernel — the differential gate VERDICT r3 #6 asked for."""
+    from warpdb_tpu import WarpDB
+
+    rng = np.random.default_rng(888_000 + seed)
+    n = int(rng.integers(500, 6000))
+    host = HostTable.from_dict({
+        "g": rng.integers(0, 17, n).astype(np.float32),
+        "v": rng.uniform(-5.0, 50.0, n).astype(np.float32),
+    })
+    agg = ["SUM", "AVG", "MIN", "MAX", "COUNT"][seed % 5]
+    cond = "WHERE v > 10" if seed % 2 else ""
+    sql = f"SELECT {agg}(v) OVER (PARTITION BY g) FROM t {cond}"
+    outs = []
+    for m in (None, mesh):
+        db = WarpDB(host, mesh=m)
+        outs.append(np.asarray(db.query_sql(sql), np.float64))
+    assert outs[0].shape == outs[1].shape, sql
+    np.testing.assert_allclose(
+        outs[0], outs[1], rtol=2e-4, atol=1e-3, err_msg=sql
+    )
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_mesh_vs_single_device(mesh, seed):
     """Mesh execution (distributed GROUP BY / shuffle / join / top-k

@@ -553,6 +553,12 @@ class WarpDB:
                 for name, hit in m.operators
             )
             lines.append(f"  operators: {ops}")
+        if m.collectives:
+            cs = ", ".join(
+                f"{op} {nbytes / 1024:.1f} KiB/device"
+                for op, nbytes in m.collectives
+            )
+            lines.append(f"  collectives: {cs}")
         return "\n".join(lines)
 
     # -- multi-device path (reference query_multi_gpu, warpdb.cpp:508-542) --

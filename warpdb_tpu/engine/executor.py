@@ -1559,7 +1559,7 @@ def _run_projection(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     where_canon = where.canonical() if where is not None else ""
 
     if isinstance(select, WindowFunction):
-        return _run_window(query, table)
+        return _run_window(query, table, mesh=mesh)
     if isinstance(select, Aggregation):
         # Global aggregate without GROUP BY: one group, whole table.
         return _run_global_agg(query, table)
@@ -1956,9 +1956,14 @@ def _run_global_agg_expr(query: Query, table: DeviceTable) -> np.ndarray:
     return np.asarray([val], dtype=np.float32).reshape(1)
 
 
-def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
+def _run_window(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     """SELECT AGG(e) OVER (PARTITION BY …) — executes what the reference
-    stubbed (expression.hpp:112-121)."""
+    stubbed (expression.hpp:112-121).
+
+    On a >1-device mesh the dense partition-aggregate family routes to
+    the distributed kernel (parallel/window.py: per-shard slot tables
+    merged over ICI with psum/pmin/pmax — no row movement); everything
+    else executes as one GSPMD program over the sharded columns."""
     select: WindowFunction = query.select_list[0]
     cols = table.columns
     where = query.where
@@ -2032,6 +2037,26 @@ def _run_window(query: Query, table: DeviceTable) -> np.ndarray:
                     )
                     if ok:
                         dense_cfg = (base, num_slots, integral_static)
+
+    if (
+        dense_cfg is not None
+        and mesh is not None
+        and int(mesh.devices.size) > 1
+        and outer_order is None
+    ):
+        from ..parallel.window import run_window_partition_agg_sharded
+
+        part_fn = (
+            _raw_or_f32_key_fn(part_exprs[0], dense_cfg[2])
+            if part_exprs
+            else (lambda cols: jnp.zeros(
+                (next(iter(cols.values())).shape[0],), jnp.int32
+            ))
+        )
+        return run_window_partition_agg_sharded(
+            select, where, table, dense_cfg[0], dense_cfg[1], part_fn,
+            mesh,
+        )
 
     key = ("window", select.canonical(),
            where.canonical() if where else "",

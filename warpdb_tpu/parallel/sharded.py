@@ -335,4 +335,13 @@ def run_grouped_sharded(
         )
         return jax.jit(fn)
 
+    from ..utils.metrics import note_collective
+
+    # all_gather merge: every device receives all shards' capacity-sized
+    # partial tables (nk keys + counts + 3 per value column).
+    note_collective(
+        "all_gather",
+        mesh.devices.size * capacity * 4
+        * (len(keys_fn_exprs) + 1 + 3 * len(value_exprs)),
+    )
     return get_or_compile(key, build)(table.columns, jnp.int32(table.num_rows))

@@ -440,6 +440,15 @@ def combine_shuffle_grouped(
             )
             return jax.jit(fn)
 
+        from ..utils.metrics import note_collective
+
+        # Partial-row exchange: nk keys + (2 count lanes + 3 per value)
+        # payload + validity, (n_dev, local_cap) each.
+        note_collective(
+            "all_to_all",
+            n_dev * local_cap * 4
+            * (len(key_exprs) + 3 + 3 * len(value_exprs)),
+        )
         (keys_s, counts_s, vals_s, ngroups_s, local_ovf_s, merge_ovf_s) = (
             fetch_global(
                 get_or_compile(key, build)(
@@ -574,6 +583,14 @@ def shuffle_grouped(
             )
             return jax.jit(fn)
 
+        from ..utils.metrics import note_collective
+
+        # Exchange volume (analytic, static shapes): keys + values +
+        # validity ride (n_dev, send_cap) f32/i32 lanes per device.
+        note_collective(
+            "all_to_all",
+            n_dev * send_cap * 4 * (len(key_exprs) + len(value_exprs) + 1),
+        )
         keys_s, counts_s, vals_s, ngroups_s, overflow_s = fetch_global(
             get_or_compile(key, build)(
                 table.columns, jnp.int32(table.num_rows)

@@ -21,7 +21,7 @@ from typing import Optional
 logger = logging.getLogger("warpdb_tpu")
 
 __all__ = ["QueryMetrics", "record", "history", "last", "timed_query",
-           "note_operator", "profile_trace", "logger"]
+           "note_operator", "note_collective", "profile_trace", "logger"]
 
 
 @dataclass(frozen=True)
@@ -36,6 +36,11 @@ class QueryMetrics:
     # (operator names = first element of each plan-cache key), with
     # compile-vs-cache-hit flags: [(name, was_cache_hit), ...].
     operators: tuple = ()
+    # Cross-device collectives this query issued, with ANALYTIC
+    # per-device byte counts derived from the kernels' static shapes:
+    # [(op, bytes_per_device), ...].  The ICI cost model for the ≥80%
+    # scaling target (docs/DESIGN.md §6) extrapolates from these.
+    collectives: tuple = ()
 
     @property
     def rows_per_s(self) -> float:
@@ -80,6 +85,15 @@ def note_operator(name: str, cache_hit: bool) -> None:
         ops.append((name, cache_hit))
 
 
+def note_collective(op: str, bytes_per_device: int) -> None:
+    """Called by the distributed kernels at launch with the analytic
+    per-device byte count of each collective (all_to_all / all_gather /
+    psum) — static shapes make the count exact without a device sync."""
+    cs = getattr(_trace_local, "collectives", None)
+    if cs is not None:
+        cs.append((op, int(bytes_per_device)))
+
+
 @contextlib.contextmanager
 def timed_query(query: str, kind: str, rows: int, bytes_scanned: int):
     """Context manager recording one query execution (including which
@@ -88,12 +102,16 @@ def timed_query(query: str, kind: str, rows: int, bytes_scanned: int):
     t0 = time.perf_counter()
     out_rows = [0]
     prev_ops = getattr(_trace_local, "ops", None)
+    prev_cs = getattr(_trace_local, "collectives", None)
     _trace_local.ops = []
+    _trace_local.collectives = []
     try:
         yield out_rows
     finally:
         ops = tuple(_trace_local.ops)
+        cs = tuple(_trace_local.collectives)
         _trace_local.ops = prev_ops
+        _trace_local.collectives = prev_cs
         record(
             QueryMetrics(
                 query=query,
@@ -103,6 +121,7 @@ def timed_query(query: str, kind: str, rows: int, bytes_scanned: int):
                 bytes_scanned=bytes_scanned,
                 output_rows=out_rows[0],
                 operators=ops,
+                collectives=cs,
             )
         )
 
