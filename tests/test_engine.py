@@ -235,6 +235,41 @@ def test_order_by_alias_shadows_column(db):
     assert list(q) == sorted(q)
 
 
+def test_group_by_select_alias(db):
+    # GROUP BY may name a select alias (PostgreSQL fallback rule:
+    # input columns bind first, output aliases second).
+    res = db.query_sql_table(
+        "SELECT quantity * 2 AS qq, SUM(price) AS s FROM test "
+        "GROUP BY qq ORDER BY qq ASC"
+    )
+    # quantity: 3, 4, 2, 5 — all distinct, doubled.
+    assert list(res["qq"]) == [4.0, 6.0, 8.0, 10.0]
+    assert list(res["s"]) == [15.25, 10.5, 20.0, 30.0]
+
+
+def test_group_by_alias_column_wins(db):
+    # When the alias name collides with an input column, GROUP BY binds
+    # the COLUMN (PostgreSQL: aliases are a fallback only).
+    res = db.query_sql_table(
+        "SELECT quantity + 100 AS quantity, COUNT(*) AS n FROM test "
+        "GROUP BY quantity ORDER BY quantity ASC"
+    )
+    # Grouped by the raw column (4 distinct values), selected +100.
+    assert list(res["quantity"]) == [102.0, 103.0, 104.0, 105.0]
+    assert list(res["n"]) == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_group_by_expression_key_in_select(db):
+    # An expression GROUP BY key is referencable by the same expression
+    # in SELECT/HAVING/ORDER BY (canonical-form matching).
+    res = db.query_sql_table(
+        "SELECT quantity * 2, SUM(price) FROM test "
+        "GROUP BY quantity * 2 HAVING quantity * 2 > 4 "
+        "ORDER BY quantity * 2 DESC"
+    )
+    assert list(list(res.values())[0]) == [10.0, 8.0, 6.0]
+
+
 def test_distinct_order_desc(db):
     res = db.query_sql("SELECT DISTINCT quantity FROM test ORDER BY quantity DESC")
     assert len(res) == 4

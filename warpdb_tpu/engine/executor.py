@@ -1309,7 +1309,7 @@ def run_query(
         out = run_query_table(query, table, catalog, mesh=mesh)
         first = next(iter(out.values()), None)
         return np.zeros(0, np.float32) if first is None else first
-    query = resolve_order_aliases(query)
+    query = resolve_order_aliases(query, table.columns)
     _validate_relations(query, catalog)
     if getattr(query, "from_subquery", None) is not None:
         query, table = _resolve_from_subquery(query, table, catalog, mesh)
@@ -2876,14 +2876,18 @@ def _host_order_and_slice(
     return out
 
 
-def resolve_order_aliases(query: Query) -> Query:
+def resolve_order_aliases(query: Query, columns=None) -> Query:
     """Rewrite ORDER BY terms (and bare HAVING column references, the
     MySQL/DuckDB convenience) naming a select-list alias into the
     aliased expression (standard output-column resolution: the alias
     wins over an input column of the same name, as in PostgreSQL).
-    Extension — the reference never connects clauses to aliases
-    (expression.hpp:145-151).  Returns ``query`` unchanged (identity —
-    plan-cache keys survive) when nothing references an alias."""
+    With ``columns`` (the input schema) GROUP BY keys also resolve
+    aliases — but there an input column of the same name wins (the
+    PostgreSQL rule: GROUP BY binds input columns first, output
+    aliases as a fallback).  Extension — the reference never connects
+    clauses to aliases (expression.hpp:145-151).  Returns ``query``
+    unchanged (identity — plan-cache keys survive) when nothing
+    references an alias."""
     alias_map = {
         item.name: unalias(item)
         for item in query.select_list
@@ -2935,11 +2939,36 @@ def resolve_order_aliases(query: Query) -> Query:
             new_having = rewritten
             changed = True
 
+    new_group = query.group_by
+    if (
+        columns is not None
+        and query.group_by is not None
+        and query.group_by.sets is None
+    ):
+        cols = set(columns)
+        new_keys = []
+        group_changed = False
+        for k in query.group_by.keys:
+            if (
+                isinstance(k, Variable)
+                and k.qualifier is None
+                and k.name in alias_map
+                and k.name not in cols
+            ):
+                new_keys.append(alias_map[k.name])
+                group_changed = True
+            else:
+                new_keys.append(k)
+        if group_changed:
+            new_group = GroupBy(tuple(new_keys))
+            changed = True
+
     if not changed:
         return query
     query = _copy.copy(query)
     query.order_by = new_order
     query.having = new_having
+    query.group_by = new_group
     return query
 
 
@@ -2961,7 +2990,7 @@ def run_query_table(
     """
     import copy as _copy
 
-    query = resolve_order_aliases(query)
+    query = resolve_order_aliases(query, table.columns)
 
     if getattr(query, "set_ops", None):
         raise UnsupportedError(

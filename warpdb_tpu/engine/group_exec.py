@@ -94,6 +94,12 @@ def _group_level_eval(
             (node.agg.value, node.expr.canonical(),
              getattr(node, "param", None))
         ]
+    # Expression group keys (GROUP BY k * 2, EXTRACT(...)) match by
+    # canonical BEFORE structural recursion — recursing into a BinaryOp
+    # key would dead-end at its bare column leaves.
+    canon_early = node.canonical()
+    if canon_early in key_canon:
+        return key_canon[canon_early]
     if isinstance(node, Constant):
         v = float(node.value)
         if v.is_integer() and abs(v) >= 2**24 and abs(v) <= 2**53:

@@ -58,11 +58,9 @@ def validate_query(
     for join in query.joins:
         check(join.condition, "JOIN condition")
     check(query.where, "WHERE clause")
-    if query.group_by is not None:
-        for key in query.group_by.keys:
-            check(key, "GROUP BY")
-    # Output-column resolution: bare names in ORDER BY (standard) and
-    # HAVING (MySQL/DuckDB convenience) may reference select-list
+    # Output-column resolution: bare names in ORDER BY (standard),
+    # GROUP BY (PostgreSQL fallback: input columns win over aliases)
+    # and HAVING (MySQL/DuckDB convenience) may reference select-list
     # aliases — the executor rewrites them via resolve_order_aliases.
     from .ast import Alias
 
@@ -70,6 +68,12 @@ def validate_query(
         item.name for item in query.select_list if isinstance(item, Alias)
     }
     out_cols = set(columns) | aliases
+    if query.group_by is not None:
+        for key in query.group_by.keys:
+            try:
+                validate_expression(key, out_cols, table_names)
+            except ValidationError as e:
+                raise ValidationError(f"GROUP BY: {e}") from None
     if query.having is not None:
         try:
             validate_expression(query.having, out_cols, table_names)
