@@ -55,15 +55,37 @@ def make_tables(rows: int, seed: int = 42) -> dict:
     n_supp = 100
     n_nation = 25
 
+    region = {
+        "r_regionkey": np.arange(5, dtype=np.float32),
+        "r_name": np.array(
+            ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+        ),
+    }
     nation = {
         "n_nationkey": np.arange(n_nation, dtype=np.float32),
         "n_name": np.array(
             [f"NATION_{i:02d}" for i in range(n_nation)]
         ),
+        # dbgen maps each nation to one of the 5 regions.
+        "n_regionkey": (
+            np.arange(n_nation, dtype=np.float32) % 5
+        ),
     }
+    # s_comment: ~1% carry dbgen's "Customer …Complaints" marker (q16's
+    # NOT IN exclusion set must be small but non-empty).
+    s_comment = np.array(
+        ["carefully final accounts"] * n_supp, dtype=object
+    )
+    s_comment[rng.integers(0, n_supp, max(n_supp // 100, 2))] = (
+        "slyly Customer ironic Complaints"
+    )
     supplier = {
         "s_suppkey": np.arange(n_supp, dtype=np.float32),
+        "s_name": np.array(
+            [f"Supplier#{i:09d}" for i in range(n_supp)]
+        ),
         "s_nationkey": rng.integers(0, n_nation, n_supp).astype(np.float32),
+        "s_comment": s_comment.astype(str),
     }
     customer = {
         "c_custkey": np.arange(n_cust, dtype=np.float32),
@@ -71,7 +93,21 @@ def make_tables(rows: int, seed: int = 42) -> dict:
             ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
         )[rng.integers(0, 5, n_cust)],
         "c_nationkey": rng.integers(0, n_nation, n_cust).astype(np.float32),
+        # dbgen phones: "CC-…" where CC = 10 + nationkey-ish (10..34).
+        "c_phone": np.array([
+            f"{10 + int(c)}-{i % 900 + 100}-{(i * 7) % 9000 + 1000}"
+            for i, c in enumerate(
+                rng.integers(0, n_nation, n_cust)
+            )
+        ]),
+        "c_acctbal": rng.uniform(-999.99, 9999.99, n_cust).astype(
+            np.float32
+        ),
     }
+    # o_comment: ~2% carry the "special … requests" marker q13 excludes.
+    o_comment = np.array(["quick final deposits"] * n_orders, dtype=object)
+    special = rng.random(n_orders) < 0.02
+    o_comment[special] = "pending special packages requests"
     orders = {
         "o_orderkey": np.arange(n_orders, dtype=np.float32),
         "o_custkey": rng.integers(0, n_cust, n_orders).astype(np.float32),
@@ -81,6 +117,10 @@ def make_tables(rows: int, seed: int = 42) -> dict:
         )[rng.integers(0, 5, n_orders)],
         "o_shippriority": np.zeros(n_orders, dtype=np.float32),
         "o_totalprice": rng.uniform(1e3, 5e5, n_orders).astype(np.float32),
+        "o_orderstatus": np.array(["F", "O", "P"])[
+            rng.integers(0, 3, n_orders)
+        ],
+        "o_comment": o_comment.astype(str),
     }
     # p_type mirrors dbgen's "<prefix> <finish> <metal>" grammar; 1/6 of
     # types are PROMO% (the q14 numerator's LIKE predicate).
@@ -94,22 +134,46 @@ def make_tables(rows: int, seed: int = 42) -> dict:
             for met in ("BRASS", "COPPER", "NICKEL", "STEEL", "TIN")
         ]
     )
+    # p_name: dbgen's space-joined color words; ~1/COLORS of parts start
+    # with "forest" (q20) and ~2/COLORS contain "green" (q9).
+    colors = np.array(
+        ["almond", "azure", "blue", "chiffon", "forest", "green",
+         "honeydew", "ivory", "khaki", "lime", "metallic", "navy",
+         "olive", "pale", "rose", "sandy", "spring", "thistle"]
+    )
+    p_name = np.char.add(
+        np.char.add(colors[rng.integers(0, len(colors), n_part)], " "),
+        colors[rng.integers(0, len(colors), n_part)],
+    )
     part = {
         "p_partkey": np.arange(n_part, dtype=np.float32),
+        "p_name": p_name,
         "p_type": type_vocab[rng.integers(0, len(type_vocab), n_part)],
         # dbgen's Brand#MN grammar: 25 brands (q19's OR-of-AND arms).
         "p_brand": np.array(
             [f"Brand#{m}{n}" for m in range(1, 6) for n in range(1, 6)]
         )[rng.integers(0, 25, n_part)],
+        "p_size": rng.integers(1, 51, n_part).astype(np.float32),
+        "p_container": np.array(
+            [f"{sz} {kind}"
+             for sz in ("SM", "MED", "LG", "JUMBO", "WRAP")
+             for kind in ("BAG", "BOX", "CAN", "CASE", "DRUM",
+                          "JAR", "PACK", "PKG")]
+        )[rng.integers(0, 40, n_part)],
     }
-    # partsupp: every part stocked by 4 suppliers at distinct costs
-    # (q2's correlated MIN-cost subquery needs real per-part minima).
+    # partsupp: every part stocked by 4 DISTINCT suppliers at distinct
+    # costs (q2's correlated MIN-cost subquery needs real per-part
+    # minima; q9/q20 join lineitem back to its part's supplier set).
     n_ps = n_part * 4
+    ps_partkey = np.repeat(np.arange(n_part, dtype=np.float32), 4)
+    ps_suppkey = (
+        (ps_partkey + np.tile(np.arange(4, dtype=np.float32), n_part)
+         * (n_supp // 4)) % n_supp
+    )
     partsupp = {
-        "ps_partkey": np.repeat(
-            np.arange(n_part, dtype=np.float32), 4
-        ),
-        "ps_suppkey": rng.integers(0, n_supp, n_ps).astype(np.float32),
+        "ps_partkey": ps_partkey,
+        "ps_suppkey": ps_suppkey,
+        "ps_availqty": rng.integers(1, 10_000, n_ps).astype(np.float32),
         "ps_supplycost": rng.uniform(1.0, 1000.0, n_ps).astype(np.float32),
     }
     qty = rng.integers(1, 51, rows).astype(np.float32)
@@ -124,10 +188,17 @@ def make_tables(rows: int, seed: int = 42) -> dict:
     )
     commit = (_D0 + commit_offs.astype("timedelta64[D]")).astype(str)
     receipt = (_D0 + receipt_offs.astype("timedelta64[D]")).astype(str)
+    # Each lineitem draws its supplier from its part's 4-supplier
+    # partsupp set (dbgen does the same), so the (l_partkey, l_suppkey)
+    # pair always matches exactly one partsupp row — q9's two-key join.
+    l_partkey = rng.integers(0, n_part, rows).astype(np.float32)
+    l_suppkey = (
+        (l_partkey + rng.integers(0, 4, rows) * (n_supp // 4)) % n_supp
+    ).astype(np.float32)
     lineitem = {
         "l_orderkey": rng.integers(0, n_orders, rows).astype(np.float32),
-        "l_partkey": rng.integers(0, n_part, rows).astype(np.float32),
-        "l_suppkey": rng.integers(0, n_supp, rows).astype(np.float32),
+        "l_partkey": l_partkey,
+        "l_suppkey": l_suppkey,
         "l_quantity": qty,
         "l_extendedprice": price,
         # One of 11 discrete discounts/taxes, like dbgen.
@@ -148,6 +219,7 @@ def make_tables(rows: int, seed: int = 42) -> dict:
         "customer": customer,
         "supplier": supplier,
         "nation": nation,
+        "region": region,
         "part": part,
         "partsupp": partsupp,
     }
@@ -529,7 +601,8 @@ def build_db(tables: dict, mesh=None):
     # exists, see engine/executor.py::_validate_relations).
     db.register_table("lineitem", db.table)
     for name in (
-        "orders", "customer", "supplier", "nation", "part", "partsupp"
+        "orders", "customer", "supplier", "nation", "region", "part",
+        "partsupp",
     ):
         db.register_table(name, HostTable.from_dict(tables[name]))
     return db

@@ -3411,6 +3411,122 @@ def test_correlated_unsupported_forms():
         )
 
 
+def test_correlated_scalar_expression_over_aggregates():
+    """The scalar value may be any expression over aggregates (TPC-H
+    q17/q20's ``0.2 * AVG(x)`` / ``0.5 * SUM(x)`` thresholds)."""
+    db = _corr_db()
+    got = db.query_sql_table(
+        "SELECT cid, (SELECT 2 * SUM(amt) + COUNT(amt) FROM orders "
+        "WHERE ocid = cid) AS s FROM t"
+    )
+    # cid 1: 2*12+2=26; cid 2: 2*14+3=31; cid 3: no match -> NaN;
+    # cid 4: 2*8+1=17.
+    np.testing.assert_allclose(
+        got["s"], [26.0, 31.0, np.nan, 17.0], equal_nan=True
+    )
+    # q17 shape: comparison against a scaled AVG.
+    assert db.query_sql(
+        "SELECT cid FROM t WHERE cid < "
+        "(SELECT 0.5 * AVG(amt) FROM orders WHERE ocid = cid)"
+    ) == [1.0, 2.0]
+    # Bare inner columns outside aggregates stay rejected.
+    from warpdb_tpu.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="inside aggregates"):
+        db.query_sql(
+            "SELECT cid FROM t WHERE cid < "
+            "(SELECT amt + SUM(amt) FROM orders WHERE ocid = cid)"
+        )
+
+
+def test_correlated_exists_neq():
+    """EXISTS with one inner.col <> outer.col conjunct (TPC-H q21's
+    "another supplier on the same order") decorrelates through
+    per-group MIN/MAX of the compared column."""
+    li = HostTable.from_dict({
+        "okey": np.array([0, 0, 1, 2, 2, 3], np.float32),
+        "skey": np.array([1, 2, 1, 1, 1, 2], np.float32),
+    })
+    db = WarpDB(li)
+    db.register_table("lineitem", db.table)
+    got = db.query_sql_table(
+        "SELECT okey, skey FROM lineitem l1 WHERE EXISTS "
+        "(SELECT * FROM lineitem l2 WHERE l2.okey = l1.okey "
+        "AND l2.skey != l1.skey) ORDER BY okey ASC, skey ASC"
+    )
+    # Only order 0 has two distinct suppliers.
+    assert got["okey"] == [0.0, 0.0]
+    assert got["skey"] == [1.0, 2.0]
+    # NOT EXISTS of the same predicate: every single-supplier order row.
+    got = db.query_sql(
+        "SELECT okey FROM lineitem l1 WHERE NOT EXISTS "
+        "(SELECT * FROM lineitem l2 WHERE l2.okey = l1.okey "
+        "AND l2.skey != l1.skey) ORDER BY okey ASC"
+    )
+    assert got == [1.0, 2.0, 2.0, 3.0]
+    # With an inner residual filter (q21's late-arrival condition).
+    db.register_table("ext", HostTable.from_dict({
+        "eokey": np.array([0, 0, 1, 2], np.float32),
+        "eskey": np.array([9, 2, 7, 1], np.float32),
+        "late": np.array([1, 0, 1, 1], np.float32),
+    }))
+    got = db.query_sql(
+        "SELECT okey FROM lineitem l1 WHERE EXISTS "
+        "(SELECT * FROM ext WHERE eokey = l1.okey "
+        "AND eskey != l1.skey AND late > 0) "
+        "ORDER BY okey ASC"
+    )
+    # okey 0 rows: ext row (0, 9, late) differs from both suppliers;
+    # okey 1 row skey=1: ext (1, 7, late) differs; okey 2 rows skey=1:
+    # ext (2, 1, late) equals -> excluded.
+    assert got == [0.0, 0.0, 1.0]
+    from warpdb_tpu.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="at most one"):
+        db.query_sql(
+            "SELECT okey FROM lineitem l1 WHERE EXISTS "
+            "(SELECT * FROM ext WHERE eokey != l1.okey "
+            "AND eskey != l1.skey)"
+        )
+    with pytest.raises(UnsupportedError, match="equality correlation"):
+        db.query_sql(
+            "SELECT okey FROM lineitem l1 WHERE EXISTS "
+            "(SELECT * FROM ext WHERE eskey != l1.skey)"
+        )
+    # <> in a scalar subquery stays rejected.
+    with pytest.raises(UnsupportedError, match="only in EXISTS"):
+        db.query_sql(
+            "SELECT okey FROM lineitem l1 WHERE 1 < "
+            "(SELECT COUNT(*) FROM ext WHERE eskey != l1.skey)"
+        )
+
+
+def test_fuzz_correlated_exists_neq_vs_oracle():
+    """EXISTS-with-<> vs a NumPy nested-loop oracle (duplicates,
+    misses, residuals)."""
+    rng = np.random.default_rng(43)
+    for _ in range(5):
+        n, m = int(rng.integers(20, 60)), int(rng.integers(10, 50))
+        k = rng.integers(0, 8, n).astype(np.float32)
+        s = rng.integers(0, 4, n).astype(np.float32)
+        uk = rng.integers(0, 8, m).astype(np.float32)
+        us = rng.integers(0, 4, m).astype(np.float32)
+        uf = rng.integers(0, 2, m).astype(np.float32)
+        db = WarpDB(HostTable.from_dict({"k": k, "s": s}))
+        db.register_table(
+            "u", HostTable.from_dict({"uk": uk, "us": us, "uf": uf})
+        )
+        got = np.array(db.query_sql(
+            "SELECT k FROM t WHERE EXISTS "
+            "(SELECT * FROM u WHERE uk = k AND us != s AND uf > 0)"
+        ), np.float32)
+        want = k[np.array([
+            bool(np.any((uk == kk) & (us != ss) & (uf > 0)))
+            for kk, ss in zip(k, s)
+        ])]
+        np.testing.assert_allclose(np.sort(got), np.sort(want))
+
+
 def test_fuzz_correlated_vs_oracle():
     """Correlated EXISTS / scalar aggregates vs a NumPy nested-loop
     oracle over random fact/dim tables (duplicate keys, misses,

@@ -971,22 +971,41 @@ def _decorrelate_subqueries(query, table, catalog, mesh):
             )
 
         pairs: list = []  # (inner Variable, outer Variable)
+        neq_pairs: list = []  # (inner Variable, outer Variable) for <>
         residual: list = []
         for c in _and_conjuncts(sub.where):
             refs = _outer_refs_in(c, inner_rels, inner_cols)
             if not refs:
                 residual.append(c)
                 continue
-            ok = (
+            two_cols = (
                 isinstance(c, BinaryOp)
-                and c.op in ("=", "==")
                 and isinstance(c.left, Variable)
                 and isinstance(c.right, Variable)
             )
+            ok = two_cols and c.op in ("=", "==", "!=")
             if ok:
                 lo = _is_outer(c.left, inner_rels, inner_cols)
                 ro = _is_outer(c.right, inner_rels, inner_cols)
                 ok = lo != ro
+            # One inner.col <> outer.col conjunct is allowed for EXISTS
+            # (TPC-H q21's "another supplier on the same order"): it
+            # decorrelates through per-group MIN/MAX of the inner column
+            # (∃ row ≠ v  ⟺  count > 0 ∧ ¬(min = v ∧ max = v)).  Two
+            # such conjuncts would need a row satisfying BOTH at once,
+            # which min/max marginals cannot witness — rejected.
+            if ok and c.op == "!=":
+                if not isinstance(node, ExistsSubquery) or neq_pairs:
+                    raise UnsupportedError(
+                        "Correlated <> predicates are supported only in "
+                        "EXISTS subqueries, at most one per subquery; "
+                        f"got: {c.canonical()}"
+                    )
+                inner_v, outer_v = (
+                    (c.right, c.left) if lo else (c.left, c.right)
+                )
+                neq_pairs.append((inner_v, outer_v))
+                continue
             if not ok:
                 raise UnsupportedError(
                     "Correlated subquery predicates must be column "
@@ -997,6 +1016,11 @@ def _decorrelate_subqueries(query, table, catalog, mesh):
                 (c.right, c.left) if lo else (c.left, c.right)
             )
             pairs.append((inner_v, outer_v))
+        if neq_pairs and not pairs:
+            raise UnsupportedError(
+                "Correlated EXISTS with a <> predicate needs at least "
+                "one equality correlation key alongside it"
+            )
 
         name = f"{_CORR_PREFIX}{len(new_joins)}"
         if isinstance(node, InSubquery):
@@ -1034,24 +1058,56 @@ def _decorrelate_subqueries(query, table, catalog, mesh):
                     "Subquery used as a value must select exactly one "
                     "column"
                 )
-            agg = unalias(sub.select_list[0])
-            if not isinstance(agg, Aggregation):
+            sel = unalias(sub.select_list[0])
+            # The value may be any expression OVER aggregates (TPC-H
+            # q17/q20: ``0.2 * AVG(l_quantity)``): each distinct
+            # aggregate becomes a derived column and the surrounding
+            # expression re-binds to them after the LEFT join.  Dedupe
+            # by canonical so one aggregate used twice computes once.
+            aggs: dict = {}
+            for x in walk(sel):
+                if isinstance(x, Aggregation):
+                    aggs.setdefault(x.canonical(), x)
+            if not aggs:
                 raise UnsupportedError(
                     "Correlated scalar subqueries must select a single "
                     "aggregate (e.g. (SELECT MAX(x) FROM …)); bare "
                     "columns are ambiguous per outer row"
                 )
-            dq.select_list.append(Alias(agg, "__v"))
-            out_col = Variable(f"{name}.__v")
-            if agg.agg in (
-                AggregationType.COUNT, AggregationType.COUNT_DISTINCT
-            ):
-                # COUNT over an empty match set is 0, not NULL.
-                replacement: Node = FunctionCall(
-                    "coalesce", (out_col, Constant("0"))
+
+            def _vars_outside_aggs(n) -> list:
+                if isinstance(n, Aggregation):
+                    return []
+                if isinstance(n, Variable):
+                    return [n]
+                out = []
+                for ch in n.children():
+                    out.extend(_vars_outside_aggs(ch))
+                return out
+
+            bare = _vars_outside_aggs(sel)
+            if bare:
+                raise UnsupportedError(
+                    "Correlated scalar subqueries may reference columns "
+                    "only inside aggregates (bare "
+                    f"{bare[0].name} is ambiguous per outer row)"
                 )
-            else:
-                replacement = out_col
+            agg_cols: dict = {}
+            for j, (canon, a) in enumerate(aggs.items()):
+                dq.select_list.append(Alias(a, f"__v{j}"))
+                col: Node = Variable(f"{name}.__v{j}")
+                if a.agg in (
+                    AggregationType.COUNT, AggregationType.COUNT_DISTINCT
+                ):
+                    # COUNT over an empty match set is 0, not NULL.
+                    col = FunctionCall("coalesce", (col, Constant("0")))
+                agg_cols[canon] = col
+            replacement: Node = transform(
+                sel,
+                lambda n: agg_cols[n.canonical()]
+                if isinstance(n, Aggregation)
+                else n,
+            )
         else:
             dq.select_list.append(
                 Alias(Aggregation(AggregationType.COUNT, Star()), "__hit")
@@ -1063,6 +1119,23 @@ def _decorrelate_subqueries(query, table, catalog, mesh):
                 FunctionCall("isnan", (Variable(f"{name}.__hit"),)),
                 Constant("0"),
             )
+            if neq_pairs:
+                # ∃ row with inner_col ≠ outer_col ⟺ the group matched
+                # AND its inner_col values are not all equal to the
+                # outer value: ¬(min = v ∧ max = v).
+                iv, ov = neq_pairs[0]
+                dq.select_list.append(
+                    Alias(Aggregation(AggregationType.MIN, iv), "__nqmin")
+                )
+                dq.select_list.append(
+                    Alias(Aggregation(AggregationType.MAX, iv), "__nqmax")
+                )
+                differs = BinaryOp(
+                    "||",
+                    BinaryOp("!=", Variable(f"{name}.__nqmin"), ov),
+                    BinaryOp("!=", Variable(f"{name}.__nqmax"), ov),
+                )
+                replacement = BinaryOp("&&", replacement, differs)
 
         base = _from_relation(dq, catalog, table)
         # Memoised per source-table instance like FROM (SELECT …) —
