@@ -346,6 +346,95 @@ QUERIES = {
         "SELECT l_suppkey, total_revenue FROM revenue "
         "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)"
     ),
+    # Q7 volume shipping: 5-way join chain with the SAME dimension
+    # (nation) joined twice under different aliases, an OR of alias
+    # pairs, and a 3-key GROUP BY including a YEAR() extraction.
+    "q7": (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "YEAR(l_shipdate) AS l_year, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = supplier.s_suppkey "
+        "JOIN orders ON l_orderkey = orders.o_orderkey "
+        "JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_07' AND n2.n_name = 'NATION_08') "
+        "OR (n1.n_name = 'NATION_08' AND n2.n_name = 'NATION_07')) "
+        "AND l_shipdate >= '1995-01-01' AND l_shipdate <= '1996-12-31' "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC"
+    ),
+    # Q8 national market share: 7-way join through region, a CASE
+    # numerator over a ratio of grouped SUMs, YEAR() grouping.
+    "q8": (
+        "SELECT YEAR(orders.o_orderdate) AS o_year, "
+        "SUM(CASE WHEN n2.n_name = 'NATION_05' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ SUM(l_extendedprice * (1 - l_discount)) AS mkt_share "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = part.p_partkey "
+        "JOIN supplier ON l_suppkey = supplier.s_suppkey "
+        "JOIN orders ON l_orderkey = orders.o_orderkey "
+        "JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "JOIN nation n1 ON customer.c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = region.r_regionkey "
+        "JOIN nation n2 ON supplier.s_nationkey = n2.n_nationkey "
+        "WHERE region.r_name = 'AMERICA' "
+        "AND part.p_type = 'ECONOMY ANODIZED STEEL' "
+        "AND orders.o_orderdate >= '1995-01-01' "
+        "AND orders.o_orderdate <= '1996-12-31' "
+        "GROUP BY o_year ORDER BY o_year ASC"
+    ),
+    # Q9 product type profit: two-key join (l_partkey, l_suppkey) into
+    # partsupp, %substring% LIKE, profit expression mixing four tables,
+    # GROUP BY (nation, year).
+    "q9": (
+        "SELECT nation.n_name AS nation, "
+        "YEAR(orders.o_orderdate) AS o_year, "
+        "SUM(l_extendedprice * (1 - l_discount) "
+        "- partsupp.ps_supplycost * l_quantity) AS sum_profit "
+        "FROM lineitem "
+        "JOIN supplier ON l_suppkey = supplier.s_suppkey "
+        "JOIN part ON l_partkey = part.p_partkey "
+        "JOIN partsupp ON l_partkey = partsupp.ps_partkey "
+        "AND l_suppkey = partsupp.ps_suppkey "
+        "JOIN orders ON l_orderkey = orders.o_orderkey "
+        "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+        "WHERE part.p_name LIKE '%green%' "
+        "GROUP BY nation, o_year ORDER BY nation ASC, o_year DESC"
+    ),
+    # Q11 important stock: grouped value SUM gated by HAVING against an
+    # uncorrelated scalar subquery that itself runs the same join chain.
+    "q11": (
+        "SELECT ps_partkey, "
+        "SUM(ps_supplycost * ps_availqty) AS value "
+        "FROM partsupp "
+        "JOIN supplier ON ps_suppkey = supplier.s_suppkey "
+        "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+        "WHERE nation.n_name = 'NATION_07' "
+        "GROUP BY ps_partkey "
+        "HAVING SUM(ps_supplycost * ps_availqty) > "
+        "(SELECT 0.002 * SUM(ps_supplycost * ps_availqty) FROM partsupp "
+        "JOIN supplier ON ps_suppkey = supplier.s_suppkey "
+        "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+        "WHERE nation.n_name = 'NATION_07') "
+        "ORDER BY value DESC LIMIT 100"
+    ),
+    # Q13 customer order distribution: LEFT JOIN against a NOT-LIKE
+    # filtered CTE, then a two-level aggregate (COUNT per customer,
+    # histogram of counts) through a derived table.
+    "q13": (
+        "WITH filtered AS (SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_comment NOT LIKE '%special%requests%') "
+        "SELECT c_count, COUNT(*) AS custdist FROM "
+        "(SELECT customer.c_custkey AS ck, "
+        "COUNT(filtered.o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN filtered "
+        "ON c_custkey = filtered.o_custkey "
+        "GROUP BY ck) c_orders "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
     # Q19 discounted revenue: disjunction of multi-way conjunctions
     # mixing part-side string equality with fact-side ranges + IN.
     "q19": (
@@ -540,7 +629,130 @@ def oracle(tables: dict, name: str) -> dict:
         return {
             "promo_revenue": [float(100.0 * rev[promo].sum() / rev.sum())]
         }
+    if name == "q7":
+        su, na = tables["supplier"], tables["nation"]
+        sn = na["n_name"][
+            su["s_nationkey"][li["l_suppkey"].astype(int)].astype(int)
+        ]
+        ocust = od["o_custkey"][li["l_orderkey"].astype(int)]
+        cn = na["n_name"][
+            cu["c_nationkey"][ocust.astype(int)].astype(int)
+        ]
+        m = (
+            (li["l_shipdate"] >= "1995-01-01")
+            & (li["l_shipdate"] <= "1996-12-31")
+            & (
+                ((sn == "NATION_07") & (cn == "NATION_08"))
+                | ((sn == "NATION_08") & (cn == "NATION_07"))
+            )
+        )
+        year = np.array([s[:4] for s in li["l_shipdate"][m]])
+        key = np.char.add(
+            np.char.add(np.char.add(sn[m], "|"), np.char.add(cn[m], "|")),
+            year,
+        )
+        uk, s = _group_sum(
+            key, li["l_extendedprice"][m] * (1 - li["l_discount"][m])
+        )
+        return {"key": uk.tolist(), "revenue": s.tolist()}
+    if name == "q8":
+        su, na, pt = tables["supplier"], tables["nation"], tables["part"]
+        re_ = tables["region"]
+        odate = od["o_orderdate"][li["l_orderkey"].astype(int)]
+        ocust = od["o_custkey"][li["l_orderkey"].astype(int)]
+        cnat = cu["c_nationkey"][ocust.astype(int)].astype(int)
+        creg = na["n_regionkey"][cnat].astype(int)
+        snat = su["s_nationkey"][li["l_suppkey"].astype(int)].astype(int)
+        ptype = pt["p_type"][li["l_partkey"].astype(int)]
+        m = (
+            (re_["r_name"][creg] == "AMERICA")
+            & (ptype == "ECONOMY ANODIZED STEEL")
+            & (odate >= "1995-01-01")
+            & (odate <= "1996-12-31")
+        )
+        year = np.array([s[:4] for s in odate[m]])
+        vol = (
+            li["l_extendedprice"][m].astype(np.float64)
+            * (1 - li["l_discount"][m].astype(np.float64))
+        )
+        brazil = (na["n_name"][snat[m]] == "NATION_05").astype(np.float64)
+        uk = np.unique(year)
+        return {
+            "key": [float(y) for y in uk],
+            "mkt_share": [
+                float(
+                    (vol[year == y] * brazil[year == y]).sum()
+                    / vol[year == y].sum()
+                )
+                for y in uk
+            ],
+        }
+    if name == "q9":
+        su, na, pt = tables["supplier"], tables["nation"], tables["part"]
+        ps = tables["partsupp"]
+        # (part, supp) -> supplycost lookup (pairs are unique).
+        n_supp = len(su["s_suppkey"])
+        pair = (
+            ps["ps_partkey"].astype(np.int64) * n_supp
+            + ps["ps_suppkey"].astype(np.int64)
+        )
+        cost_by_pair = dict(zip(pair.tolist(), ps["ps_supplycost"]))
+        lpair = (
+            li["l_partkey"].astype(np.int64) * n_supp
+            + li["l_suppkey"].astype(np.int64)
+        )
+        cost = np.array(
+            [cost_by_pair[p] for p in lpair.tolist()], np.float64
+        )
+        m = np.char.find(
+            pt["p_name"][li["l_partkey"].astype(int)].astype(str), "green"
+        ) >= 0
+        nname = na["n_name"][
+            su["s_nationkey"][li["l_suppkey"].astype(int)].astype(int)
+        ]
+        odate = od["o_orderdate"][li["l_orderkey"].astype(int)]
+        year = np.array([s[:4] for s in odate])
+        key = np.char.add(np.char.add(nname[m], "|"), year[m])
+        profit = (
+            li["l_extendedprice"][m].astype(np.float64)
+            * (1 - li["l_discount"][m].astype(np.float64))
+            - cost[m] * li["l_quantity"][m].astype(np.float64)
+        )
+        uk, s = _group_sum(key, profit)
+        return {"key": uk.tolist(), "sum_profit": s.tolist()}
+    if name == "q11":
+        su, na, ps = tables["supplier"], tables["nation"], tables["partsupp"]
+        snat = su["s_nationkey"][ps["ps_suppkey"].astype(int)].astype(int)
+        m = na["n_name"][snat] == "NATION_07"
+        val = (
+            ps["ps_supplycost"].astype(np.float64)
+            * ps["ps_availqty"].astype(np.float64)
+        )
+        uk, s = _group_sum(ps["ps_partkey"][m], val[m])
+        thresh = 0.002 * val[m].sum()
+        keep = s > thresh
+        uk, s = uk[keep], s[keep]
+        order = np.argsort(-s, kind="stable")[:100]
+        return {"key": uk[order].tolist(), "value": s[order].tolist()}
+    if name == "q13":
+        keep = ~np.array([
+            _like_special(c) for c in od["o_comment"].astype(str)
+        ])
+        cnt = np.zeros(len(cu["c_custkey"]), np.int64)
+        np.add.at(cnt, od["o_custkey"][keep].astype(int), 1)
+        uk, dist = np.unique(cnt, return_counts=True)
+        order = np.lexsort((-uk, -dist))
+        return {
+            "c_count": uk[order].astype(np.float64).tolist(),
+            "custdist": dist[order].astype(np.float64).tolist(),
+        }
     raise KeyError(name)
+
+
+def _like_special(c: str) -> bool:
+    """NumPy-side '%special%requests%' matcher for the q13 oracle."""
+    i = c.find("special")
+    return i >= 0 and c.find("requests", i + 7) >= 0
 
 
 def check_results(name: str, got: dict, want: dict, rtol=2e-3) -> None:
@@ -585,6 +797,41 @@ def check_results(name: str, got: dict, want: dict, rtol=2e-3) -> None:
         assert cols[0] == want["key"]
         np.testing.assert_allclose(got["high"], want["high"], rtol=rtol)
         np.testing.assert_allclose(got["low"], want["low"], rtol=rtol)
+    elif name == "q7":
+        key = [
+            f"{a}|{b}|{int(y)}"
+            for a, b, y in zip(cols[0], cols[1], cols[2])
+        ]
+        assert key == want["key"], (key, want["key"])
+        np.testing.assert_allclose(got["revenue"], want["revenue"],
+                                   rtol=rtol)
+    elif name == "q8":
+        np.testing.assert_allclose(cols[0], want["key"])
+        np.testing.assert_allclose(got["mkt_share"], want["mkt_share"],
+                                   rtol=rtol, atol=1e-6)
+    elif name == "q9":
+        key = [f"{a}|{int(y)}" for a, y in zip(cols[0], cols[1])]
+        order = np.argsort(key, kind="stable")
+        worder = np.argsort(want["key"], kind="stable")
+        assert [key[i] for i in order] == [
+            want["key"][i] for i in worder
+        ]
+        np.testing.assert_allclose(
+            np.asarray(got["sum_profit"], np.float64)[order],
+            np.asarray(want["sum_profit"], np.float64)[worder],
+            rtol=rtol,
+        )
+    elif name == "q11":
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got["value"], np.float64))[::-1],
+            np.sort(np.asarray(want["value"], np.float64))[::-1],
+            rtol=rtol,
+        )
+    elif name == "q13":
+        assert got["c_count"] == want["c_count"], (
+            got["c_count"], want["c_count"],
+        )
+        np.testing.assert_allclose(got["custdist"], want["custdist"])
     else:
         # A query without a check branch must never "pass" vacuously.
         raise KeyError(f"check_results has no branch for {name!r}")

@@ -313,6 +313,35 @@ class WarpDB:
             raise ValidationError(f"Unknown table: {name}")
         return catalog.get(name, self._table)
 
+    def _alias_catalog(self, ast, catalog):
+        """Extend a statement's catalog with relation-alias entries
+        (``JOIN nation n1`` / ``FROM lineitem l1``) pointing at their
+        source tables, so string decode can resolve ``n1.n_name``
+        through the alias qualifier (the alias is otherwise invisible
+        to the catalog and the dictionary lookup returned raw codes).
+        Copy-on-write: the facade catalog itself is never mutated."""
+        pairs = []
+        src = getattr(ast, "from_source", None)
+        if src and ast.from_table != src:
+            pairs.append((ast.from_table, src))
+        for j in getattr(ast, "joins", ()) or ():
+            jsrc = getattr(j, "source", None)
+            if jsrc and j.table != jsrc:
+                pairs.append((j.table, jsrc))
+        added = [
+            (alias, s)
+            for alias, s in pairs
+            if alias not in catalog and s in catalog
+        ]
+        if not added:
+            return catalog
+        strict = getattr(catalog, "strict", len(catalog) > 2)
+        out = Catalog(catalog)
+        out.strict = strict
+        for alias, s in added:
+            out[alias] = catalog[s]
+        return out
+
     def _resolve_ctes(self, ast, catalog=None) -> dict:
         """Materialise a statement's ``WITH`` CTEs (extension; the
         reference has no CTEs) into an extended per-statement catalog.
@@ -369,14 +398,17 @@ class WarpDB:
             catalog[name] = hit
         return catalog
 
-    def _maybe_decode(self, item, values: np.ndarray, table=None) -> list:
+    def _maybe_decode(self, item, values: np.ndarray, table=None,
+                      catalog=None) -> list:
         """Decode dictionary codes back to strings when the select item is
         a bare string column (extension: the reference cannot query string
         columns at all, csv_loader.cpp:151-155).  ``table`` overrides the
-        source relation (UNION branches read their own FROM table)."""
+        source relation (UNION branches read their own FROM table);
+        ``catalog`` overrides the facade catalog (per-statement catalogs
+        carry CTE and relation-alias entries the decode must see)."""
         return decode_result_column(
             item, values, self._table if table is None else table,
-            self._catalog,
+            self._catalog if catalog is None else catalog,
         )
 
     # -- SQL path (reference WarpDB::query_sql, warpdb.cpp:297-498) ----------
@@ -393,6 +425,7 @@ class WarpDB:
             raise ParseError(f"Failed to parse SQL: {e}") from None
 
         catalog = self._resolve_ctes(ast)
+        catalog = self._alias_catalog(ast, catalog)
         self._validate_sql(ast, catalog=catalog)
         if getattr(ast, "set_ops", None):
             with timed_query(
@@ -423,7 +456,7 @@ class WarpDB:
         from .engine.executor import expand_stars_query
 
         first = expand_stars_query(ast, base, catalog)[0]
-        return self._maybe_decode(first, result, table=base)
+        return self._maybe_decode(first, result, table=base, catalog=catalog)
 
     def _validate_sql(self, ast, table=None, catalog=None) -> None:
         """Clause validation; derived tables validate the inner query
@@ -782,6 +815,7 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     except (_PE, _TE) as e:
         raise ParseError(f"Failed to parse SQL: {e}") from None
     catalog = self._resolve_ctes(ast)
+    catalog = self._alias_catalog(ast, catalog)
     self._validate_sql(ast, catalog=catalog)
     if getattr(ast, "set_ops", None):
         return self._setop_table(ast, catalog)
@@ -796,7 +830,7 @@ def _facade_query_sql_table(self, sql: str) -> dict:
     result = run_query_table(ast, base, catalog, mesh=self._mesh)
     select_items = expand_stars_query(ast, base, catalog)
     return {
-        name: self._maybe_decode(item, vals, table=base)
+        name: self._maybe_decode(item, vals, table=base, catalog=catalog)
         for item, (name, vals) in zip(select_items, result.items())
     }
 
@@ -842,7 +876,7 @@ def _facade_setop_table(self, ast, catalog=None) -> dict:
         res = run_query_table(qq, table, catalog, mesh=self._mesh)
         items = expand_stars_query(qq, table, catalog)
         cols = [
-            self._maybe_decode(item, vals, table=table)
+            self._maybe_decode(item, vals, table=table, catalog=catalog)
             for item, (_nm, vals) in zip(items, res.items())
         ]
         if names is None:
