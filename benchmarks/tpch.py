@@ -110,7 +110,11 @@ def make_tables(rows: int, seed: int = 42) -> dict:
     o_comment[special] = "pending special packages requests"
     orders = {
         "o_orderkey": np.arange(n_orders, dtype=np.float32),
-        "o_custkey": rng.integers(0, n_cust, n_orders).astype(np.float32),
+        # dbgen leaves 1/3 of customers order-less (q13's zero bucket,
+        # q22's NOT EXISTS positives): orders draw from the low 2/3.
+        "o_custkey": rng.integers(
+            0, max(2 * n_cust // 3, 1), n_orders
+        ).astype(np.float32),
         "o_orderdate": _iso_dates(rng, n_orders),
         "o_orderpriority": np.array(
             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -447,6 +451,85 @@ QUERIES = {
         "OR (part.p_brand = 'Brand#34' AND l_quantity >= 20 "
         "AND l_quantity <= 30 AND l_shipmode IN ('AIR', 'REG AIR'))"
     ),
+    # Q16 parts/supplier relationship: grouped COUNT(DISTINCT), a NOT IN
+    # uncorrelated subquery exclusion set, NOT LIKE, numeric IN list,
+    # and a 4-key ORDER BY led by the aggregate.
+    "q16": (
+        "SELECT part.p_brand, part.p_type, part.p_size, "
+        "COUNT(DISTINCT ps_suppkey) AS supplier_cnt "
+        "FROM partsupp JOIN part ON ps_partkey = part.p_partkey "
+        "WHERE part.p_brand <> 'Brand#45' "
+        "AND part.p_type NOT LIKE 'MEDIUM POLISHED%' "
+        "AND part.p_size IN (1, 4, 7, 10, 14, 23, 45, 49) "
+        "AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+        "WHERE s_comment LIKE '%Customer%Complaints%') "
+        "GROUP BY part.p_brand, part.p_type, part.p_size "
+        "ORDER BY supplier_cnt DESC, part.p_brand ASC, part.p_type ASC, "
+        "part.p_size ASC LIMIT 50"
+    ),
+    # Q17 small-quantity-order revenue: correlated scalar AVG subquery
+    # against the fact table itself, correlation key reaching through
+    # the outer JOIN's part relation.  (Container widened to LIKE 'MED%'
+    # so the 20k-row check scale keeps a non-vacuous match set.)
+    "q17": (
+        "SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly "
+        "FROM lineitem JOIN part ON l_partkey = part.p_partkey "
+        "WHERE part.p_brand = 'Brand#23' AND part.p_container LIKE 'MED%' "
+        "AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem "
+        "WHERE l_partkey = part.p_partkey)"
+    ),
+    # Q20 potential part promotion: IN subquery whose inner query nests
+    # another IN subquery AND a two-key correlated scalar SUM over the
+    # fact table (the deepest decorrelation in the suite).
+    "q20": (
+        "SELECT s_name FROM supplier "
+        "JOIN nation ON s_nationkey = nation.n_nationkey "
+        "WHERE s_suppkey IN (SELECT ps_suppkey FROM partsupp "
+        "WHERE ps_partkey IN (SELECT p_partkey FROM part "
+        "WHERE p_name LIKE 'forest%') "
+        "AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem "
+        "WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
+        "AND l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01')) "
+        "AND nation.n_name = 'NATION_03' "
+        "ORDER BY s_name ASC"
+    ),
+    # Q21 suppliers who kept orders waiting: self-joined fact under an
+    # alias, EXISTS and NOT EXISTS each carrying the one-<>-conjunct
+    # correlation ("another supplier on the same order").
+    "q21": (
+        "SELECT supplier.s_name, COUNT(*) AS numwait "
+        "FROM lineitem l1 "
+        "JOIN supplier ON l1.l_suppkey = supplier.s_suppkey "
+        "JOIN orders ON l1.l_orderkey = orders.o_orderkey "
+        "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+        "WHERE orders.o_orderstatus = 'F' "
+        "AND l1.l_receiptdate > l1.l_commitdate "
+        "AND EXISTS (SELECT * FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT * FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey "
+        "AND l3.l_receiptdate > l3.l_commitdate) "
+        "AND nation.n_name = 'NATION_20' "
+        "GROUP BY supplier.s_name "
+        "ORDER BY numwait DESC, supplier.s_name ASC LIMIT 100"
+    ),
+    # Q22 global sales opportunity: SUBSTR-derived GROUP BY key through
+    # a derived table (fresh string vocabulary), string IN list, an
+    # uncorrelated scalar AVG gate, and an anti-join NOT EXISTS.
+    "q22": (
+        "SELECT cntrycode, COUNT(*) AS numcust, SUM(acctbal) AS totacctbal "
+        "FROM (SELECT SUBSTR(c_phone, 1, 2) AS cntrycode, "
+        "c_acctbal AS acctbal FROM customer "
+        "WHERE SUBSTR(c_phone, 1, 2) IN ('13', '31', '23', '29', '30') "
+        "AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+        "WHERE c_acctbal > 0.0 "
+        "AND SUBSTR(c_phone, 1, 2) IN ('13', '31', '23', '29', '30')) "
+        "AND NOT EXISTS (SELECT * FROM orders "
+        "WHERE o_custkey = c_custkey)) custsale "
+        "GROUP BY cntrycode ORDER BY cntrycode ASC"
+    ),
 }
 
 
@@ -746,6 +829,146 @@ def oracle(tables: dict, name: str) -> dict:
             "c_count": uk[order].astype(np.float64).tolist(),
             "custdist": dist[order].astype(np.float64).tolist(),
         }
+    if name == "q16":
+        su, pt = tables["supplier"], tables["partsupp"]
+        part = tables["part"]
+        bad = set(
+            tables["supplier"]["s_suppkey"][
+                np.array([
+                    "Customer" in c
+                    and "Complaints" in c.split("Customer", 1)[1]
+                    for c in su["s_comment"].astype(str)
+                ])
+            ].astype(int).tolist()
+        )
+        pk = pt["ps_partkey"].astype(int)
+        pb, ptp, psz = (
+            part["p_brand"][pk], part["p_type"][pk], part["p_size"][pk]
+        )
+        m = (
+            (pb != "Brand#45")
+            & ~np.char.startswith(ptp.astype(str), "MEDIUM POLISHED")
+            & np.isin(psz, [1, 4, 7, 10, 14, 23, 45, 49])
+            & ~np.isin(pt["ps_suppkey"].astype(int), list(bad))
+        )
+        key = np.array([
+            f"{b}|{t}|{int(s):02d}"
+            for b, t, s in zip(pb[m], ptp[m], psz[m])
+        ])
+        pair = np.array([
+            f"{k}|{int(x)}" for k, x in zip(key, pt["ps_suppkey"][m])
+        ])
+        upair = np.unique(pair)
+        ukey = np.array(["|".join(p.split("|")[:-1]) for p in upair])
+        uk, cnt = np.unique(ukey, return_counts=True)
+        order = np.lexsort((uk, -cnt))[:50]
+        return {
+            "key": uk[order].tolist(),
+            "supplier_cnt": cnt[order].astype(float).tolist(),
+        }
+    if name == "q17":
+        pt = tables["part"]
+        pk = li["l_partkey"].astype(int)
+        sums = np.zeros(len(pt["p_partkey"]))
+        cnts = np.zeros(len(pt["p_partkey"]))
+        np.add.at(sums, pk, li["l_quantity"].astype(np.float64))
+        np.add.at(cnts, pk, 1)
+        avg = np.divide(
+            sums, cnts, out=np.full_like(sums, np.nan), where=cnts > 0
+        )
+        m = (
+            (pt["p_brand"][pk] == "Brand#23")
+            & np.char.startswith(
+                pt["p_container"][pk].astype(str), "MED"
+            )
+            & (li["l_quantity"] < 0.2 * avg[pk])
+        )
+        return {
+            "avg_yearly": [float(li["l_extendedprice"][m].sum() / 7.0)]
+        }
+    if name == "q20":
+        su, na, pt = tables["supplier"], tables["nation"], tables["part"]
+        ps = tables["partsupp"]
+        dm = (
+            (li["l_shipdate"] >= "1994-01-01")
+            & (li["l_shipdate"] < "1995-01-01")
+        )
+        pairsum: dict = {}
+        for p, s, q in zip(
+            li["l_partkey"][dm].astype(int),
+            li["l_suppkey"][dm].astype(int), li["l_quantity"][dm],
+        ):
+            pairsum[(p, s)] = pairsum.get((p, s), 0.0) + float(q)
+        fset = set(
+            np.where(
+                np.char.startswith(pt["p_name"].astype(str), "forest")
+            )[0].tolist()
+        )
+        okset = {
+            s
+            for p, s, aq in zip(
+                ps["ps_partkey"].astype(int),
+                ps["ps_suppkey"].astype(int), ps["ps_availqty"],
+            )
+            if p in fset
+            and (p, s) in pairsum
+            and aq > 0.5 * pairsum[(p, s)]
+        }
+        m = np.array([int(k) in okset for k in su["s_suppkey"]]) & (
+            na["n_name"][su["s_nationkey"].astype(int)] == "NATION_03"
+        )
+        return {"s_name": np.sort(su["s_name"][m]).tolist()}
+    if name == "q21":
+        su, na = tables["supplier"], tables["nation"]
+        ok_ = li["l_orderkey"].astype(np.int64)
+        sk = li["l_suppkey"].astype(np.int64)
+        late = li["l_receiptdate"] > li["l_commitdate"]
+        n_supp = len(su["s_suppkey"])
+        pair = ok_ * n_supp + sk
+        # Distinct (order, supplier) pairs -> per-order supplier counts;
+        # same over late rows.  EXISTS(other supplier) == nsup >= 2;
+        # NOT EXISTS(other LATE supplier) == nlate == 1 (l1 itself is
+        # late, so its supplier is always in the late set).
+        nsup = np.zeros(len(od["o_orderkey"]), np.int64)
+        np.add.at(nsup, (np.unique(pair) // n_supp).astype(int), 1)
+        nlate = np.zeros(len(od["o_orderkey"]), np.int64)
+        np.add.at(nlate, (np.unique(pair[late]) // n_supp).astype(int), 1)
+        m = (
+            late
+            & (od["o_orderstatus"][ok_] == "F")
+            & (nsup[ok_] >= 2)
+            & (nlate[ok_] == 1)
+            & (
+                na["n_name"][su["s_nationkey"][sk].astype(int)]
+                == "NATION_20"
+            )
+        )
+        uk, cnt = np.unique(su["s_name"][sk[m]], return_counts=True)
+        order = np.lexsort((uk, -cnt))[:100]
+        return {
+            "s_name": uk[order].tolist(),
+            "numwait": cnt[order].astype(float).tolist(),
+        }
+    if name == "q22":
+        codes = np.array([p[:2] for p in cu["c_phone"].astype(str)])
+        inlist = np.isin(codes, ["13", "31", "23", "29", "30"])
+        avg = (
+            cu["c_acctbal"][(cu["c_acctbal"] > 0) & inlist]
+            .astype(np.float64).mean()
+        )
+        has_ord = np.zeros(len(cu["c_custkey"]), bool)
+        has_ord[od["o_custkey"].astype(int)] = True
+        m = inlist & (cu["c_acctbal"] > avg) & ~has_ord
+        uk, cnt = np.unique(codes[m], return_counts=True)
+        sums = np.array([
+            cu["c_acctbal"][m][codes[m] == k].astype(np.float64).sum()
+            for k in uk
+        ])
+        return {
+            "cntrycode": uk.tolist(),
+            "numcust": cnt.astype(float).tolist(),
+            "totacctbal": sums.tolist(),
+        }
     raise KeyError(name)
 
 
@@ -832,6 +1055,38 @@ def check_results(name: str, got: dict, want: dict, rtol=2e-3) -> None:
             got["c_count"], want["c_count"],
         )
         np.testing.assert_allclose(got["custdist"], want["custdist"])
+    elif name == "q16":
+        key = [
+            f"{b}|{t}|{int(s):02d}"
+            for b, t, s in zip(cols[0], cols[1], cols[2])
+        ]
+        assert key == want["key"], (key[:5], want["key"][:5])
+        np.testing.assert_array_equal(
+            got["supplier_cnt"], want["supplier_cnt"]
+        )
+    elif name == "q17":
+        np.testing.assert_allclose(
+            got["avg_yearly"], want["avg_yearly"], rtol=rtol
+        )
+        assert want["avg_yearly"][0] > 0, "q17 check is vacuous"
+    elif name == "q20":
+        assert cols[0] == want["s_name"], (cols[0], want["s_name"])
+        assert want["s_name"], "q20 check is vacuous"
+    elif name == "q21":
+        assert cols[0] == want["s_name"], (
+            cols[0][:5], want["s_name"][:5],
+        )
+        np.testing.assert_array_equal(got["numwait"], want["numwait"])
+        assert want["s_name"], "q21 check is vacuous"
+    elif name == "q22":
+        assert cols[0] == want["cntrycode"], (
+            cols[0], want["cntrycode"],
+        )
+        np.testing.assert_array_equal(got["numcust"], want["numcust"])
+        np.testing.assert_allclose(
+            got["totacctbal"], want["totacctbal"], rtol=rtol
+        )
+        assert want["cntrycode"], "q22 check is vacuous"
     else:
         # A query without a check branch must never "pass" vacuously.
         raise KeyError(f"check_results has no branch for {name!r}")

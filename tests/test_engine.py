@@ -5007,3 +5007,37 @@ def test_distinct_over_window_expression():
     for i in range(n):
         exp.add(float(v[i] - v[k == k[i]].min()))
     assert got == sorted(exp)
+
+
+def test_count_column_skips_left_join_nulls():
+    """SQL COUNT(expr) counts only non-NULL rows: after a LEFT JOIN,
+    unmatched build-side values (NaN fill; string codes -1) must not
+    count, while COUNT(*) counts every row (the planner routes
+    COUNT(expr) through SUM of a NotNull indicator — grouped, device
+    finish, and global paths all inherit it)."""
+    import numpy as np
+
+    from warpdb_tpu import WarpDB
+    from warpdb_tpu.storage import HostTable
+
+    db = WarpDB(HostTable.from_dict({
+        "g": np.array([0, 0, 1, 1, 1], np.float32),
+        "k": np.array([10, 11, 12, 13, 10], np.float32),
+    }))
+    db.register_table("d", HostTable.from_dict({
+        "dk": np.array([10, 12], np.float32),
+        "v": np.array([1.5, 2.5], np.float32),
+        "s": np.array(["x", "y"]),
+    }))
+    out = db.query_sql_table(
+        "SELECT g, COUNT(*) AS n, COUNT(d.v) AS nv, COUNT(d.s) AS ns "
+        "FROM t LEFT JOIN d ON k = d.dk GROUP BY g ORDER BY g ASC"
+    )
+    assert out["n"] == [2.0, 3.0]
+    assert out["nv"] == [1.0, 2.0]  # k=11 and k=13 miss -> NULL v
+    assert out["ns"] == [1.0, 2.0]  # string codes -1 are NULL too
+    # Global (ungrouped) COUNT agrees.
+    got = db.query_sql("SELECT COUNT(d.v) FROM t LEFT JOIN d ON k = d.dk")
+    assert got == [3.0]
+    got = db.query_sql("SELECT COUNT(*) FROM t LEFT JOIN d ON k = d.dk")
+    assert got == [5.0]

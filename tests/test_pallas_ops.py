@@ -198,3 +198,40 @@ def test_expansion_join_matches_oracle_with_duplicate_build_keys():
     np.testing.assert_allclose(
         out["s"], want[keys], rtol=2e-3,
     )
+
+
+# --- uniform fan-out expansion kernel (interpret on CPU) ---------------------
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_uniform_expand_interpret(k):
+    """Bit-exact constant-selection expansion (ops/pallas_expand.
+    uniform_expand): out[r] = col[r // k], including f32 specials and
+    full-range int32 codes, for every supported fan-out."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from warpdb_tpu.ops.pallas_expand import (
+        uniform_expand,
+        uniform_expand_supported,
+    )
+
+    rng = np.random.default_rng(5)
+    n_src = 4096
+    cap = n_src * k // 2  # total < n_src*k: tail positions exist
+    assert uniform_expand_supported(k, cap, n_src)
+    assert not uniform_expand_supported(3, cap, n_src)
+    assert not uniform_expand_supported(k, n_src * k * 2, n_src)
+    vals_f = rng.normal(0, 1e10, n_src).astype(np.float32)
+    vals_f[5], vals_f[7], vals_f[9] = np.nan, -np.inf, -0.0
+    vals_i = rng.integers(-2**31, 2**31 - 1, n_src, dtype=np.int32)
+    out = uniform_expand(
+        (jnp.asarray(vals_f), jnp.asarray(vals_i)),
+        k=k, capacity=cap,
+        interpret=jax.default_backend() != "tpu",
+    )
+    r = np.arange(cap) // k
+    np.testing.assert_array_equal(
+        np.asarray(out[0]).view(np.uint32), vals_f[r].view(np.uint32)
+    )
+    np.testing.assert_array_equal(np.asarray(out[1]), vals_i[r])

@@ -313,6 +313,21 @@ class WarpDB:
             raise ValidationError(f"Unknown table: {name}")
         return catalog.get(name, self._table)
 
+    def _decode_base(self, ast, base, catalog):
+        """The relation result decode reads vocabularies from: the
+        materialised derived table when the statement's FROM is a
+        subquery (its string columns re-encode with fresh vocabularies
+        the outer base knows nothing about), else the FROM relation.
+        Post-execution this is a memo hit — no recompute."""
+        if getattr(ast, "from_subquery", None) is None:
+            return base
+        from .engine.executor import _resolve_from_subquery
+
+        _q2, derived = _resolve_from_subquery(
+            ast, base, catalog, self._mesh
+        )
+        return derived
+
     def _alias_catalog(self, ast, catalog):
         """Extend a statement's catalog with relation-alias entries
         (``JOIN nation n1`` / ``FROM lineitem l1``) pointing at their
@@ -456,7 +471,10 @@ class WarpDB:
         from .engine.executor import expand_stars_query
 
         first = expand_stars_query(ast, base, catalog)[0]
-        return self._maybe_decode(first, result, table=base, catalog=catalog)
+        return self._maybe_decode(
+            first, result, table=self._decode_base(ast, base, catalog),
+            catalog=catalog,
+        )
 
     def _validate_sql(self, ast, table=None, catalog=None) -> None:
         """Clause validation; derived tables validate the inner query
@@ -829,8 +847,11 @@ def _facade_query_sql_table(self, sql: str) -> dict:
         ast.ctes = []  # resolved into ``catalog`` above
     result = run_query_table(ast, base, catalog, mesh=self._mesh)
     select_items = expand_stars_query(ast, base, catalog)
+    decode_base = self._decode_base(ast, base, catalog)
     return {
-        name: self._maybe_decode(item, vals, table=base, catalog=catalog)
+        name: self._maybe_decode(
+            item, vals, table=decode_base, catalog=catalog
+        )
         for item, (name, vals) in zip(select_items, result.items())
     }
 

@@ -47,6 +47,7 @@ from ..frontend.ast import (
     LikePattern,
     CodeMap,
     Node,
+    NotNull,
     ExistsSubquery,
     ScalarSubquery,
     Star,
@@ -278,6 +279,25 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
             return _as_f32(fn(*[a(cols) for a in arg_fns]))
 
         return call_fn
+    if isinstance(node, NotNull):
+        # Not-NULL indicator (SQL COUNT(expr) NULL-skipping): bare
+        # Variables read RAW so the missing-value marker stays visible —
+        # i32 columns (string codes, exact ints) carry -1 for the
+        # LEFT-JOIN fill (join_exec.left_fill); float columns carry NaN.
+        # Computed f32 expressions propagate NaN, so ``x == x`` covers
+        # them.
+        raw = _raw_operand(node.expr)
+
+        def notnull_fn(cols):
+            arr = raw(cols)
+            if not hasattr(arr, "dtype"):  # constant subtree
+                v = float(arr)
+                return jnp.float32(0.0 if v != v else 1.0)
+            if arr.dtype.kind in "iu":
+                return (arr != -1).astype(jnp.float32)
+            return (arr == arr).astype(jnp.float32)
+
+        return notnull_fn
     if isinstance(node, CaseWhen):
         cond_fns = [build_evaluator(c) for c in node.conditions]
         val_fns = [build_evaluator(v) for v in node.values]

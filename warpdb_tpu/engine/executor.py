@@ -412,26 +412,23 @@ def materialize_query_table(sub, base, catalog, mesh) -> "DeviceTable":
     items = expand_stars_query(sub, base, catalog)
     arrays: dict = {}
     dtypes: dict = {}
-    for item, (name, vals) in zip(items, out.items()):
-        node = unalias(item)
-        vocab = None
-        if isinstance(node, Variable) and base.dicts:
-            vocab = base.dicts.get(node.name)
-            if vocab is None:
-                vocab = base.dicts.get(node.unqualified)
-        arr = np.asarray(vals, np.float32)
-        if vocab is not None:
-            # Bare string column passing through: decode and let the
-            # derived table re-encode (fresh vocabulary).
-            from ..storage.strings import decode_codes
-            from ..storage.table import DataType
+    # decode_result_column owns the full string-decode policy (bare
+    # column — incl. join-qualified through the catalog —, MIN/MAX of a
+    # string, string scalar functions like SUBSTR); anything it decodes
+    # to str re-encodes here with a fresh vocabulary.  Lazy import:
+    # api.py imports this module.
+    from ..api import decode_result_column
+    from ..storage.table import DataType
 
-            arrays[name] = np.asarray(
-                decode_codes(arr, vocab), dtype=object
-            )
+    for item, (name, vals) in zip(items, out.items()):
+        decoded = decode_result_column(
+            item, np.asarray(vals, np.float32), base, catalog
+        )
+        if decoded and isinstance(decoded[0], str):
+            arrays[name] = np.asarray(decoded, dtype=object)
             dtypes[name] = DataType.STRING
         else:
-            arrays[name] = arr
+            arrays[name] = np.asarray(vals, np.float32)
     from ..storage.table import HostTable
 
     return DeviceTable.from_host(
@@ -1956,6 +1953,20 @@ def _global_agg_value(agg, param, vals, valid):
     return jnp.max(jnp.where(valid, vals, -jnp.inf))
 
 
+def _count_rewrite(agg, expr):
+    """SQL COUNT(expr) skips NULLs: rewrite to SUM over the not-null
+    indicator (frontend.ast.NotNull; COUNT(*) and COUNT(const) keep the
+    plain row count).  Grouped queries do the same in
+    group_exec._grouped_plan."""
+    from ..frontend.ast import NotNull, Star, unalias
+
+    if agg is AggregationType.COUNT and not isinstance(
+        unalias(expr), (Star, Constant)
+    ):
+        return AggregationType.SUM, NotNull(expr)
+    return agg, expr
+
+
 def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
     """SELECT AGG(expr) with no GROUP BY → single scalar."""
     select = query.select_list[0]
@@ -1966,9 +1977,9 @@ def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
            schema_signature(cols), udf_mod.registry_version())
 
     def build():
-        val_fn = build_evaluator(select.expr)
+        agg, expr = _count_rewrite(select.agg, select.expr)
+        val_fn = build_evaluator(expr)
         cond_fn = build_evaluator(where) if where is not None else None
-        agg = select.agg
         param = select.param
 
         @jax.jit
@@ -2002,9 +2013,12 @@ def _run_global_agg_expr(query: Query, table: DeviceTable) -> np.ndarray:
            schema_signature(cols), udf_mod.registry_version())
 
     def build():
-        val_fns = [build_evaluator(s.expr) for s in specs]
+        rewritten = [_count_rewrite(s.agg, s.expr) for s in specs]
+        val_fns = [build_evaluator(e) for _a, e in rewritten]
         cond_fn = build_evaluator(where) if where is not None else None
-        agg_params = [(s.agg, s.param) for s in specs]
+        agg_params = [
+            (a, s.param) for (a, _e), s in zip(rewritten, specs)
+        ]
 
         @jax.jit
         def kernel(cols, num_rows):

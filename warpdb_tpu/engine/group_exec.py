@@ -29,7 +29,9 @@ from ..frontend.ast import (
     Constant,
     FunctionCall,
     Node,
+    NotNull,
     Query,
+    Star as _Star,
     Variable,
     unalias,
     walk,
@@ -173,7 +175,10 @@ def _group_level_eval(
 def _agg_value_from_result(spec: _AggSpec, counts, value_aggs) -> np.ndarray:
     counts_f = counts.astype(np.float32)
     if spec.agg is AggregationType.COUNT:
-        return counts_f  # no value column needed
+        if value_aggs is None:
+            return counts_f  # COUNT(*): plain row counts
+        # COUNT(expr): the summed not-null indicator (NULL-skipping).
+        return value_aggs[0]
     sums, mins, maxs = value_aggs
     if spec.agg is AggregationType.SUM:
         return sums
@@ -213,7 +218,20 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
     cd_specs: list[_AggSpec] = []
     for spec in specs:
         if spec.agg is AggregationType.COUNT:
-            spec_to_vidx[spec.key] = None
+            if isinstance(unalias(spec.expr), (_Star, Constant)):
+                spec_to_vidx[spec.key] = None  # COUNT(*): plain counts
+                continue
+            # SQL COUNT(expr) skips NULLs: ride the SUM machinery over
+            # a not-null indicator (NotNull lowers to ``x == x`` /
+            # ``code != -1`` — see engine/compiler.build_evaluator), so
+            # every grouped path (dense, sorted, device finish,
+            # streaming partials, distributed) inherits the semantics.
+            ind = NotNull(spec.expr)
+            c = ind.canonical()
+            if c not in vexpr_canons:
+                vexpr_canons.append(c)
+                vexpr_nodes.append(ind)
+            spec_to_vidx[spec.key] = vexpr_canons.index(c)
             continue
         if spec.agg is AggregationType.COUNT_DISTINCT:
             spec_to_vidx[spec.key] = "cd"
@@ -245,6 +263,11 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
     for spec in specs:
         if spec.agg in (AggregationType.SUM, AggregationType.AVG):
             need.add("sum")
+        elif (
+            spec.agg is AggregationType.COUNT
+            and spec_to_vidx[spec.key] is not None
+        ):
+            need.add("sum")  # NULL-skipping COUNT sums its indicator
         elif spec.agg is AggregationType.MIN:
             need.add("min")
         elif spec.agg is AggregationType.MAX:
@@ -638,7 +661,15 @@ def _partials_fn(node, keys_canon, vexpr_canons):
         return None
     if isinstance(node, Aggregation):
         if node.agg is AggregationType.COUNT:
-            return lambda env: env["counts"]
+            if isinstance(unalias(node.expr), (_Star, Constant)):
+                return lambda env: env["counts"]
+            # NULL-skipping COUNT(expr): the summed indicator column
+            # the planner registered (see _grouped_plan).
+            ci = NotNull(node.expr).canonical()
+            if ci not in vexpr_canons:
+                return None
+            j = vexpr_canons.index(ci)
+            return lambda env: env["sums"][j]
         if isinstance(node.expr, _Star):
             return None
         c = node.expr.canonical()

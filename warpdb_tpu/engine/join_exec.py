@@ -490,7 +490,7 @@ def _materialize_join_local(
             dense_k = k_cap
 
     key = (
-        "join_phase1_v2",
+        "join_phase1_v3",
         schema_signature(left.columns),
         schema_signature(right.columns),
         tuple(pair_canons),
@@ -515,16 +515,33 @@ def _materialize_join_local(
             n_miss = jnp.sum(
                 jnp.logical_and(lmask, p1.counts == 0).astype(jnp.int32)
             )
-            return p1, jnp.all(p1.counts <= 1), n_miss
+            # Fan-out extremes over VALID probe rows: kmin == kmax
+            # detects the uniform expansion (fixed-fan-out dimension
+            # joins) that skips the windowed kernel AND its span gate
+            # (ops/pallas_expand.uniform_expand).
+            kmax = jnp.max(jnp.where(lmask, p1.counts, 0))
+            kmin = jnp.min(
+                jnp.where(lmask, p1.counts, jnp.int32(2**31 - 1))
+            )
+            return p1, jnp.all(p1.counts <= 1), n_miss, kmin, kmax
 
         return phase1
 
-    phase1, one2one, n_miss_dev = get_or_compile(key, build_phase1)(
+    phase1, one2one_dev, n_miss_dev, kmin_dev, kmax_dev = get_or_compile(
+        key, build_phase1
+    )(
         tuple(lkeys), tuple(rkeys),
         jnp.int32(left.num_rows), jnp.int32(right.num_rows),
     )
-    total = int(phase1.total)
-    n_miss = int(n_miss_dev) if kind == "left" else 0
+    # ONE batched host sync for every phase-1 scalar (each separate
+    # fetch pays a full relay RTT).
+    total, one2one, n_miss_all, kmin, kmax = (
+        jax.device_get(
+            (phase1.total, one2one_dev, n_miss_dev, kmin_dev, kmax_dev)
+        )
+    )
+    total = int(total)
+    n_miss = int(n_miss_all) if kind == "left" else 0
 
     if bool(one2one) and (
         kind == "left" or total == left.num_rows
@@ -656,8 +673,28 @@ def _materialize_join_local(
     # host decision (one tiny kernel + scalar sync riding the same
     # protocol as the capacity count), so only ONE expansion program
     # compiles — no traced branch.
-    fused = False
+    # Uniform fan-out fast path: every valid probe row matched exactly
+    # k build rows (phase1's kmin == kmax) — ownership (r // k) and
+    # duplicate index (r % k) are analytic, so the expansion needs no
+    # span gate, no scalar prefetch, and a CONSTANT selection matrix
+    # (ops/pallas_expand.uniform_expand; measured ~8x over the windowed
+    # kernel at 2^26 outputs).
+    from ..ops.pallas_expand import uniform_expand_supported
+
+    k_uniform = 0
     if (
+        jax.default_backend() == "tpu"
+        and kind == "inner"
+        and int(kmin) == int(kmax)
+        and int(kmax) >= 2
+        and uniform_expand_supported(
+            int(kmax), capacity, left.padded_rows
+        )
+    ):
+        k_uniform = int(kmax)
+
+    fused = False
+    if k_uniform == 0 and (
         jax.default_backend() == "tpu"
         and capacity % 1024 == 0
         and left.padded_rows % 1024 == 0
@@ -709,6 +746,7 @@ def _materialize_join_local(
         kind,
         dense_k,
         fused,
+        k_uniform,
     )
 
     def build_expand_gather():
@@ -805,6 +843,29 @@ def _materialize_join_local(
             return tuple(filled)
 
         @jax.jit
+        def indices_and_probe_uniform(p1, lcols):
+            """Uniform fan-out k: owner = r // k, dup = r % k — pure
+            analytic metadata around one constant-selection kernel."""
+            from ..ops.pallas_expand import uniform_expand
+
+            gather_cols = [lcols[n] for n in lnames] + [p1.lo]
+            taken = uniform_expand(
+                tuple(gather_cols), k=k_uniform, capacity=capacity
+            )
+            r = jnp.arange(capacity, dtype=jnp.int32)
+            valid = r < p1.total
+            lt = tuple(
+                jnp.where(valid, t, jnp.zeros((), t.dtype))
+                for t in taken[: len(lnames)]
+            )
+            lo_r = taken[len(lnames)]
+            dup_j = r % k_uniform
+            n_build = p1.build_order.shape[0]
+            slot = jnp.clip(lo_r + dup_j, 0, n_build - 1)
+            slot = jnp.where(valid, slot, 0)
+            return lt, slot, valid
+
+        @jax.jit
         def indices_and_probe_fused(p1, lcols, n_left):
             """Windowed-kernel expansion: ownership + probe/metadata
             gather in one Pallas pass (no fill scatter, no random
@@ -843,7 +904,10 @@ def _materialize_join_local(
             return lt, slot, valid, matched
 
         def expand_gather(p1, lcols, rcols, n_left):
-            if fused:
+            if k_uniform:
+                lt, slot, valid = indices_and_probe_uniform(p1, lcols)
+                matched = None
+            elif fused:
                 lt, slot, valid, matched = indices_and_probe_fused(
                     p1, lcols, n_left
                 )

@@ -22,7 +22,7 @@ from typing import Iterator, Optional
 __all__ = [
     "Node", "Constant", "Variable", "BinaryOp", "FunctionCall",
     "AggregationType", "Aggregation", "WindowFunction", "Star", "Alias",
-    "StringLiteral", "LikePattern", "InCodeSet", "CaseWhen",
+    "StringLiteral", "LikePattern", "InCodeSet", "CaseWhen", "NotNull",
     "ScalarSubquery", "InSubquery", "InValueSet", "ExistsSubquery",
     "QuantifiedComparison",
     "CodeMap",
@@ -280,6 +280,26 @@ class InValueSet(Node):
             f"({self.expr.canonical()} IN_VALUES "
             f"{','.join(repr(float(v)) for v in self.values)})"
         )
+
+    def children(self) -> tuple[Node, ...]:
+        return (self.expr,)
+
+
+@dataclass(frozen=True, repr=False)
+class NotNull(Node):
+    """Internal not-NULL indicator (no SQL surface syntax): 1.0 where
+    ``expr`` is present, 0.0 where it is the engine's missing-value
+    marker (NaN for float columns/expressions, code/value -1 for i32 —
+    the LEFT-JOIN fill convention, engine/join_exec.left_fill).  The
+    planner routes SQL's NULL-skipping ``COUNT(expr)`` through
+    ``SUM(NotNull(expr))`` so every grouped path (dense, sorted,
+    streaming partials, distributed) inherits the semantics from the
+    existing SUM machinery."""
+
+    expr: Node
+
+    def canonical(self) -> str:
+        return f"ISNOTNULL({self.expr.canonical()})"
 
     def children(self) -> tuple[Node, ...]:
         return (self.expr,)

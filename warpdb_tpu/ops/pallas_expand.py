@@ -39,6 +39,7 @@ from jax import lax
 __all__ = [
     "windowed_sorted_take", "spans_ok", "supported",
     "windowed_expand", "expand_spans_ok",
+    "uniform_expand", "uniform_expand_supported",
 ]
 
 _BLK = 1024
@@ -317,3 +318,119 @@ def windowed_expand(offsets, cols, capacity: int, total=None,
         for i, c in enumerate(cols)
     )
     return probe_idx, off_r, taken
+
+
+# ---------------------------------------------------------------------------
+# Uniform fan-out expansion: constant selection, zero per-block index work
+# ---------------------------------------------------------------------------
+
+
+def uniform_expand_supported(k: int, capacity: int, n_src: int) -> bool:
+    """Static gate for :func:`uniform_expand`: fan-out k ∈ {2, 4, 8}
+    (k | 1024 with a ≥128-lane source block), 1024-aligned shapes, and
+    the whole output addressable within the source (capacity ≤ n_src·k —
+    always true when capacity = next_pow2(total ≤ n_valid·k) and n_src
+    is the pow2-padded probe length)."""
+    return (
+        k in (2, 4, 8)
+        and capacity % _BLK == 0
+        and n_src % _BLK == 0
+        and capacity <= n_src * k
+    )
+
+
+def _uniform_kernel(planes_ref, sel_ref, out_ref, *, c_cols):
+    dn = (((1,), (0,)), ((), ()))
+    by = lax.dot_general(
+        planes_ref[...], sel_ref[...], dn,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    for c in range(c_cols):
+        out_ref[c, :] = (
+            by[4 * c]
+            | (by[4 * c + 1] << 8)
+            | (by[4 * c + 2] << 16)
+            | (by[4 * c + 3] << 24)
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "capacity", "interpret")
+)
+def uniform_expand(cols, k: int, capacity: int, interpret: bool = False):
+    """Expansion gather for UNIFORM fan-out: every output position r in
+    [0, capacity) takes ``col[r // k]`` — the inner-join expansion when
+    every valid probe row matches exactly k build rows (fixed-fan-out
+    dimension joins; detected from phase1's count min == max).
+
+    The general :func:`windowed_expand` pays, per 1024-lane block, an
+    ownership compare-reduce, a one-hot generation over a 2048-row
+    window, and a scalar-prefetched anchor from a host-synced
+    searchsorted gate.  Under uniform k ALL of that is analytic:
+    output block i reads exactly source lanes [i·B, (i+1)·B), B =
+    1024/k — a static index map, no gate, no scalar prefetch — and the
+    in-window selection matrix sel[s, l] = (s == l//k) is the SAME for
+    every block, so it is built once in XLA and stays VMEM-resident
+    (constant index map).  The kernel body is one byte-plane matmul:
+    (4C, B) @ (B, 1024) per block.  Measured (v5e, 2^25 probe rows,
+    k=2, C=3): 232 ms (windowed) → ~30 ms.
+
+    Exactness: the same byte-plane argument as the module docstring —
+    bf16 holds 0..255 exactly, the one-hot picks one byte per row under
+    f32 accumulation, integer shifts reassemble the original 32 bits.
+
+    Returns the taken tuple only (ownership is ``r // k`` and the
+    duplicate index ``r % k`` — callers compute both analytically).
+    Positions ≥ total read padded-source garbage the caller masks.
+    """
+    import jax.experimental.pallas as pl
+
+    cols = tuple(cols)
+    c_cols = len(cols)
+    n_src = cols[0].shape[0]
+    B = _BLK // k
+    steps = capacity // _BLK
+
+    bits = jnp.stack(
+        [
+            lax.bitcast_convert_type(c, jnp.uint32).astype(jnp.int32)
+            for c in cols
+        ],
+        axis=0,
+    )
+    planes = jnp.concatenate(
+        [
+            ((bits >> shift) & 0xFF).astype(jnp.bfloat16)
+            for shift in (0, 8, 16, 24)
+        ],
+        axis=0,
+    ).reshape(4, c_cols, n_src).transpose(1, 0, 2).reshape(
+        4 * c_cols, n_src
+    )
+    sel = (
+        lax.broadcasted_iota(jnp.int32, (B, _BLK), 0)
+        == lax.broadcasted_iota(jnp.int32, (B, _BLK), 1) // k
+    ).astype(jnp.bfloat16)
+
+    kernel = functools.partial(_uniform_kernel, c_cols=c_cols)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((4 * c_cols, B), lambda i: (0, i)),
+            pl.BlockSpec((B, _BLK), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c_cols, _BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c_cols, capacity), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * capacity * B * 4 * c_cols,
+            bytes_accessed=capacity * 4 * c_cols + capacity // k * 8 * c_cols,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(planes, sel)
+
+    return tuple(
+        lax.bitcast_convert_type(out[i], c.dtype)
+        for i, c in enumerate(cols)
+    )
