@@ -2,7 +2,7 @@
 # here the Python package needs no build and the native library is one
 # translation unit).
 
-.PHONY: all native test test-tpu bench check clean
+.PHONY: all native test test-tpu bench check check-chip clean
 
 all: native
 
@@ -24,6 +24,13 @@ bench: native
 check: native
 	python -m pytest tests/ -q
 	python scripts/check_gate.py
+
+# Chip leg of the gate (VERDICT r4 #1c): the full bench on the REAL
+# TPU must be green — no *_error keys, no roofline violations — before
+# any end-of-round snapshot.  `make check` alone cannot see chip-only
+# failures (it forces the CPU backend).
+check-chip: native
+	python scripts/check_bench_chip.py
 
 clean:
 	$(MAKE) -C native clean

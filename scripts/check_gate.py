@@ -56,6 +56,16 @@ def main() -> int:
     if errors:
         print(f"check_gate: FAIL — bench reported errors: {errors}")
         return 1
+    if out.get("roofline_violations"):
+        # bench.py emits the full record and exits 0 even when a kernel
+        # measurement leaks past the HBM roofline (so one leaky
+        # microbench can never erase the e2e/TPC-H evidence, VERDICT r4
+        # Weak #1) — the GATE is where a violation turns red.
+        print(
+            "check_gate: FAIL — roofline violations: "
+            f"{out['roofline_violations']}"
+        )
+        return 1
     print("check_gate: OK")
     return 0
 

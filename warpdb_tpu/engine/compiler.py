@@ -287,15 +287,21 @@ def build_evaluator(node: Node) -> Callable[[dict], jax.Array]:
         # Computed f32 expressions propagate NaN, so ``x == x`` covers
         # them.
         raw = _raw_operand(node.expr)
+        neg = getattr(node, "negated", False)
 
         def notnull_fn(cols):
             arr = raw(cols)
             if not hasattr(arr, "dtype"):  # constant subtree
-                v = float(arr)
-                return jnp.float32(0.0 if v != v else 1.0)
+                isnull = float(arr) != float(arr)
+                return jnp.float32(
+                    (1.0 if isnull else 0.0) if neg else
+                    (0.0 if isnull else 1.0)
+                )
             if arr.dtype.kind in "iu":
-                return (arr != -1).astype(jnp.float32)
-            return (arr == arr).astype(jnp.float32)
+                ind = (arr == -1) if neg else (arr != -1)
+            else:
+                ind = (arr != arr) if neg else (arr == arr)
+            return ind.astype(jnp.float32)
 
         return notnull_fn
     if isinstance(node, CaseWhen):

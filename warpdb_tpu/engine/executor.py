@@ -1916,7 +1916,17 @@ def _global_agg_value(agg, param, vals, valid):
     """One global aggregate, evaluated inside an already-traced kernel
     (``vals`` padded f32, ``valid`` the row mask).  Shared by the
     single-aggregate and expression-over-aggregates global paths."""
-    cnt = jnp.sum(valid.astype(jnp.float32))
+    # Counts accumulate in i32 (exact to 2^31; an f32 accumulation
+    # saturates at 2^24 — ADVICE r4) and convert only for the f32 maths.
+    cnt_i = jnp.sum(valid.astype(jnp.int32))
+    cnt = cnt_i.astype(jnp.float32)
+    if agg == "count_nullsub":
+        # NULL-skipping COUNT(expr): exact row count minus the summed
+        # IS-NULL indicator (``vals``); see _count_rewrite.  The
+        # subtraction stays in i32 — casting cnt to f32 first would
+        # round before subtracting; only the final f32 output rounds.
+        nulls = jnp.sum(jnp.where(valid, vals, 0.0)).astype(jnp.int32)
+        return (cnt_i - nulls).astype(jnp.float32)
     if agg is AggregationType.COUNT_DISTINCT:
         return count_distinct((vals,), valid).astype(jnp.float32)
     if agg is AggregationType.APPROX_COUNT_DISTINCT:
@@ -1953,17 +1963,25 @@ def _global_agg_value(agg, param, vals, valid):
     return jnp.max(jnp.where(valid, vals, -jnp.inf))
 
 
-def _count_rewrite(agg, expr):
-    """SQL COUNT(expr) skips NULLs: rewrite to SUM over the not-null
-    indicator (frontend.ast.NotNull; COUNT(*) and COUNT(const) keep the
-    plain row count).  Grouped queries do the same in
-    group_exec._grouped_plan."""
+def _count_rewrite(agg, expr, table=None):
+    """SQL COUNT(expr) skips NULLs.  Stats-proven non-NULL columns keep
+    the plain exact row count; otherwise rewrite to
+    ``cnt − SUM(IsNull(expr))`` (the "count_nullsub" pseudo-aggregate in
+    ``_global_agg_value``) — exact until 2^24 NULLs, where the former
+    summed not-null indicator lost exactness at 2^24 non-null ROWS
+    (ADVICE r4).  Grouped queries do the same in
+    group_exec._grouped_plan.  The stats decision is table-derived:
+    callers must fold ``_provably_not_null`` into their kernel cache
+    keys."""
     from ..frontend.ast import NotNull, Star, unalias
+    from .group_exec import _provably_not_null
 
     if agg is AggregationType.COUNT and not isinstance(
         unalias(expr), (Star, Constant)
     ):
-        return AggregationType.SUM, NotNull(expr)
+        if _provably_not_null(expr, table):
+            return AggregationType.COUNT, expr
+        return "count_nullsub", NotNull(expr, negated=True)
     return agg, expr
 
 
@@ -1972,12 +1990,17 @@ def _run_global_agg(query: Query, table: DeviceTable) -> np.ndarray:
     select = query.select_list[0]
     cols = table.columns
     where = query.where
+    from .group_exec import _provably_not_null
+
     key = ("global_agg", select.canonical(),
            where.canonical() if where else "",
-           schema_signature(cols), udf_mod.registry_version())
+           schema_signature(cols), udf_mod.registry_version(),
+           # stats-derived COUNT rewrite decision (changes results when
+           # the column is nullable — must be in the cache key)
+           _provably_not_null(select.expr, table))
 
     def build():
-        agg, expr = _count_rewrite(select.agg, select.expr)
+        agg, expr = _count_rewrite(select.agg, select.expr, table)
         val_fn = build_evaluator(expr)
         cond_fn = build_evaluator(where) if where is not None else None
         param = select.param
@@ -2008,12 +2031,15 @@ def _run_global_agg_expr(query: Query, table: DeviceTable) -> np.ndarray:
     specs = _collect_agg_specs([select])
     cols = table.columns
     where = query.where
+    from .group_exec import _provably_not_null
+
     key = ("global_agg_expr", select.canonical(),
            where.canonical() if where else "",
-           schema_signature(cols), udf_mod.registry_version())
+           schema_signature(cols), udf_mod.registry_version(),
+           tuple(_provably_not_null(s.expr, table) for s in specs))
 
     def build():
-        rewritten = [_count_rewrite(s.agg, s.expr) for s in specs]
+        rewritten = [_count_rewrite(s.agg, s.expr, table) for s in specs]
         val_fns = [build_evaluator(e) for _a, e in rewritten]
         cond_fn = build_evaluator(where) if where is not None else None
         agg_params = [

@@ -172,13 +172,41 @@ def _group_level_eval(
     )
 
 
+def _provably_not_null(expr, table) -> bool:
+    """True when load/join stats prove the bare column ``expr`` holds no
+    NULLs in ``table`` — then COUNT(expr) can ride the exact i32 COUNT(*)
+    counts with no indicator lane at all.  This also removes the false
+    NULLs the -1 marker test would report for legitimate -1 values in
+    plain INT columns (ADVICE r4: -1 only means NULL for dict codes and
+    LEFT-JOIN fills, both of which the stats record)."""
+    e = unalias(expr)
+    if table is None or not isinstance(e, Variable):
+        return False
+    name = e.name if e.name in getattr(table, "stats", {}) else e.unqualified
+    st = getattr(table, "stats", {}).get(name)
+    if st is None:
+        return False
+    if name in getattr(table, "dicts", {}):
+        # Dict codes are ≥0 at load; only the LEFT-JOIN miss fill
+        # introduces -1 (and extends stats.min to -1, _left_fill_stats).
+        return st.min is not None and st.min >= 0
+    return st.null_count == 0
+
+
 def _agg_value_from_result(spec: _AggSpec, counts, value_aggs) -> np.ndarray:
     counts_f = counts.astype(np.float32)
     if spec.agg is AggregationType.COUNT:
         if value_aggs is None:
             return counts_f  # COUNT(*): plain row counts
-        # COUNT(expr): the summed not-null indicator (NULL-skipping).
-        return value_aggs[0]
+        # COUNT(expr) skips NULLs: exact i32 row counts minus the summed
+        # IS-NULL indicator (exact until a group holds 2^24 NULLs; the
+        # former summed NOT-null indicator lost exactness at 2^24
+        # non-null rows per group, ADVICE r4).  Subtract in f64 — an f32
+        # cast of counts would round BEFORE the subtraction and report
+        # 2^24−1 for a (2^24+1)-row group with one NULL.
+        return (
+            counts.astype(np.float64) - value_aggs[0].astype(np.float64)
+        ).astype(np.float32)
     sums, mins, maxs = value_aggs
     if spec.agg is AggregationType.SUM:
         return sums
@@ -202,9 +230,16 @@ def _run_grouped(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     )[0]
 
 
-def _grouped_plan(query: Query, select_items: list) -> dict:
+def _grouped_plan(query: Query, select_items: list, table=None) -> dict:
     """Static planning for a grouped query: aggregate specs, deduped value
-    expressions, and required reductions."""
+    expressions, and required reductions.
+
+    ``table`` (optional) enables the stats-gated COUNT(expr) →
+    COUNT(*) rewrite for provably-non-NULL columns; callers that plan
+    once for many tables (streaming chunks) pass None and take the
+    conservative indicator lane.  Device tables are immutable, so any
+    table-derived decision here is stable for every memo keyed on the
+    table instance."""
     group_keys = list(query.group_by.keys)
     order_terms = query.order_by.terms if query.order_by else ()
     specs = _collect_agg_specs(
@@ -221,12 +256,17 @@ def _grouped_plan(query: Query, select_items: list) -> dict:
             if isinstance(unalias(spec.expr), (_Star, Constant)):
                 spec_to_vidx[spec.key] = None  # COUNT(*): plain counts
                 continue
-            # SQL COUNT(expr) skips NULLs: ride the SUM machinery over
-            # a not-null indicator (NotNull lowers to ``x == x`` /
-            # ``code != -1`` — see engine/compiler.build_evaluator), so
-            # every grouped path (dense, sorted, device finish,
+            # SQL COUNT(expr) skips NULLs.  Stats-proven non-NULL bare
+            # columns take the plain i32 counts (exact, no extra lane,
+            # no false NULLs on legitimate -1 INT values — ADVICE r4);
+            # everything else rides the SUM machinery over a NEGATED
+            # is-NULL indicator (finish computes counts − Σ indicator),
+            # so every grouped path (dense, sorted, device finish,
             # streaming partials, distributed) inherits the semantics.
-            ind = NotNull(spec.expr)
+            if _provably_not_null(spec.expr, table):
+                spec_to_vidx[spec.key] = None
+                continue
+            ind = NotNull(spec.expr, negated=True)
             c = ind.canonical()
             if c not in vexpr_canons:
                 vexpr_canons.append(c)
@@ -407,7 +447,7 @@ def _run_grouped_multi(
     an aggregate, the group key itself, or any arithmetic over them
     (``SELECT quantity, SUM(price), SUM(price)/COUNT(*) …``) — exceeds the
     reference, which required a lone aggregate (warpdb.cpp:350-353)."""
-    plan = _grouped_plan(query, select_items)
+    plan = _grouped_plan(query, select_items, table=table)
     result = _grouped_partials(query, table, plan, mesh=mesh)
     return _finish_grouped(query, select_items, plan["specs"],
                            plan["spec_to_vidx"], result, plan["keys_canon"])
@@ -663,13 +703,15 @@ def _partials_fn(node, keys_canon, vexpr_canons):
         if node.agg is AggregationType.COUNT:
             if isinstance(unalias(node.expr), (_Star, Constant)):
                 return lambda env: env["counts"]
-            # NULL-skipping COUNT(expr): the summed indicator column
-            # the planner registered (see _grouped_plan).
-            ci = NotNull(node.expr).canonical()
-            if ci not in vexpr_canons:
-                return None
-            j = vexpr_canons.index(ci)
-            return lambda env: env["sums"][j]
+            # NULL-skipping COUNT(expr): counts minus the summed IS-NULL
+            # indicator the planner registered; when the planner proved
+            # the column non-NULL it registered no lane and COUNT(expr)
+            # IS the plain row count (see _grouped_plan).
+            ci = NotNull(node.expr, negated=True).canonical()
+            if ci in vexpr_canons:
+                j = vexpr_canons.index(ci)
+                return lambda env: env["counts"] - env["sums"][j]
+            return lambda env: env["counts"]
         if isinstance(node.expr, _Star):
             return None
         c = node.expr.canonical()

@@ -30,6 +30,7 @@ from ..frontend.ast import (
     Constant,
     FunctionCall,
     Node,
+    NotNull,
     Variable,
 )
 from ..storage.table import ColumnStats
@@ -91,6 +92,11 @@ def expr_range(node: Node, stats: dict) -> Optional[_Interval]:
             # (always-false) them.
             return None
         return (float(st.min), float(st.max))
+    if isinstance(node, NotNull):
+        # NULL indicator (COUNT(expr) lowering) is 0/1 by construction;
+        # without this branch grouped COUNT(expr) queries fell off the
+        # stats-gated MXU one-hot group path (ADVICE r4).
+        return (0.0, 1.0)
     if isinstance(node, CodeMap):
         # The LUT's own extent, valid only when stats prove the source
         # codes land inside it (no outer-join miss sentinels).

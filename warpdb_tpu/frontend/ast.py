@@ -294,12 +294,20 @@ class NotNull(Node):
     planner routes SQL's NULL-skipping ``COUNT(expr)`` through
     ``SUM(NotNull(expr))`` so every grouped path (dense, sorted,
     streaming partials, distributed) inherits the semantics from the
-    existing SUM machinery."""
+    existing SUM machinery.
+
+    ``negated=True`` flips the indicator (1.0 where NULL): the planner
+    prefers ``COUNT(expr) = counts − SUM(IsNull(expr))`` because the
+    per-group row counts are exact i32 while a summed f32 indicator
+    loses exactness past 2^24 non-null rows per group — the flipped
+    form is exact until a group holds 2^24 NULLs (ADVICE r4)."""
 
     expr: Node
+    negated: bool = False
 
     def canonical(self) -> str:
-        return f"ISNOTNULL({self.expr.canonical()})"
+        tag = "ISNULL" if self.negated else "ISNOTNULL"
+        return f"{tag}({self.expr.canonical()})"
 
     def children(self) -> tuple[Node, ...]:
         return (self.expr,)
