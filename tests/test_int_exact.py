@@ -175,14 +175,19 @@ def test_streaming_group_by_exact(tmp_path):
     assert all(n == 9 for n in out["n"])
 
 
-def test_int64_beyond_int32_refuses_loudly():
-    # Crossing 2^31: the device path is int32 (x64 off) — silent
-    # truncation corrupted keys; now it must raise at load.
-    with pytest.raises(ValidationError, match="int32 device range"):
-        WarpDB(HostTable.from_dict({
-            "k": np.array([2**31, 2**31 + 1], np.int64),
-            "v": np.array([1.0, 2.0], np.float32),
-        }))
+def test_int64_beyond_int32_is_exact():
+    # Crossing 2^31 (VERDICT r4 #7): wide int64 keys now ride the
+    # sorted-dictionary scheme (i32 codes, int64 vocab) — r3's
+    # load-time refusal flips to exactness.
+    db = WarpDB(HostTable.from_dict({
+        "k": np.array([2**40, 2**40 + 1, 2**40, -2**40], np.int64),
+        "v": np.array([1.0, 2.0, 4.0, 8.0], np.float32),
+    }))
+    out = db.query_sql_table(
+        "SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY k ASC"
+    )
+    assert list(out["k"]) == [-2**40, 2**40, 2**40 + 1]
+    assert out["s"] == [8.0, 5.0, 2.0]
     # int64 WITHIN int32 range stays exact end-to-end.
     db = WarpDB(HostTable.from_dict({
         "k": np.array([16777217, 16777218, 16777217], np.int64),

@@ -68,6 +68,14 @@ class EngineConfig:
     # Distributed GROUP BY: key-count threshold between the all_gather
     # partial merge and the all-to-all shuffle.
     distributed_small_keys: int = 4096
+    # Float64 load policy ("strict" | "downcast").  The device compute
+    # path is f32 (JAX x64 disabled); a FLOAT64 column whose values all
+    # round-trip through f32 uploads losslessly either way.  For values
+    # that do NOT round-trip, "strict" refuses loudly at load (the
+    # int64 "widen or refuse" rule applied to floats — VERDICT r4 #4;
+    # the reference carries Float64 as native double, jit.cpp:31-45)
+    # while "downcast" accepts the documented ≤2^-24 relative rounding.
+    f64_policy: str = "strict"
     # UDF module discovered in the working directory (custom.cu analogue).
     udf_module: str = "custom.py"
     # Directory for jax persistent compilation cache ('' = disabled).

@@ -156,7 +156,9 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             # transformed vocabulary).
             other_b = bind_strings(other, table)
             vocab = _vocab_of(other_b, table)
-            if vocab is None:
+            if vocab is None or vocab.dtype.kind in "iu":
+                # int64-coded columns carry an INT vocabulary — a string
+                # literal never compares to one.
                 raise ValidationError(
                     f"String literal {lit.canonical()} compared to "
                     "a non-string expression"
@@ -178,13 +180,51 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                         "dictionaries is only supported as a JOIN "
                         "condition"
                     )
-            elif (lv is None) != (rv is None) and isinstance(
-                l, Variable
-            ) and isinstance(r, Variable):
-                raise ValidationError(
-                    "Comparing a string column with a numeric column"
-                )
-        return BinaryOp(node.op, bind_strings(l, table), bind_strings(r, table))
+            elif (lv is None) != (rv is None):
+                # One coded side.  A wide-int64 column compared to a
+                # NUMERIC CONSTANT binds the constant into code space
+                # (literal_code: exact code for members, rank−0.5 for
+                # non-members — order-correct for every operator, the
+                # string-literal scheme applied to numbers).
+                from ..storage.strings import literal_code
+                from .compiler import _const_value
+
+                v = lv if lv is not None else rv
+                if v.dtype.kind in "iu":
+                    cv = _const_value(r if lv is not None else l)
+                    if cv is not None:
+                        const = Constant(repr(literal_code(v, cv)))
+                        return BinaryOp(
+                            node.op,
+                            l if lv is not None else const,
+                            const if lv is not None else r,
+                        )
+                if isinstance(l, Variable) and isinstance(r, Variable):
+                    kind = (
+                        "a wide-int64 column"
+                        if v.dtype.kind in "iu"
+                        else "a string column"
+                    )
+                    raise ValidationError(
+                        f"Comparing {kind} with a numeric column"
+                    )
+        lb, rb = bind_strings(l, table), bind_strings(r, table)
+        if node.op not in _CMP_OPS and node.op not in ("&&", "||"):
+            # Arithmetic over a wide-int64 column would operate on its
+            # dictionary CODES, not its values — and the values exceed
+            # exact f32 anyway.  Refuse loudly (the order/key operators
+            # — GROUP BY, JOIN, ORDER BY, comparisons — all work).
+            for side in (lb, rb):
+                sv = _vocab_of(side, table)
+                if sv is not None and sv.dtype.kind in "iu":
+                    raise ValidationError(
+                        "Arithmetic over an int64 column beyond the "
+                        "int32 range is not supported (its values "
+                        "exceed the exact f32 device range); use it as "
+                        "a key (GROUP BY/JOIN/ORDER BY/comparisons) or "
+                        "pre-scale it at load"
+                    )
+        return BinaryOp(node.op, lb, rb)
     if isinstance(node, LikePattern):
         import re
 
@@ -287,7 +327,17 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             node.name, tuple(bind_strings(a, table) for a in node.args)
         )
     if isinstance(node, Aggregation):
-        return Aggregation(node.agg, bind_strings(node.expr, table), node.param)
+        be = bind_strings(node.expr, table)
+        if node.agg in (AggregationType.SUM, AggregationType.AVG):
+            av = _vocab_of(be, table)
+            if av is not None and av.dtype.kind in "iu":
+                raise ValidationError(
+                    f"{node.agg.name} over an int64 column beyond the "
+                    "int32 range is not supported (its values exceed "
+                    "the exact f32 device range); COUNT/MIN/MAX and "
+                    "key usage remain exact"
+                )
+        return Aggregation(node.agg, be, node.param)
     if isinstance(node, WindowFunction):
         return WindowFunction(
             node.agg,
@@ -633,7 +683,13 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
                 )
             from ..storage.strings import decode_codes
 
-            return decode_codes(vals, vocab), True
+            # Wide-int64 columns decode to Python ints — numeric, not
+            # strings (is_str False); scalar()/in_set() preserve their
+            # full precision instead of the f32 device cast.
+            return (
+                decode_codes(vals, vocab),
+                vocab.dtype.kind not in "iu",
+            )
         return vals, False
 
     def scalar(node: ScalarSubquery):
@@ -650,7 +706,14 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
             return StringLiteral(str(vals[0]))
         if len(vals) == 0:
             return Constant("nan")
-        return Constant(repr(float(np.float32(vals[0]))))
+        v0 = vals[0]
+        if v0 is None:
+            return Constant("nan")  # wide-int64 NULL (join-miss decode)
+        if isinstance(v0, (int, np.integer)):
+            # Wide-int64 scalar: keep full integer precision — the CMP
+            # binding re-expresses it in code space exactly.
+            return Constant(repr(int(v0)))
+        return Constant(repr(float(np.float32(v0))))
 
     def in_set(node: InSubquery):
         expr = rw(node.expr)
@@ -669,7 +732,25 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
                 eq = BinaryOp("==", expr, StringLiteral(s))
                 out = eq if out is None else BinaryOp("||", out, eq)
             return out
-        arr = np.unique(np.asarray(vals, np.float32))
+        vlist = [v for v in vals if v is not None]
+        if vlist and all(isinstance(v, (int, np.integer)) for v in vlist):
+            # Wide-int64 subquery values: if the OUTER expression is a
+            # coded wide-int column, re-express the set in ITS code
+            # space via literal_code (exact for members, matches
+            # nothing for non-members) — comparing raw codes against
+            # f32-rounded values would corrupt membership.
+            ev = _vocab_of(expr, table)
+            if ev is not None and ev.dtype.kind in "iu":
+                from ..storage.strings import literal_code
+
+                arr = sorted({literal_code(ev, int(v)) for v in vlist})
+                if len(arr) > _IN_SUBQUERY_MAX_VALUES:
+                    raise UnsupportedError(
+                        f"IN (SELECT …) with {len(arr)} distinct values "
+                        f"(max {_IN_SUBQUERY_MAX_VALUES}) — use a JOIN"
+                    )
+                return InValueSet(expr, tuple(arr))
+        arr = np.unique(np.asarray(vlist, np.float32))
         arr = arr[~np.isnan(arr)]
         if arr.shape[0] > _IN_SUBQUERY_MAX_VALUES:
             raise UnsupportedError(

@@ -123,9 +123,68 @@ def _translated_right_key(left, right, left_var, right_var):
     if rvocab is None and right.dicts:
         rvocab = right.dicts.get(right_var.unqualified)
     if (lvocab is None) != (rvocab is None):
-        raise ValidationError(
-            "JOIN condition compares a string column with a numeric column"
-        )
+        v = lvocab if lvocab is not None else rvocab
+        if getattr(v, "dtype", None) is None or v.dtype.kind not in "iu":
+            raise ValidationError(
+                "JOIN condition compares a string column with a numeric "
+                "column"
+            )
+        # Wide-int64 (dictionary-coded) key joined against a RAW numeric
+        # key: the raw side's values are pulled to host (O(right) — the
+        # build side) and re-expressed so both sides match exactly.
+        import numpy as np
+
+        if lvocab is not None:
+            # Probe coded, build raw: encode build values under the
+            # probe vocabulary (absent values → code -1: match nothing).
+            rv = np.asarray(rkey_raw)
+            rv = rv.astype(np.float64) if rv.dtype.kind == "f" else (
+                rv.astype(np.int64)
+            )
+            pos = np.clip(
+                np.searchsorted(lvocab, rv), 0, max(len(lvocab) - 1, 0)
+            )
+            hit = lvocab[pos] == rv if len(lvocab) else np.zeros_like(
+                pos, bool
+            )
+            rkey_raw = jnp.asarray(
+                np.where(hit, pos, -1).astype(np.int32)
+            )
+        else:
+            # Probe raw, build coded: decode build codes to values;
+            # values outside int32 can never match an i32 probe — map
+            # them to a sentinel PROVABLY outside the probe's stats
+            # range so they match nothing.
+            rcodes = np.asarray(rkey_raw).astype(np.int64)
+            idx = np.clip(rcodes, 0, max(len(rvocab) - 1, 0))
+            vals = (
+                rvocab[idx] if len(rvocab) else np.zeros_like(idx)
+            )
+            miss = (
+                (rcodes < 0)
+                | (vals < -(2**31))
+                | (vals > 2**31 - 1)
+            )
+            st = left.stats.get(left_var.name) or left.stats.get(
+                left_var.unqualified
+            )
+            if st is not None and st.max is not None and st.max < 2**31 - 1:
+                sent = int(st.max) + 1
+            elif (
+                st is not None and st.min is not None
+                and st.min > -(2**31)
+            ):
+                sent = int(st.min) - 1
+            else:
+                raise ValidationError(
+                    "JOIN between a wide-int64 key and a full-range "
+                    "numeric key is not supported; load both sides as "
+                    "int64"
+                )
+            rkey_raw = jnp.asarray(
+                np.where(miss, sent, vals).astype(np.int32)
+            )
+        return lkey_raw, rkey_raw
     if lvocab is not None:
         from ..storage.strings import vocab_mapping
 

@@ -25,6 +25,7 @@ import numpy as np
 __all__ = [
     "encode_strings",
     "encode_string_columns",
+    "encode_int64_columns",
     "literal_code",
     "decode_codes",
     "vocab_mapping",
@@ -58,7 +59,30 @@ def encode_string_columns(columns: dict) -> tuple[dict, np.ndarray]:
     return out, vocab
 
 
-def literal_code(vocab: np.ndarray, text: str) -> float:
+def encode_int64_columns(columns: dict) -> tuple[dict, np.ndarray]:
+    """Dictionary-encode int64 columns whose values exceed the int32
+    device range, against a single **shared** sorted int64 vocabulary
+    (VERDICT r4 #7 — the reference carries Int64 natively,
+    csv_loader.hpp:13; our device path is i32).
+
+    Exactly the string scheme (encode_string_columns): the vocabulary is
+    sorted, so code order == value order and every ORDER-dependent
+    operator (GROUP BY, DISTINCT, ORDER BY, MIN/MAX, joins via
+    vocab_mapping, <,>,= against literals via literal_code) is exact on
+    the codes.  Sharing one vocabulary per table keeps codes comparable
+    across the table's wide-int columns.  Returns
+    ({name: int32 codes}, int64 vocab)."""
+    vals = [np.asarray(v, np.int64) for v in columns.values()]
+    vocab = (
+        np.unique(np.concatenate(vals)) if vals else np.array([], np.int64)
+    )
+    out = {}
+    for name, v in zip(columns.keys(), vals):
+        out[name] = np.searchsorted(vocab, v).astype(np.int32)
+    return out, vocab
+
+
+def literal_code(vocab: np.ndarray, text) -> float:
     """Code of ``text`` under ``vocab``.
 
     For a vocabulary member this is its exact integer code.  For a string
@@ -74,10 +98,17 @@ def literal_code(vocab: np.ndarray, text: str) -> float:
 
 
 def decode_codes(codes: np.ndarray, vocab: np.ndarray) -> list:
-    """Map integer codes (possibly float-typed) back to strings.
-    Negative codes (LEFT-join misses) decode as the empty string."""
+    """Map integer codes (possibly float-typed) back through the
+    vocabulary: strings for str vocabularies, Python ints for int64
+    vocabularies (wide-int columns).  Negative codes (LEFT-join misses)
+    decode as "" / None respectively."""
     raw = np.rint(np.asarray(codes)).astype(np.int64)
     idx = np.clip(raw, 0, max(len(vocab) - 1, 0))
+    if vocab.dtype.kind in "iu":
+        if len(vocab) == 0:
+            return [None] * len(idx)
+        vals = vocab[idx]
+        return [None if r < 0 else int(v) for r, v in zip(raw, vals)]
     if len(vocab) == 0:
         return [""] * len(idx)
     out = [str(v) for v in vocab[idx]]
