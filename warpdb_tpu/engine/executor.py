@@ -2150,6 +2150,251 @@ def _run_global_agg_expr(query: Query, table: DeviceTable) -> np.ndarray:
     return np.asarray([val], dtype=np.float32).reshape(1)
 
 
+def _window_flags(select: "WindowFunction") -> dict:
+    """Static dispatch flags for one window node.  Validates the
+    agg/ORDER-BY/frame combinations (raises UnsupportedError early, at
+    plan time, never inside a trace)."""
+    shift_dir = {
+        AggregationType.LAG: 1,
+        AggregationType.LEAD: -1,
+    }.get(select.agg, 0)
+    if shift_dir:
+        if select.order_by is None:
+            raise UnsupportedError(
+                "LAG/LEAD require an ORDER BY inside OVER (...)"
+            )
+        shift_dir *= int(select.param or 1)
+    edge_last = select.agg is AggregationType.LAST_VALUE
+    is_edge = edge_last or select.agg is AggregationType.FIRST_VALUE
+    nth_n = 0
+    if select.agg is AggregationType.NTH_VALUE:
+        nth_n = int(select.param or 1)
+        if select.order_by is None:
+            raise UnsupportedError(
+                "NTH_VALUE requires an ORDER BY inside OVER (...)"
+            )
+    ntile_n = 0
+    if select.agg is AggregationType.NTILE:
+        if not isinstance(select.expr, Constant):
+            raise UnsupportedError(
+                "NTILE requires a constant bucket count"
+            )
+        ntile_n = int(select.expr.value)
+        if select.order_by is None:
+            raise UnsupportedError(
+                "NTILE requires an ORDER BY inside OVER (...)"
+            )
+    if select.frame is not None:
+        fword = select.frame_type.upper()
+        if select.order_by is None:
+            raise UnsupportedError(
+                f"A {fword} frame requires an ORDER BY inside OVER (...)"
+            )
+        if select.agg.value not in ("sum", "avg", "count", "min", "max"):
+            raise UnsupportedError(
+                f"{fword} frames support SUM/AVG/COUNT/MIN/MAX, "
+                f"not {select.agg.name}"
+            )
+    return {
+        "shift_dir": shift_dir,
+        "edge_last": edge_last,
+        "is_edge": is_edge,
+        "nth_n": nth_n,
+        "ntile_n": ntile_n,
+    }
+
+
+def _build_window_value_fn(select, part_exprs, dense_cfg, capacity):
+    """Build the TRACEABLE ``(cols, valid) -> per-row window values``
+    core for one window node — shared by the bare-window path
+    (_run_window) and the fused window-expression / QUALIFY kernels
+    (VERDICT r4 #5: the combining arithmetic joins the same program, so
+    ONE column ships instead of one per window/referenced column)."""
+    from ..ops.aggregate import (
+        dense_window_aggregate,
+        window_edge_value,
+        window_frame,
+        window_nth_value,
+        window_ntile,
+        window_range_frame,
+        window_rank,
+        window_relative_rank,
+        window_running,
+        window_shift,
+    )
+
+    f = _window_flags(select)
+    shift_dir = f["shift_dir"]
+    edge_last, is_edge = f["edge_last"], f["is_edge"]
+    nth_n, ntile_n = f["nth_n"], f["ntile_n"]
+    ranking = select.agg in (
+        AggregationType.ROW_NUMBER,
+        AggregationType.RANK,
+        AggregationType.DENSE_RANK,
+    )
+    rel_rank = select.agg in (
+        AggregationType.PERCENT_RANK,
+        AggregationType.CUME_DIST,
+    )
+    val_fn = build_evaluator(select.expr)
+    part_fns = [build_evaluator(p) for p in part_exprs]
+    ord_fn = (
+        build_evaluator(select.order_by.expr)
+        if select.order_by is not None
+        else None
+    )
+    ord_asc = select.order_by.ascending if select.order_by else True
+    agg_name = select.agg.value
+    dense_part_fn = (
+        _raw_or_f32_key_fn(part_exprs[0], dense_cfg[2])
+        if dense_cfg is not None and part_exprs
+        else None
+    )
+
+    def win_fn(cols, valid):
+        vals = _broadcast(_as_f32(val_fn(cols)), cols)
+        if dense_cfg is not None:
+            pk = (
+                _broadcast(dense_part_fn(cols), cols)
+                if dense_part_fn is not None
+                else jnp.zeros_like(vals)
+            )
+            return dense_window_aggregate(
+                pk, vals, valid, agg_name, dense_cfg[0], dense_cfg[1]
+            )
+        if part_fns:
+            part = tuple(
+                _broadcast(_as_f32(fn(cols)), cols) for fn in part_fns
+            )
+        else:
+            part = (jnp.zeros_like(vals),)
+        if ord_fn is not None:
+            okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
+        else:
+            okeys = None
+        if shift_dir:
+            return window_shift(
+                part, okeys, vals, valid, shift_dir, ascending=ord_asc
+            )
+        if is_edge:
+            n_pad = vals.shape[0]
+            ok = (
+                okeys
+                if okeys is not None
+                else jnp.arange(n_pad, dtype=jnp.float32)
+            )
+            return window_edge_value(
+                part, ok, vals, valid, last=edge_last,
+                ascending=ord_asc if okeys is not None else True,
+            )
+        if nth_n:
+            return window_nth_value(
+                part, okeys, vals, valid, nth_n, ascending=ord_asc
+            )
+        if ntile_n:
+            return window_ntile(
+                part, okeys, valid, ntile_n, ascending=ord_asc
+            )
+        if rel_rank:
+            # PERCENT_RANK/CUME_DIST; without ORDER BY, row order
+            # decides (consistent with the RANK family below).
+            n_pad = vals.shape[0]
+            ok = (
+                okeys
+                if okeys is not None
+                else jnp.arange(n_pad, dtype=jnp.float32)
+            )
+            return window_relative_rank(
+                part, ok, valid, agg_name,
+                ascending=ord_asc if okeys is not None else True,
+            )
+        if ranking:
+            # ROW_NUMBER/RANK; without ORDER BY, row order decides.
+            n_pad = vals.shape[0]
+            ok = (
+                okeys
+                if okeys is not None
+                else jnp.arange(n_pad, dtype=jnp.float32)
+            )
+            return window_rank(
+                part, ok, valid, agg_name,
+                ascending=ord_asc if okeys is not None else True,
+            )
+        if select.frame is not None:
+            if select.frame_type == "groups":
+                # GROUPS frame (SQL:2011): bounds count PEER GROUPS.
+                # Lower to a RANGE frame over the DENSE RANK of the
+                # order key — rank distance IS peer-group distance,
+                # and RANGE's peers-always-in rule matches GROUPS'
+                # whole-group semantics exactly.
+                dr = window_rank(
+                    part, okeys, valid, "dense_rank", ascending=ord_asc
+                )
+                lo = (
+                    None if select.frame[0] is None
+                    else float(select.frame[0])
+                )
+                hi = (
+                    None if select.frame[1] is None
+                    else float(select.frame[1])
+                )
+                return window_range_frame(
+                    part, dr, vals, valid, agg_name, lo, hi,
+                    ascending=True,
+                )
+            # Explicit ROWS/RANGE frame (moving aggregates).
+            framer = (
+                window_range_frame
+                if select.frame_type == "range"
+                else window_frame
+            )
+            return framer(
+                part, okeys, vals, valid, agg_name,
+                select.frame[0], select.frame[1], ascending=ord_asc,
+            )
+        if okeys is not None:
+            # Running aggregate over the window's ORDER BY — what the
+            # reference parsed and threw away (expression.cpp:296-329).
+            return window_running(
+                part, okeys, vals, valid, agg_name, ascending=ord_asc
+            )
+        return window_aggregate(part, vals, valid, agg_name, capacity)
+
+    return win_fn
+
+
+def _window_dense_cfg(select, part_exprs, table):
+    """Sort-free dense window gate: (base, num_slots, integral_static)
+    when stats bound a single integer partition key to a small range,
+    else None (see _run_window)."""
+    if (
+        select.order_by is not None
+        or select.agg.value not in ("sum", "avg", "count", "min", "max")
+        or len(part_exprs) > 1
+        or select.frame is not None
+    ):
+        return None
+    from ..config import get_config
+    from .optimizer import expr_range
+
+    if not part_exprs:
+        return (0, 1, True)
+    rng = expr_range(part_exprs[0], table.stats)
+    if rng is None or not np.isfinite(rng[0]) or not np.isfinite(rng[1]):
+        return None
+    base = int(np.floor(rng[0]))
+    num_slots = int(np.floor(rng[1])) - base + 1
+    if (
+        1 <= num_slots <= get_config().dense_group_max_slots
+        and -(2**31) <= base
+        and base + num_slots <= 2**31 - 1
+    ):
+        integral_static, ok = _integral_key_check(table, part_exprs[0])
+        if ok:
+            return (base, num_slots, integral_static)
+    return None
+
+
 def _run_window(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     """SELECT AGG(e) OVER (PARTITION BY …) — executes what the reference
     stubbed (expression.hpp:112-121).
@@ -2203,34 +2448,7 @@ def _run_window(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
     # Sort-free window path: a plain partition aggregate over a
     # stats-bounded integer partition key needs neither the partition
     # sort nor the scatter-back (ops/aggregate.dense_window_aggregate).
-    dense_cfg = None  # (base, num_slots, integral_static)
-    if (
-        select.order_by is None
-        and select.agg.value in ("sum", "avg", "count", "min", "max")
-        and len(part_exprs) <= 1
-    ):
-        from ..config import get_config
-        from .optimizer import expr_range
-
-        if not part_exprs:
-            dense_cfg = (0, 1, True)
-        else:
-            rng = expr_range(part_exprs[0], table.stats)
-            if rng is not None and np.isfinite(rng[0]) and np.isfinite(
-                rng[1]
-            ):
-                base = int(np.floor(rng[0]))
-                num_slots = int(np.floor(rng[1])) - base + 1
-                if (
-                    1 <= num_slots <= get_config().dense_group_max_slots
-                    and -(2**31) <= base
-                    and base + num_slots <= 2**31 - 1
-                ):
-                    integral_static, ok = _integral_key_check(
-                        table, part_exprs[0]
-                    )
-                    if ok:
-                        dense_cfg = (base, num_slots, integral_static)
+    dense_cfg = _window_dense_cfg(select, part_exprs, table)
 
     if (
         dense_cfg is not None
@@ -2258,80 +2476,13 @@ def _run_window(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
            schema_signature(cols), table.padded_rows, out_cap, dense_cfg,
            udf_mod.registry_version())
 
-    shift_dir = {
-        AggregationType.LAG: 1,
-        AggregationType.LEAD: -1,
-    }.get(select.agg, 0)
-    if shift_dir:
-        if select.order_by is None:
-            raise UnsupportedError(
-                "LAG/LEAD require an ORDER BY inside OVER (...)"
-            )
-        shift_dir *= int(select.param or 1)
-    edge_last = select.agg is AggregationType.LAST_VALUE
-    is_edge = edge_last or select.agg is AggregationType.FIRST_VALUE
-    nth_n = 0
-    if select.agg is AggregationType.NTH_VALUE:
-        nth_n = int(select.param or 1)
-        if select.order_by is None:
-            raise UnsupportedError(
-                "NTH_VALUE requires an ORDER BY inside OVER (...)"
-            )
-    ntile_n = 0
-    if select.agg is AggregationType.NTILE:
-        if not isinstance(select.expr, Constant):
-            raise UnsupportedError(
-                "NTILE requires a constant bucket count"
-            )
-        ntile_n = int(select.expr.value)
-        if select.order_by is None:
-            raise UnsupportedError(
-                "NTILE requires an ORDER BY inside OVER (...)"
-            )
-    if select.frame is not None:
-        fword = select.frame_type.upper()
-        if select.order_by is None:
-            raise UnsupportedError(
-                f"A {fword} frame requires an ORDER BY inside OVER (...)"
-            )
-        if select.agg.value not in ("sum", "avg", "count", "min", "max"):
-            raise UnsupportedError(
-                f"{fword} frames support SUM/AVG/COUNT/MIN/MAX, "
-                f"not {select.agg.name}"
-            )
+    _window_flags(select)  # validate early (raises UnsupportedError)
 
     def build():
-        from ..ops.aggregate import (
-            dense_window_aggregate,
-            window_edge_value,
-            window_frame,
-            window_nth_value,
-            window_ntile,
-            window_range_frame,
-            window_rank,
-            window_relative_rank,
-            window_running,
-            window_shift,
+        win_fn = _build_window_value_fn(
+            select, part_exprs, dense_cfg, table.padded_rows
         )
-
-        ranking = select.agg in (
-            AggregationType.ROW_NUMBER,
-            AggregationType.RANK,
-            AggregationType.DENSE_RANK,
-        )
-        rel_rank = select.agg in (
-            AggregationType.PERCENT_RANK,
-            AggregationType.CUME_DIST,
-        )
-        val_fn = build_evaluator(select.expr)
-        part_fns = [build_evaluator(p) for p in part_exprs]
         cond_fn = build_evaluator(where) if where is not None else None
-        ord_fn = (
-            build_evaluator(select.order_by.expr)
-            if select.order_by is not None
-            else None
-        )
-        ord_asc = select.order_by.ascending if select.order_by else True
         outer_fns = (
             [
                 (build_evaluator(t.expr), t.ascending)
@@ -2340,8 +2491,6 @@ def _run_window(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
             if outer_order is not None
             else None
         )
-        agg_name = select.agg.value
-        capacity = table.padded_rows
 
         def _finish(win, valid, cols):
             if outer_fns is not None:
@@ -2369,127 +2518,12 @@ def _run_window(query: Query, table: DeviceTable, mesh=None) -> np.ndarray:
                 return win_c[:out_cap], None, count
             return win, valid, None
 
-        dense_part_fn = (
-            _raw_or_f32_key_fn(part_exprs[0], dense_cfg[2])
-            if dense_cfg is not None and part_exprs
-            else None
-        )
-
         @jax.jit
         def kernel(cols, num_rows):
             valid = _valid_mask(cols, num_rows)
             if cond_fn is not None:
                 valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
-            vals = _broadcast(_as_f32(val_fn(cols)), cols)
-            if dense_cfg is not None:
-                pk = (
-                    _broadcast(dense_part_fn(cols), cols)
-                    if dense_part_fn is not None
-                    else jnp.zeros_like(vals)
-                )
-                win = dense_window_aggregate(
-                    pk, vals, valid, agg_name, dense_cfg[0], dense_cfg[1]
-                )
-                return _finish(win, valid, cols)
-            if part_fns:
-                part = tuple(
-                    _broadcast(_as_f32(f(cols)), cols) for f in part_fns
-                )
-            else:
-                part = (jnp.zeros_like(vals),)
-            if ord_fn is not None:
-                okeys = _broadcast(_as_f32(ord_fn(cols)), cols)
-            else:
-                okeys = None
-            if shift_dir:
-                win = window_shift(
-                    part, okeys, vals, valid, shift_dir, ascending=ord_asc
-                )
-            elif is_edge:
-                n_pad = vals.shape[0]
-                ok = (
-                    okeys
-                    if okeys is not None
-                    else jnp.arange(n_pad, dtype=jnp.float32)
-                )
-                win = window_edge_value(
-                    part, ok, vals, valid, last=edge_last,
-                    ascending=ord_asc if okeys is not None else True,
-                )
-            elif nth_n:
-                win = window_nth_value(
-                    part, okeys, vals, valid, nth_n, ascending=ord_asc
-                )
-            elif ntile_n:
-                win = window_ntile(
-                    part, okeys, valid, ntile_n, ascending=ord_asc
-                )
-            elif rel_rank:
-                # PERCENT_RANK/CUME_DIST; without ORDER BY, row order
-                # decides (consistent with the RANK family below).
-                n_pad = vals.shape[0]
-                ok = (
-                    okeys
-                    if okeys is not None
-                    else jnp.arange(n_pad, dtype=jnp.float32)
-                )
-                win = window_relative_rank(
-                    part, ok, valid, agg_name,
-                    ascending=ord_asc if okeys is not None else True,
-                )
-            elif ranking:
-                # ROW_NUMBER/RANK; without ORDER BY, row order decides.
-                n_pad = vals.shape[0]
-                ok = (
-                    okeys
-                    if okeys is not None
-                    else jnp.arange(n_pad, dtype=jnp.float32)
-                )
-                win = window_rank(
-                    part, ok, valid, agg_name,
-                    ascending=ord_asc if okeys is not None else True,
-                )
-            elif select.frame is not None:
-                if select.frame_type == "groups":
-                    # GROUPS frame (SQL:2011): bounds count PEER GROUPS.
-                    # Lower to a RANGE frame over the DENSE RANK of the
-                    # order key — rank distance IS peer-group distance,
-                    # and RANGE's peers-always-in rule matches GROUPS'
-                    # whole-group semantics exactly.
-                    dr = window_rank(
-                        part, okeys, valid, "dense_rank", ascending=ord_asc
-                    )
-                    lo = (
-                        None if select.frame[0] is None
-                        else float(select.frame[0])
-                    )
-                    hi = (
-                        None if select.frame[1] is None
-                        else float(select.frame[1])
-                    )
-                    win = window_range_frame(
-                        part, dr, vals, valid, agg_name, lo, hi,
-                        ascending=True,
-                    )
-                else:
-                    # Explicit ROWS/RANGE frame (moving aggregates).
-                    framer = (
-                        window_range_frame
-                        if select.frame_type == "range"
-                        else window_frame
-                    )
-                    win = framer(
-                        part, okeys, vals, valid, agg_name,
-                        select.frame[0], select.frame[1], ascending=ord_asc,
-                    )
-            elif okeys is not None:
-                # Running aggregate over the window's ORDER BY — what the
-                # reference parsed and threw away (expression.cpp:296-329).
-                win = window_running(
-                    part, okeys, vals, valid, agg_name, ascending=ord_asc
-                )
-            else:
-                win = window_aggregate(part, vals, valid, agg_name, capacity)
+            win = win_fn(cols, valid)
             return _finish(win, valid, cols)
 
         return kernel
@@ -2818,41 +2852,58 @@ def _run_window_exprs(
             extra_order.append(Alias(t.expr, hname))
             new_terms.append((Variable(hname), t.ascending))
 
-    q2 = _copy.copy(query)
-    q2.order_by = None
-    q2.limit = None
-    q2.offset = None
-    q2.select_list = [*hidden, *extra_order]
-    out = run_query_table(q2, table, catalog, mesh=mesh)
+    fused = _try_fused_window_exprs(
+        query, table, mesh, win_nodes, new_items,
+        [a.expr for a in extra_order],
+    )
+    if fused is not None:
+        # Device-fused path (VERDICT r4 #5): every window value AND the
+        # combining arithmetic evaluate in ONE program; one column ships
+        # per select item / hidden order term, WHERE-compacted on
+        # device, instead of one O(N) column per window + per referenced
+        # column through a ~10 MB/s relay.
+        result_cols, ord_cols = fused
+    else:
+        q2 = _copy.copy(query)
+        q2.order_by = None
+        q2.limit = None
+        q2.offset = None
+        q2.select_list = [*hidden, *extra_order]
+        out = run_query_table(q2, table, catalog, mesh=mesh)
+        from ..utils import metrics as _metrics
 
-    def _f64(v):
-        try:
-            return np.asarray(v, dtype=np.float64)
-        except (ValueError, TypeError):
-            return np.asarray(v, dtype=object)  # string column reference
-
-    vals = [_f64(v) for v in out.values()]
-    env: dict = {}
-    for i in range(len(win_nodes)):
-        env[f"__winx{i}[idx]"] = vals[i]
-    for j, c in enumerate(cols):
-        env[c] = vals[len(win_nodes) + j]
-
-    from .group_exec import _group_level_eval
-
-    n_rows = len(vals[0]) if vals else 0
-    result_cols = []
-    for it in new_items:
-        v = _group_level_eval(it, env, {})
-        result_cols.append(
-            np.broadcast_to(np.asarray(v, np.float64), (n_rows,))
+        _metrics.note_transfer(
+            sum(np.asarray(v).nbytes for v in out.values())
         )
+
+        def _f64(v):
+            try:
+                return np.asarray(v, dtype=np.float64)
+            except (ValueError, TypeError):
+                return np.asarray(v, dtype=object)  # string column reference
+
+        vals = [_f64(v) for v in out.values()]
+        env: dict = {}
+        for i in range(len(win_nodes)):
+            env[f"__winx{i}[idx]"] = vals[i]
+        for j, c in enumerate(cols):
+            env[c] = vals[len(win_nodes) + j]
+
+        from .group_exec import _group_level_eval
+
+        n_rows = len(vals[0]) if vals else 0
+        result_cols = []
+        for it in new_items:
+            v = _group_level_eval(it, env, {})
+            result_cols.append(
+                np.broadcast_to(np.asarray(v, np.float64), (n_rows,))
+            )
+        ord_cols = [vals[len(hidden) + k] for k in range(len(extra_order))]
 
     names: list = []
     for i, item in enumerate(query.select_list):
         names.append(result_column_name(item, i, set(names)))
     ord_names = [h.name for h in extra_order]
-    ord_cols = [vals[len(hidden) + k] for k in range(len(extra_order))]
 
     if query.distinct:
         # SELECT DISTINCT over window expressions: dedupe the finished
@@ -2879,6 +2930,193 @@ def _run_window_exprs(
         "ORDER BY with window expressions",
     )
     return dict(list(sliced.items())[: len(query.select_list)])
+
+
+def _try_fused_window_exprs(
+    query: Query, table: DeviceTable, mesh, win_nodes, new_items,
+    order_exprs, pred=None,
+):
+    """Fused device path for window-expression selects and QUALIFY
+    (VERDICT r4 #5): compute every distinct window value AND the
+    combining arithmetic in ONE jitted program, compact by WHERE (and
+    the QUALIFY predicate ``pred``, itself an expression over __winx
+    placeholders) on device, and ship exactly one column per select
+    item / hidden order term (O(match) each).
+
+    Returns (result_cols, ord_cols) as host arrays, or None to fall back
+    to the hidden-column host path (multi-device mesh, string-typed
+    references, or anything bind refuses)."""
+    if mesh is not None and int(mesh.devices.size) > 1:
+        return None
+    tcols = table.columns
+    for root in [*new_items, *win_nodes, *order_exprs, pred, query.where]:
+        if root is None:
+            continue
+        for n in walk(root):
+            if isinstance(n, Variable) and not n.name.startswith("__winx"):
+                nm = n.name if n.name in tcols else n.unqualified
+                if nm not in tcols or nm in table.dicts:
+                    return None  # unknown / string-coded → host path
+    from ..errors import WarpDBError
+
+    try:
+        b_wins = [bind_strings(w, table) for w in win_nodes]
+        b_items = [bind_strings(it, table) for it in new_items]
+        b_order = [bind_strings(e, table) for e in order_exprs]
+        b_pred = bind_strings(pred, table) if pred is not None else None
+        where = (
+            bind_strings(query.where, table)
+            if query.where is not None
+            else None
+        )
+    except WarpDBError:
+        return None
+    for w in b_wins:
+        _window_flags(w)  # validate early; raises like the bare path
+
+    out_cap = table.padded_rows
+    if b_pred is not None:
+        # QUALIFY filters AFTER windows evaluate — counting survivors
+        # needs the window pass itself (compute-only, no transfer; the
+        # count is memoized per immutable table so repeats are free).
+        # The O(result) transfer it buys dominates on the relay.
+        ckey = ("qualify_countk",
+                tuple(w.canonical() for w in b_wins),
+                b_pred.canonical(),
+                where.canonical() if where is not None else "",
+                schema_signature(tcols), udf_mod.registry_version())
+
+        def build_qcount():
+            win_fns_c = [
+                _build_window_value_fn(
+                    w, w.partition_by or (),
+                    _window_dense_cfg(w, w.partition_by or (), table),
+                    table.padded_rows,
+                )
+                for w in b_wins
+            ]
+            pred_fn = build_evaluator(b_pred)
+            cond_fn = build_evaluator(where) if where is not None else None
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = _valid_mask(cols, num_rows)
+                if cond_fn is not None:
+                    valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+                env = dict(cols)
+                for i, wf in enumerate(win_fns_c):
+                    env[f"__winx{i}"] = wf(cols, valid)
+                mask = jnp.logical_and(valid, _as_bool(pred_fn(env)))
+                return jnp.sum(mask.astype(jnp.int32))
+
+            return kernel
+
+        n_match = _cached_count(
+            table,
+            ("qualify_count",
+             tuple(w.canonical() for w in b_wins), b_pred.canonical(),
+             where.canonical() if where is not None else "",
+             udf_mod.registry_version()),
+            lambda: jax.device_get(
+                get_or_compile(ckey, build_qcount)(
+                    tcols, jnp.int32(table.num_rows)
+                )
+            ),
+        )
+        out_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
+    elif where is not None:
+        ckey = ("window_count", where.canonical(),
+                schema_signature(tcols), udf_mod.registry_version())
+
+        def build_count():
+            cond_fn = build_evaluator(where)
+
+            @jax.jit
+            def kernel(cols, num_rows):
+                valid = jnp.logical_and(
+                    _valid_mask(cols, num_rows), _as_bool(cond_fn(cols))
+                )
+                return jnp.sum(valid.astype(jnp.int32))
+
+            return kernel
+
+        n_match = _cached_count(
+            table,
+            ("where_count", where.canonical(), udf_mod.registry_version()),
+            lambda: jax.device_get(
+                get_or_compile(ckey, build_count)(
+                    tcols, jnp.int32(table.num_rows)
+                )
+            ),
+        )
+        out_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
+
+    dense_cfgs = tuple(
+        _window_dense_cfg(w, w.partition_by or (), table) for w in b_wins
+    )
+    key = (
+        "window_exprs",
+        tuple(it.canonical() for it in b_items),
+        tuple(w.canonical() for w in b_wins),
+        tuple(e.canonical() for e in b_order),
+        b_pred.canonical() if b_pred is not None else "",
+        where.canonical() if where is not None else "",
+        schema_signature(tcols), table.padded_rows, out_cap, dense_cfgs,
+        udf_mod.registry_version(),
+    )
+
+    def build():
+        win_fns = [
+            _build_window_value_fn(
+                w, w.partition_by or (), cfg, table.padded_rows
+            )
+            for w, cfg in zip(b_wins, dense_cfgs)
+        ]
+        item_fns = [build_evaluator(it) for it in b_items]
+        ord_fns = [build_evaluator(e) for e in b_order]
+        pred_fn = build_evaluator(b_pred) if b_pred is not None else None
+        cond_fn = build_evaluator(where) if where is not None else None
+
+        @jax.jit
+        def kernel(cols, num_rows):
+            valid = _valid_mask(cols, num_rows)
+            if cond_fn is not None:
+                valid = jnp.logical_and(valid, _as_bool(cond_fn(cols)))
+            env = dict(cols)
+            for i, wf in enumerate(win_fns):
+                env[f"__winx{i}"] = wf(cols, valid)
+            outs = [
+                _broadcast(_as_f32(f(env)), cols)
+                for f in [*item_fns, *ord_fns]
+            ]
+            # QUALIFY filters AFTER the windows evaluate.
+            mask = valid
+            if pred_fn is not None:
+                mask = jnp.logical_and(mask, _as_bool(pred_fn(env)))
+            count = jnp.sum(mask.astype(jnp.int32))
+            if cond_fn is None and pred_fn is None:
+                # No filter: valid rows are already the leading prefix.
+                return tuple(outs), count
+            # One stable sort on original position compacts EVERY
+            # output column together (order-preserving).
+            n_pad = next(iter(cols.values())).shape[0]
+            pos = jnp.arange(n_pad, dtype=jnp.uint32)
+            ck = jnp.where(mask, pos, jnp.uint32(0xFFFFFFFF))
+            packed = jax.lax.sort((ck, *outs), num_keys=1, is_stable=True)
+            return tuple(s[:out_cap] for s in packed[1:]), count
+
+        return kernel
+
+    arrs, count = jax.device_get(
+        get_or_compile(key, build)(tcols, jnp.int32(table.num_rows))
+    )
+    from ..utils import metrics as _metrics
+
+    _metrics.note_transfer(sum(a.nbytes for a in arrs))
+    n = int(count)
+    host = [np.asarray(a[:n], np.float64) for a in arrs]
+    return host[: len(b_items)], host[len(b_items):]
+
 
 
 def _run_qualify(query: Query, table: DeviceTable, catalog, mesh) -> dict:
@@ -2917,6 +3155,62 @@ def _run_qualify(query: Query, table: DeviceTable, catalog, mesh) -> dict:
             hname = f"__ord{i}"
             hidden.append(Alias(t.expr, hname))
             new_terms.append((Variable(hname), t.ascending))
+
+    # Device-fused path first (VERDICT r4 #5): windows + the predicate +
+    # the select arithmetic evaluate in ONE program, the predicate masks
+    # the device compaction, and each select column ships at O(result).
+    wins_f: dict = {}
+    win_nodes_f: list = []
+
+    def _extract_f(e):
+        def repl(n):
+            if isinstance(n, WindowFunction):
+                c = n.canonical()
+                if c not in wins_f:
+                    wins_f[c] = len(win_nodes_f)
+                    win_nodes_f.append(n)
+                return Variable(f"__winx{wins_f[c]}")
+            return n
+
+        return transform(unalias(e), repl)
+
+    f_items = [_extract_f(it) for it in query.select_list]
+    f_order = [_extract_f(h.expr) for h in hidden]
+    f_pred = _extract_f(qualify)
+    if not any(
+        isinstance(n, Aggregation)
+        for it in [*f_items, *f_order, f_pred]
+        for n in walk(it)
+    ):
+        fused = _try_fused_window_exprs(
+            query, table, mesh, win_nodes_f, f_items, f_order,
+            pred=f_pred,
+        )
+        if fused is not None:
+            result_cols, ord_cols = fused
+            fcols = [*result_cols, *ord_cols]
+            if query.distinct:
+                if hidden:
+                    raise UnsupportedError(
+                        "DISTINCT ORDER BY terms must appear in the "
+                        "select list"
+                    )
+                fcols = _dedup_rows(fcols, ordered=False)
+            q_sort = _copy.copy(query)
+            q_sort.select_list = [*query.select_list, *hidden]
+            if new_terms:
+                head, *rest = new_terms
+                q_sort.order_by = OrderBy(
+                    head[0], head[1],
+                    tuple(OrderBy(e, a) for e, a in rest),
+                )
+            names: list = []
+            for i, item in enumerate(q_sort.select_list):
+                names.append(result_column_name(item, i, set(names)))
+            sliced = _host_order_and_slice(
+                q_sort, names, fcols, "ORDER BY with QUALIFY"
+            )
+            return dict(list(sliced.items())[: len(query.select_list)])
 
     # The window pipeline lowers BARE window items only (expressions
     # over windows are not row-level kernels) — so each comparison side

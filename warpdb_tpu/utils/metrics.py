@@ -85,6 +85,22 @@ def note_operator(name: str, cache_hit: bool) -> None:
         ops.append((name, cache_hit))
 
 
+_transfer_bytes = [0]
+
+
+def note_transfer(nbytes: int) -> None:
+    """Device→host result-transfer byte accounting (process-global,
+    monotonic).  On the relay (~10 MB/s device→host) transfer volume IS
+    the e2e cost driver — the window-expression fusion (VERDICT r4 #5)
+    is asserted against this counter: one shipped column per select
+    item, not one per window/referenced column."""
+    _transfer_bytes[0] += int(nbytes)
+
+
+def transfer_bytes() -> int:
+    return _transfer_bytes[0]
+
+
 def note_collective(op: str, bytes_per_device: int) -> None:
     """Called by the distributed kernels at launch with the analytic
     per-device byte count of each collective (all_to_all / all_gather /
