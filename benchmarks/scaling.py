@@ -31,7 +31,31 @@ def main() -> None:
                     help="force N virtual CPU devices (dev machines)")
     ap.add_argument("--rows", type=int, default=1 << 22)
     ap.add_argument("--keys", type=int, default=8192)
+    ap.add_argument(
+        "--xcheck", action="store_true",
+        help="also run the 2-process loopback wire-byte cross-check of "
+        "the analytic collective model (scripts/collective_xcheck.py)",
+    )
     args = ap.parse_args()
+
+    xcheck = None
+    if args.xcheck:
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [_sys.executable,
+             os.path.join(root, "scripts", "collective_xcheck.py"),
+             "--rows", str(min(args.rows, 1 << 20)), "--reps", "10"],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in proc.stdout.splitlines():
+            try:
+                xcheck = _json.loads(line)
+            except ValueError:
+                continue
 
     if args.cpu:
         import jax
@@ -151,6 +175,13 @@ def main() -> None:
             "collectives": collective_model(cs_combine),
         }
 
+    if xcheck is not None:
+        # Measured-vs-modeled wire bytes (VERDICT r4 #8): the pure
+        # all_to_all ratio validates note_collective's analytic counts
+        # (≈1.5× = gloo framing/algorithm, absent on real ICI); the
+        # full-pipeline ratio additionally carries the loopback-emulated
+        # replicated result fetch, which on a pod stays on device.
+        report["collective_xcheck"] = xcheck
     print(json.dumps(report, indent=2))
 
 

@@ -64,3 +64,31 @@ def test_plan_global_layout_contiguous_prefix():
     assert pad % per == 0
     assert per == pad  # one process in this test env
     assert pad >= 5000
+
+
+def test_collective_model_wire_xcheck():
+    """The analytic collective byte model survives a real-wire check
+    (VERDICT r4 #8): a bare all_to_all's measured loopback bytes land
+    within transport-framing range of the modeled cross-process volume
+    (gloo + gRPC add ~1.5x; see scripts/collective_xcheck.py and
+    DESIGN.md §6 for the full-pipeline decomposition)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "scripts", "collective_xcheck.py")
+    proc = subprocess.run(
+        [sys.executable, script, "--rows", str(1 << 18), "--reps", "5"],
+        capture_output=True, text=True, timeout=420, cwd=root,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:]
+    out = None
+    for line in proc.stdout.splitlines():
+        try:
+            out = json.loads(line)
+        except ValueError:
+            continue
+    assert out is not None, proc.stdout[-2000:]
+    ratio = out["pure_a2a_wire_vs_model"]
+    # Below 0.9 the model overcounts; above 4 it undercounts badly even
+    # allowing for transport framing.
+    assert 0.9 <= ratio <= 4.0, out
