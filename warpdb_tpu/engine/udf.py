@@ -197,5 +197,14 @@ def resolve_udf(name: str) -> Callable:
 
 
 def registry_version() -> int:
+    """Version stamp for kernel/memo cache keys.
+
+    Loads ``custom.py`` first (mtime-cached — one stat when unchanged):
+    without this, the FIRST query computed its memo keys at version 0,
+    then ``resolve_udf``'s lazy load bumped the version mid-query, and
+    every later identical query missed every version-keyed memo exactly
+    once (observed as TPC-H q4 rebuilding its decorrelated EXISTS
+    derived table and join on the second call)."""
+    load_custom_module()
     with _lock:
         return _version
