@@ -5041,3 +5041,85 @@ def test_count_column_skips_left_join_nulls():
     assert got == [3.0]
     got = db.query_sql("SELECT COUNT(*) FROM t LEFT JOIN d ON k = d.dk")
     assert got == [5.0]
+
+
+def test_conjunctwise_probe_pushdown_matches_unpushed():
+    """r5: a WHERE mixing probe-only conjuncts with a multi-relation OR
+    pushes just the probe conjuncts; results match the unpushed plan."""
+    from warpdb_tpu.config import get_config
+
+    rng = np.random.default_rng(17)
+    n = 1 << 13
+    db = WarpDB(HostTable.from_dict({
+        "k": rng.integers(0, 8, n).astype(np.float32),
+        "v": rng.uniform(0, 100, n).astype(np.float32),
+    }))
+    db.register_table("d", HostTable.from_dict({
+        "k": np.arange(8, dtype=np.float32),
+        "name": np.array(list("abcdefgh")),
+        "w": rng.uniform(0, 1, 8).astype(np.float32),
+    }))
+    sql = (
+        "SELECT SUM(v * d.w) FROM t JOIN d ON k = d.k "
+        "WHERE v > 90 AND (d.name = 'b' OR d.name = 'e') "
+        "GROUP BY k ORDER BY k ASC"
+    )
+    cfg = get_config()
+    got = db.query_sql_table(sql)
+    old = cfg.join_filter_pushdown
+    try:
+        cfg.join_filter_pushdown = False
+        want = db.query_sql_table(sql)
+    finally:
+        cfg.join_filter_pushdown = old
+    assert list(got.keys()) == list(want.keys())
+    for c in got:
+        np.testing.assert_allclose(
+            np.asarray(got[c], np.float64),
+            np.asarray(want[c], np.float64), rtol=1e-5,
+        )
+
+
+def test_or_implied_build_filter_matches_unpushed():
+    """r5: (a=X AND b=Y) OR (a=Y AND b=X) over two aliased dimension
+    joins derives per-relation IN filters; exact pairing preserved."""
+    from warpdb_tpu.config import get_config
+
+    rng = np.random.default_rng(23)
+    n = 1 << 12
+    db = WarpDB(HostTable.from_dict({
+        "s": rng.integers(0, 16, n).astype(np.float32),
+        "c": rng.integers(0, 16, n).astype(np.float32),
+        "v": rng.uniform(0, 10, n).astype(np.float32),
+    }))
+    names = np.array([f"n{i:02d}" for i in range(16)])
+    db.register_table("nat", HostTable.from_dict({
+        "k": np.arange(16, dtype=np.float32), "name": names,
+    }))
+    sql = (
+        "SELECT n1.name, n2.name, SUM(v) FROM t "
+        "JOIN nat n1 ON s = n1.k JOIN nat n2 ON c = n2.k "
+        "WHERE (n1.name = 'n03' AND n2.name = 'n05') "
+        "OR (n1.name = 'n05' AND n2.name = 'n03') "
+        "GROUP BY n1.name, n2.name ORDER BY n1.name ASC, n2.name ASC"
+    )
+    cfg = get_config()
+    got = db.query_sql_table(sql)
+    old = cfg.join_filter_pushdown
+    try:
+        cfg.join_filter_pushdown = False
+        want = db.query_sql_table(sql)
+    finally:
+        cfg.join_filter_pushdown = old
+    for c in got:
+        if isinstance(got[c][0] if got[c] else 0.0, str):
+            assert list(got[c]) == list(want[c])
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got[c], np.float64),
+                np.asarray(want[c], np.float64), rtol=1e-5,
+            )
+    # The exact pairing survives: only the (n03, n05) and (n05, n03)
+    # combinations appear.
+    pairs = set(zip(got[list(got)[0]], got[list(got)[1]]))
+    assert pairs <= {("n03", "n05"), ("n05", "n03")}

@@ -138,13 +138,22 @@ def explain_query(
     ):
         from .join_exec import _classify_build_conjuncts
 
-        by_rel, _rest, _p = _classify_build_conjuncts(query, table, catalog)
+        by_rel, _rest, _p, implied = _classify_build_conjuncts(
+            query, table, catalog
+        )
         for rname, conjs in by_rel.items():
             pred = " AND ".join(_fmt(c) for c in conjs)
             lines.append(
                 f"  pushdown: {pred} -> compacts '{rname}' BEFORE the "
                 "join (two-phase count + position sort; skipped at "
                 ">= 50% selectivity)"
+            )
+        for rname, disjs in implied.items():
+            pred = " AND ".join(_fmt(c) for c in disjs)
+            lines.append(
+                f"  pushdown (implied): {pred} -> pre-shrinks '{rname}' "
+                "(derived from an OR conjunct; the original stays in "
+                "WHERE)"
             )
 
     select_items = [

@@ -1688,22 +1688,36 @@ def _pushdown_join_where(
             return query, table
     from ..frontend.ast import Star as _Star
 
-    # Every WHERE column must be an unqualified probe column (the join
-    # output resolves ambiguous unqualified names to the probe side, so
-    # probe-resolution here matches post-join evaluation exactly).
-    for n in walk(where):
-        if isinstance(n, Variable):
-            if n.qualifier is not None or n.name not in table.columns:
-                return query, table
-        if isinstance(n, (Aggregation, _Star)):
-            return query, table
+    # CONJUNCT-WISE (r5): each top-level AND conjunct whose columns all
+    # resolve to unqualified probe columns pushes down; the residual
+    # stays post-join.  (The join output resolves ambiguous unqualified
+    # names to the probe side, so probe-resolution here matches
+    # post-join evaluation exactly; AND semantics make the split safe —
+    # rows the pushed conjuncts drop would be dropped by the full WHERE
+    # anyway, with probe columns unchanged through INNER/LEFT/CROSS.)
+    # TPC-H q7: the l_shipdate range compacts lineitem before the
+    # 5-join chain even though the nation-pair OR cannot push.
+    from .executor import _and_chain, _and_conjuncts, bind_strings
 
-    from .executor import bind_strings
+    def _probe_only(c) -> bool:
+        for n in walk(c):
+            if isinstance(n, Variable):
+                if n.qualifier is not None or n.name not in table.columns:
+                    return False
+            if isinstance(n, (Aggregation, _Star)):
+                return False
+        return True
+
+    parts = _and_conjuncts(where)
+    push = [c for c in parts if _probe_only(c)]
+    residual = [c for c in parts if not _probe_only(c)]
+    if not push:
+        return query, table
 
     # Bind string literals against the probe vocabulary up front (every
-    # WHERE column is a probe column, checked above); the bound codes
+    # pushed column is a probe column, checked above); the bound codes
     # land in the canonical and hence in every cache/memo key below.
-    where = bind_strings(where, table)
+    where = bind_strings(_and_chain(push), table)
 
     # Columns the rest of the query (and the join conditions) read from
     # the probe side.
@@ -1715,6 +1729,7 @@ def _pushdown_join_where(
         *(t.expr for t in (query.order_by.terms if query.order_by else ())),
         *(query.group_by.keys if query.group_by else ()),
         *(j.condition for j in query.joins if j.condition is not None),
+        *residual,  # the unpushed WHERE still reads probe columns
     ]
     for node in nodes:
         if node is None:
@@ -1736,7 +1751,7 @@ def _pushdown_join_where(
     import copy as _copy
 
     q2 = _copy.copy(query)
-    q2.where = None
+    q2.where = _and_chain(residual) if residual else None
     return q2, filtered
 
 
@@ -1852,13 +1867,17 @@ def _classify_build_conjuncts(
             j.kind in ("inner", "cross")
             and t is not None
             and t is not table
-            and t.num_rows >= 4096
+            and t.num_rows >= 2
         ):
+            # Small dimension tables qualify too (r5): the two extra
+            # dispatches a tiny filter costs are memoised per table
+            # instance, and shrinking a 25-row nation build side
+            # multiplies through every downstream join's row count.
             pushable[j.table] = t
 
     parts = _and_conjuncts(query.where) if query.where is not None else []
     if not pushable:
-        return {}, parts, pushable
+        return {}, parts, pushable, {}
 
     # Unqualified-name ownership across the whole joined namespace: the
     # join output resolves unqualified names probe-first then in join
@@ -1907,7 +1926,44 @@ def _classify_build_conjuncts(
             by_rel.setdefault(r, []).append(c)
         else:
             rest.append(c)
-    return by_rel, rest, pushable
+
+    # OR-implication (r5): a conjunct that is an OR whose EVERY branch
+    # restricts relation R implies the DISJUNCTION of those per-branch
+    # restrictions on R — a necessary condition that pre-filters the
+    # build side while the original conjunct STAYS in WHERE for the
+    # exact combination.  TPC-H q7's
+    # (n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A) implies n1 ∈ {A,B} AND n2 ∈ {A,B},
+    # shrinking both 25-row nation build sides to 2 before the chain.
+    def _or_branches(c) -> list:
+        if isinstance(c, BinaryOp) and c.op == "||":
+            return _or_branches(c.left) + _or_branches(c.right)
+        return [c]
+
+    implied: dict = {}
+    for c in rest:
+        branches = _or_branches(c)
+        if len(branches) < 2:
+            continue
+        per_branch = [_and_conjuncts(b) for b in branches]
+        for r in pushable:
+            if kinds.get(r) not in ("inner", "cross"):
+                continue
+            sels = []
+            for bc in per_branch:
+                rs = [x for x in bc if conjunct_relation(x) == r]
+                if not rs:
+                    sels = None
+                    break
+                sel = rs[0]
+                for x in rs[1:]:
+                    sel = BinaryOp("&&", sel, x)
+                sels.append(sel)
+            if sels:
+                disj = sels[0]
+                for s in sels[1:]:
+                    disj = BinaryOp("||", disj, s)
+                implied.setdefault(r, []).append(disj)
+    return by_rel, rest, pushable, implied
 
 
 def _pushdown_build_filters(
@@ -1941,16 +1997,22 @@ def _pushdown_build_filters(
         return query, catalog
     from .executor import bind_strings
 
-    by_rel, rest, pushable = _classify_build_conjuncts(query, table, catalog)
-    if not by_rel:
+    by_rel, rest, pushable, implied = _classify_build_conjuncts(
+        query, table, catalog
+    )
+    if not by_rel and not implied:
         return query, catalog
 
     catalog2 = dict(catalog or {})
     changed = False
-    for rname, conjs in by_rel.items():
-        cond = conjs[0]
-        for c in conjs[1:]:
-            cond = BinaryOp("&&", cond, c)
+    for rname in {*by_rel, *implied}:
+        conjs = by_rel.get(rname, [])
+        # Removable single-relation conjuncts AND'd with any implied
+        # OR-projections (the latter are redundant with WHERE, so they
+        # never leave it — they only pre-shrink the build side).
+        cond = None
+        for c in [*conjs, *implied.get(rname, [])]:
+            cond = c if cond is None else BinaryOp("&&", cond, c)
         dim = pushable[rname]
         bound = bind_strings(cond, dim)
         filtered = _filtered_table_for(dim, bound, list(dim.columns))
