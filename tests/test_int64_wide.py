@@ -143,3 +143,77 @@ def test_scalar_subquery_wide_exact():
         "SELECT v FROM t WHERE k = (SELECT MAX(k) FROM t)"
     )
     assert list(out["v"]) == [2.0]
+
+
+def test_wide_vs_nonconstant_comparison_refuses():
+    """Comparing a wide column to a non-constant expression would
+    compare CODES to values — must refuse loudly (review r5)."""
+    db = WarpDB(HostTable.from_dict({
+        "k": np.array([2**40, 2**40 + 1, 2**40 + 2, 5], np.int64),
+        "q": np.array([1.0, 2.0, 3.0, 4.0], np.float32),
+    }))
+    with pytest.raises(ValidationError, match="int64"):
+        db.query_sql("SELECT q FROM t WHERE k > q + 0")
+    with pytest.raises(ValidationError, match="int64"):
+        db.query_sql("SELECT q FROM t WHERE k = q")
+
+
+def test_in_subquery_wide_values_noncoded_outer_exact():
+    """Wide int64 subquery values against a plain int32 outer column:
+    non-f32-round-tripping values can never match and must not be
+    rounded into spurious matches (2147483650 once matched
+    2147483647)."""
+    db = WarpDB(HostTable.from_dict({
+        "q": np.array([2147483647, 5, 7], np.int32),
+        "v": np.ones(3, np.float32),
+    }))
+    db.register_table("t2", HostTable.from_dict({
+        "k": np.array([2147483650, 7], np.int64),
+    }))
+    out = db.query_sql_table("SELECT q FROM t WHERE q IN (SELECT k FROM t2)")
+    assert list(np.asarray(out["q"], np.int64)) == [7]
+
+
+def test_join_wide_build_float_probe_no_sentinel_collision():
+    """Raw f32 probe key at the f32 ulp boundary must NOT join an
+    out-of-range build key through the miss sentinel (review r5: the
+    int sentinel max+1 rounded back onto max in f32)."""
+    db = WarpDB(HostTable.from_dict({
+        "pk": np.array([33554436.0, 7.0], np.float32),
+        "v": np.array([1.0, 2.0], np.float32),
+    }))
+    db.register_table("d", HostTable.from_dict({
+        "pk": np.array([10000000000, 7], np.int64),
+        "w": np.array([100.0, 200.0], np.float32),
+    }))
+    out = db.query_sql_table("SELECT v, d.w FROM t JOIN d ON pk = d.pk")
+    assert list(np.asarray(out["v"])) == [2.0]
+    assert list(np.asarray(out["d.w"])) == [200.0]
+
+
+def test_wide_value_context_refusals_cover_order_stats_and_functions():
+    db, _, _ = _db()
+    for sql in (
+        "SELECT MEDIAN(k) FROM t",
+        "SELECT PERCENTILE(k, 0.5) FROM t",
+        "SELECT ABS(k) FROM t",
+    ):
+        with pytest.raises(ValidationError, match="int64"):
+            db.query_sql(sql)
+
+
+def test_qualify_count_kernel_not_reused_across_stats(monkeypatch):
+    """Two same-schema tables with different partition-key stats must
+    not share the QUALIFY survivor-count kernel (review r5: a stale
+    dense config silently truncated results)."""
+    rng = np.random.default_rng(9)
+    n = 64
+    v = rng.uniform(1.0, 2.0, n).astype(np.float32)
+    a = WarpDB(HostTable.from_dict({
+        "p": rng.integers(0, 4, n).astype(np.float32), "v": v,
+    }))
+    big = (rng.integers(0, 4, n) * 1_000_000).astype(np.float32)
+    b = WarpDB(HostTable.from_dict({"p": big, "v": v}))
+    sql = "SELECT v FROM t QUALIFY SUM(v) OVER (PARTITION BY p) > 0"
+    assert len(a.query_sql_table(sql)["v"]) == n
+    assert len(b.query_sql_table(sql)["v"]) == n

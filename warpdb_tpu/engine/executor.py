@@ -199,17 +199,23 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
                             l if lv is not None else const,
                             const if lv is not None else r,
                         )
-                if isinstance(l, Variable) and isinstance(r, Variable):
-                    kind = (
-                        "a wide-int64 column"
-                        if v.dtype.kind in "iu"
-                        else "a string column"
-                    )
+                    # Any NON-constant other side would compare
+                    # dictionary CODES against values — silently wrong
+                    # rows.  Refuse loudly (the "widen or refuse" rule).
                     raise ValidationError(
-                        f"Comparing {kind} with a numeric column"
+                        "Comparing an int64 column beyond the int32 "
+                        "range with a non-constant expression is not "
+                        "supported (its device representation is "
+                        "dictionary codes); compare against literals "
+                        "or JOIN on it"
                     )
+                if isinstance(l, Variable) and isinstance(r, Variable):
+                    raise ValidationError(
+                        "Comparing a string column with a numeric column"
+                    )
+            return BinaryOp(node.op, l, r)  # already bound above
         lb, rb = bind_strings(l, table), bind_strings(r, table)
-        if node.op not in _CMP_OPS and node.op not in ("&&", "||"):
+        if node.op not in ("&&", "||"):
             # Arithmetic over a wide-int64 column would operate on its
             # dictionary CODES, not its values — and the values exceed
             # exact f32 anyway.  Refuse loudly (the order/key operators
@@ -323,19 +329,39 @@ def bind_strings(node: Optional[Node], table: DeviceTable) -> Optional[Node]:
             cm = bind_string_func(FunctionCall(node.name, args), table)
             if cm is not None:
                 return cm
-        return FunctionCall(
-            node.name, tuple(bind_strings(a, table) for a in node.args)
-        )
+        bargs = tuple(bind_strings(a, table) for a in node.args)
+        for a in bargs:
+            fv = _vocab_of(a, table)
+            if fv is not None and fv.dtype.kind in "iu":
+                # A scalar function would operate on dictionary CODES
+                # and leak them as answers (ABS(k) once returned raw
+                # codes) — refuse loudly like arithmetic.
+                raise ValidationError(
+                    f"{node.name.upper()} over an int64 column beyond "
+                    "the int32 range is not supported (its device "
+                    "representation is dictionary codes); use it as a "
+                    "key (GROUP BY/JOIN/ORDER BY/comparisons)"
+                )
+        return FunctionCall(node.name, bargs)
     if isinstance(node, Aggregation):
         be = bind_strings(node.expr, table)
-        if node.agg in (AggregationType.SUM, AggregationType.AVG):
+        if node.agg in (
+            AggregationType.SUM,
+            AggregationType.AVG,
+            AggregationType.MEDIAN,
+            AggregationType.PERCENTILE,
+            AggregationType.STRING_AGG,
+        ):
+            # SUM/AVG would sum codes; MEDIAN/PERCENTILE interpolate
+            # between codes; STRING_AGG expects a str vocabulary —
+            # all would leak dictionary codes as answers.
             av = _vocab_of(be, table)
             if av is not None and av.dtype.kind in "iu":
                 raise ValidationError(
                     f"{node.agg.name} over an int64 column beyond the "
                     "int32 range is not supported (its values exceed "
-                    "the exact f32 device range); COUNT/MIN/MAX and "
-                    "key usage remain exact"
+                    "the exact f32 device range); COUNT/MIN/MAX/"
+                    "COUNT(DISTINCT) and key usage remain exact"
                 )
         return Aggregation(node.agg, be, node.param)
     if isinstance(node, WindowFunction):
@@ -750,6 +776,15 @@ def _resolve_expr_subqueries(query, table, catalog, mesh):
                         f"(max {_IN_SUBQUERY_MAX_VALUES}) — use a JOIN"
                     )
                 return InValueSet(expr, tuple(arr))
+            # Non-coded OUTER expression: the InValueSet sweep compares
+            # in f32, so keep only set values that round-trip f32 —
+            # a non-round-tripping int (e.g. 2147483650) can never
+            # EXACTLY equal any f32/i32 outer value, and letting it
+            # round would fabricate matches (2147483650 ≈ f32
+            # 2147483648 once spuriously matched an int32 2147483647).
+            vlist = [
+                v for v in vlist if float(np.float32(v)) == float(v)
+            ]
         arr = np.unique(np.asarray(vlist, np.float32))
         arr = arr[~np.isnan(arr)]
         if arr.shape[0] > _IN_SUBQUERY_MAX_VALUES:
@@ -2975,6 +3010,14 @@ def _try_fused_window_exprs(
         _window_flags(w)  # validate early; raises like the bare path
 
     out_cap = table.padded_rows
+    # Stats-derived per-window dense configs: computed ONCE here because
+    # they are baked into the traced programs and must therefore appear
+    # in EVERY kernel cache key below — the count kernel included (a
+    # same-schema table with different stats once reused a stale count
+    # kernel and silently truncated QUALIFY results).
+    dense_cfgs = tuple(
+        _window_dense_cfg(w, w.partition_by or (), table) for w in b_wins
+    )
     if b_pred is not None:
         # QUALIFY filters AFTER windows evaluate — counting survivors
         # needs the window pass itself (compute-only, no transfer; the
@@ -2984,16 +3027,15 @@ def _try_fused_window_exprs(
                 tuple(w.canonical() for w in b_wins),
                 b_pred.canonical(),
                 where.canonical() if where is not None else "",
-                schema_signature(tcols), udf_mod.registry_version())
+                schema_signature(tcols), table.padded_rows, dense_cfgs,
+                udf_mod.registry_version())
 
         def build_qcount():
             win_fns_c = [
                 _build_window_value_fn(
-                    w, w.partition_by or (),
-                    _window_dense_cfg(w, w.partition_by or (), table),
-                    table.padded_rows,
+                    w, w.partition_by or (), cfg, table.padded_rows,
                 )
-                for w in b_wins
+                for w, cfg in zip(b_wins, dense_cfgs)
             ]
             pred_fn = build_evaluator(b_pred)
             cond_fn = build_evaluator(where) if where is not None else None
@@ -3016,7 +3058,7 @@ def _try_fused_window_exprs(
             ("qualify_count",
              tuple(w.canonical() for w in b_wins), b_pred.canonical(),
              where.canonical() if where is not None else "",
-             udf_mod.registry_version()),
+             dense_cfgs, udf_mod.registry_version()),
             lambda: jax.device_get(
                 get_or_compile(ckey, build_qcount)(
                     tcols, jnp.int32(table.num_rows)
@@ -3051,9 +3093,6 @@ def _try_fused_window_exprs(
         )
         out_cap = min(_next_pow2(max(n_match, 16)), table.padded_rows)
 
-    dense_cfgs = tuple(
-        _window_dense_cfg(w, w.partition_by or (), table) for w in b_wins
-    )
     key = (
         "window_exprs",
         tuple(it.canonical() for it in b_items),

@@ -168,6 +168,36 @@ def _translated_right_key(left, right, left_var, right_var):
             st = left.stats.get(left_var.name) or left.stats.get(
                 left_var.unqualified
             )
+            probe_float = jnp.issubdtype(lkey_raw.dtype, jnp.floating)
+            if probe_float:
+                # The join compares in f32, so the sentinel must be an
+                # EXACT f32 value strictly outside the probe's range —
+                # an integer like max+1 can round back onto the max
+                # (ulp at 2^25 is 4) and fabricate matches.
+                if st is not None and st.max is not None and np.isfinite(
+                    st.max
+                ):
+                    sent = float(
+                        np.nextafter(np.float32(st.max), np.float32(np.inf))
+                    )
+                elif st is not None and st.min is not None and np.isfinite(
+                    st.min
+                ):
+                    sent = float(
+                        np.nextafter(
+                            np.float32(st.min), np.float32(-np.inf)
+                        )
+                    )
+                else:
+                    raise ValidationError(
+                        "JOIN between a wide-int64 key and an unbounded "
+                        "float key is not supported; load both sides as "
+                        "int64"
+                    )
+                rkey_raw = jnp.asarray(
+                    np.where(miss, sent, vals).astype(np.float32)
+                )
+                return lkey_raw, rkey_raw
             if st is not None and st.max is not None and st.max < 2**31 - 1:
                 sent = int(st.max) + 1
             elif (
@@ -1708,9 +1738,9 @@ def _pushdown_join_where(
                 return False
         return True
 
-    parts = _and_conjuncts(where)
-    push = [c for c in parts if _probe_only(c)]
-    residual = [c for c in parts if not _probe_only(c)]
+    push, residual = [], []
+    for c in _and_conjuncts(where):
+        (push if _probe_only(c) else residual).append(c)
     if not push:
         return query, table
 
