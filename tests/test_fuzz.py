@@ -540,9 +540,11 @@ def test_fuzz_differential_fast_vs_slow_paths(seed):
     phase-1 joins, eager join aggregation) must be result-equivalent to
     the general machinery (sorted segmented aggregation, full sort-merge
     join).  Each random query runs twice — fast paths enabled vs all
-    forced off — and the results must agree.  A 400-seed campaign of
-    this harness ran clean on 2026-08-17; these 8 seeds keep the
-    equivalence regress-visible in CI."""
+    forced off — and the results must agree.  Offline campaigns ran
+    clean: 400 seeds on 2026-08-17, and 300 fresh seeds (plus 100
+    join-vs-numpy, 50 string-predicate, 40 string-group) on 2026-08-20
+    after the r5 pushdown/COUNT/wide-int64 changes; these 8 seeds keep
+    the equivalence regress-visible in CI."""
     import dataclasses
 
     from warpdb_tpu.config import EngineConfig, get_config, set_config

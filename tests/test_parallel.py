@@ -1102,8 +1102,9 @@ def test_mesh_window_matches_single_device(mesh, seed):
 def test_fuzz_mesh_vs_single_device(mesh, seed):
     """Mesh execution (distributed GROUP BY / shuffle / join / top-k
     routing) must agree with single-device execution on the same SQL.
-    A 120-seed offline campaign of this harness ran clean on 2026-08-17;
-    4 seeds keep the equivalence regress-visible in CI."""
+    Offline campaigns ran clean: 120 seeds on 2026-08-17 and 100 fresh
+    seeds on 2026-08-20 (after the r5 pushdown/COUNT/wide-int64
+    changes); 4 seeds keep the equivalence regress-visible in CI."""
     from warpdb_tpu import WarpDB
 
     rng = np.random.default_rng(777_000 + seed)
